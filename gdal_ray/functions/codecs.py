@@ -1,0 +1,100 @@
+"""Image codec dispatch for the ``bytes``/``fmt`` columns of the image
+corpus (input_hint schema: image_id, bytes, w, h, fmt, caption, phash).
+
+Formats:
+
+- ``png``  — real, spec-compliant lossless PNG (functions/png.py).
+- ``jpeg`` — **deterministic lossy stand-in**: no JPEG library exists in
+  this container, so per the multimodal-stub contract the "jpeg" rows
+  use a quantize-to-5-bits + zlib codec with the same plumbing (binary
+  in, pixels out). Uniform 5-bit quantization has MSE ~ step^2/12 with
+  step 8.2 -> PSNR ~ 40.9 dB, deliberately just above the >=40 dB
+  per-row invariant from BASELINE.json, so the PSNR gate is exercised
+  for real. Swap `_encode_jq`/`_decode_jq` for libjpeg bindings when
+  available; nothing else changes.
+- ``raw``  — zlib-compressed raw pixels with a tiny header (lossless,
+  fastest; used for intermediate tiles).
+
+All payloads carry their own shape header, so decode needs only bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .png import decode_png, encode_png
+
+_JQ_MAGIC = b"JQ5\x00"
+_RAW_MAGIC = b"RAW\x00"
+_JQ_LEVELS = 32  # 5-bit quantization
+_JQ_STEP = 255.0 / (_JQ_LEVELS - 1)
+
+
+def _encode_jq(pixels: np.ndarray) -> bytes:
+    if pixels.dtype != np.uint8:
+        raise ValueError("jpeg stand-in supports uint8 only")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    q = np.round(pixels.astype(np.float32) / _JQ_STEP).astype(np.uint8)
+    return _JQ_MAGIC + struct.pack(">III", h, w, c) + zlib.compress(q.tobytes(), 6)
+
+
+def _decode_jq(data: bytes) -> np.ndarray:
+    h, w, c = struct.unpack(">III", data[4:16])
+    q = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(h, w, c)
+    out = np.clip(np.round(q.astype(np.float32) * _JQ_STEP), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if c == 1 else out
+
+
+def _encode_raw(pixels: np.ndarray) -> bytes:
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    dt = pixels.dtype.str.encode()  # e.g. b'|u1', b'<u2', b'<f4'
+    return (
+        _RAW_MAGIC
+        + struct.pack(">III4s", h, w, c, dt)
+        + zlib.compress(np.ascontiguousarray(pixels).tobytes(), 1)
+    )
+
+
+def _decode_raw(data: bytes) -> np.ndarray:
+    h, w, c, dt = struct.unpack(">III4s", data[4:20])
+    arr = np.frombuffer(zlib.decompress(data[20:]), dtype=np.dtype(dt.rstrip(b"\x00").decode()))
+    arr = arr.reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpeg":
+        return _encode_jq(pixels)
+    if fmt == "raw":
+        return _encode_raw(pixels)
+    raise NotImplementedError(f"format {fmt!r} (no codec library in this environment)")
+
+
+def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
+    """Decode by sniffing magic bytes (fmt is advisory, like GDALOpenEx
+    driver probing — reference gcore/gdaldataset.cpp:3621)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:4] == _JQ_MAGIC:
+        return _decode_jq(data)
+    if data[:4] == _RAW_MAGIC:
+        return _decode_raw(data)
+    raise NotImplementedError(f"unrecognized image payload (fmt hint {fmt!r})")
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical arrays)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)

@@ -1,0 +1,211 @@
+"""Vectorized CRS math (the engine's PROJ stand-in).
+
+The reference delegates reprojection to PROJ through ``OGRProjCT``
+(reference ogr/ogrct.cpp:655) and composes it into the GenImgProj
+transformer chain (reference alg/gdaltransformer.cpp). No PROJ/pyproj
+binding exists in this container, so the projections the engine
+supports are implemented directly from the public formulas:
+
+- EPSG:4326          — WGS84 geographic lon/lat degrees (hub CRS).
+- EPSG:3857          — spherical Web Mercator (R = 6378137), with the
+                       +/-85.0511287798066 deg clamp used by tiling
+                       (reference apps/gdalalg_raster_tile.cpp:2323).
+- EPSG:326xx / 327xx — WGS84 UTM north/south zones via the 6th-order
+                       Krueger series (Karney 2011, "Transverse
+                       Mercator with an accuracy of a few nanometers"),
+                       k0=0.9996, FE=500000, FN=0/10000000.
+
+All transforms are numpy-vectorized over coordinate arrays. Accuracy:
+UTM series is sub-micrometer in-zone; the inverse conformal-latitude
+step solves the exact relation by fixed-point iteration (converges at
+rate e^2 ~ 1/150, 8 iterations => ~1e-17 rad).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84
+A_WGS84 = 6378137.0
+F_WGS84 = 1.0 / 298.257223563
+E2_WGS84 = F_WGS84 * (2.0 - F_WGS84)
+E_WGS84 = np.sqrt(E2_WGS84)
+
+R_MERC = 6378137.0
+MAX_MERC_LAT = 85.0511287798066  # reference apps/gdalalg_raster_tile.cpp MAX_LAT
+WEB_MERCATOR_EXTENT = np.pi * R_MERC  # half-width of the 3857 square
+
+_N = F_WGS84 / (2.0 - F_WGS84)  # third flattening
+_N2, _N3, _N4, _N5, _N6 = _N**2, _N**3, _N**4, _N**5, _N**6
+# rectifying radius
+_A_CAP = A_WGS84 / (1 + _N) * (1 + _N2 / 4 + _N4 / 64 + _N6 / 256)
+# Krueger alpha (forward) / beta (inverse) coefficients, order n^6
+_ALPHA = np.array(
+    [
+        _N / 2 - 2 * _N2 / 3 + 5 * _N3 / 16 + 41 * _N4 / 180 - 127 * _N5 / 288 + 7891 * _N6 / 37800,
+        13 * _N2 / 48 - 3 * _N3 / 5 + 557 * _N4 / 1440 + 281 * _N5 / 630 - 1983433 * _N6 / 1935360,
+        61 * _N3 / 240 - 103 * _N4 / 140 + 15061 * _N5 / 26880 + 167603 * _N6 / 181440,
+        49561 * _N4 / 161280 - 179 * _N5 / 168 + 6601661 * _N6 / 7257600,
+        34729 * _N5 / 80640 - 3418889 * _N6 / 1995840,
+        212378941 * _N6 / 319334400,
+    ]
+)
+_BETA = np.array(
+    [
+        _N / 2 - 2 * _N2 / 3 + 37 * _N3 / 96 - _N4 / 360 - 81 * _N5 / 512 + 96199 * _N6 / 604800,
+        _N2 / 48 + _N3 / 15 - 437 * _N4 / 1440 + 46 * _N5 / 105 - 1118711 * _N6 / 3870720,
+        17 * _N3 / 480 - 37 * _N4 / 840 - 209 * _N5 / 4480 + 5569 * _N6 / 90720,
+        4397 * _N4 / 161280 - 11 * _N5 / 504 - 830251 * _N6 / 7257600,
+        4583 * _N5 / 161280 - 108847 * _N6 / 3991680,
+        20648693 * _N6 / 638668800,
+    ]
+)
+_J = np.arange(1, 7, dtype=np.float64)
+
+UTM_K0 = 0.9996
+UTM_FE = 500000.0
+UTM_FN_SOUTH = 10000000.0
+
+
+# ---------------------------------------------------------------- Web Mercator
+def lonlat_to_webmercator(lon, lat, clamp: bool = True):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if clamp:
+        lat = np.clip(lat, -MAX_MERC_LAT, MAX_MERC_LAT)
+    x = R_MERC * np.radians(lon)
+    y = R_MERC * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_to_lonlat(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / R_MERC)
+    lat = np.degrees(2 * np.arctan(np.exp(y / R_MERC)) - np.pi / 2)
+    return lon, lat
+
+
+# ------------------------------------------------------ Transverse Mercator
+def _conformal_lat(phi):
+    s = np.sin(phi)
+    return np.arctan(np.sinh(np.arctanh(s) - E_WGS84 * np.arctanh(E_WGS84 * s)))
+
+
+def _inv_conformal_lat(chi):
+    """phi such that conformal(phi) == chi; fixed-point, vectorized."""
+    phi = chi.copy()
+    for _ in range(8):
+        phi = phi + (chi - _conformal_lat(phi))
+    return phi
+
+
+def lonlat_to_tm(lon, lat, lon0_deg: float):
+    """Geographic -> transverse Mercator (unscaled, no false offsets).
+
+    Returns (easting_raw, northing_raw) = k0-free (x, y); callers apply
+    k0 / false easting. Krueger series, Karney 2011 eqs. 7-11.
+    """
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0_deg)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    chi = _conformal_lat(phi)
+    t = np.tan(chi)
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    j2xi = 2 * _J[:, None] * xi_p.reshape(1, -1)
+    j2eta = 2 * _J[:, None] * eta_p.reshape(1, -1)
+    xi = xi_p + (_ALPHA[:, None] * np.sin(j2xi) * np.cosh(j2eta)).sum(axis=0).reshape(xi_p.shape)
+    eta = eta_p + (_ALPHA[:, None] * np.cos(j2xi) * np.sinh(j2eta)).sum(axis=0).reshape(eta_p.shape)
+    return _A_CAP * eta, _A_CAP * xi
+
+
+def tm_to_lonlat(x, y, lon0_deg: float):
+    """Inverse transverse Mercator (unscaled x, y)."""
+    eta = np.asarray(x, dtype=np.float64) / _A_CAP
+    xi = np.asarray(y, dtype=np.float64) / _A_CAP
+    j2xi = 2 * _J[:, None] * xi.reshape(1, -1)
+    j2eta = 2 * _J[:, None] * eta.reshape(1, -1)
+    xi_p = xi - (_BETA[:, None] * np.sin(j2xi) * np.cosh(j2eta)).sum(axis=0).reshape(xi.shape)
+    eta_p = eta - (_BETA[:, None] * np.cos(j2xi) * np.sinh(j2eta)).sum(axis=0).reshape(eta.shape)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = _inv_conformal_lat(chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
+def utm_zone_lon0(zone: int) -> float:
+    return -183.0 + 6.0 * zone
+
+
+def lonlat_to_utm(lon, lat, zone: int, south: bool = False):
+    x, y = lonlat_to_tm(lon, lat, utm_zone_lon0(zone))
+    e = UTM_K0 * x + UTM_FE
+    n = UTM_K0 * y + (UTM_FN_SOUTH if south else 0.0)
+    return e, n
+
+
+def utm_to_lonlat(e, n, zone: int, south: bool = False):
+    x = (np.asarray(e, dtype=np.float64) - UTM_FE) / UTM_K0
+    y = (np.asarray(n, dtype=np.float64) - (UTM_FN_SOUTH if south else 0.0)) / UTM_K0
+    return tm_to_lonlat(x, y, utm_zone_lon0(zone))
+
+
+# ------------------------------------------------------------------ dispatch
+def _parse_epsg(crs: int | str) -> int:
+    if isinstance(crs, str):
+        crs = crs.upper().replace("EPSG:", "")
+        return int(crs)
+    return int(crs)
+
+
+def _to_lonlat_fn(epsg: int):
+    if epsg == 4326:
+        return lambda x, y: (np.asarray(x, np.float64), np.asarray(y, np.float64))
+    if epsg == 3857:
+        return webmercator_to_lonlat
+    if 32601 <= epsg <= 32660:
+        z = epsg - 32600
+        return lambda x, y: utm_to_lonlat(x, y, z, south=False)
+    if 32701 <= epsg <= 32760:
+        z = epsg - 32700
+        return lambda x, y: utm_to_lonlat(x, y, z, south=True)
+    raise NotImplementedError(f"EPSG:{epsg}")
+
+
+def _from_lonlat_fn(epsg: int):
+    if epsg == 4326:
+        return lambda lon, lat: (np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+    if epsg == 3857:
+        return lonlat_to_webmercator
+    if 32601 <= epsg <= 32660:
+        z = epsg - 32600
+        return lambda lon, lat: lonlat_to_utm(lon, lat, z, south=False)
+    if 32701 <= epsg <= 32760:
+        z = epsg - 32700
+        return lambda lon, lat: lonlat_to_utm(lon, lat, z, south=True)
+    raise NotImplementedError(f"EPSG:{epsg}")
+
+
+class Transformer:
+    """pyproj.Transformer analog: build once (per actor), apply per batch.
+
+    Mirrors the OGRProjCT reuse pattern (reference ogr/ogrct.cpp:1654
+    Clone()/GetInverse()) — construction is the expensive part in PROJ;
+    here it is cheap but the actor-pool pattern is kept identical so a
+    real PROJ binding can slot in.
+    """
+
+    def __init__(self, src: int | str, dst: int | str):
+        self.src = _parse_epsg(src)
+        self.dst = _parse_epsg(dst)
+        self._to_ll = _to_lonlat_fn(self.src)
+        self._from_ll = _from_lonlat_fn(self.dst)
+
+    def transform(self, x, y):
+        if self.src == self.dst:
+            return np.asarray(x, np.float64), np.asarray(y, np.float64)
+        lon, lat = self._to_ll(x, y)
+        return self._from_ll(lon, lat)
+
+    def inverse(self) -> "Transformer":
+        return Transformer(self.dst, self.src)

@@ -1,0 +1,141 @@
+"""Minimal spec-compliant PNG codec (pure numpy + zlib).
+
+Stands in for GDAL's PNG driver (reference frmts/png/) since no image
+library (PIL/OpenCV) exists in this environment. Supports what the
+engine needs:
+
+- bit depth 8 and 16 (big-endian per spec), color types 0 (gray),
+  2 (RGB), 4 (gray+alpha), 6 (RGBA),
+- decode of all five scanline filters (None/Sub/Up/Average/Paeth);
+  Sub/Up are vectorized, Average/Paeth fall back to a per-byte loop
+  (our encoder always writes filter 0, so the hot decode path is the
+  vectorized one),
+- deterministic encode: filter 0, fixed zlib level, no ancillary
+  chunks, no timestamps -> byte-identical re-runs (required for
+  checkpoint-resume idempotence, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode (h, w) or (h, w, c) uint8/uint16 array to PNG bytes."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    try:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    except KeyError:
+        raise ValueError(f"unsupported channel count {c}")
+    if pixels.dtype == np.uint8:
+        depth = 8
+        raw = pixels
+    elif pixels.dtype == np.uint16:
+        depth = 16
+        raw = pixels.byteswap() if pixels.dtype.byteorder in ("<", "=") else pixels
+    else:
+        raise ValueError(f"unsupported dtype {pixels.dtype}")
+    body = np.ascontiguousarray(raw).view(np.uint8).reshape(h, -1)
+    # filter byte 0 (None) per scanline
+    scan = np.zeros((h, body.shape[1] + 1), dtype=np.uint8)
+    scan[:, 1:] = body
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), compress_level)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to (h, w) or (h, w, c) uint8/uint16 array."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant (interlace/compression)")
+            if depth not in (8, 16) or color_type not in _COLOR_TYPE_CHANNELS:
+                raise ValueError(f"unsupported depth/color {depth}/{color_type}")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    channels = _COLOR_TYPE_CHANNELS[color_type]
+    bpp = channels * depth // 8  # filter step in bytes
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad PNG payload size")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = filters[y]
+        line = rows[y, 1:].copy()
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub — vectorized cumulative sum per byte lane
+            lanes = line.reshape(-1, bpp).astype(np.uint64)
+            rec = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[y] = rec
+        prev = out[y]
+    if depth == 8:
+        arr = out.reshape(height, width, channels)
+    else:
+        arr = out.view(">u2").astype(np.uint16).reshape(height, width, channels)
+    if channels == 1:
+        return arr[:, :, 0]
+    return arr

@@ -1,0 +1,174 @@
+"""Resampling kernels (warp + overview reductions), vectorized numpy.
+
+Reference semantics: alg/gdalwarper.h:35-67 (algorithm set),
+alg/gdalwarpkernel.cpp:83-135 (kernel radius + filter functions:
+bilinear 2x2, cubic 4x4 Catmull-Rom with A=-0.5), gcore/overview.cpp
+(decimated 2x reductions: nearest/average/rms/mode). Coordinates are
+*pixel-center based*: source coordinate ``p`` means distance in pixels
+from the raster's top-left corner, so the center of pixel ``i`` is at
+``p = i + 0.5`` (matching GDALGeoTransform half-pixel sampling).
+
+``sample_*`` take fractional source coordinates (any shape) and a
+(h, w) or (h, w, bands) array; out-of-range coordinates yield
+``nodata`` (validity mask semantics of GWK, alg/gdalwarper.h:183-189).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _prep(src: np.ndarray):
+    if src.ndim == 2:
+        return src[:, :, None], True
+    return src, False
+
+
+def sample_nearest(src: np.ndarray, px, py, nodata=0):
+    """Nearest-neighbour: source pixel floor(p) (GWKNearest semantics)."""
+    src3, squeeze = _prep(src)
+    h, w, _ = src3.shape
+    ix = np.floor(np.asarray(px, np.float64)).astype(np.int64)
+    iy = np.floor(np.asarray(py, np.float64)).astype(np.int64)
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    out = np.full(ix.shape + (src3.shape[2],), nodata, dtype=src3.dtype)
+    out[valid] = src3[iy[valid], ix[valid]]
+    return (out[..., 0] if squeeze else out), valid
+
+
+def sample_bilinear(src: np.ndarray, px, py, nodata=0):
+    """2x2 bilinear on pixel centers; edge-clamped inside the raster,
+    invalid outside (the no-masks fast path of GWKBilinear)."""
+    src3, squeeze = _prep(src)
+    h, w, nb = src3.shape
+    fx = np.asarray(px, np.float64) - 0.5
+    fy = np.asarray(py, np.float64) - 0.5
+    valid = (np.asarray(px) >= 0) & (np.asarray(px) <= w) & (np.asarray(py) >= 0) & (np.asarray(py) <= h)
+    x0 = np.clip(np.floor(fx), 0, w - 1).astype(np.int64)
+    y0 = np.clip(np.floor(fy), 0, h - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = np.clip(fx - x0, 0.0, 1.0)[..., None]
+    wy = np.clip(fy - y0, 0.0, 1.0)[..., None]
+    v = (
+        src3[y0, x0].astype(np.float64) * (1 - wx) * (1 - wy)
+        + src3[y0, x1].astype(np.float64) * wx * (1 - wy)
+        + src3[y1, x0].astype(np.float64) * (1 - wx) * wy
+        + src3[y1, x1].astype(np.float64) * wx * wy
+    )
+    out = _cast_back(v, src3.dtype, nodata, valid)
+    return (out[..., 0] if squeeze else out), valid
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """Catmull-Rom (A = -0.5) weights for offsets [-1, 0, 1, 2]
+    (reference alg/gdalwarpkernel.cpp GWKCubic coefficients)."""
+    A = -0.5
+    w = np.empty(t.shape + (4,), np.float64)
+    for k, off in enumerate((-1.0, 0.0, 1.0, 2.0)):
+        d = np.abs(t - off)
+        w[..., k] = np.where(
+            d <= 1.0,
+            (A + 2) * d**3 - (A + 3) * d**2 + 1,
+            np.where(d < 2.0, A * d**3 - 5 * A * d**2 + 8 * A * d - 4 * A, 0.0),
+        )
+    return w
+
+
+def sample_cubic(src: np.ndarray, px, py, nodata=0):
+    """4x4 Catmull-Rom; taps edge-clamped, result range-clamped to the
+    source dtype (GDALCopyWords clamp semantics)."""
+    src3, squeeze = _prep(src)
+    h, w, nb = src3.shape
+    fx = np.asarray(px, np.float64) - 0.5
+    fy = np.asarray(py, np.float64) - 0.5
+    valid = (np.asarray(px) >= 0) & (np.asarray(px) <= w) & (np.asarray(py) >= 0) & (np.asarray(py) <= h)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = fx - x0
+    ty = fy - y0
+    wx = _cubic_weights(tx)
+    wy = _cubic_weights(ty)
+    acc = np.zeros(fx.shape + (nb,), np.float64)
+    for j in range(4):
+        yy = np.clip(y0 + (j - 1), 0, h - 1)
+        row = np.zeros_like(acc)
+        for i in range(4):
+            xx = np.clip(x0 + (i - 1), 0, w - 1)
+            row += src3[yy, xx].astype(np.float64) * wx[..., i][..., None]
+        acc += row * wy[..., j][..., None]
+    out = _cast_back(acc, src3.dtype, nodata, valid)
+    return (out[..., 0] if squeeze else out), valid
+
+
+def _cast_back(v: np.ndarray, dtype, nodata, valid):
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        v = np.clip(np.floor(v + 0.5), info.min, info.max)
+    out = v.astype(dtype)
+    out[~valid] = nodata
+    return out
+
+
+_SAMPLERS = {"nearest": sample_nearest, "bilinear": sample_bilinear, "cubic": sample_cubic}
+
+
+def sample(src, px, py, method: str = "nearest", nodata=0):
+    try:
+        fn = _SAMPLERS[method]
+    except KeyError:
+        raise NotImplementedError(f"resampler {method!r}")
+    return fn(src, px, py, nodata=nodata)
+
+
+# ----------------------------------------------------------- whole-array resize
+def resize(src: np.ndarray, out_h: int, out_w: int, method: str = "nearest"):
+    """gdal_translate -outsize semantics: sample the destination pixel
+    centers through the scale transform (apps/gdal_translate_lib.cpp
+    -outsize/-tr builds a scaled VRT window)."""
+    h = src.shape[0]; w = src.shape[1]
+    px = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w)
+    py = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h)
+    gx, gy = np.meshgrid(px, py)
+    out, _ = sample(src, gx, gy, method)
+    return out
+
+
+# ----------------------------------------------------------- 2x reductions
+def reduce2x2(src: np.ndarray, method: str = "average") -> np.ndarray:
+    """One overview level: 2x2 block reduction (reference
+    gcore/overview.cpp; 'average' is the tile-overview default,
+    apps/gdalalg_raster_tile.cpp:2083). Odd trailing row/col handled by
+    edge duplication."""
+    src3, squeeze = _prep(src)
+    h, w, nb = src3.shape
+    if h % 2 or w % 2:
+        src3 = np.pad(src3, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        h, w = src3.shape[:2]
+    q = src3.reshape(h // 2, 2, w // 2, 2, nb)
+    if method == "average":
+        v = q.astype(np.float64).mean(axis=(1, 3))
+        out = _cast_back(v, src3.dtype, 0, np.ones(v.shape[:-1], bool))
+    elif method == "nearest":
+        out = q[:, 0, :, 0]
+    elif method == "rms":
+        v = np.sqrt((q.astype(np.float64) ** 2).mean(axis=(1, 3)))
+        out = _cast_back(v, src3.dtype, 0, np.ones(v.shape[:-1], bool))
+    elif method == "max":
+        out = q.max(axis=(1, 3))
+    elif method == "min":
+        out = q.min(axis=(1, 3))
+    elif method == "mode":
+        # group the 2x2 block values together: (blocks, 4, nb)
+        flat = q.transpose(0, 2, 1, 3, 4).reshape(-1, 4, nb)
+        s = np.sort(flat, axis=1)
+        # most frequent of 4 sorted values; ties -> smallest (stable)
+        out = np.empty((s.shape[0], nb), dtype=src3.dtype)
+        for b in range(nb):
+            for r in range(s.shape[0]):
+                vals, counts = np.unique(s[r, :, b], return_counts=True)
+                out[r, b] = vals[np.argmax(counts)]
+        out = out.reshape(h // 2, w // 2, nb)
+    else:
+        raise NotImplementedError(f"reduction {method!r}")
+    return out[..., 0] if squeeze else out

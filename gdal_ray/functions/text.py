@@ -1,0 +1,188 @@
+"""Text-analysis kernels for the training-data operators: tokenizing,
+quality scoring, language-ID heuristic, fingerprints, MinHash/SimHash.
+
+These back the `documents`-table operators (dedup, quality, langid) —
+the training-pipeline extensions the task brief asks for beyond GDAL's
+own operator set. Vectorized with numpy / Python-level batch loops
+over documents (one iteration per document, not per token-char).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?")
+# BPE-ish regex in the GPT-2 style: words, numbers, punctuation runs
+_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+
+def tokenize(text: str) -> list[str]:
+    return _WORD_RE.findall(text)
+
+
+def token_count_ws(texts) -> np.ndarray:
+    """Whitespace token count (split on single spaces; matches the SQL
+    oracle array_length(string_split(text, ' ')))."""
+    return np.array([len(t.split(" ")) if t else 0 for t in texts], dtype=np.int64)
+
+
+def token_count_bpe(texts) -> np.ndarray:
+    """BPE-ish regex token count."""
+    return np.array([len(_BPE_RE.findall(t)) for t in texts], dtype=np.int64)
+
+
+def quality_scores(texts):
+    """Heuristic quality features per document: n_chars, n_tokens,
+    mean token length, stopword ratio, punctuation ratio."""
+    n = len(texts)
+    n_chars = np.empty(n, np.int64)
+    n_tokens = np.empty(n, np.int64)
+    mean_len = np.empty(n, np.float64)
+    stop_ratio = np.empty(n, np.float64)
+    punct_ratio = np.empty(n, np.float64)
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        n_chars[i] = len(t)
+        n_tokens[i] = len(toks)
+        mean_len[i] = float(np.mean([len(w) for w in toks])) if toks else 0.0
+        stop_ratio[i] = (sum(w.lower() in STOPWORDS for w in toks) / len(toks)) if toks else 0.0
+        np_punct = sum(1 for c in t if not c.isalnum() and not c.isspace())
+        punct_ratio[i] = np_punct / len(t) if t else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+    }
+
+
+# character-trigram profiles per language (tiny n-gram heuristic; the
+# point is the Ray plumbing — swap for fasttext when available)
+_LANG_HINTS = {
+    "en": ("the", "and", "ing", "ion", " th", "er "),
+    "es": ("de ", "la ", "que", "os ", "ión", "el "),
+    "fr": ("le ", "de ", "es ", "ent", "que", "ais"),
+    "de": ("der", "ein", "ich", "sch", "und", "en "),
+}
+
+
+def langid(texts) -> list[str]:
+    """Tiny character-n-gram language-ID heuristic; returns best of
+    {en, es, fr, de} or 'und'."""
+    out = []
+    for t in texts:
+        low = f" {t.lower()} "
+        best, best_s = "und", 0
+        for lang, grams in _LANG_HINTS.items():
+            s = sum(low.count(g) for g in grams)
+            if s > best_s:
+                best, best_s = lang, s
+        out.append(best)
+    return out
+
+
+def stable_hash64(data: bytes, seed: int = 0) -> int:
+    """Deterministic 64-bit hash (blake2b, process-independent —
+    python's hash() is salted and unusable for distributed keys)."""
+    h = hashlib.blake2b(data, digest_size=8, person=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little", signed=True)
+
+
+def content_hash(texts) -> np.ndarray:
+    return np.array([stable_hash64(t.encode()) for t in texts], dtype=np.int64)
+
+
+def rolling_fingerprint(text: str, window: int = 16, base: int = 257, mod: int = (1 << 61) - 1) -> int:
+    """Document fingerprint: min of rolling Karp-Rabin hashes over
+    byte windows (winnowing-style)."""
+    data = text.encode()
+    if len(data) <= window:
+        return stable_hash64(data)
+    p = pow(base, window - 1, mod)
+    h = 0
+    best = None
+    for i, b in enumerate(data):
+        h = (h * base + b) % mod
+        if i >= window:
+            h = (h - data[i - window] * p * base) % mod
+        if i >= window - 1:
+            best = h if best is None else min(best, h)
+    return best
+
+
+# ----------------------------------------------------------------- MinHash / SimHash
+def shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed character k-shingles (uint64)."""
+    t = " ".join(text.split()).lower()
+    if len(t) < k:
+        t = t.ljust(k)
+    view = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(view) < k:
+        view = np.pad(view, (0, k - len(view)))
+    # polynomial rolling hash over k-byte windows, vectorized
+    win = np.lib.stride_tricks.sliding_window_view(view, k).astype(np.uint64)
+    coeff = np.power(np.uint64(1099511628211), np.arange(k, dtype=np.uint64))
+    return (win * coeff).sum(axis=1, dtype=np.uint64)
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_signature(sh: np.ndarray, num_perm: int = 64, seed: int = 12345) -> np.ndarray:
+    """num_perm MinHash values via universal hashing a*x+b mod p."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    if len(sh) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = (sh % _MERSENNE)[None, :]
+    hv = (a[:, None] * x + b[:, None]) % _MERSENNE
+    return hv.min(axis=1)
+
+
+def minhash_bands(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """LSH band hashes: one int64 per band (rows = num_perm/bands)."""
+    rows = len(sig) // bands
+    out = np.empty(bands, np.int64)
+    for b in range(bands):
+        out[b] = stable_hash64(sig[b * rows : (b + 1) * rows].tobytes(), seed=b)
+    return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    ua, ub = np.unique(a), np.unique(b)
+    inter = len(np.intersect1d(ua, ub, assume_unique=True))
+    union = len(ua) + len(ub) - inter
+    return inter / union if union else 1.0
+
+
+def simhash64(texts) -> np.ndarray:
+    """64-bit SimHash over word tokens."""
+    out = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        toks = tokenize(t.lower())
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.array([stable_hash64(w.encode()) for w in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        out[i] = np.int64(np.uint64(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()).astype(np.int64))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.uint64) ^ b.astype(np.uint64))
+    cnt = np.zeros(x.shape, np.int64)
+    while x.any():
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
