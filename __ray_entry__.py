@@ -1,16 +1,19 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the gdal_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself before importing this module; none
+of these callables (or the library underneath) calls ray.init()/
+ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry():      flagship image pipeline (decode actor pool -> tile +
+                S2 cell assignment -> broadcast PIP join) at sf0.001
+                scale.
+- queries():    one callable per implemented operator/pipeline from
+                SURVEY.md §2 (+ the training-data extensions), each
+                taking sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query
+                (identical column names and rounding). Sketch/
+                heuristic operators are intentionally absent here ->
+                rows-only checks.
 """
 
 from __future__ import annotations
@@ -20,25 +23,27 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline; Ray already initialised by the driver."""
+    from gdal_ray.pipelines.flagship import flagship
+
+    return flagship(num_images=128, concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gdal_ray.pipelines import relational, spatial_sql, text_embed
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(relational.QUERIES)
+    out.update(spatial_sql.QUERIES)
+    out.update(text_embed.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gdal_ray.pipelines import relational, spatial_sql, text_embed
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE)
+    out.update(spatial_sql.ORACLE)
+    out.update(text_embed.ORACLE)
+    return out

@@ -38,10 +38,21 @@ def mercator_to_tile(x, y, z: int, convention: str = "xyz"):
 
 
 def lonlat_to_tile(lon, lat, z: int, convention: str = "xyz"):
-    """lon/lat degrees -> tile indices; lat clamped to +/-85.0511287798066."""
+    """lon/lat degrees -> tile indices; lat clamped to +/-85.0511287798066.
+
+    Computed directly in angular space ((lon+180)/360 and
+    (1 - ln(tan(pi/4 + phi/2))/pi)/2) rather than via EPSG:3857
+    meters — algebraically identical, but exact for points that land
+    precisely on tile edges (e.g. lon = 135 at z=8)."""
+    n = 1 << z
+    lon = np.asarray(lon, np.float64)
     lat = np.clip(np.asarray(lat, np.float64), -MAX_MERC_LAT, MAX_MERC_LAT)
-    x, y = lonlat_to_webmercator(lon, lat, clamp=False)
-    return mercator_to_tile(x, y, z, convention)
+    tx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    fy = (1.0 - np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)) / np.pi) / 2.0 * n
+    ty = np.clip(np.floor(fy), 0, n - 1).astype(np.int64)
+    if convention != "xyz":
+        ty = n - 1 - ty
+    return tx, ty
 
 
 def tile_bounds(tx, ty, z: int, convention: str = "xyz"):

@@ -1,0 +1,112 @@
+"""Flagship pipeline: image corpus -> decode (actor pool) -> checksum
++ georef -> tile assignment (vectorized) -> S2 cell key -> PIP join
+against the polygon layer (broadcast packed index) -> per-image
+summary rows.
+
+This is the M0-M1-M4 slice of SURVEY.md §7.1 (warp/compose joins in
+stages/warp.py + stages/tiling.py extend it). Captions ride through
+untouched (byte-equality invariant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.affine import apply_gt, bounds_of
+from ..functions.checksum import checksum_image
+from ..functions.codecs import decode_image
+from ..functions.crs import Transformer
+from ..functions.geom import PackedPolygonIndex
+from ..functions.s2cell import cell_id
+from ..functions.tiles import lonlat_to_tile
+from ..sources.images import georef
+
+FLAGSHIP_ZOOM = 11
+CELL_LEVEL = 12
+
+
+class DecodeSummarize:
+    """Actor: decode + checksum + world-bounds per image.
+
+    Stateful pieces (Transformer cache) built once per actor
+    (reference OGRProjCT reuse, ogr/ogrct.cpp:1654)."""
+
+    def __init__(self):
+        self._transformers: dict[int, Transformer] = {}
+
+    def _t(self, epsg: int) -> Transformer:
+        if epsg not in self._transformers:
+            self._transformers[epsg] = Transformer(epsg, 4326)
+        return self._transformers[epsg]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        caps = batch["caption"]
+        out = {"image_id": ids, "caption": caps, "w": [], "h": [],
+               "checksum": [], "lon": [], "lat": []}
+        for i, blob in enumerate(batch["bytes"]):
+            px = decode_image(blob.as_py())
+            idx = int(ids[i][3:])
+            gt, epsg = georef(idx)
+            h, w = px.shape[0], px.shape[1]
+            cx, cy = apply_gt(gt, w / 2.0, h / 2.0)
+            lon, lat = self._t(epsg).transform(np.atleast_1d(cx), np.atleast_1d(cy))
+            out["w"].append(w)
+            out["h"].append(h)
+            out["checksum"].append(checksum_image(px[:, :, 0] if px.ndim == 3 else px))
+            out["lon"].append(float(lon[0]))
+            out["lat"].append(float(lat[0]))
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "caption": caps,
+            "w": pa.array(out["w"], pa.int32()),
+            "h": pa.array(out["h"], pa.int32()),
+            "checksum": pa.array(out["checksum"], pa.int64()),
+            "lon": pa.array(out["lon"], pa.float64()),
+            "lat": pa.array(out["lat"], pa.float64()),
+        })
+
+
+def assign_keys(batch: pa.Table) -> pa.Table:
+    """Vectorized tile + S2 cell keys from image centers."""
+    lon = batch["lon"].to_numpy()
+    lat = batch["lat"].to_numpy()
+    tx, ty = lonlat_to_tile(lon, lat, FLAGSHIP_ZOOM)
+    cells = cell_id(lon, lat, CELL_LEVEL)
+    return batch.append_column("tile_x", pa.array(tx)) \
+                .append_column("tile_y", pa.array(ty)) \
+                .append_column("cell", pa.array(cells))
+
+
+class PolygonJoin:
+    """Actor: broadcast polygon layer index; counts containing
+    polygons per image center."""
+
+    def __init__(self, fids, wkbs):
+        self.index = PackedPolygonIndex(np.asarray(fids), wkbs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pi, fid = self.index.query_points(batch["lon"].to_numpy(), batch["lat"].to_numpy())
+        counts = np.zeros(batch.num_rows, np.int64)
+        if len(pi):
+            np.add.at(counts, pi, 1)
+        return batch.append_column("n_polygons", pa.array(counts))
+
+
+def flagship(num_images: int = 256, concurrency: int = 4):
+    """Build the flagship Dataset (lazy; caller consumes)."""
+    from ..sources.images import corpus_dataset
+    from ..sources.vector import polygons_table
+
+    poly = polygons_table(64)
+    fids = poly["fid"].to_numpy()
+    wkbs = [w.as_py() for w in poly["geometry"]]
+
+    ds = corpus_dataset(num_images)
+    ds = ds.map_batches(DecodeSummarize, batch_format="pyarrow", batch_size=32,
+                        concurrency=concurrency)
+    ds = ds.map_batches(assign_keys, batch_format="pyarrow")
+    ds = ds.map_batches(PolygonJoin, fn_constructor_args=(fids, wkbs),
+                        batch_format="pyarrow", batch_size=128, concurrency=2)
+    return ds

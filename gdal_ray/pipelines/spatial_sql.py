@@ -1,0 +1,313 @@
+"""Spatial operators with SQL-checkable oracles.
+
+The driver can only verify queries DuckDB can express, and DuckDB here
+has no spatial extension — so these queries derive a deterministic
+point layer from the `events` table (lon/lat as exact float functions
+of `value`, bit-identical in numpy and DuckDB) and rectangle "nation
+zone" polygons from `n_nationkey`. The Ray side runs the *real* engine
+paths — WKB polygons, PackedPolygonIndex PIP join, vectorized tile
+math — while the oracle reduces to arithmetic DuckDB can do. The
+general-geometry variants of the same operators (arbitrary polygons,
+S2 cells, kNN by boundary distance) are covered by pytest goldens in
+tests/ (driver gets rows-only checks for those).
+
+Derivations (both sides, IEEE-exact):
+    lon = fmod(value * 7.0, 360.0) - 180.0
+    lat = fmod(value * 3.0, 170.0) - 85.0
+    zone rect for nation k: x in [-180 + 14k, -167 + 14k],
+                            y in [-80 + 16*(k%10), -65 + 16*(k%10)]
+
+Operator mapping (SURVEY.md §2):
+    q_tile_assign      — `gdal raster tile` assignment at z=8 (xyz,
+                         WebMercatorQuad, MAX_LAT clamp) §2.6
+    q_pip_join         — layer-algebra point-in-polygon join §2.4
+    q_zonal_stats      — join + per-zone aggregate (Intersection +
+                         stats) §2.4/§2.8
+    q_knn              — gdalgrid kNN lookup (alg/gdalgrid.cpp:260) §2.4
+    q_rasterize_points — MERGE_ALG=ADD point burning into a 64x64 grid
+                         (alg/gdalrasterize.cpp:800) §2.7
+    q_cell_index       — S2 cell-key encoding (north rule; rows-only,
+                         no SQL oracle — DuckDB can't express Hilbert)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.crs import MAX_MERC_LAT
+from ..functions.geom import PackedPolygonIndex
+from ..functions.s2cell import cell_id
+from ..functions.tiles import lonlat_to_tile
+from ..functions.wkb import geom_to_wkb, rect_polygon
+from .common import partial_groupby_agg, read_table, round_away_np
+
+GRID_N = 64  # q_rasterize_points grid
+TILE_Z = 8
+
+_EVENT_COLS = ["event_id", "value"]
+
+
+def derive_lonlat(value: np.ndarray):
+    lon = np.fmod(value * 7.0, 360.0) - 180.0
+    lat = np.fmod(value * 3.0, 170.0) - 85.0
+    return lon, lat
+
+
+_DERIVE_SQL = (
+    "fmod(value * 7.0, 360.0) - 180.0",
+    "fmod(value * 3.0, 170.0) - 85.0",
+)
+
+
+def _points_ds(sf_dir: str):
+    ds = read_table(sf_dir, "events", _EVENT_COLS)
+
+    def f(t: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(t["value"].to_numpy())
+        return pa.table({"event_id": t["event_id"], "value": t["value"],
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ tiles
+
+
+def q_tile_assign(sf_dir: str):
+    """WebMercatorQuad xyz tile of each derived point at z=8,
+    vectorized batched encoding (the north-rule tile assignment)."""
+    ds = _points_ds(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        tx, ty = lonlat_to_tile(t["lon"].to_numpy(), t["lat"].to_numpy(), TILE_Z)
+        return pa.table({"event_id": t["event_id"],
+                         "tile_x": pa.array(tx), "tile_y": pa.array(ty)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_tile_counts(sf_dir: str):
+    """Tiles + per-tile point counts (the compose-shuffle key
+    distribution) via combiner partials."""
+    ds = q_tile_assign(sf_dir)
+    out = partial_groupby_agg(ds, ["tile_x", "tile_y"],
+                              [("n_points", "event_id", "count_all")])
+    return out
+
+
+def q_cell_index(sf_dir: str):
+    """S2 cell ids (level 10) of the derived points — the engine's
+    partition/join key. No SQL oracle (Hilbert curve); driver records
+    rows-only."""
+    ds = _points_ds(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        c = cell_id(t["lon"].to_numpy(), t["lat"].to_numpy(), 10)
+        return pa.table({"event_id": t["event_id"], "cell": pa.array(c)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ PIP join
+
+
+def nation_zones(nationkeys: np.ndarray):
+    """Deterministic rectangle zone per nation key (WKB polygons)."""
+    out = []
+    for k in nationkeys.tolist():
+        xmin = -180.0 + 14.0 * k
+        ymin = -80.0 + 16.0 * (k % 10)
+        out.append(geom_to_wkb(rect_polygon(xmin, ymin, xmin + 13.0, ymin + 15.0)))
+    return out
+
+
+class PipJoin:
+    """Actor: builds the PackedPolygonIndex once from the broadcast
+    zone layer, joins point batches (envelope grid pre-filter + exact
+    ray-casting PIP — reference ogrlayer.cpp:3426/3469 semantics)."""
+
+    def __init__(self, fids: np.ndarray, wkbs: list[bytes]):
+        self.index = PackedPolygonIndex(fids, wkbs)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pi, fid = self.index.query_points(t["lon"].to_numpy(), t["lat"].to_numpy())
+        return pa.table({
+            "event_id": pa.array(t["event_id"].to_numpy()[pi]),
+            "n_nationkey": pa.array(fid.astype(np.int32)),
+            "value": pa.array(t["value"].to_numpy()[pi]),
+        })
+
+
+def _pip_ds(sf_dir: str):
+    from .common import arrow_table
+
+    nat = arrow_table(sf_dir, "nation", ["n_nationkey"])
+    keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    wkbs = nation_zones(keys)
+    ds = _points_ds(sf_dir)
+    # stateful stage: index built once per actor (concurrency pool)
+    return ds.map_batches(PipJoin, fn_constructor_args=(keys, wkbs),
+                          batch_format="pyarrow", batch_size=4096, concurrency=2)
+
+
+def q_pip_join(sf_dir: str):
+    """Point-in-polygon join rows (event_id x containing zone)."""
+    ds = _pip_ds(sf_dir)
+    return ds.map_batches(lambda t: t.select(["event_id", "n_nationkey"]),
+                          batch_format="pyarrow")
+
+
+def q_zonal_stats(sf_dir: str):
+    """Per-zone count/sum/avg of point values after the PIP join."""
+    out = partial_groupby_agg(_pip_ds(sf_dir), ["n_nationkey"],
+                              [("n_points", "value", "count_all"),
+                               ("sum_value", "value", "sum")])
+    avg = out["sum_value"].to_numpy() / out["n_points"].to_numpy()
+    return pa.table({
+        "n_nationkey": out["n_nationkey"],
+        "n_points": out["n_points"],
+        "sum_value": pa.array(round_away_np(out["sum_value"].to_numpy(), 2)),
+        "avg_value": pa.array(round_away_np(avg, 2)),
+    })
+
+
+# ------------------------------------------------------------------ kNN
+
+
+def q_knn(sf_dir: str):
+    """k=5 nearest derived points to each region query point
+    (brute-force exact kNN per batch: local top-k partials -> final
+    top-k merge; ties broken by event_id, matching the SQL oracle's
+    row_number order)."""
+    from .common import arrow_table
+
+    reg = arrow_table(sf_dir, "region", ["r_regionkey"])
+    rk = reg["r_regionkey"].to_numpy().astype(np.int64)
+    qx = -150.0 + 60.0 * rk
+    qy = -60.0 + 30.0 * (rk % 5)
+    K = 5
+
+    ds = _points_ds(sf_dir)
+
+    def local(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(); lat = t["lat"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        rows = {"r_regionkey": [], "event_id": [], "d2": []}
+        for i, r in enumerate(rk.tolist()):
+            d2 = (lon - qx[i]) * (lon - qx[i]) + (lat - qy[i]) * (lat - qy[i])
+            k = min(K, len(d2))
+            part = np.argpartition(d2, k - 1)[:k] if len(d2) > k else np.arange(len(d2))
+            rows["r_regionkey"].extend([r] * len(part))
+            rows["event_id"].extend(eid[part].tolist())
+            rows["d2"].extend(d2[part].tolist())
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    parts = ds.map_batches(local, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(parts.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default",
+    )
+    out = {"r_regionkey": [], "event_id": [], "knn_rank": []}
+    df = merged.to_pandas()
+    for r, g in df.groupby("r_regionkey"):
+        g = g.sort_values(["d2", "event_id"]).head(K)
+        out["r_regionkey"].extend([r] * len(g))
+        out["event_id"].extend(g["event_id"].tolist())
+        out["knn_rank"].extend(range(1, len(g) + 1))
+    return pa.table({"r_regionkey": pa.array(out["r_regionkey"], pa.int32()),
+                     "event_id": pa.array(out["event_id"], pa.int64()),
+                     "knn_rank": pa.array(out["knn_rank"], pa.int64())})
+
+
+# ------------------------------------------------------------------ rasterize
+
+
+def q_rasterize_points(sf_dir: str):
+    """Burn derived points into a 64x64 global grid: count + ADD-merge
+    sum per cell (gdal_rasterize MERGE_ALG=ADD on point geometries),
+    as a cell-bucketed groupby-aggregate."""
+    ds = _points_ds(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(); lat = t["lat"].to_numpy()
+        cx = np.clip(np.floor((lon + 180.0) / 360.0 * GRID_N), 0, GRID_N - 1).astype(np.int64)
+        cy = np.clip(np.floor((lat + 85.0) / 170.0 * GRID_N), 0, GRID_N - 1).astype(np.int64)
+        return pa.table({"cell_x": pa.array(cx), "cell_y": pa.array(cy),
+                         "value": t["value"]})
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["cell_x", "cell_y"],
+                              [("n", "value", "count_all"), ("burn_sum", "value", "sum")])
+    return pa.table({
+        "cell_x": out["cell_x"], "cell_y": out["cell_y"], "n": out["n"],
+        "burn_sum": pa.array(round_away_np(out["burn_sum"].to_numpy(), 2)),
+    })
+
+
+# ------------------------------------------------------------------ oracles
+
+_LON = _DERIVE_SQL[0]
+_LAT = _DERIVE_SQL[1]
+_CLAT = f"least(greatest({_LAT}, -85.0511287798066), 85.0511287798066)"
+
+ORACLE: dict[str, str] = {
+    "q_tile_assign": f"""
+        SELECT event_id,
+               CAST(least(floor((({_LON}) + 180.0) / 360.0 * 256.0), 255) AS BIGINT) AS tile_x,
+               CAST(least(greatest(floor((1.0 - ln(tan(pi()/4.0 + radians({_CLAT})/2.0)) / pi()) / 2.0 * 256.0), 0), 255) AS BIGINT) AS tile_y
+        FROM events
+    """,
+    "q_tile_counts": f"""
+        SELECT CAST(least(floor((({_LON}) + 180.0) / 360.0 * 256.0), 255) AS BIGINT) AS tile_x,
+               CAST(least(greatest(floor((1.0 - ln(tan(pi()/4.0 + radians({_CLAT})/2.0)) / pi()) / 2.0 * 256.0), 0), 255) AS BIGINT) AS tile_y,
+               count(*) AS n_points
+        FROM events GROUP BY 1, 2
+    """,
+    "q_pip_join": f"""
+        SELECT event_id, n_nationkey
+        FROM events, nation
+        WHERE ({_LON}) >  -180.0 + 14.0 * n_nationkey
+          AND ({_LON}) <  -167.0 + 14.0 * n_nationkey
+          AND ({_LAT}) >  -80.0 + 16.0 * (n_nationkey % 10)
+          AND ({_LAT}) <  -65.0 + 16.0 * (n_nationkey % 10)
+    """,
+    "q_zonal_stats": f"""
+        SELECT n_nationkey, count(*) AS n_points,
+               round(sum(value), 2) AS sum_value,
+               round(sum(value) / count(*), 2) AS avg_value
+        FROM events, nation
+        WHERE ({_LON}) >  -180.0 + 14.0 * n_nationkey
+          AND ({_LON}) <  -167.0 + 14.0 * n_nationkey
+          AND ({_LAT}) >  -80.0 + 16.0 * (n_nationkey % 10)
+          AND ({_LAT}) <  -65.0 + 16.0 * (n_nationkey % 10)
+        GROUP BY n_nationkey
+    """,
+    "q_knn": f"""
+        SELECT r_regionkey, event_id, knn_rank FROM (
+            SELECT r_regionkey, event_id,
+                   row_number() OVER (
+                       PARTITION BY r_regionkey
+                       ORDER BY (({_LON}) - (-150.0 + 60.0 * r_regionkey)) * (({_LON}) - (-150.0 + 60.0 * r_regionkey))
+                              + (({_LAT}) - (-60.0 + 30.0 * (r_regionkey % 5))) * (({_LAT}) - (-60.0 + 30.0 * (r_regionkey % 5))),
+                              event_id) AS knn_rank
+            FROM region, events
+        ) WHERE knn_rank <= 5
+    """,
+    "q_rasterize_points": f"""
+        SELECT CAST(least(greatest(floor((({_LON}) + 180.0) / 360.0 * 64.0), 0), 63) AS BIGINT) AS cell_x,
+               CAST(least(greatest(floor((({_LAT}) + 85.0) / 170.0 * 64.0), 0), 63) AS BIGINT) AS cell_y,
+               count(*) AS n, round(sum(value), 2) AS burn_sum
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "q_tile_assign": q_tile_assign,
+    "q_tile_counts": q_tile_counts,
+    "q_cell_index": q_cell_index,
+    "q_pip_join": q_pip_join,
+    "q_zonal_stats": q_zonal_stats,
+    "q_knn": q_knn,
+    "q_rasterize_points": q_rasterize_points,
+}

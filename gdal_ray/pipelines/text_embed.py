@@ -1,0 +1,460 @@
+"""Training-data operators over `documents` / `embeddings`: dedup,
+text quality, language-ID, fingerprints, similarity search.
+
+These are the beyond-the-reference operators the task brief requires
+for a large-scale training-data pipeline. SQL-oracled where DuckDB can
+express the semantics; heuristic/sketch operators (minhash-LSH,
+simhash, langid, fingerprints, LSH-ANN) are rows-only checked by the
+driver and golden-tested in tests/.
+
+Scale idioms: tokenization/hashing vectorized per batch; dedup is
+hash-bucketed (content-hash partials, no text shuffle); ANN brute
+force is a numpy matmul per batch against a broadcast query matrix;
+the LSH variant buckets by sign-random-projection prefix so only
+matching buckets are scanned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import (
+    content_hash,
+    langid,
+    minhash_bands,
+    minhash_signature,
+    quality_scores,
+    rolling_fingerprint,
+    shingles,
+    simhash64,
+    token_count_ws,
+)
+from .common import partial_groupby_agg, read_table, round_away_np
+
+# ------------------------------------------------------------------ documents
+
+
+def q_token_count(sf_dir: str):
+    """Whitespace token counting (SQL: string_split length)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(token_count_ws(texts)),
+            "n_chars": pa.array(pc.cast(pc.utf8_length(t["text"]), pa.int64())),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_stats(sf_dir: str):
+    """Per (lang, source) corpus stats via combiner partials."""
+    out = partial_groupby_agg(
+        read_table(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        [("n_docs", "n_chars", "count_all"), ("sum_chars", "n_chars", "sum")],
+    )
+    avg = out["sum_chars"].to_numpy() / out["n_docs"].to_numpy()
+    return pa.table({
+        "lang": out["lang"], "source": out["source"], "n_docs": out["n_docs"],
+        "sum_chars": out["sum_chars"],
+        "avg_chars": pa.array(round_away_np(avg, 2)),
+    })
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: content-hash per batch (vectorized blake2b), then
+    per-hash (min doc_id, count) partials — hash-partition + first,
+    no text bytes move through the shuffle."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "h": pa.array(content_hash(t["text"].to_pylist())),
+            "doc_id": t["doc_id"],
+        })
+
+    out = partial_groupby_agg(
+        ds.map_batches(f, batch_format="pyarrow"),
+        ["h"],
+        [("keep_doc_id", "doc_id", "min"), ("n_dups", "doc_id", "count_all")],
+    )
+    return pa.table({"keep_doc_id": out["keep_doc_id"], "n_dups": out["n_dups"]})
+
+
+def q_doc_quality(sf_dir: str):
+    """Per-doc quality features with SQL-expressible definitions:
+    token count and avg word length of single-space-separated text."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = token_count_ws(texts)
+        total = np.array([len(s) for s in texts], dtype=np.float64)
+        avg_len = (total - (n - 1)) / np.maximum(n, 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n),
+            "avg_word_len": pa.array(round_away_np(avg_len, 2)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_events_json(sf_dir: str):
+    """JSON field extraction from the props column (regex both sides)."""
+    import re
+
+    ds = read_table(sf_dir, "events", ["event_id", "props"])
+    pat = re.compile(r'"k": (\d+)')
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = [int(m.group(1)) if (m := pat.search(p)) else None
+              for p in t["props"].to_pylist()]
+        return pa.table({"event_id": t["event_id"], "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_window_tumbling(sf_dir: str):
+    """Tumbling 5-minute windows over the events stream: count + sum
+    per (event_type, window) — the streaming-window operator expressed
+    as a bucket groupby (SURVEY.md §2.12: Ray Data is batch; windows
+    become epoch-bucket keys)."""
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        win = ts_us // (300 * 1_000_000)
+        return pa.table({"event_type": t["event_type"], "win": pa.array(win),
+                         "value": t["value"]})
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["event_type", "win"],
+                              [("n", "value", "count_all"), ("sum_value", "value", "sum")])
+    return pa.table({
+        "event_type": out["event_type"], "win": out["win"], "n": out["n"],
+        "sum_value": pa.array(round_away_np(out["sum_value"].to_numpy(), 2)),
+    })
+
+
+def q_sessionize(sf_dir: str):
+    """Sessionization (30-min gap) per user: groupby(user).map_groups
+    over ts-sorted events — the stateful-stream operator as a
+    partitioned sorted scan."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds().fillna(0)
+        sid = (gap > 1800).cumsum()
+        out = g.groupby(sid).size()
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [int(out.size)],
+            "max_session_events": [int(out.max())],
+        })
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+# rows-only text operators -------------------------------------------------
+
+
+def q_langid(sf_dir: str):
+    """n-gram language-ID heuristic (rows-only; accuracy golden in
+    tests)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": pa.array(langid(t["text"].to_pylist()))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_quality_full(sf_dir: str):
+    """Full quality-score vector (stopword/punct ratios etc.;
+    rows-only)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        q = quality_scores(t["text"].to_pylist())
+        return pa.table({"doc_id": t["doc_id"],
+                         **{k: pa.array(v) for k, v in q.items()}})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per doc (rows-only)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(simhash64(t["text"].to_pylist()))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprint (winnowing min-hash;
+    rows-only)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array([rolling_fingerprint(s) for s in t["text"].to_pylist()],
+                                    pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash-LSH near-dup candidates: shingle->minhash per batch,
+    explode to (band, band_hash, doc_id), groupby band buckets, emit
+    candidate pairs, verify by signature similarity >= 0.5.
+
+    The canonical shuffle shape: heavy hashing is per-batch; only the
+    tiny (band_hash, doc_id) pairs shuffle. Rows-only check."""
+    NUM_PERM, BANDS = 64, 16
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        ids, bands, hashes, sigs = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = minhash_signature(shingles(txt), NUM_PERM)
+            bh = minhash_bands(sig, BANDS)
+            ids.extend([did] * BANDS)
+            bands.extend(range(BANDS))
+            hashes.extend(bh.tolist())
+            sigs.extend([sig.tobytes()] * BANDS)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band": pa.array(bands, pa.int32()),
+                         "band_hash": pa.array(hashes, pa.int64()),
+                         "sig": pa.array(sigs, pa.binary())})
+
+    import pandas as pd
+
+    exploded = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=512)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "sig_sim": pd.Series([], dtype="float64")})
+        g = g.sort_values("doc_id")
+        rows_a, rows_b, sims = [], [], []
+        recs = list(g.itertuples(index=False))
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                if a.doc_id == b.doc_id:
+                    continue
+                sa = np.frombuffer(a.sig, np.uint64)
+                sb = np.frombuffer(b.sig, np.uint64)
+                sim = float((sa == sb).mean())
+                if sim >= 0.5:
+                    rows_a.append(int(a.doc_id)); rows_b.append(int(b.doc_id)); sims.append(sim)
+        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "sig_sim": sims})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    # dedup pairs found in multiple bands
+    import pandas as pd  # noqa: F811
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "sig_sim": pa.array([], pa.float64())})
+    df = df.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ------------------------------------------------------------------ embeddings
+
+
+def _query_vectors(dim: int = 64, k: int = 4) -> np.ndarray:
+    """Deterministic query matrix (seeded)."""
+    rng = np.random.default_rng(777)
+    q = rng.normal(0, 1, (k, dim))
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 against the basis query e0 (SQL
+    oracle: embedding[1]/norm). Per-batch local top-k + final merge —
+    the baseline ANN path (numpy matmul per batch)."""
+    K = 10
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local(t: pa.Table) -> pa.Table:
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norm = np.sqrt((emb * emb).sum(axis=1))
+        sim = emb[:, 0] / norm
+        k = min(K, len(sim))
+        part = np.argpartition(-sim, k - 1)[:k] if len(sim) > k else np.arange(len(sim))
+        return pa.table({"vec_id": pa.array(t["vec_id"].to_numpy()[part]),
+                         "sim": pa.array(sim[part])})
+
+    parts = ds.map_batches(local, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(parts.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default",
+    )
+    df = merged.to_pandas().sort_values(["sim", "vec_id"], ascending=[False, True]).head(K)
+    df["sim"] = round_away_np(df["sim"].to_numpy(), 4)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(df[["vec_id", "sim", "rank"]], preserve_index=False)
+
+
+def q_ann_multi_query(sf_dir: str):
+    """Brute-force cosine top-5 for a broadcast query matrix (the real
+    multi-query ANN shape: one matmul per batch against all queries).
+    Rows-only (random query matrix not expressible in SQL)."""
+    K = 5
+    Q = _query_vectors()
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local(t: pa.Table) -> pa.Table:
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = (emb / norm) @ Q.T  # (n, k)
+        ids, qids, vals = [], [], []
+        for qi in range(Q.shape[0]):
+            s = sims[:, qi]
+            k = min(K, len(s))
+            part = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            ids.extend(t["vec_id"].to_numpy()[part].tolist())
+            qids.extend([qi] * len(part))
+            vals.extend(s[part].tolist())
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "sim": pa.array(vals)})
+
+    parts = ds.map_batches(local, batch_format="pyarrow")
+    df = pa.concat_tables(
+        list(parts.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default",
+    ).to_pandas()
+    out = []
+    for qi, g in df.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(K).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    import pandas as pd
+
+    res = pd.concat(out, ignore_index=True)
+    res["sim"] = round_away_np(res["sim"].to_numpy(), 4)
+    return pa.Table.from_pandas(res[["query_id", "vec_id", "rank", "sim"]], preserve_index=False)
+
+
+def q_embed_label_stats(sf_dir: str):
+    """Per-label embedding stats: count + mean of first component."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def f(t: pa.Table) -> pa.Table:
+        e0 = pc.list_element(t["embedding"], 0)
+        return pa.table({"label": t["label"],
+                         "e0": pc.cast(e0, pa.float64())})
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["label"],
+                              [("n", "e0", "count_all"), ("s", "e0", "sum")])
+    mean = out["s"].to_numpy() / out["n"].to_numpy()
+    return pa.table({"label": out["label"], "n": out["n"],
+                     "mean_e0": pa.array(round_away_np(mean, 4))})
+
+
+# ------------------------------------------------------------------ oracles
+
+ORACLE: dict[str, str] = {
+    "q_token_count": """
+        SELECT doc_id,
+               CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    "q_doc_stats": """
+        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+               round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
+        FROM documents GROUP BY lang, source
+    """,
+    "q_exact_dedup": """
+        SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
+        FROM documents GROUP BY text
+    """,
+    "q_doc_quality": """
+        SELECT doc_id,
+               CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round((length(text) - (array_length(string_split(text, ' ')) - 1.0))
+                     / greatest(array_length(string_split(text, ' ')), 1), 2) AS avg_word_len
+        FROM documents
+    """,
+    "q_events_json": """
+        SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+        FROM events
+    """,
+    "q_window_tumbling": """
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 300000000) AS BIGINT) AS win,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_sessionize": """
+        SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+               CAST(max(cnt) AS BIGINT) AS max_session_events
+        FROM (
+            SELECT user_id, sid, count(*) AS cnt FROM (
+                SELECT user_id,
+                       sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           epoch(ts - lag(ts, 1, ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                    FROM events
+                )
+            ) GROUP BY user_id, sid
+        ) GROUP BY user_id
+    """,
+    "q_ann_topk": """
+        SELECT vec_id,
+               round(embedding[1] / sqrt(list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS sim,
+               CAST(row_number() OVER (ORDER BY embedding[1] / sqrt(list_aggregate(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     'sum')) DESC, vec_id) AS BIGINT) AS rank
+        FROM embeddings
+        ORDER BY rank LIMIT 10
+    """,
+    "q_embed_label_stats": """
+        SELECT label, count(*) AS n,
+               round(sum(CAST(embedding[1] AS DOUBLE)) / count(*), 4) AS mean_e0
+        FROM embeddings GROUP BY label
+    """,
+}
+
+QUERIES = {
+    "q_token_count": q_token_count,
+    "q_doc_stats": q_doc_stats,
+    "q_exact_dedup": q_exact_dedup,
+    "q_doc_quality": q_doc_quality,
+    "q_events_json": q_events_json,
+    "q_window_tumbling": q_window_tumbling,
+    "q_sessionize": q_sessionize,
+    "q_langid": q_langid,
+    "q_quality_full": q_quality_full,
+    "q_simhash": q_simhash,
+    "q_fingerprint": q_fingerprint,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_multi_query": q_ann_multi_query,
+    "q_embed_label_stats": q_embed_label_stats,
+}
