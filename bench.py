@@ -1,0 +1,151 @@
+"""Benchmark entry for the gdal_ray engine.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+--scaling runs the flagship image pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency throughput(4N)/(4*throughput(N))
+(the sandbox stand-in for the north rule's N vs 4N node clusters).
+
+This script OWNS its Ray session (ray.init/shutdown); the library and
+__ray_entry__ never do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline pipelines: the north-star geo path + the heavy relational /
+# training-data operators. Each is (name, fn(sf_dir) -> consumable).
+HEADLINE = [
+    "flagship_images",      # decode actor pool -> tile/cell keys -> PIP join
+    "q_groupby_agg",        # TPC-H Q1 shape, combiner partials
+    "q_join_hash_large",    # partitioned hash join lineitem x orders
+    "q_pip_join",           # point-in-polygon join (packed index actors)
+    "q_tile_counts",        # tile assignment + per-tile counts
+    "q_window_tumbling",    # streaming windows as bucket groupby
+    "q_exact_dedup",        # content-hash dedup
+    "q_ann_multi_query",    # brute-force cosine ANN, broadcast queries
+    "q_sessionize",         # groupby(user).map_groups stateful scan
+]
+
+FLAGSHIP_IMAGES = int(os.environ.get("GRAFT_FLAGSHIP_IMAGES", "1536"))
+
+
+def consume(res) -> int:
+    """Fully consume a result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    raise TypeError(type(res))
+
+
+def run_flagship(num_cpus: int) -> tuple[float, int]:
+    """Run the flagship image pipeline; return (sec, rows)."""
+    from gdal_ray.pipelines.flagship import flagship
+
+    t0 = time.time()
+    ds = flagship(num_images=FLAGSHIP_IMAGES, concurrency=max(2, num_cpus))
+    rows = consume(ds)
+    return time.time() - t0, rows
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             log_to_driver=False)
+    try:
+        import __ray_entry__ as e
+
+        qs = e.queries()
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.time()
+            if name == "flagship_images":
+                dt, _ = run_flagship(NUM_CPUS)
+                times[name] = round(dt, 3)
+                continue
+            consume(qs[name](SF_DIR))
+            times[name] = round(time.time() - t0, 3)
+        total = round(sum(times.values()), 3)
+        print(json.dumps({
+            "metric": "headline_pipelines_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }))
+    finally:
+        ray.shutdown()
+
+
+def scaling_child(num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False)
+    try:
+        dt, rows = run_flagship(num_cpus)
+        print(json.dumps({"sec": dt, "rows": rows, "num_cpus": num_cpus}))
+    finally:
+        ray.shutdown()
+
+
+def scaling() -> None:
+    """Fresh-process runs at num_cpus=8 and 32 on identical input."""
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--_child", str(cpus)],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    n_img = FLAGSHIP_IMAGES
+    thr8 = n_img / results[8]["sec"]
+    thr32 = n_img / results[32]["sec"]
+    eff = thr32 / (4.0 * thr8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "throughput_images_per_sec": {"8": round(thr8, 2), "32": round(thr32, 2)},
+        "sec": {"8": round(results[8]["sec"], 3), "32": round(results[32]["sec"], 3)},
+        "num_images": n_img,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--_child" in sys.argv:
+        scaling_child(int(sys.argv[sys.argv.index("--_child") + 1]))
+    else:
+        main()

@@ -103,10 +103,12 @@ def flagship(num_images: int = 256, concurrency: int = 4):
     fids = poly["fid"].to_numpy()
     wkbs = [w.as_py() for w in poly["geometry"]]
 
+    # Autoscaling actor pools (min 1): a fixed-size pool that demands
+    # every cluster CPU would deadlock the upstream task stages.
     ds = corpus_dataset(num_images)
     ds = ds.map_batches(DecodeSummarize, batch_format="pyarrow", batch_size=32,
-                        concurrency=concurrency)
+                        concurrency=(1, max(2, concurrency)))
     ds = ds.map_batches(assign_keys, batch_format="pyarrow")
     ds = ds.map_batches(PolygonJoin, fn_constructor_args=(fids, wkbs),
-                        batch_format="pyarrow", batch_size=128, concurrency=2)
+                        batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
     return ds

@@ -315,8 +315,7 @@ def q_join_hash_large(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
-                       num_buckets=16)
+    joined = hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
 
     def add_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))

@@ -383,7 +383,8 @@ ORACLE: dict[str, str] = {
         FROM documents
     """,
     "q_doc_stats": """
-        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                round(sum(n_chars) * 1.0 / count(*), 2) AS avg_chars
         FROM documents GROUP BY lang, source
     """,

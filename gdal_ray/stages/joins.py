@@ -1,18 +1,21 @@
-"""Explicit partitioned hash join for two large Datasets.
+"""Partitioned hash join for two large Datasets.
 
-Ray Data's built-in ``join`` is version-dependent; this is the
-portable explicit form the engine controls end-to-end (documented
-partitioning): tag each side, bucket rows by a *stable* hash of the
-key (``pandas.util.hash_array`` — deterministic across processes,
-unlike Python's salted ``hash``), shuffle once with
-``groupby(bucket)``, and merge the two sides per bucket inside
-``map_groups``.
+Primary path: Ray Data's native hash-shuffle ``Dataset.join``
+(ray 2.46+), which hash-partitions both sides on the key across
+``num_partitions`` aggregator actors — the distributed equivalent of
+the reference's only join, the per-feature lookup join
+(ogr/ogrsf_frmts/generic/ogr_gensql.cpp:1497-1523).
 
-Skew handling: ``num_buckets`` spreads hot keys only across their own
-bucket; for a known hot key, raise ``num_buckets`` or pre-salt the
-key upstream (SURVEY.md §7.3). The reference's only join is a
-per-feature lookup (ogr_gensql.cpp:1497-1523) — this operator is the
-scalable replacement.
+Partitioning note (the 100 TB contract): ``num_partitions`` should
+scale with data volume, not CPU count — each partition must fit in an
+aggregator's heap. The default here is sized for the sandbox;
+callers at scale pass ``num_partitions`` explicitly. Skewed keys
+spread across partitions by key hash; for a single pathological hot
+key, pre-salt the key upstream (SURVEY.md §7.3).
+
+An explicit bucket-shuffle fallback (tag sides -> stable-hash bucket
+-> groupby(bucket).map_groups merge) is kept for Ray versions without
+native join.
 """
 
 from __future__ import annotations
@@ -28,14 +31,35 @@ def _stable_bucket(values, num_buckets: int) -> np.ndarray:
 
 
 def hash_join(left, right, *, left_on: str, right_on: str,
-              num_buckets: int = 32, how: str = "inner"):
-    """Inner/left join of two Datasets on single key columns.
+              num_partitions: int | None = None, how: str = "inner"):
+    """Join two Datasets on single key columns.
 
-    Returns a Dataset with left columns + right columns (right key
-    column dropped when names collide is NOT done — callers project).
-    Integer dtypes are restored after the pandas merge (the
-    union-with-nulls pad makes pandas float them).
+    Returns a Dataset with left columns + the right columns (the right
+    key column is retained; callers project what they need).
     """
+    import ray.data
+
+    if num_partitions is None:
+        # sandbox default: a few partitions per aggregator wave; at
+        # real scale pass ~ (total_bytes / 512MB) explicitly.
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            cpus = 8
+        num_partitions = max(4, cpus // 4)
+
+    if hasattr(ray.data.Dataset, "join"):
+        return left.join(right, how, num_partitions=num_partitions,
+                         on=(left_on,), right_on=(right_on,))
+    return _bucket_join(left, right, left_on=left_on, right_on=right_on,
+                        num_buckets=num_partitions * 2, how=how)
+
+
+def _bucket_join(left, right, *, left_on: str, right_on: str,
+                 num_buckets: int = 32, how: str = "inner"):
+    """Explicit bucket-shuffle join (fallback path)."""
     lschema = left.schema()
     rschema = right.schema()
     lnames = list(lschema.names)
@@ -50,18 +74,19 @@ def hash_join(left, right, *, left_on: str, right_on: str,
                 cols[n] = t[n]
             for n in other:
                 cols[n] = pa.nulls(t.num_rows, other_types[n])
-            cols["__bucket__"] = pa.array(_stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets))
+            cols["__bucket__"] = pa.array(
+                _stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets))
             cols["__side__"] = pa.array(np.full(t.num_rows, side, np.int8))
-            # fixed column order so both sides' schemas align for union
             ordered = {n: cols[n] for n in lnames + rnames + ["__bucket__", "__side__"]}
             return pa.table(ordered)
 
         return f
 
     lt = left.map_batches(tag(0, left_on, lnames, rnames, rtypes), batch_format="pyarrow")
-    rt = right.map_batches(tag(1, right_on, [n for n in rschema.names if n in rnames or n == right_on],
-                               [n for n in lnames if n != right_on], ltypes),
-                           batch_format="pyarrow")
+    rt = right.map_batches(
+        tag(1, right_on, [n for n in rschema.names if n in rnames or n == right_on],
+            [n for n in lnames if n != right_on], ltypes),
+        batch_format="pyarrow")
 
     int_cols = {n: str(t) for n, t in {**ltypes, **rtypes}.items()
                 if pa.types.is_integer(t)}
