@@ -32,6 +32,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # headline pipelines: the north-star geo path + the heavy relational /
 # training-data operators. Each is (name, fn(sf_dir) -> consumable).
 HEADLINE = [
+    "warp_compose_tiles",   # decode+warp actor pool -> tile-key shuffle -> mosaic
     "flagship_images",      # decode actor pool -> tile/cell keys -> PIP join
     "q_groupby_agg",        # TPC-H Q1 shape, combiner partials
     "q_join_hash_large",    # partitioned hash join lineitem x orders
@@ -44,6 +45,34 @@ HEADLINE = [
 ]
 
 FLAGSHIP_IMAGES = int(os.environ.get("GRAFT_FLAGSHIP_IMAGES", "1536"))
+SCALING_IMAGES = int(os.environ.get("GRAFT_SCALING_IMAGES", "8192"))
+CORPUS_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/gdal_ray_bench")
+
+
+def ensure_corpus(n: int) -> str:
+    """Write (once, in parallel, untimed) the image corpus parquet —
+    the stand-in for the stored Lance table the real pipeline reads."""
+    path = os.path.join(CORPUS_ROOT, f"images_{n}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from gdal_ray.sources.images import corpus_dataset
+
+        os.makedirs(path, exist_ok=True)
+        corpus_dataset(n).write_parquet(path)
+        open(marker, "w").close()
+    return path
+
+
+def run_warp_compose(num_cpus: int, n_images: int) -> tuple[float, int]:
+    """Timed: read corpus parquet -> warp actor pool -> compose. The
+    north-star headline job (tiles composed from decoded images)."""
+    from gdal_ray.pipelines.tile_pyramid import warp_compose
+
+    src = ensure_corpus(n_images)
+    t0 = time.time()
+    ds = warp_compose(n_images, concurrency=max(2, num_cpus - 2), source_path=src)
+    rows = consume(ds)
+    return time.time() - t0, rows
 
 
 def consume(res) -> int:
@@ -91,6 +120,10 @@ def main() -> None:
                 dt, _ = run_flagship(NUM_CPUS)
                 times[name] = round(dt, 3)
                 continue
+            if name == "warp_compose_tiles":
+                dt, _ = run_warp_compose(NUM_CPUS, FLAGSHIP_IMAGES)
+                times[name] = round(dt, 3)
+                continue
             consume(qs[name](SF_DIR))
             times[name] = round(time.time() - t0, 3)
         total = round(sum(times.values()), 3)
@@ -112,14 +145,28 @@ def scaling_child(num_cpus: int) -> None:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              log_to_driver=False)
     try:
-        dt, rows = run_flagship(num_cpus)
+        dt, rows = run_warp_compose(num_cpus, SCALING_IMAGES)
         print(json.dumps({"sec": dt, "rows": rows, "num_cpus": num_cpus}))
     finally:
         ray.shutdown()
 
 
 def scaling() -> None:
-    """Fresh-process runs at num_cpus=8 and 32 on identical input."""
+    """Fresh-process runs of the warp+compose headline job at
+    num_cpus=8 and 32 on the same stored corpus (the sandbox stand-in
+    for the north rule's N- vs 4N-node clusters)."""
+    # build the shared input corpus once, untimed, with full parallelism
+    prep = subprocess.run(
+        [sys.executable, "-c",
+         "import ray, sys; sys.path.insert(0, %r); ray.init(address='local', "
+         "num_cpus=32, include_dashboard=False, log_to_driver=False); "
+         "import bench; bench.ensure_corpus(bench.SCALING_IMAGES); ray.shutdown()"
+         % REPO],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    if prep.returncode != 0:
+        sys.stderr.write(prep.stderr)
+        raise SystemExit(1)
     results = {}
     for cpus in (8, 32):
         out = subprocess.run(
@@ -128,7 +175,7 @@ def scaling() -> None:
         )
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    n_img = FLAGSHIP_IMAGES
+    n_img = SCALING_IMAGES
     thr8 = n_img / results[8]["sec"]
     thr32 = n_img / results[32]["sec"]
     eff = thr32 / (4.0 * thr8)
@@ -136,9 +183,11 @@ def scaling() -> None:
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 3),
         "unit": "ratio",
+        "job": "warp_compose_tiles",
         "throughput_images_per_sec": {"8": round(thr8, 2), "32": round(thr32, 2)},
         "sec": {"8": round(results[8]["sec"], 3), "32": round(results[32]["sec"], 3)},
         "num_images": n_img,
+        "tiles": results[32]["rows"],
     }))
 
 

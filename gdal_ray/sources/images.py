@@ -167,11 +167,17 @@ def corpus_dataset(n: int, *, override_num_blocks: int | None = None):
     """
     import ray.data
 
+    if override_num_blocks is None:
+        # one block per ~16 images: the block is Ray Data's scheduling
+        # unit, so small blocks are what lets the synth + warp stages
+        # fan out across every core (range() alone would emit a handful
+        # of huge blocks and serialize the pipeline).
+        override_num_blocks = max(1, (n + 15) // 16)
     ds = ray.data.range(n, override_num_blocks=override_num_blocks)
     return ds.map_batches(
         lambda b: make_batch(b["id"]),
         batch_format="numpy",
-        batch_size=64,
+        batch_size=16,
         zero_copy_batch=True,
     )
 

@@ -1,0 +1,279 @@
+"""Tile compose / overview pyramid / resume manifests.
+
+The engine's spine (SURVEY.md §2.6): warp fragments shuffle on the
+packed tile key, `groupby(tile_key).map_groups` composes each tile
+(mosaic winner rule = GTI SORT_FIELD z-order, reference
+frmts/gti/gdaltileindexdataset.cpp:87-88 — here the sort value is the
+image's numeric suffix, falling back to a stable hash), overview zoom
+levels are built from the zoom+1 tiles by masked 2x2 average
+(reference apps/gdalalg_raster_tile.cpp:3136-3195 builds overviews
+from finer-zoom tiles; average default :2083), and output manifests
+make re-runs skip finished tiles (`--resume`, reference
+apps/gdalalg_raster_tile.cpp:377,522) with per-partition lineage.
+
+Skew (salted compose): a megacell tile touched by thousands of images
+would make one `map_groups` task huge. ``compose_tiles(..., salt=k)``
+splits each tile's fragments into k salt buckets, composes partials
+per (tile_key, salt), then merges partials per tile_key. The mosaic
+rule is associative (per-pixel max of winner sort-value), so the
+salted result is bit-identical to the unsalted one — tested.
+
+Composed-tile schema:
+    tile_key:int64, z:int16, tx:int32, ty:int32,
+    pixels:binary (raw, ts x ts x 3), alpha:binary (packbits validity),
+    n_src:int64, n_valid:int64, checksum:int64
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.checksum import checksum_image
+from ..functions.codecs import decode_image, encode_image
+from ..functions.resample import reduce2x2
+from ..functions.tiles import DEFAULT_TILE_SIZE, tile_key, unpack_tile_key
+
+TILE_SCHEMA = pa.schema([
+    ("tile_key", pa.int64()),
+    ("z", pa.int16()),
+    ("tx", pa.int32()),
+    ("ty", pa.int32()),
+    ("pixels", pa.binary()),
+    ("alpha", pa.binary()),
+    ("n_src", pa.int64()),
+    ("n_valid", pa.int64()),
+    ("checksum", pa.int64()),
+])
+
+_ID_NUM = re.compile(r"^[A-Za-z]*0*(\d+)$")
+
+
+def sort_value(image_id: str) -> int:
+    """Mosaic z-order sort value of an image (SORT_FIELD analog):
+    numeric suffix when present (preserves the corpus's lexicographic
+    order), else a stable 64-bit content hash."""
+    m = _ID_NUM.match(image_id)
+    if m:
+        return int(m.group(1))
+    return int.from_bytes(hashlib.blake2b(image_id.encode(), digest_size=8).digest(),
+                          "big", signed=True)
+
+
+def _unpack_mask(buf: bytes, fh: int, fw: int) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(buf, np.uint8), count=fh * fw) \
+        .reshape(fh, fw).astype(bool)
+
+
+def _paint(canvas: np.ndarray, winner: np.ndarray, frag: dict) -> None:
+    """Paint one fragment where its sort value beats the current
+    winner (associative per-pixel-max mosaic rule)."""
+    y0, x0, fh, fw = frag["y0"], frag["x0"], frag["fh"], frag["fw"]
+    px = decode_image(frag["pixels"])
+    if px.ndim == 2:
+        px = px[:, :, None].repeat(canvas.shape[2], axis=2)
+    mask = _unpack_mask(frag["mask"], fh, fw)
+    sv = frag["__sort__"]
+    sub_w = winner[y0:y0 + fh, x0:x0 + fw]
+    take = mask & (sv > sub_w)
+    canvas[y0:y0 + fh, x0:x0 + fw][take] = px[take]
+    sub_w[take] = sv
+
+
+def _compose_group(g: pd.DataFrame, tile_size: int, keep_winner: bool) -> pd.DataFrame:
+    canvas = np.zeros((tile_size, tile_size, 3), np.uint8)
+    winner = np.full((tile_size, tile_size), np.iinfo(np.int64).min, np.int64)
+    for frag in g.to_dict("records"):
+        _paint(canvas, winner, frag)
+    valid = winner != np.iinfo(np.int64).min
+    key = int(g["tile_key"].iloc[0])
+    z, tx, ty = unpack_tile_key(key)
+    row = {
+        "tile_key": [key], "z": [np.int16(z)], "tx": [np.int32(tx)],
+        "ty": [np.int32(ty)],
+        "pixels": [encode_image(canvas, "raw")],
+        "alpha": [np.packbits(valid.astype(np.uint8)).tobytes()],
+        "n_src": [int(g["image_id"].nunique())],
+        "n_valid": [int(valid.sum())],
+        "checksum": [checksum_image(np.where(valid, canvas[:, :, 0], 0))],
+    }
+    if keep_winner:
+        row["winner"] = [winner.tobytes()]
+    return pd.DataFrame(row)
+
+
+def compose_tiles(fragments, tile_size: int = DEFAULT_TILE_SIZE,
+                  salt: int | None = None):
+    """Fragments Dataset -> composed tiles Dataset.
+
+    ``salt``: number of salt buckets for skewed tiles (two-stage
+    compose; result identical to salt=None)."""
+    def add_sort(t: pa.Table) -> pa.Table:
+        sv = np.array([sort_value(s) for s in t["image_id"].to_pylist()], np.int64)
+        return t.append_column("__sort__", pa.array(sv))
+
+    ds = fragments.map_batches(add_sort, batch_format="pyarrow")
+
+    if not salt:
+        return ds.groupby("tile_key").map_groups(
+            lambda g: _compose_group(g, tile_size, False), batch_format="pandas")
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        s = (pd.util.hash_array(t["__sort__"].to_numpy()) % np.uint64(salt)).astype(np.int64)
+        return t.append_column("__salt__", pa.array(s))
+
+    partials = ds.map_batches(add_salt, batch_format="pyarrow") \
+        .groupby(["tile_key", "__salt__"]) \
+        .map_groups(lambda g: _compose_group(g, tile_size, True).assign(
+            __n_src_p=lambda d: d.pop("n_src")), batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((tile_size, tile_size, 3), np.uint8)
+        winner = np.full((tile_size, tile_size), np.iinfo(np.int64).min, np.int64)
+        n_src = 0
+        for rec in g.to_dict("records"):
+            p = decode_image(rec["pixels"])
+            w = np.frombuffer(rec["winner"], np.int64).reshape(tile_size, tile_size)
+            take = w > winner
+            canvas[take] = p[take]
+            winner[take] = w[take]
+            n_src += int(rec["__n_src_p"])
+        valid = winner != np.iinfo(np.int64).min
+        key = int(g["tile_key"].iloc[0])
+        z, tx, ty = unpack_tile_key(key)
+        return pd.DataFrame({
+            "tile_key": [key], "z": [np.int16(z)], "tx": [np.int32(tx)],
+            "ty": [np.int32(ty)],
+            "pixels": [encode_image(canvas, "raw")],
+            "alpha": [np.packbits(valid.astype(np.uint8)).tobytes()],
+            "n_src": [n_src],
+            "n_valid": [int(valid.sum())],
+            "checksum": [checksum_image(np.where(valid, canvas[:, :, 0], 0))],
+        })
+
+    return partials.groupby("tile_key").map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ overviews
+
+
+def build_overview_level(tiles, tile_size: int = DEFAULT_TILE_SIZE,
+                         method: str = "average"):
+    """One overview zoom: tiles at z -> tiles at z-1, built FROM the
+    finer tiles (masked 2x2 reduce; average skips invalid pixels —
+    reference overview-from-finer-zoom rule)."""
+    def to_parent(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy().astype(np.int64)
+        tx = t["tx"].to_numpy().astype(np.int64)
+        ty = t["ty"].to_numpy().astype(np.int64)
+        pk = tile_key(tx >> 1, ty >> 1, z - 1)
+        return t.append_column("parent_key", pa.array(pk))
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        key = int(g["parent_key"].iloc[0])
+        z, ptx, pty = unpack_tile_key(key)
+        big = np.zeros((2 * tile_size, 2 * tile_size, 3), np.float64)
+        cnt = np.zeros((2 * tile_size, 2 * tile_size), np.int32)
+        n_src = 0
+        for rec in g.to_dict("records"):
+            qx = (int(rec["tx"]) & 1) * tile_size
+            qy = (int(rec["ty"]) & 1) * tile_size
+            px = decode_image(rec["pixels"]).astype(np.float64)
+            valid = _unpack_mask(rec["alpha"], tile_size, tile_size)
+            big[qy:qy + tile_size, qx:qx + tile_size][valid] = px[valid]
+            cnt[qy:qy + tile_size, qx:qx + tile_size] = valid
+            n_src += int(rec["n_src"])
+        # masked 2x2 average: sum of valid / count of valid
+        q = big.reshape(tile_size, 2, tile_size, 2, 3)
+        c = cnt.reshape(tile_size, 2, tile_size, 2)
+        csum = c.sum(axis=(1, 3))
+        psum = (q * c[:, :, :, :, None]).sum(axis=(1, 3))
+        valid = csum > 0
+        avg = np.zeros((tile_size, tile_size, 3), np.float64)
+        avg[valid] = psum[valid] / csum[valid][:, None]
+        out = np.clip(np.floor(avg + 0.5), 0, 255).astype(np.uint8)
+        return pd.DataFrame({
+            "tile_key": [key], "z": [np.int16(z)], "tx": [np.int32(ptx)],
+            "ty": [np.int32(pty)],
+            "pixels": [encode_image(out, "raw")],
+            "alpha": [np.packbits(valid.astype(np.uint8)).tobytes()],
+            "n_src": [n_src],
+            "n_valid": [int(valid.sum())],
+            "checksum": [checksum_image(np.where(valid, out[:, :, 0], 0))],
+        })
+
+    return tiles.map_batches(to_parent, batch_format="pyarrow") \
+        .groupby("parent_key").map_groups(reduce_group, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ resume
+
+
+def write_tiles(tiles, out_dir: str) -> dict:
+    """Write composed tiles to partitioned parquet + per-partition
+    lineage manifest. Partition = zoom level (tile_key ranges recorded
+    per file); ``manifest.jsonl`` lists every finished tile with its
+    checksum, so a restarted run anti-joins pending tiles against it
+    (the `--resume` skip-existing semantics + lineage record)."""
+    os.makedirs(out_dir, exist_ok=True)
+    stats = {"n_tiles": 0, "n_valid_px": 0, "by_zoom": {}}
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    with open(manifest_path, "a") as mf:
+        part = 0
+        for t in tiles.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if t.num_rows == 0:
+                continue
+            zs = t["z"].to_numpy()
+            keys = t["tile_key"].to_numpy()
+            fname = f"part-{part:05d}-z{int(zs.min())}-{int(zs.max())}.parquet"
+            import pyarrow.parquet as pq
+
+            pq.write_table(t, os.path.join(out_dir, fname))
+            rec = {
+                "file": fname,
+                "key_min": int(keys.min()), "key_max": int(keys.max()),
+                "n_rows": int(t.num_rows),
+                "tile_keys": [int(k) for k in keys],
+                "checksums": [int(c) for c in t["checksum"].to_numpy()],
+            }
+            mf.write(json.dumps(rec) + "\n")
+            part += 1
+            stats["n_tiles"] += t.num_rows
+            stats["n_valid_px"] += int(t["n_valid"].to_numpy().sum())
+            for z in np.unique(zs):
+                stats["by_zoom"][int(z)] = stats["by_zoom"].get(int(z), 0) \
+                    + int((zs == z).sum())
+    return stats
+
+
+def finished_tile_keys(out_dir: str) -> set[int]:
+    """Read the manifest; the set of tile keys already written."""
+    path = os.path.join(out_dir, "manifest.jsonl")
+    done: set[int] = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                done.update(json.loads(line)["tile_keys"])
+    return done
+
+
+def resume_filter(fragments, out_dir: str):
+    """Drop fragments whose tile is already in the output manifest
+    (broadcast the finished-key set; anti-join inside map_batches)."""
+    done = finished_tile_keys(out_dir)
+    if not done:
+        return fragments
+    keys = pa.array(np.fromiter(done, np.int64, len(done)))
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.is_in(t["tile_key"], value_set=keys)))
+
+    return fragments.map_batches(f, batch_format="pyarrow")
