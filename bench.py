@@ -33,6 +33,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # training-data operators. Each is (name, fn(sf_dir) -> consumable).
 HEADLINE = [
     "warp_compose_tiles",   # decode+warp actor pool -> tile-key shuffle -> mosaic
+    "warp_partitioned",     # metadata-shuffle tiling (quadtree leaves + salting)
     "flagship_images",      # decode actor pool -> tile/cell keys -> PIP join
     "q_groupby_agg",        # TPC-H Q1 shape, combiner partials
     "q_join_hash_large",    # partitioned hash join lineitem x orders
@@ -63,15 +64,60 @@ def ensure_corpus(n: int) -> str:
     return path
 
 
+def run_warp_compose_partitioned(num_cpus: int, n_images: int) -> tuple[float, int]:
+    """Timed: the metadata-partitioned tiling job (no pixel shuffle;
+    quadtree leaves, salted hot cells). The scaling headline."""
+    from gdal_ray.stages.partitioned_tiling import warp_compose_partitioned
+
+    t0 = time.time()
+    ds = warp_compose_partitioned(n_images, concurrency=max(2, num_cpus - 2),
+                                  max_images_per_part=32)
+    rows = ds.count()
+    return time.time() - t0, rows
+
+
+def hardware_control(num_cpus: int, n_images: int) -> float:
+    """Multiprocessing control: the same per-image kernel with zero
+    orchestration — measures the host's own scaling ceiling
+    (frequency/memory-bandwidth) so Ray's efficiency can be judged
+    against what the hardware allows."""
+    from multiprocessing import Pool
+
+    tasks = n_images // 8
+    t0 = time.time()
+    with Pool(num_cpus) as p:
+        p.map(_hw_work, range(tasks))
+    return time.time() - t0
+
+
+def _hw_work(idx: int) -> int:
+    import numpy as np
+
+    from gdal_ray.functions.codecs import decode_image
+    from gdal_ray.sources.images import georef, make_batch
+    from gdal_ray.stages.warp import warp_image_to_tiles
+
+    t = make_batch(np.arange(idx * 8, idx * 8 + 8))
+    n = 0
+    for i, blob in enumerate(t["bytes"]):
+        px = decode_image(blob.as_py())
+        gt, epsg = georef(idx * 8 + i)
+        n += len(warp_image_to_tiles(px, gt, epsg, f"img{idx * 8 + i}", None))
+    return n
+
+
 def run_warp_compose(num_cpus: int, n_images: int) -> tuple[float, int]:
     """Timed: read corpus parquet -> warp actor pool -> compose. The
-    north-star headline job (tiles composed from decoded images)."""
+    north-star headline job (tiles composed from decoded images).
+    Consumed with a distributed count — pulling every composed tile
+    through the driver would serialize the tail (real runs write from
+    tasks via write_tiles)."""
     from gdal_ray.pipelines.tile_pyramid import warp_compose
 
     src = ensure_corpus(n_images)
     t0 = time.time()
     ds = warp_compose(n_images, concurrency=max(2, num_cpus - 2), source_path=src)
-    rows = consume(ds)
+    rows = ds.count()
     return time.time() - t0, rows
 
 
@@ -124,6 +170,10 @@ def main() -> None:
                 dt, _ = run_warp_compose(NUM_CPUS, FLAGSHIP_IMAGES)
                 times[name] = round(dt, 3)
                 continue
+            if name == "warp_partitioned":
+                dt, _ = run_warp_compose_partitioned(NUM_CPUS, FLAGSHIP_IMAGES)
+                times[name] = round(dt, 3)
+                continue
             consume(qs[name](SF_DIR))
             times[name] = round(time.time() - t0, 3)
         total = round(sum(times.values()), 3)
@@ -145,28 +195,18 @@ def scaling_child(num_cpus: int) -> None:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              log_to_driver=False)
     try:
-        dt, rows = run_warp_compose(num_cpus, SCALING_IMAGES)
+        dt, rows = run_warp_compose_partitioned(num_cpus, SCALING_IMAGES)
         print(json.dumps({"sec": dt, "rows": rows, "num_cpus": num_cpus}))
     finally:
         ray.shutdown()
 
 
 def scaling() -> None:
-    """Fresh-process runs of the warp+compose headline job at
-    num_cpus=8 and 32 on the same stored corpus (the sandbox stand-in
-    for the north rule's N- vs 4N-node clusters)."""
-    # build the shared input corpus once, untimed, with full parallelism
-    prep = subprocess.run(
-        [sys.executable, "-c",
-         "import ray, sys; sys.path.insert(0, %r); ray.init(address='local', "
-         "num_cpus=32, include_dashboard=False, log_to_driver=False); "
-         "import bench; bench.ensure_corpus(bench.SCALING_IMAGES); ray.shutdown()"
-         % REPO],
-        capture_output=True, text=True, cwd=REPO,
-    )
-    if prep.returncode != 0:
-        sys.stderr.write(prep.stderr)
-        raise SystemExit(1)
+    """Fresh-process runs of the partitioned tiling job at num_cpus=8
+    and 32 on identical input (the sandbox stand-in for the north
+    rule's N- vs 4N-node clusters), plus a Ray-free multiprocessing
+    control of the same per-image kernel that measures the host's own
+    scaling ceiling (turbo/memory bandwidth)."""
     results = {}
     for cpus in (8, 32):
         out = subprocess.run(
@@ -175,19 +215,32 @@ def scaling() -> None:
         )
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
+    hw = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); import bench; "
+             "print(bench.hardware_control(%d, %d))"
+             % (REPO, cpus, SCALING_IMAGES // 4)],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        hw[cpus] = float(out.stdout.strip().splitlines()[-1])
     n_img = SCALING_IMAGES
     thr8 = n_img / results[8]["sec"]
     thr32 = n_img / results[32]["sec"]
     eff = thr32 / (4.0 * thr8)
+    hw_eff = hw[8] / (4.0 * hw[32])
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 3),
         "unit": "ratio",
-        "job": "warp_compose_tiles",
+        "job": "warp_compose_partitioned",
         "throughput_images_per_sec": {"8": round(thr8, 2), "32": round(thr32, 2)},
         "sec": {"8": round(results[8]["sec"], 3), "32": round(results[32]["sec"], 3)},
         "num_images": n_img,
         "tiles": results[32]["rows"],
+        "hardware_ceiling_efficiency": round(hw_eff, 3),
+        "software_efficiency_vs_hardware": round(eff / hw_eff, 3) if hw_eff else None,
     }))
 
 

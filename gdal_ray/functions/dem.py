@@ -1,0 +1,153 @@
+"""DEM moving-window ops: hillshade, slope, aspect, TRI, TPI, roughness.
+
+Vectorized numpy re-implementations of the reference's 3x3-window
+algorithms (reference apps/gdaldem_lib.cpp): Horn gradient
+(:780-794), hillshade (:950-1030, constants :1170-1196), slope Horn
+(:1345-1369) and Zevenbergen-Thorne (:1373-1390), aspect (:1420-1460),
+TRI Riley/Wilson (:2351-2377), TPI (:2383-2393), roughness
+(:2400-2422).
+
+Window layout (afWin indices):
+    0 1 2      row y-1
+    3 4 5      row y      (4 = center)
+    6 7 8      row y+1
+
+Border pixels are nodata (NaN) — the reference's default without
+`-compute_edges`. Each function takes a 2-D float array and the
+geotransform pixel sizes; returns float64 with NaN borders. Designed
+to run inside `map_batches` per tile with a 1-pixel halo
+(SURVEY.md §2.2 DEM ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DEG = 180.0 / np.pi
+
+
+def _win(z: np.ndarray):
+    """The nine shifted views of the interior: w[i] matches afWin[i]."""
+    return [
+        z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:],
+        z[1:-1, :-2], z[1:-1, 1:-1], z[1:-1, 2:],
+        z[2:, :-2], z[2:, 1:-1], z[2:, 2:],
+    ]
+
+
+def _horn(w, inv_ew: float, inv_ns: float):
+    x = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) * inv_ew
+    y = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) * inv_ns
+    return x, y
+
+
+def _zt(w, inv_ew: float, inv_ns: float):
+    x = (w[3] - w[5]) * inv_ew
+    y = (w[7] - w[1]) * inv_ns
+    return x, y
+
+
+def _frame(core: np.ndarray, fill=np.nan) -> np.ndarray:
+    out = np.full((core.shape[0] + 2, core.shape[1] + 2), fill, np.float64)
+    out[1:-1, 1:-1] = core
+    return out
+
+
+def hillshade(z: np.ndarray, ewres: float, nsres: float, *, zfactor: float = 1.0,
+              azimuth: float = 315.0, altitude: float = 45.0,
+              alg: str = "horn") -> np.ndarray:
+    """Plain hillshade in [1, 255] (GDALHillshadeAlg semantics)."""
+    z = np.asarray(z, np.float64)
+    zf = zfactor / (2.0 if alg == "zevenbergen-thorne" else 8.0)
+    inv_ew = 1.0 / ewres
+    inv_ns = 1.0 / nsres
+    alt = np.radians(altitude)
+    az = np.radians(azimuth)
+    w = _win(z)
+    x, y = (_zt if alg == "zevenbergen-thorne" else _horn)(w, inv_ew, inv_ns)
+    sin_alt_254 = 254.0 * np.sin(alt)
+    cos_az_cos_alt_z_254 = 254.0 * np.cos(az) * np.cos(alt) * zf
+    sin_az_cos_alt_z_254 = 254.0 * np.sin(az) * np.cos(alt) * zf
+    cang_254 = (sin_alt_254 - (y * cos_az_cos_alt_z_254 - x * sin_az_cos_alt_z_254)) \
+        / np.sqrt(1.0 + zf * zf * (x * x + y * y))
+    cang = np.where(cang_254 <= 0.0, 1.0, 1.0 + cang_254)
+    return _frame(cang)
+
+
+def slope(z: np.ndarray, ewres: float, nsres: float, *, zfactor: float = 1.0,
+          percent: bool = False, alg: str = "horn") -> np.ndarray:
+    """Slope in degrees (or percent) — GDALSlopeHornAlg /
+    GDALSlopeZevenbergenThorneAlg."""
+    z = np.asarray(z, np.float64)
+    w = _win(z)
+    div = 2.0 if alg == "zevenbergen-thorne" else 8.0
+    x, y = (_zt if alg == "zevenbergen-thorne" else _horn)(
+        w, 1.0 / ewres, 1.0 / nsres)
+    key = np.sqrt(x * x + y * y) * (zfactor / div)
+    core = 100.0 * key if percent else np.arctan(key) * _DEG
+    return _frame(core)
+
+
+def aspect(z: np.ndarray, *, azimuth: bool = True) -> np.ndarray:
+    """Aspect (GDALAspectAlg): azimuth degrees by default; flat areas
+    are NaN."""
+    z = np.asarray(z, np.float64)
+    w = _win(z)
+    dx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+    dy = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    a = np.arctan2(dy, -dx) * _DEG
+    a = a.astype(np.float32).astype(np.float64)  # reference computes in float
+    if azimuth:
+        a = np.where(a > 90.0, 450.0 - a, 90.0 - a)
+    else:
+        a = np.where(a < 0, a + 360.0, a)
+    a = np.where(a == 360.0, 0.0, a)
+    a = np.where((dx == 0) & (dy == 0), np.nan, a)
+    return _frame(a)
+
+
+def tri(z: np.ndarray, *, alg: str = "riley") -> np.ndarray:
+    """Terrain Ruggedness Index: Riley (default, sqrt of squared
+    diffs) or Wilson (mean abs diff)."""
+    z = np.asarray(z, np.float64)
+    w = _win(z)
+    c = w[4]
+    ds = [w[i] - c for i in (0, 1, 2, 3, 5, 6, 7, 8)]
+    if alg == "wilson":
+        core = sum(np.abs(d) for d in ds) * 0.125
+    else:
+        core = np.sqrt(sum(d * d for d in ds))
+    return _frame(core)
+
+
+def tpi(z: np.ndarray) -> np.ndarray:
+    """Topographic Position Index: center minus mean of neighbors."""
+    z = np.asarray(z, np.float64)
+    w = _win(z)
+    return _frame(w[4] - (w[0] + w[1] + w[2] + w[3] + w[5] + w[6] + w[7] + w[8]) * 0.125)
+
+
+def roughness(z: np.ndarray) -> np.ndarray:
+    """Largest difference between any two cells of the window."""
+    z = np.asarray(z, np.float64)
+    w = _win(z)
+    stack = np.stack(w)
+    return _frame(stack.max(axis=0) - stack.min(axis=0))
+
+
+def color_relief(z: np.ndarray, levels, colors) -> np.ndarray:
+    """gdaldem color-relief with linear interpolation between level
+    entries (reference apps/gdaldem_lib.cpp color-relief mode).
+
+    ``levels``: ascending 1-D values; ``colors``: (n, 3) uint8 rows.
+    Returns (h, w, 3) uint8."""
+    z = np.asarray(z, np.float64)
+    levels = np.asarray(levels, np.float64)
+    colors = np.asarray(colors, np.float64)
+    idx = np.clip(np.searchsorted(levels, z, side="right") - 1, 0, len(levels) - 2)
+    lo = levels[idx]
+    hi = levels[idx + 1]
+    t = np.where(hi > lo, (z - lo) / np.where(hi > lo, hi - lo, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)[..., None]
+    out = colors[idx] * (1 - t) + colors[idx + 1] * t
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)

@@ -86,102 +86,171 @@ def _paint(canvas: np.ndarray, winner: np.ndarray, frag: dict) -> None:
     sub_w[take] = sv
 
 
-def _compose_group(g: pd.DataFrame, tile_size: int, keep_winner: bool) -> pd.DataFrame:
+def _compose_one(recs: list[dict], tile_size: int, keep_winner: bool) -> dict:
+    if len(recs) == 1 and not keep_winner:
+        return _compose_single(recs[0], tile_size)
     canvas = np.zeros((tile_size, tile_size, 3), np.uint8)
     winner = np.full((tile_size, tile_size), np.iinfo(np.int64).min, np.int64)
-    for frag in g.to_dict("records"):
+    ids = set()
+    for frag in recs:
         _paint(canvas, winner, frag)
+        ids.add(frag["image_id"])
     valid = winner != np.iinfo(np.int64).min
-    key = int(g["tile_key"].iloc[0])
+    key = int(recs[0]["tile_key"])
     z, tx, ty = unpack_tile_key(key)
     row = {
-        "tile_key": [key], "z": [np.int16(z)], "tx": [np.int32(tx)],
-        "ty": [np.int32(ty)],
-        "pixels": [encode_image(canvas, "raw")],
-        "alpha": [np.packbits(valid.astype(np.uint8)).tobytes()],
-        "n_src": [int(g["image_id"].nunique())],
-        "n_valid": [int(valid.sum())],
-        "checksum": [checksum_image(np.where(valid, canvas[:, :, 0], 0))],
+        "tile_key": key, "z": np.int16(z), "tx": np.int32(tx), "ty": np.int32(ty),
+        "pixels": encode_image(canvas, "raw"),
+        "alpha": np.packbits(valid.astype(np.uint8)).tobytes(),
+        "n_src": len(ids),
+        "n_valid": int(valid.sum()),
+        "checksum": checksum_image(np.where(valid, canvas[:, :, 0], 0)),
     }
     if keep_winner:
-        row["winner"] = [winner.tobytes()]
-    return pd.DataFrame(row)
+        row["winner"] = winner.tobytes()
+    return row
+
+
+def _compose_single(frag: dict, tile_size: int) -> dict:
+    """Fast path: one fragment -> tile without the winner array (the
+    common case — most tiles have a single contributing image)."""
+    canvas = np.zeros((tile_size, tile_size, 3), np.uint8)
+    valid = np.zeros((tile_size, tile_size), bool)
+    y0, x0, fh, fw = frag["y0"], frag["x0"], frag["fh"], frag["fw"]
+    px = decode_image(frag["pixels"])
+    if px.ndim == 2:
+        px = px[:, :, None].repeat(3, axis=2)
+    mask = _unpack_mask(frag["mask"], fh, fw)
+    sub = canvas[y0:y0 + fh, x0:x0 + fw]
+    sub[mask] = px[mask]
+    valid[y0:y0 + fh, x0:x0 + fw] = mask
+    key = int(frag["tile_key"])
+    z, tx, ty = unpack_tile_key(key)
+    return {
+        "tile_key": key, "z": np.int16(z), "tx": np.int32(tx), "ty": np.int32(ty),
+        "pixels": encode_image(canvas, "raw"),
+        "alpha": np.packbits(valid.astype(np.uint8)).tobytes(),
+        "n_src": 1,
+        "n_valid": int(valid.sum()),
+        "checksum": checksum_image(np.where(valid, canvas[:, :, 0], 0)),
+    }
+
+
+def _per_key_groups(g: pd.DataFrame, key_cols: list[str]):
+    """Yield record-lists per distinct key tuple (rows pre-sorted by
+    the groupby shuffle within the bucket)."""
+    for _, sub in g.groupby(key_cols, sort=True):
+        yield sub.to_dict("records")
 
 
 def compose_tiles(fragments, tile_size: int = DEFAULT_TILE_SIZE,
-                  salt: int | None = None):
+                  salt: int | None = None, num_buckets: int = 256):
     """Fragments Dataset -> composed tiles Dataset.
 
-    ``salt``: number of salt buckets for skewed tiles (two-stage
-    compose; result identical to salt=None)."""
-    def add_sort(t: pa.Table) -> pa.Table:
+    The shuffle key is a *bucket* of the tile key (hash % num_buckets),
+    not the tile key itself: per-group task overhead would dominate
+    with millions of tiny tile groups, so each `map_groups` task
+    composes every tile in its bucket in one numpy loop. ``salt``
+    splits each tile's fragments into k sub-buckets first (skewed
+    megacells); the mosaic rule is associative per-pixel max of the
+    winner sort value, so the salted result is bit-identical."""
+    def add_keys(t: pa.Table) -> pa.Table:
         sv = np.array([sort_value(s) for s in t["image_id"].to_pylist()], np.int64)
-        return t.append_column("__sort__", pa.array(sv))
+        keys = t["tile_key"].to_numpy()
+        b = (pd.util.hash_array(keys) % np.uint64(num_buckets)).astype(np.int64)
+        t = t.append_column("__sort__", pa.array(sv))
+        return t.append_column("__bucket__", pa.array(b))
 
-    ds = fragments.map_batches(add_sort, batch_format="pyarrow")
+    ds = fragments.map_batches(add_keys, batch_format="pyarrow")
 
     if not salt:
-        return ds.groupby("tile_key").map_groups(
-            lambda g: _compose_group(g, tile_size, False), batch_format="pandas")
+        def compose_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            rows = [_compose_one(recs, tile_size, False)
+                    for recs in _per_key_groups(g, ["tile_key"])]
+            return pd.DataFrame(rows)
+
+        return ds.groupby("__bucket__").map_groups(
+            compose_bucket, batch_format="pandas")
 
     def add_salt(t: pa.Table) -> pa.Table:
         s = (pd.util.hash_array(t["__sort__"].to_numpy()) % np.uint64(salt)).astype(np.int64)
-        return t.append_column("__salt__", pa.array(s))
+        t = t.append_column("__salt__", pa.array(s))
+        # partial-compose shuffle key: (tile_key, salt) hashed — this is
+        # what spreads one hot tile's fragments across many tasks
+        b2 = (pd.util.hash_array(t["tile_key"].to_numpy() * np.int64(1000003)
+                                 + s) % np.uint64(num_buckets)).astype(np.int64)
+        return t.set_column(t.schema.get_field_index("__bucket__"),
+                            "__bucket__", pa.array(b2))
+
+    def compose_partials(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for recs in _per_key_groups(g, ["tile_key", "__salt__"]):
+            r = _compose_one(recs, tile_size, True)
+            r["__n_src_p"] = r.pop("n_src")
+            # merge-stage shuffle key: bucket of the tile key alone
+            r["__bucket__"] = int(pd.util.hash_array(
+                np.array([r["tile_key"]], np.int64))[0] % num_buckets)
+            rows.append(r)
+        return pd.DataFrame(rows)
 
     partials = ds.map_batches(add_salt, batch_format="pyarrow") \
-        .groupby(["tile_key", "__salt__"]) \
-        .map_groups(lambda g: _compose_group(g, tile_size, True).assign(
-            __n_src_p=lambda d: d.pop("n_src")), batch_format="pandas")
+        .groupby("__bucket__").map_groups(compose_partials, batch_format="pandas")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        canvas = np.zeros((tile_size, tile_size, 3), np.uint8)
-        winner = np.full((tile_size, tile_size), np.iinfo(np.int64).min, np.int64)
-        n_src = 0
-        for rec in g.to_dict("records"):
-            p = decode_image(rec["pixels"])
-            w = np.frombuffer(rec["winner"], np.int64).reshape(tile_size, tile_size)
-            take = w > winner
-            canvas[take] = p[take]
-            winner[take] = w[take]
-            n_src += int(rec["__n_src_p"])
-        valid = winner != np.iinfo(np.int64).min
-        key = int(g["tile_key"].iloc[0])
-        z, tx, ty = unpack_tile_key(key)
-        return pd.DataFrame({
-            "tile_key": [key], "z": [np.int16(z)], "tx": [np.int32(tx)],
-            "ty": [np.int32(ty)],
-            "pixels": [encode_image(canvas, "raw")],
-            "alpha": [np.packbits(valid.astype(np.uint8)).tobytes()],
-            "n_src": [n_src],
-            "n_valid": [int(valid.sum())],
-            "checksum": [checksum_image(np.where(valid, canvas[:, :, 0], 0))],
-        })
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for recs in _per_key_groups(g, ["tile_key"]):
+            canvas = np.zeros((tile_size, tile_size, 3), np.uint8)
+            winner = np.full((tile_size, tile_size), np.iinfo(np.int64).min, np.int64)
+            n_src = 0
+            for rec in recs:
+                p = decode_image(rec["pixels"])
+                w = np.frombuffer(rec["winner"], np.int64).reshape(tile_size, tile_size)
+                take = w > winner
+                canvas[take] = p[take]
+                winner[take] = w[take]
+                n_src += int(rec["__n_src_p"])
+            valid = winner != np.iinfo(np.int64).min
+            key = int(recs[0]["tile_key"])
+            z, tx, ty = unpack_tile_key(key)
+            rows.append({
+                "tile_key": key, "z": np.int16(z), "tx": np.int32(tx),
+                "ty": np.int32(ty),
+                "pixels": encode_image(canvas, "raw"),
+                "alpha": np.packbits(valid.astype(np.uint8)).tobytes(),
+                "n_src": n_src,
+                "n_valid": int(valid.sum()),
+                "checksum": checksum_image(np.where(valid, canvas[:, :, 0], 0)),
+            })
+        return pd.DataFrame(rows)
 
-    return partials.groupby("tile_key").map_groups(merge, batch_format="pandas")
+    return partials.groupby("__bucket__").map_groups(merge_bucket, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ overviews
 
 
 def build_overview_level(tiles, tile_size: int = DEFAULT_TILE_SIZE,
-                         method: str = "average"):
+                         method: str = "average", num_buckets: int = 256):
     """One overview zoom: tiles at z -> tiles at z-1, built FROM the
     finer tiles (masked 2x2 reduce; average skips invalid pixels —
-    reference overview-from-finer-zoom rule)."""
+    reference overview-from-finer-zoom rule). Shuffle key is a bucket
+    of the parent key (same rationale as compose_tiles)."""
     def to_parent(t: pa.Table) -> pa.Table:
         z = t["z"].to_numpy().astype(np.int64)
         tx = t["tx"].to_numpy().astype(np.int64)
         ty = t["ty"].to_numpy().astype(np.int64)
         pk = tile_key(tx >> 1, ty >> 1, z - 1)
-        return t.append_column("parent_key", pa.array(pk))
+        b = (pd.util.hash_array(pk) % np.uint64(num_buckets)).astype(np.int64)
+        t = t.append_column("parent_key", pa.array(pk))
+        return t.append_column("__bucket__", pa.array(b))
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        key = int(g["parent_key"].iloc[0])
+    def reduce_one(recs: list[dict]) -> dict:
+        key = int(recs[0]["parent_key"])
         z, ptx, pty = unpack_tile_key(key)
         big = np.zeros((2 * tile_size, 2 * tile_size, 3), np.float64)
         cnt = np.zeros((2 * tile_size, 2 * tile_size), np.int32)
         n_src = 0
-        for rec in g.to_dict("records"):
+        for rec in recs:
             qx = (int(rec["tx"]) & 1) * tile_size
             qy = (int(rec["ty"]) & 1) * tile_size
             px = decode_image(rec["pixels"]).astype(np.float64)
@@ -198,18 +267,22 @@ def build_overview_level(tiles, tile_size: int = DEFAULT_TILE_SIZE,
         avg = np.zeros((tile_size, tile_size, 3), np.float64)
         avg[valid] = psum[valid] / csum[valid][:, None]
         out = np.clip(np.floor(avg + 0.5), 0, 255).astype(np.uint8)
-        return pd.DataFrame({
-            "tile_key": [key], "z": [np.int16(z)], "tx": [np.int32(ptx)],
-            "ty": [np.int32(pty)],
-            "pixels": [encode_image(out, "raw")],
-            "alpha": [np.packbits(valid.astype(np.uint8)).tobytes()],
-            "n_src": [n_src],
-            "n_valid": [int(valid.sum())],
-            "checksum": [checksum_image(np.where(valid, out[:, :, 0], 0))],
-        })
+        return {
+            "tile_key": key, "z": np.int16(z), "tx": np.int32(ptx),
+            "ty": np.int32(pty),
+            "pixels": encode_image(out, "raw"),
+            "alpha": np.packbits(valid.astype(np.uint8)).tobytes(),
+            "n_src": n_src,
+            "n_valid": int(valid.sum()),
+            "checksum": checksum_image(np.where(valid, out[:, :, 0], 0)),
+        }
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([reduce_one(recs)
+                             for recs in _per_key_groups(g, ["parent_key"])])
 
     return tiles.map_batches(to_parent, batch_format="pyarrow") \
-        .groupby("parent_key").map_groups(reduce_group, batch_format="pandas")
+        .groupby("__bucket__").map_groups(reduce_bucket, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ resume
