@@ -30,20 +30,22 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from gdal_ray.pipelines import relational, spatial_sql, text_embed
+    from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
     out.update(spatial_sql.QUERIES)
     out.update(text_embed.QUERIES)
+    out.update(raster.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from gdal_ray.pipelines import relational, spatial_sql, text_embed
+    from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
     out.update(spatial_sql.ORACLE)
     out.update(text_embed.ORACLE)
+    out.update(raster.ORACLE)
     return out

@@ -1,0 +1,332 @@
+"""Raster operator query surface (SURVEY.md §2.2, §2.5-2.8).
+
+SQL-oracled queries derive their raster inputs from the `events`
+table (same lon/lat derivation as spatial_sql.py) so DuckDB can verify
+them arithmetically:
+    q_grid_idw      — gdalgrid invdist power-2 on a coarse grid
+                      (alg/gdalgrid.cpp GDALGridInverseDistanceToAPower)
+    q_grid_nn_count — gdalgrid metric Count within radius
+                      (alg/gdal_alg.h GGA_MetricCount)
+    q_geom_zone_metrics — WKB polygon area/perimeter/centroid via the
+                      real geometry kernels vs analytic SQL
+
+Rows-only queries (deterministic; golden-tested in tests/) run the
+real image-corpus machinery:
+    q_translate     — gdal_translate band select+scale+cast+resize,
+                      per-image checksums (apps/gdal_translate_lib.cpp)
+    q_hillshade     — gdaldem hillshade over synthetic DEM tiles
+    q_pyramid       — tile pyramid per-zoom counts (gdal raster tile)
+    q_polygonize    — distributed polygonize over the rasterized
+                      events grid (alg/polygonize.cpp)
+    q_contour       — marching-squares segment counts per level
+    q_raster_stats  — ComputeStatistics partials per image
+                      (gcore statistics: min/max/mean/std)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.ccl import contour_levels, contour_segment_count
+from ..functions.checksum import checksum_image
+from ..functions.codecs import decode_image
+from ..functions.dem import hillshade
+from ..functions.resample import resize
+from .common import partial_groupby_agg, read_table, round_away_np
+from .spatial_sql import _DERIVE_SQL, derive_lonlat
+
+GRID_N = 8  # q_grid_* output grid (coarse: the SQL side is O(cells x points))
+IDW_POWER = 2.0
+NN_RADIUS = 12.0
+
+
+def _grid_centers():
+    cx = -180.0 + 360.0 * (np.arange(GRID_N) + 0.5) / GRID_N
+    cy = -85.0 + 170.0 * (np.arange(GRID_N) + 0.5) / GRID_N
+    return cx, cy
+
+
+def q_grid_idw(sf_dir: str):
+    """Inverse-distance-to-a-power gridding (power=2, no radius):
+    per-batch partial (sum w*v, sum w) per cell -> final divide.
+    The combiner shape of gdalgrid's scatter-interpolation."""
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    cx, cy = _grid_centers()
+    gx, gy = np.meshgrid(cx, cy)
+    gxf = gx.ravel()
+    gyf = gy.ravel()
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        lon, lat = derive_lonlat(v)
+        d2 = (lon[None, :] - gxf[:, None]) ** 2 + (lat[None, :] - gyf[:, None]) ** 2
+        w = 1.0 / d2  # points never coincide with centers (continuous values)
+        num = (w * v[None, :]).sum(axis=1)
+        den = w.sum(axis=1)
+        ids = np.arange(GRID_N * GRID_N)
+        return pa.table({"cell_id": pa.array(ids), "num": pa.array(num),
+                         "den": pa.array(den)})
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["cell_id"], [("num", "num", "sum"), ("den", "den", "sum")])
+    cell = out["cell_id"].to_numpy()
+    est = out["num"].to_numpy() / out["den"].to_numpy()
+    return pa.table({
+        "cell_id": pa.array(cell),
+        "idw": pa.array(round_away_np(est, 4)),
+    })
+
+
+def q_grid_nn_count(sf_dir: str):
+    """gdalgrid metric Count: points within radius of each grid node
+    (combiner partial counts)."""
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    cx, cy = _grid_centers()
+    gx, gy = np.meshgrid(cx, cy)
+    gxf = gx.ravel()
+    gyf = gy.ravel()
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        lon, lat = derive_lonlat(v)
+        d2 = (lon[None, :] - gxf[:, None]) ** 2 + (lat[None, :] - gyf[:, None]) ** 2
+        cnt = (d2 < NN_RADIUS * NN_RADIUS).sum(axis=1).astype(np.int64)
+        return pa.table({"cell_id": pa.array(np.arange(GRID_N * GRID_N)),
+                         "n": pa.array(cnt)})
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["cell_id"], [("n", "n", "sum")])
+    return pa.table({"cell_id": out["cell_id"], "n": out["n"]})
+
+
+def q_geom_zone_metrics(sf_dir: str):
+    """Area/perimeter/centroid of each nation-zone polygon computed by
+    the real WKB->geometry kernels (shoelace etc.), verified against
+    the analytic values in SQL."""
+    from ..functions.geom import geom_area, geom_centroid, geom_length
+    from ..functions.wkb import wkb_to_geom
+    from .common import arrow_table
+    from .spatial_sql import nation_zones
+
+    nat = arrow_table(sf_dir, "nation", ["n_nationkey"])
+    keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    wkbs = nation_zones(keys)
+    areas, perims, cxs, cys = [], [], [], []
+    for w in wkbs:
+        g = wkb_to_geom(w)
+        areas.append(geom_area(g))
+        perims.append(geom_length(g))
+        cx, cy = geom_centroid(g)
+        cxs.append(cx)
+        cys.append(cy)
+    return pa.table({
+        "n_nationkey": pa.array(keys.astype(np.int32)),
+        "area": pa.array(round_away_np(np.array(areas), 2)),
+        "perimeter": pa.array(round_away_np(np.array(perims), 2)),
+        "cx": pa.array(round_away_np(np.array(cxs), 2)),
+        "cy": pa.array(round_away_np(np.array(cys), 2)),
+    })
+
+
+# ------------------------------------------------------------ rows-only (corpus)
+
+
+def q_translate(sf_dir: str):
+    """gdal_translate pipeline per image: decode -> band reorder (BGR)
+    -> linear scale 0..255 -> 50% resize (bilinear) -> Byte cast;
+    emits per-image per-band checksums (the reference's conformance
+    oracle, alg/gdalchecksum.cpp)."""
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(96)
+
+    def f(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "b0": [], "b1": [], "b2": [], "w": [], "h": []}
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            px = px[:, :, ::-1]  # band select/reorder: RGB -> BGR
+            lo, hi = float(px.min()), float(px.max())
+            scaled = (px.astype(np.float64) - lo) * (255.0 / max(hi - lo, 1e-9))
+            h, w = px.shape[:2]
+            res = resize(np.clip(np.floor(scaled + 0.5), 0, 255).astype(np.uint8),
+                         max(1, h // 2), max(1, w // 2), "bilinear")
+            out["image_id"].append(rec["image_id"])
+            for b in range(3):
+                out[f"b{b}"].append(checksum_image(res[:, :, b]))
+            out["h"].append(res.shape[0])
+            out["w"].append(res.shape[1])
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "b0": pa.array(out["b0"], pa.int64()),
+            "b1": pa.array(out["b1"], pa.int64()),
+            "b2": pa.array(out["b2"], pa.int64()),
+            "w": pa.array(out["w"], pa.int32()),
+            "h": pa.array(out["h"], pa.int32()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_hillshade(sf_dir: str):
+    """gdaldem hillshade over per-image DEMs (first band as elevation),
+    per-image checksum of the shade raster (border nodata -> 0)."""
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(96)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, cks = [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            dem = px[:, :, 0].astype(np.float64)
+            hs = hillshade(dem, 5.0, -5.0, zfactor=2.0)
+            hs_byte = np.where(np.isnan(hs), 0,
+                               np.clip(np.floor(hs + 0.5), 1, 255)).astype(np.uint8)
+            hs_byte[np.isnan(hs)] = 0
+            ids.append(rec["image_id"])
+            cks.append(checksum_image(hs_byte))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "shade_checksum": pa.array(cks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_pyramid(sf_dir: str):
+    """Tile pyramid per-zoom tile counts (rows-only; full machinery:
+    warp -> compose -> overview levels -> manifests)."""
+    from .tile_pyramid import pyramid_query
+
+    return pyramid_query(sf_dir)
+
+
+def q_polygonize(sf_dir: str):
+    """Distributed polygonize of the quantized events grid: label
+    4-connected equal-valued regions across tile boundaries, emit
+    per-region rows (alg/polygonize.cpp semantics on the region
+    attribute level)."""
+    import ray.data
+
+    from ..stages.polygonize import grid_to_tiles, polygonize_tiles
+
+    grid = _events_grid(sf_dir)
+    tiles = ray.data.from_arrow(grid_to_tiles(grid, tile=32))
+    out = polygonize_tiles(tiles, connect=4)
+    return out
+
+
+def q_contour(sf_dir: str):
+    """Contour segment counts for LEVEL_INTERVAL levels over the
+    events density grid (alg/contour.cpp marching squares)."""
+    grid = _events_grid(sf_dir).astype(np.float64)
+    levels = contour_levels(float(grid.min()), float(grid.max()),
+                            max(1.0, float(grid.max() - grid.min()) / 8.0))
+    return pa.table({
+        "level": pa.array(levels),
+        "n_segments": pa.array([contour_segment_count(grid, lv) for lv in levels],
+                               pa.int64()),
+    })
+
+
+def _events_grid(sf_dir: str, n: int = 64) -> np.ndarray:
+    """Deterministic int grid: per-cell event counts (the rasterize
+    output), computed distributed via combiner partials."""
+    ds = read_table(sf_dir, "events", ["value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        lon, lat = derive_lonlat(v)
+        cx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        cy = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1).astype(np.int64)
+        return pa.table({"cell": pa.array(cy * n + cx),
+                         "one": pa.array(np.ones(len(v), np.int64))})
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["cell"], [("n", "one", "sum")])
+    grid = np.zeros(n * n, np.int64)
+    grid[out["cell"].to_numpy()] = out["n"].to_numpy()
+    # quantize to few classes so polygonize/contour get real regions
+    return (grid.reshape(n, n) // 4).astype(np.int32)
+
+
+def q_raster_stats(sf_dir: str):
+    """ComputeStatistics per image: min/max/mean/std of band 0 via
+    per-tile partials (count/sum/sumsq/min/max merge — the scalable
+    form of gcore ComputeStatistics)."""
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(96)
+
+    def f(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "px_min": [], "px_max": [], "mean": [], "std": []}
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])[:, :, 0].astype(np.float64)
+            out["image_id"].append(rec["image_id"])
+            out["px_min"].append(float(px.min()))
+            out["px_max"].append(float(px.max()))
+            out["mean"].append(float(px.mean()))
+            out["std"].append(float(px.std()))
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "px_min": pa.array(out["px_min"]),
+            "px_max": pa.array(out["px_max"]),
+            "mean": pa.array(round_away_np(np.array(out["mean"]), 4)),
+            "std": pa.array(round_away_np(np.array(out["std"]), 4)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ oracles
+
+_LON = _DERIVE_SQL[0]
+_LAT = _DERIVE_SQL[1]
+
+_CELLS_SQL = f"""
+    (SELECT gy.i * {GRID_N} + gx.i AS cell_id,
+            -180.0 + 360.0 * (gx.i + 0.5) / {GRID_N} AS gx,
+            -85.0 + 170.0 * (gy.i + 0.5) / {GRID_N} AS gy
+     FROM (SELECT unnest(range({GRID_N})) AS i) gx,
+          (SELECT unnest(range({GRID_N})) AS i) gy)
+"""
+
+ORACLE: dict[str, str] = {
+    "q_grid_idw": f"""
+        SELECT cell_id,
+               round(sum(value / (((({_LON}) - gx) * (({_LON}) - gx))
+                                  + ((({_LAT}) - gy) * (({_LAT}) - gy))))
+                     / sum(1.0 / (((({_LON}) - gx) * (({_LON}) - gx))
+                                  + ((({_LAT}) - gy) * (({_LAT}) - gy)))),
+                     4) AS idw
+        FROM {_CELLS_SQL} cells, events
+        GROUP BY cell_id
+    """,
+    "q_grid_nn_count": f"""
+        SELECT cell_id, count(*) FILTER (WHERE
+                 ((({_LON}) - gx) * (({_LON}) - gx))
+                 + ((({_LAT}) - gy) * (({_LAT}) - gy))
+                 < {NN_RADIUS * NN_RADIUS}) AS n
+        FROM {_CELLS_SQL} cells, events
+        GROUP BY cell_id
+    """,
+    "q_geom_zone_metrics": """
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(round(13.0 * 15.0, 2) AS DOUBLE) AS area,
+               CAST(round(2.0 * (13.0 + 15.0), 2) AS DOUBLE) AS perimeter,
+               CAST(round(-180.0 + 14.0 * n_nationkey + 6.5, 2) AS DOUBLE) AS cx,
+               CAST(round(-80.0 + 16.0 * (n_nationkey % 10) + 7.5, 2) AS DOUBLE) AS cy
+        FROM nation
+    """,
+}
+
+QUERIES = {
+    "q_grid_idw": q_grid_idw,
+    "q_grid_nn_count": q_grid_nn_count,
+    "q_geom_zone_metrics": q_geom_zone_metrics,
+    "q_translate": q_translate,
+    "q_hillshade": q_hillshade,
+    "q_pyramid": q_pyramid,
+    "q_polygonize": q_polygonize,
+    "q_contour": q_contour,
+    "q_raster_stats": q_raster_stats,
+}
