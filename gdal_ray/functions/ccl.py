@@ -17,51 +17,50 @@ from __future__ import annotations
 import numpy as np
 
 
-def _find(parent: np.ndarray, i: int) -> int:
-    while parent[i] != i:
-        parent[i] = parent[parent[i]]
-        i = parent[i]
-    return i
-
-
-def _union(parent: np.ndarray, a: int, b: int) -> None:
-    ra, rb = _find(parent, a), _find(parent, b)
-    if ra != rb:
-        if ra < rb:
-            parent[rb] = ra
-        else:
-            parent[ra] = rb
-
-
 def label_components(values: np.ndarray, connect: int = 4) -> np.ndarray:
     """Label equal-valued connected regions; labels are int32 starting
     at 0, row-major-first-pixel order (deterministic). connect in {4, 8}
-    (reference alg/polygonize.cpp 4/8-connected option)."""
+    (reference alg/polygonize.cpp 4/8-connected option).
+
+    Vectorized min-label propagation with pointer-jumping: each pixel
+    repeatedly adopts the smallest label among its equal-valued
+    neighbors (then compresses via lab = lab[lab]), so whole chains
+    collapse in O(log diameter) rounds of pure numpy."""
     v = np.asarray(values)
     h, w = v.shape
-    n = h * w
-    parent = np.arange(n, dtype=np.int64)
-    flat = v.reshape(-1)
-
-    def merge_shift(dy: int, dx: int):
-        ys = slice(max(dy, 0), h + min(dy, 0))
-        xs = slice(max(dx, 0), w + min(dx, 0))
-        ys2 = slice(max(-dy, 0), h + min(-dy, 0))
-        xs2 = slice(max(-dx, 0), w + min(-dx, 0))
-        a = (np.arange(n).reshape(h, w))[ys, xs].reshape(-1)
-        b = (np.arange(n).reshape(h, w))[ys2, xs2].reshape(-1)
-        eq = flat[a] == flat[b]
-        for i, j in zip(a[eq].tolist(), b[eq].tolist()):
-            _union(parent, i, j)
-
-    merge_shift(0, 1)
-    merge_shift(1, 0)
+    lab = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    shifts = [(0, 1), (1, 0)]
     if connect == 8:
-        merge_shift(1, 1)
-        merge_shift(1, -1)
-
-    roots = np.array([_find(parent, i) for i in range(n)], dtype=np.int64)
-    _, labels = np.unique(roots, return_inverse=True)
+        shifts += [(1, 1), (1, -1)]
+    while True:
+        changed = False
+        for dy, dx in shifts:
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            ys2 = slice(max(-dy, 0), h + min(-dy, 0))
+            xs2 = slice(max(-dx, 0), w + min(-dx, 0))
+            a_v, b_v = v[ys, xs], v[ys2, xs2]
+            eq = a_v == b_v
+            a_l, b_l = lab[ys, xs], lab[ys2, xs2]
+            m = np.where(eq, np.minimum(a_l, b_l), a_l)
+            if not np.array_equal(m, a_l):
+                changed = True
+            lab[ys, xs] = m
+            m2 = np.where(eq, np.minimum(lab[ys, xs], b_l), b_l)
+            if not np.array_equal(m2, b_l):
+                changed = True
+            lab[ys2, xs2] = m2
+        # pointer jumping: labels index pixels; compress toward roots
+        flat = lab.reshape(-1)
+        for _ in range(2):
+            nxt = flat[flat]
+            if np.array_equal(nxt, flat):
+                break
+            flat = nxt
+        lab = flat.reshape(h, w)
+        if not changed:
+            break
+    _, labels = np.unique(lab.reshape(-1), return_inverse=True)
     return labels.reshape(h, w).astype(np.int32)
 
 

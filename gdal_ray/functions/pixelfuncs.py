@@ -1,0 +1,206 @@
+"""VRT pixel-function library + kernel filter + sieve + pansharpen.
+
+Vectorized numpy re-implementations of:
+- VRT pixel functions (reference frmts/vrt/pixelfunctions.cpp): sum
+  :1021, diff :1226, mul :1310, div :1422, inv :1594, intensity
+  :1683, sqrt :1749, log10 :1878, dB :1895, exp :1958, pow :2004,
+  interpolate :2081, replace_nodata :2171, scale :2229, norm_diff
+  :2279.
+- VRT kernel filter (reference frmts/vrt/vrtfilters.cpp): NxN
+  convolution, normalized option; border pixels keep source values
+  (the reference leaves pixels whose kernel window exits the raster
+  unfiltered).
+- Sieve filter (reference alg/sieve.cpp): remove connected components
+  smaller than a threshold by merging them into their largest
+  neighbor.
+- Pansharpening (reference alg/gdalpansharpen.cpp): weighted Brovey —
+  out = ms * pan / pseudo_pan, pseudo_pan = sum(w_i * ms_i).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ccl import label_components
+
+# ------------------------------------------------------------ pixel functions
+
+
+def pf_sum(*bands):
+    return np.sum(np.stack([np.asarray(b, np.float64) for b in bands]), axis=0)
+
+
+def pf_diff(a, b):
+    return np.asarray(a, np.float64) - np.asarray(b, np.float64)
+
+
+def pf_mul(*bands):
+    out = np.ones_like(np.asarray(bands[0], np.float64))
+    for b in bands:
+        out = out * np.asarray(b, np.float64)
+    return out
+
+
+def pf_div(a, b):
+    b = np.asarray(b, np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.asarray(a, np.float64) / b
+    return np.where(b == 0, 0.0, out)
+
+
+def pf_inv(a, k: float = 1.0):
+    a = np.asarray(a, np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = k / a
+    return np.where(a == 0, 0.0, out)
+
+
+def pf_intensity(*bands):
+    """Mean of the bands (pixelfunctions.cpp IntensityPixelFunc)."""
+    return pf_sum(*bands) / len(bands)
+
+
+def pf_sqrt(a):
+    return np.sqrt(np.asarray(a, np.float64))
+
+
+def pf_log10(a):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.log10(np.asarray(a, np.float64))
+
+
+def pf_dB(a, fact: float = 20.0):
+    """amplitude->dB: fact * log10(x) (dB pixel function)."""
+    return fact * pf_log10(a)
+
+
+def pf_exp(a, base: float = np.e, fact: float = 1.0):
+    return np.power(base, fact * np.asarray(a, np.float64))
+
+
+def pf_pow(a, power: float):
+    return np.power(np.asarray(a, np.float64), power)
+
+
+def pf_interpolate_linear(a, b, t0: float, t1: float, t: float):
+    """Interpolate between two bands at 'times' t0, t1 -> t."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if t1 == t0:
+        return a.copy()
+    w = (t - t0) / (t1 - t0)
+    return a + (b - a) * w
+
+
+def pf_replace_nodata(a, nodata, to: float = 0.0):
+    a = np.asarray(a, np.float64)
+    return np.where(a == nodata, to, a)
+
+
+def pf_scale(a, scale: float = 1.0, offset: float = 0.0):
+    """LocalScaleOffset/scale: x * scale + offset."""
+    return np.asarray(a, np.float64) * scale + offset
+
+
+def pf_norm_diff(a, b):
+    """(a - b) / (a + b) (NDVI shape)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    den = a + b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = (a - b) / den
+    return np.where(den == 0, 0.0, out)
+
+
+PIXEL_FUNCTIONS = {
+    "sum": pf_sum, "diff": pf_diff, "mul": pf_mul, "div": pf_div,
+    "inv": pf_inv, "intensity": pf_intensity, "sqrt": pf_sqrt,
+    "log10": pf_log10, "dB": pf_dB, "exp": pf_exp, "pow": pf_pow,
+    "interpolate_linear": pf_interpolate_linear,
+    "replace_nodata": pf_replace_nodata, "scale": pf_scale,
+    "norm_diff": pf_norm_diff,
+}
+
+
+# ------------------------------------------------------------ kernel filter
+
+
+def convolve(band: np.ndarray, kernel: np.ndarray,
+             normalized: bool = False) -> np.ndarray:
+    """NxN convolution (odd N). Border pixels (window exits the
+    raster) keep their source values — VRTKernelFilteredSource rule."""
+    z = np.asarray(band, np.float64)
+    k = np.asarray(kernel, np.float64)
+    if normalized and k.sum() != 0:
+        k = k / k.sum()
+    n = k.shape[0]
+    r = n // 2
+    h, w = z.shape
+    out = z.copy()
+    if h < n or w < n:
+        return out
+    acc = np.zeros((h - 2 * r, w - 2 * r), np.float64)
+    for dy in range(n):
+        for dx in range(n):
+            acc += k[dy, dx] * z[dy:dy + h - 2 * r, dx:dx + w - 2 * r]
+    out[r:h - r, r:w - r] = acc
+    return out
+
+
+# ------------------------------------------------------------ sieve
+
+
+def sieve(band: np.ndarray, threshold: int, connect: int = 4) -> np.ndarray:
+    """Remove raster polygons smaller than ``threshold`` pixels by
+    assigning them the value of their largest neighboring component
+    (reference alg/sieve.cpp GPMaskImageData merge rule). Iterates
+    until every surviving component meets the threshold."""
+    out = np.asarray(band).copy()
+    while True:
+        labels = label_components(out, connect)
+        n = labels.max() + 1
+        sizes = np.bincount(labels.reshape(-1), minlength=n)
+        small = np.nonzero(sizes < threshold)[0]
+        if len(small) == 0 or n == 1:
+            return out
+        # neighbor sizes: for each small component, find the largest
+        # adjacent component and take its value
+        h, w = out.shape
+        best = {}
+        for dy, dx in ((0, 1), (1, 0)):
+            a = labels[: h - dy, : w - dx]
+            b = labels[dy:, dx:]
+            va = out[: h - dy, : w - dx]
+            vb = out[dy:, dx:]
+            diff = a != b
+            for la, lb, xa, xb in zip(a[diff].ravel(), b[diff].ravel(),
+                                      va[diff].ravel(), vb[diff].ravel()):
+                for s, t, tv in ((la, lb, xb), (lb, la, xa)):
+                    if sizes[s] < threshold:
+                        cur = best.get(s)
+                        if cur is None or sizes[t] > sizes[cur[0]]:
+                            best[s] = (t, tv)
+        if not best:
+            return out
+        for s, (t, tv) in best.items():
+            out[labels == s] = tv
+
+
+# ------------------------------------------------------------ pansharpen
+
+
+def pansharpen_brovey(pan: np.ndarray, ms: np.ndarray,
+                      weights=None, nodata=None) -> np.ndarray:
+    """Weighted Brovey (reference alg/gdalpansharpen.cpp:90-100):
+    pseudo_pan = sum(w_i * ms_i); out_i = ms_i * pan / pseudo_pan.
+    ``ms`` is (h, w, bands) already resampled to the pan grid."""
+    pan = np.asarray(pan, np.float64)
+    ms = np.asarray(ms, np.float64)
+    nb = ms.shape[2]
+    w = np.asarray(weights if weights is not None
+                   else np.full(nb, 1.0 / nb), np.float64)
+    pseudo = (ms * w[None, None, :]).sum(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = pan / pseudo
+    ratio = np.where(pseudo == 0, 0.0, ratio)
+    return ms * ratio[:, :, None]

@@ -249,6 +249,140 @@ def _events_grid(sf_dir: str, n: int = 64) -> np.ndarray:
     return (grid.reshape(n, n) // 4).astype(np.int32)
 
 
+RAST_N = 64  # rasterize-zones grid
+
+
+def _zone_grid_spec():
+    return (-180.0, -85.0, 180.0, 85.0, RAST_N, RAST_N)
+
+
+def q_rasterize_zones(sf_dir: str):
+    """gdal_rasterize of the nation-zone polygon layer: CENTER rule,
+    MERGE_ALG=ADD (count) + REPLACE (last burn wins; features burned
+    in ascending nationkey order) + attribute-sum burn (-a analog)."""
+    from ..functions.rasterize import burn_centers
+    from .common import arrow_table
+    from .spatial_sql import nation_zones
+
+    nat = arrow_table(sf_dir, "nation", ["n_nationkey"])
+    keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    wkbs = nation_zones(keys)
+    spec = _zone_grid_spec()
+    jx, jy, cnt = burn_centers(wkbs, keys, spec, merge="count")
+    _, _, rep = burn_centers(wkbs, keys, spec, merge="replace")
+    _, _, add = burn_centers(wkbs, keys, spec, merge="add")
+    return pa.table({
+        "cell_x": pa.array(jx), "cell_y": pa.array(jy),
+        "n_burn": pa.array(cnt.astype(np.int64)),
+        "last_val": pa.array(rep.astype(np.int64)),
+        "key_sum": pa.array(add.astype(np.int64)),
+    })
+
+
+def q_rasterize_all_touched(sf_dir: str):
+    """ALL_TOUCHED rasterize (exact cell-clip): cells touched per zone."""
+    from ..functions.rasterize import touched_cells
+    from .common import arrow_table
+    from .spatial_sql import nation_zones
+
+    nat = arrow_table(sf_dir, "nation", ["n_nationkey"])
+    keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    wkbs = nation_zones(keys)
+    spec = _zone_grid_spec()
+    out = {"n_nationkey": [], "n_cells": []}
+    for k, w in zip(keys.tolist(), wkbs):
+        tx, _ = touched_cells(w, spec)
+        out["n_nationkey"].append(k)
+        out["n_cells"].append(len(tx))
+    return pa.table({"n_nationkey": pa.array(out["n_nationkey"], pa.int32()),
+                     "n_cells": pa.array(out["n_cells"], pa.int64())})
+
+
+def q_pixel_functions(sf_dir: str):
+    """VRT pixel-function chain per image: norm_diff(b0,b1), dB of
+    intensity, sqrt(mul) — per-image checksums of the float outputs
+    (rows-only; kernels golden-tested)."""
+    from ..functions.pixelfuncs import pf_dB, pf_intensity, pf_mul, pf_norm_diff, pf_sqrt
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(64)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, nd, db, sq = [], [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"]).astype(np.float64)
+            b0, b1, b2 = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+            ids.append(rec["image_id"])
+            nd.append(checksum_image(np.round(pf_norm_diff(b0, b1) * 1000)))
+            db.append(checksum_image(np.round(pf_dB(pf_intensity(b0, b1, b2) + 1.0))))
+            sq.append(checksum_image(np.round(pf_sqrt(pf_mul(b0, b1)))))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "cksum_norm_diff": pa.array(nd, pa.int64()),
+                         "cksum_db": pa.array(db, pa.int64()),
+                         "cksum_sqrt_mul": pa.array(sq, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_convolve_sieve(sf_dir: str):
+    """Kernel filter (3x3 smoothing) + sieve (threshold 8) per image:
+    checksums (rows-only)."""
+    from ..functions.pixelfuncs import convolve, sieve
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(32)
+    k = np.ones((3, 3))
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, conv, sv = [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])[:, :, 0]
+            c = convolve(px, k, normalized=True)
+            conv.append(checksum_image(np.clip(np.floor(c + 0.5), 0, 255).astype(np.uint8)))
+            quant = (px // 64).astype(np.int32)
+            sv.append(checksum_image(sieve(quant, 8).astype(np.int32)))
+            ids.append(rec["image_id"])
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "cksum_convolve": pa.array(conv, pa.int64()),
+                         "cksum_sieve": pa.array(sv, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_pansharpen(sf_dir: str):
+    """Weighted-Brovey pansharpening per image: synthesize the pan
+    band as the weighted intensity at full res, downsample MS 2x,
+    upsample back (bilinear), sharpen — per-band checksums
+    (rows-only; mirrors alg/gdalpansharpen.cpp flow)."""
+    from ..functions.pixelfuncs import pansharpen_brovey
+    from ..functions.resample import resize
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(32)
+    w = np.array([0.25, 0.5, 0.25])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, b0, b1, b2 = [], [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"]).astype(np.float64)
+            h, wd = px.shape[:2]
+            pan = (px * w[None, None, :]).sum(axis=2)
+            ms_lo = resize(px.astype(np.uint8), max(1, h // 2), max(1, wd // 2), "bilinear")
+            ms_up = resize(ms_lo, h, wd, "bilinear").astype(np.float64)
+            sharp = pansharpen_brovey(pan, ms_up, w)
+            out = np.clip(np.floor(sharp + 0.5), 0, 255).astype(np.uint8)
+            ids.append(rec["image_id"])
+            b0.append(checksum_image(out[:, :, 0]))
+            b1.append(checksum_image(out[:, :, 1]))
+            b2.append(checksum_image(out[:, :, 2]))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "b0": pa.array(b0, pa.int64()),
+                         "b1": pa.array(b1, pa.int64()),
+                         "b2": pa.array(b2, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """ComputeStatistics per image: min/max/mean/std of band 0 via
     per-tile partials (count/sum/sumsq/min/max merge — the scalable
@@ -309,6 +443,35 @@ ORACLE: dict[str, str] = {
         FROM {_CELLS_SQL} cells, events
         GROUP BY cell_id
     """,
+    "q_rasterize_zones": f"""
+        WITH cells AS (
+            SELECT gx.i AS cell_x, gy.i AS cell_y,
+                   -180.0 + 360.0 * (gx.i + 0.5) / {RAST_N} AS cx,
+                   -85.0 + 170.0 * (gy.i + 0.5) / {RAST_N} AS cy
+            FROM (SELECT unnest(range({RAST_N})) AS i) gx,
+                 (SELECT unnest(range({RAST_N})) AS i) gy)
+        SELECT cell_x, cell_y, count(*) AS n_burn,
+               max(n_nationkey) AS last_val,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM cells, nation
+        WHERE cx > -180.0 + 14.0 * n_nationkey
+          AND cx < -167.0 + 14.0 * n_nationkey
+          AND cy > -80.0 + 16.0 * (n_nationkey % 10)
+          AND cy < -65.0 + 16.0 * (n_nationkey % 10)
+        GROUP BY cell_x, cell_y
+    """,
+    "q_rasterize_all_touched": f"""
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               count(*) AS n_cells
+        FROM nation,
+             (SELECT unnest(range({RAST_N})) AS i) gx,
+             (SELECT unnest(range({RAST_N})) AS i) gy
+        WHERE -180.0 + 360.0 * gx.i / {RAST_N} < -167.0 + 14.0 * n_nationkey
+          AND -180.0 + 360.0 * (gx.i + 1) / {RAST_N} > -180.0 + 14.0 * n_nationkey
+          AND -85.0 + 170.0 * gy.i / {RAST_N} < -65.0 + 16.0 * (n_nationkey % 10)
+          AND -85.0 + 170.0 * (gy.i + 1) / {RAST_N} > -80.0 + 16.0 * (n_nationkey % 10)
+        GROUP BY n_nationkey
+    """,
     "q_geom_zone_metrics": """
         SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
                CAST(round(13.0 * 15.0, 2) AS DOUBLE) AS area,
@@ -323,6 +486,11 @@ QUERIES = {
     "q_grid_idw": q_grid_idw,
     "q_grid_nn_count": q_grid_nn_count,
     "q_geom_zone_metrics": q_geom_zone_metrics,
+    "q_rasterize_zones": q_rasterize_zones,
+    "q_rasterize_all_touched": q_rasterize_all_touched,
+    "q_pixel_functions": q_pixel_functions,
+    "q_convolve_sieve": q_convolve_sieve,
+    "q_pansharpen": q_pansharpen,
     "q_translate": q_translate,
     "q_hillshade": q_hillshade,
     "q_pyramid": q_pyramid,
