@@ -30,22 +30,29 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed
+    from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed, vector_ops
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
     out.update(spatial_sql.QUERIES)
     out.update(text_embed.QUERIES)
     out.update(raster.QUERIES)
+    out.update(vector_ops.QUERIES)
+
+    from gdal_ray.stages.multimodal import audio_features_query, video_frames_query
+
+    out["q_audio_features"] = audio_features_query
+    out["q_video_frames"] = video_frames_query
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed
+    from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed, vector_ops
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
     out.update(spatial_sql.ORACLE)
     out.update(text_embed.ORACLE)
     out.update(raster.ORACLE)
+    out.update(vector_ops.ORACLE)
     return out

@@ -142,6 +142,37 @@ def q_window_tumbling(sf_dir: str):
     })
 
 
+def q_window_hopping(sf_dir: str):
+    """Hopping windows (size 10 min, hop 5 min): each event lands in
+    2 overlapping windows — flat-map expansion inside map_batches then
+    combiner partials (the overlapping-window analog of tumbling)."""
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    SIZE, HOP = 600 * 1_000_000, 300 * 1_000_000
+
+    def f(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy()
+        n_win = SIZE // HOP
+        reps = np.repeat(np.arange(n_win), 1)
+        base = (ts_us // HOP) * HOP
+        wins = np.concatenate([(base - k * HOP) for k in range(n_win)])
+        return pa.table({
+            "event_type": pa.array(np.tile(et, n_win)),
+            "win_start": pa.array(wins // 1_000_000),
+            "value": pa.array(np.tile(val, n_win)),
+        })
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["event_type", "win_start"],
+                              [("n", "value", "count_all"), ("sum_value", "value", "sum")])
+    return pa.table({
+        "event_type": out["event_type"], "win_start": out["win_start"],
+        "n": out["n"],
+        "sum_value": pa.array(round_away_np(out["sum_value"].to_numpy(), 2)),
+    })
+
+
 def q_sessionize(sf_dir: str):
     """Sessionization (30-min gap) per user: groupby(user).map_groups
     over ts-sorted events — the stateful-stream operator as a
@@ -356,6 +387,86 @@ def q_ann_multi_query(sf_dir: str):
     return pa.Table.from_pandas(res[["query_id", "vec_id", "rank", "sim"]], preserve_index=False)
 
 
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (the scale path): sign-random-projection over
+    b=8 hyperplanes buckets every vector; only vectors sharing the
+    query's bucket (or Hamming-1 neighbors) are scored. Shuffle moves
+    (bucket, vec_id) pairs only; scoring is a numpy matmul per batch
+    against the broadcast query. Rows-only (recall vs brute force is
+    golden-tested in tests)."""
+    K = 5
+    B = 8
+    rng = np.random.default_rng(4242)
+    Q = _query_vectors()
+    planes = rng.normal(0, 1, (B, Q.shape[1]))
+
+    def bucket_of(vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ planes.T) > 0
+        return (bits * (1 << np.arange(B))).sum(axis=1).astype(np.int64)
+
+    qb = bucket_of(Q)
+    # query buckets + Hamming-1 neighborhood (multi-probe LSH)
+    probe: set[int] = set()
+    for b_ in qb.tolist():
+        probe.add(b_)
+        for i in range(B):
+            probe.add(b_ ^ (1 << i))
+    probe_arr = pa.array(np.array(sorted(probe), np.int64))
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local(t: pa.Table) -> pa.Table:
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / norm
+        bk = bucket_of(unit)
+        keep = pc.is_in(pa.array(bk), value_set=probe_arr).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        unit = unit[keep]
+        ids = t["vec_id"].to_numpy()[keep]
+        bks = bk[keep]
+        sims = unit @ Q.T
+        out_q, out_id, out_s = [], [], []
+        for qi in range(Q.shape[0]):
+            ok = np.isin(bks, [qb[qi]] + [qb[qi] ^ (1 << i) for i in range(B)])
+            s = sims[ok, qi]
+            cand = ids[ok]
+            k = min(K, len(s))
+            if k == 0:
+                continue
+            part = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            out_q.extend([qi] * len(part))
+            out_id.extend(cand[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts = ds.map_batches(local, batch_format="pyarrow")
+    df = pa.concat_tables(
+        list(parts.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default").to_pandas()
+    import pandas as pd
+
+    out = []
+    for qi, g in df.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(K).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    if not out:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    res = pd.concat(out, ignore_index=True)
+    res["sim"] = round_away_np(res["sim"].to_numpy(), 4)
+    return pa.Table.from_pandas(res[["query_id", "vec_id", "rank", "sim"]],
+                                preserve_index=False)
+
+
 def q_embed_label_stats(sf_dir: str):
     """Per-label embedding stats: count + mean of first component."""
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
@@ -409,6 +520,13 @@ ORACLE: dict[str, str] = {
                count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "q_window_hopping": """
+        SELECT event_type,
+               CAST((floor(epoch_us(ts) / 300000000) - k) * 300 AS BIGINT) AS win_start,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events, (SELECT unnest(range(2)) AS k)
+        GROUP BY 1, 2
+    """,
     "q_sessionize": """
         SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
                CAST(max(cnt) AS BIGINT) AS max_session_events
@@ -449,6 +567,7 @@ QUERIES = {
     "q_doc_quality": q_doc_quality,
     "q_events_json": q_events_json,
     "q_window_tumbling": q_window_tumbling,
+    "q_window_hopping": q_window_hopping,
     "q_sessionize": q_sessionize,
     "q_langid": q_langid,
     "q_quality_full": q_quality_full,
@@ -457,5 +576,6 @@ QUERIES = {
     "q_minhash_lsh": q_minhash_lsh,
     "q_ann_topk": q_ann_topk,
     "q_ann_multi_query": q_ann_multi_query,
+    "q_ann_lsh": q_ann_lsh,
     "q_embed_label_stats": q_embed_label_stats,
 }

@@ -70,13 +70,17 @@ def tile_pyramid(num_images: int, out_dir: str, *, zoom: int,
     """
     import ray.data
 
+    from ..state.lineage import instrument, metrics_snapshot
+
     metrics: dict = {"levels": {}, "num_images": num_images, "zoom": zoom}
     t0 = time.time()
     frags = warp_fragments(num_images, zoom=zoom, resampling=resampling,
                            concurrency=concurrency, source_path=source_path)
     if resume:
         frags = resume_filter(frags, out_dir)
+    frags = instrument(frags, "warp_fragments")
     tiles = compose_tiles(frags, salt=salt)
+    tiles = instrument(tiles, f"compose_z{zoom}")
     stats = write_tiles(tiles, out_dir)
     metrics["levels"][zoom] = {**stats, "sec": round(time.time() - t0, 3)}
 
@@ -92,11 +96,13 @@ def tile_pyramid(num_images: int, out_dir: str, *, zoom: int,
         parent = build_overview_level(level)
         if resume:
             parent = resume_filter(parent, out_dir)
+        parent = instrument(parent, f"overview_z{z - 1}")
         stats = write_tiles(parent, out_dir)
         metrics["levels"][z - 1] = {**stats, "sec": round(time.time() - t0, 3)}
         if stats["n_tiles"] <= 1:
             break
     metrics["n_tiles_total"] = sum(v["n_tiles"] for v in metrics["levels"].values())
+    metrics["stage_metrics"] = metrics_snapshot()
     return metrics
 
 

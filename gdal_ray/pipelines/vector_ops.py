@@ -1,0 +1,150 @@
+"""Vector geometry-operation query surface (ogr2ogr GeomOperation set
++ layer algebra clip, SURVEY.md §2.2/§2.4).
+
+The Ray side runs the real kernels (WKB codec -> numpy rings ->
+Douglas-Peucker / segmentize / Sutherland-Hodgman / explode); the
+DuckDB oracle computes the analytically-known results for the
+rectangular nation-zone layer (no spatial extension available). This
+verifies the *kernel plumbing row-for-row*; irregular-geometry
+behavior is golden-tested in tests/test_geom_text.py.
+
+Queries:
+    q_geom_simplify   — -simplify tol (apps/ogr2ogr_lib.cpp
+                        GeomOperation SIMPLIFY_PRESERVE_TOPOLOGY)
+    q_geom_segmentize — -segmentize max_len (:260)
+    q_clip_zones      — -clipsrc / layer-algebra Clip
+                        (ogr2ogr_lib.cpp:310, ogrlayer.cpp Clip)
+    q_explode         — -explodecollections (:349)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.geom import (clip_ring_to_rect, geom_area, segmentize_ring,
+                              simplify_ring)
+from ..functions.wkb import (MULTIPOLYGON, Geom, geom_to_wkb, rect_polygon,
+                             wkb_to_geom)
+from .common import arrow_table, round_away_np
+from .spatial_sql import nation_zones
+
+CLIP_RECT = (-100.0, -50.0, 100.0, 50.0)
+SEG_MAXLEN = 4.0
+
+
+def _zones(sf_dir: str):
+    nat = arrow_table(sf_dir, "nation", ["n_nationkey"])
+    keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    return keys, nation_zones(keys)
+
+
+def q_geom_simplify(sf_dir: str):
+    """Douglas-Peucker simplify (tol=0.5) on a densified copy of each
+    zone ring: densify to max_len 2 first, then simplify — the result
+    must recover exactly the 5 corner vertices."""
+    keys, wkbs = _zones(sf_dir)
+    out_n = []
+    for w in wkbs:
+        g = wkb_to_geom(w)
+        dense = segmentize_ring(g.rings[0], 2.0)
+        simp = simplify_ring(dense, 0.5)
+        out_n.append(len(simp))
+    return pa.table({"n_nationkey": pa.array(keys.astype(np.int32)),
+                     "n_vertices": pa.array(out_n, pa.int64())})
+
+
+def q_geom_segmentize(sf_dir: str):
+    """Segmentize (max_len=4): vertex count per densified zone ring."""
+    keys, wkbs = _zones(sf_dir)
+    out_n = []
+    for w in wkbs:
+        g = wkb_to_geom(w)
+        out_n.append(len(segmentize_ring(g.rings[0], SEG_MAXLEN)))
+    return pa.table({"n_nationkey": pa.array(keys.astype(np.int32)),
+                     "n_vertices": pa.array(out_n, pa.int64())})
+
+
+def q_clip_zones(sf_dir: str):
+    """Clip each zone to a window rect; report the clipped area
+    (Sutherland-Hodgman through the real WKB round-trip)."""
+    keys, wkbs = _zones(sf_dir)
+    xmin, ymin, xmax, ymax = CLIP_RECT
+    out_area = []
+    for w in wkbs:
+        g = wkb_to_geom(w)
+        clipped = clip_ring_to_rect(g.rings[0], xmin, ymin, xmax, ymax)
+        if len(clipped) < 4:
+            out_area.append(0.0)
+            continue
+        cg = Geom(3, [clipped], [1])
+        # round-trip through WKB (codec exercised on every row)
+        out_area.append(geom_area(wkb_to_geom(geom_to_wkb(cg))))
+    return pa.table({
+        "n_nationkey": pa.array(keys.astype(np.int32)),
+        "clip_area": pa.array(round_away_np(np.array(out_area), 2)),
+    })
+
+
+def q_explode(sf_dir: str):
+    """-explodecollections: build a MultiPolygon (zone + its 1x1
+    corner marker) per nation, explode into single-polygon rows."""
+    keys, wkbs = _zones(sf_dir)
+    rows_key, rows_part, rows_area = [], [], []
+    for k, w in zip(keys.tolist(), wkbs):
+        g = wkb_to_geom(w)
+        marker = rect_polygon(-200.0 + k, -95.0, -199.0 + k, -94.0)
+        multi = Geom(MULTIPOLYGON, [g.rings[0], marker.rings[0]], [1, 1])
+        mg = wkb_to_geom(geom_to_wkb(multi))  # codec round-trip
+        i = 0
+        for part, cnt in enumerate(mg.poly_ring_counts):
+            sub = Geom(3, mg.rings[i:i + cnt], [cnt])
+            rows_key.append(k)
+            rows_part.append(part)
+            rows_area.append(geom_area(sub))
+            i += cnt
+    return pa.table({
+        "n_nationkey": pa.array(rows_key, pa.int32()),
+        "part": pa.array(rows_part, pa.int64()),
+        "area": pa.array(round_away_np(np.array(rows_area), 2)),
+    })
+
+
+ORACLE: dict[str, str] = {
+    # densify-then-simplify recovers the 4 corners + closing vertex
+    "q_geom_simplify": """
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(5 AS BIGINT) AS n_vertices
+        FROM nation
+    """,
+    # per edge: ceil(len/4) segments; ring = sum(segments) + 1 closing
+    "q_geom_segmentize": f"""
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(2 * (ceil(13.0 / {SEG_MAXLEN}) + ceil(15.0 / {SEG_MAXLEN})) + 1
+                    AS BIGINT) AS n_vertices
+        FROM nation
+    """,
+    # rect-intersection area, analytic
+    "q_clip_zones": f"""
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(round(
+                 greatest(0.0, least(-167.0 + 14.0 * n_nationkey, {CLIP_RECT[2]})
+                              - greatest(-180.0 + 14.0 * n_nationkey, {CLIP_RECT[0]}))
+                 * greatest(0.0, least(-65.0 + 16.0 * (n_nationkey % 10), {CLIP_RECT[3]})
+                                - greatest(-80.0 + 16.0 * (n_nationkey % 10), {CLIP_RECT[1]})),
+                 2) AS DOUBLE) AS clip_area
+        FROM nation
+    """,
+    "q_explode": """
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, part,
+               CAST(CASE WHEN part = 0 THEN 195.0 ELSE 1.0 END AS DOUBLE) AS area
+        FROM nation, (SELECT unnest(range(2)) AS part)
+    """,
+}
+
+QUERIES = {
+    "q_geom_simplify": q_geom_simplify,
+    "q_geom_segmentize": q_geom_segmentize,
+    "q_clip_zones": q_clip_zones,
+    "q_explode": q_explode,
+}

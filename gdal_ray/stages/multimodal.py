@@ -1,0 +1,211 @@
+"""Multimodal (audio/video) actor-pool stages — real Ray plumbing,
+stubbed codecs.
+
+No audio/video codec library exists in this container, so per the
+multimodal-stub contract the decode kernels are either (a) a real
+deterministic fake codec ("pcm16" sine synthesis / "fakeframes" hash
+frames) or (b) a clearly-marked ``NotImplementedError`` for real-world
+formats (mp3/aac/h264/...). Everything around them — schemas, batch
+sizes, actor signatures, output layout — is the real engine surface
+and is tested; swapping in pyav/librosa replaces only the two
+``_decode_*`` functions.
+
+Schemas:
+    audio in : media_id:string, bytes:binary, fmt:string,
+               sample_rate:int32, caption:string
+    audio out: media_id, n_samples:int64, rms:double, zcr:double,
+               band_energy:list<float64>[8], caption
+    video in : media_id:string, bytes:binary, fmt:string, fps:int32,
+               n_frames:int32, caption:string
+    video out: media_id, frame_idx:int32, phash:int64, mean_lum:double
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_PCM_MAGIC = b"PCM\x00"
+_VID_MAGIC = b"FVID"
+
+AUDIO_SCHEMA = pa.schema([
+    ("media_id", pa.string()), ("bytes", pa.binary()), ("fmt", pa.string()),
+    ("sample_rate", pa.int32()), ("caption", pa.string()),
+])
+VIDEO_SCHEMA = pa.schema([
+    ("media_id", pa.string()), ("bytes", pa.binary()), ("fmt", pa.string()),
+    ("fps", pa.int32()), ("n_frames", pa.int32()), ("caption", pa.string()),
+])
+
+
+# ------------------------------------------------------------- fake codecs
+
+
+def encode_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    s16 = np.clip(samples * 32767.0, -32768, 32767).astype("<i2")
+    return _PCM_MAGIC + struct.pack("<II", sample_rate, len(s16)) \
+        + zlib.compress(s16.tobytes(), 1)
+
+
+def _decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    if data[:4] == _PCM_MAGIC:
+        sr, n = struct.unpack_from("<II", data, 4)
+        s16 = np.frombuffer(zlib.decompress(data[12:]), "<i2", count=n)
+        return s16.astype(np.float64) / 32767.0, sr
+    raise NotImplementedError(
+        f"audio codec {fmt!r}: no decoder library in this container "
+        "(swap in librosa/soundfile here)")
+
+
+def encode_fakeframes(media_id: str, n_frames: int, w: int = 32, h: int = 32) -> bytes:
+    """Deterministic 'video': per-frame pixels derived from
+    blake2b(media_id, frame_idx)."""
+    return _VID_MAGIC + struct.pack("<III", n_frames, w, h) + media_id.encode()
+
+
+def _decode_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    if data[:4] != _VID_MAGIC:
+        raise NotImplementedError(
+            "video codec: no decoder library in this container "
+            "(swap in pyav frame seek here)")
+    n, w, h = struct.unpack_from("<III", data, 4)
+    if not 0 <= frame_idx < n:
+        raise IndexError(frame_idx)
+    media_id = data[16:].decode()
+    seed = int.from_bytes(
+        hashlib.blake2b(f"{media_id}:{frame_idx}".encode(), digest_size=8).digest(),
+        "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w), np.uint8)
+
+
+# ------------------------------------------------------------- actor stages
+
+
+class AudioFeatures:
+    """Actor: decode + vectorized feature extraction per batch (RMS,
+    zero-crossing rate, 8 FFT band energies). FFT plan state would be
+    held here per actor with a real codec."""
+
+    BANDS = 8
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = {"media_id": [], "n_samples": [], "rms": [], "zcr": [],
+               "band_energy": [], "caption": []}
+        for rec in t.to_pylist():
+            x, sr = _decode_audio(rec["bytes"], rec["fmt"])
+            out["media_id"].append(rec["media_id"])
+            out["caption"].append(rec["caption"])
+            out["n_samples"].append(len(x))
+            out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            out["zcr"].append(
+                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0)
+            spec = np.abs(np.fft.rfft(x)) ** 2
+            bands = np.array_split(spec, self.BANDS)
+            out["band_energy"].append([float(b.sum()) for b in bands])
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "n_samples": pa.array(out["n_samples"], pa.int64()),
+            "rms": pa.array(out["rms"], pa.float64()),
+            "zcr": pa.array(out["zcr"], pa.float64()),
+            "band_energy": pa.array(out["band_energy"], pa.list_(pa.float64())),
+            "caption": pa.array(out["caption"], pa.string()),
+        })
+
+
+class VideoFrameSample:
+    """Actor: sample k evenly-spaced frames per video, emit per-frame
+    rows (phash + mean luminance) — the frame-sample layout of a
+    video training pipeline."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..sources.images import phash64
+
+        out = {"media_id": [], "frame_idx": [], "phash": [], "mean_lum": []}
+        for rec in t.to_pylist():
+            n = int(rec["n_frames"])
+            idxs = np.unique(np.linspace(0, n - 1, min(self.k, n)).astype(int))
+            for fi in idxs.tolist():
+                fr = _decode_frame(rec["bytes"], fi)
+                out["media_id"].append(rec["media_id"])
+                out["frame_idx"].append(fi)
+                out["phash"].append(phash64(fr[:, :, None].repeat(3, axis=2)))
+                out["mean_lum"].append(float(fr.mean()))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+            "phash": pa.array(out["phash"], pa.int64()),
+            "mean_lum": pa.array(out["mean_lum"], pa.float64()),
+        })
+
+
+# ------------------------------------------------------------- corpora
+
+
+def audio_corpus(n: int) -> pa.Table:
+    """Deterministic audio rows: per-id sine mixes at 8 kHz."""
+    rows = {f.name: [] for f in AUDIO_SCHEMA}
+    for i in range(n):
+        rng = np.random.default_rng(31337 + i)
+        sr = 8000
+        dur = int(sr * rng.uniform(0.2, 1.0))
+        tt = np.arange(dur) / sr
+        f0, f1 = rng.uniform(100, 2000, 2)
+        x = 0.5 * np.sin(2 * np.pi * f0 * tt) + 0.3 * np.sin(2 * np.pi * f1 * tt)
+        rows["media_id"].append(f"aud{i:06d}")
+        rows["bytes"].append(encode_pcm16(x, sr))
+        rows["fmt"].append("pcm16")
+        rows["sample_rate"].append(sr)
+        rows["caption"].append(f"audio clip {i} f0={f0:.0f}")
+    return pa.table({f.name: pa.array(rows[f.name], f.type) for f in AUDIO_SCHEMA})
+
+
+def video_corpus(n: int) -> pa.Table:
+    rows = {f.name: [] for f in VIDEO_SCHEMA}
+    for i in range(n):
+        nf = 8 + (i % 5) * 4
+        rows["media_id"].append(f"vid{i:06d}")
+        rows["bytes"].append(encode_fakeframes(f"vid{i:06d}", nf))
+        rows["fmt"].append("fakeframes")
+        rows["fps"].append(24)
+        rows["n_frames"].append(nf)
+        rows["caption"].append(f"video clip {i}")
+    return pa.table({f.name: pa.array(rows[f.name], f.type) for f in VIDEO_SCHEMA})
+
+
+def audio_features_query(sf_dir: str):
+    """queries() entry: audio decode->features over the deterministic
+    corpus (actor pool; rows-only)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(audio_corpus(64)).repartition(8)
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=16,
+                         concurrency=2)
+    tabs = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    t = pa.concat_tables(tabs, promote_options="default")
+    # stable scalar projection for the driver's rows check
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "media_id": t["media_id"],
+        "n_samples": t["n_samples"],
+        "rms": pc.round(t["rms"], 4),
+        "zcr": pc.round(t["zcr"], 4),
+    })
+
+
+def video_frames_query(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.from_arrow(video_corpus(48)).repartition(8)
+    out = ds.map_batches(VideoFrameSample, fn_constructor_kwargs=dict(k=4),
+                         batch_format="pyarrow", batch_size=16, concurrency=2)
+    tabs = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables(tabs, promote_options="default")
