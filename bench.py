@@ -46,7 +46,7 @@ HEADLINE = [
 ]
 
 FLAGSHIP_IMAGES = int(os.environ.get("GRAFT_FLAGSHIP_IMAGES", "1536"))
-SCALING_IMAGES = int(os.environ.get("GRAFT_SCALING_IMAGES", "8192"))
+SCALING_IMAGES = int(os.environ.get("GRAFT_SCALING_IMAGES", "12288"))
 CORPUS_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/gdal_ray_bench")
 
 

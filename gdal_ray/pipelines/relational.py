@@ -114,6 +114,21 @@ def q_case_when(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_swq_filter(sf_dir: str):
+    """The OGR attribute-filter language end-to-end: the WHERE string
+    is compiled by functions/swq.py (tokenizer -> AST -> pyarrow
+    compute closures) and applied inside map_batches — the
+    SetAttributeFilter path (reference ogr/swq_parser.y + swq_op_*)."""
+    from ..functions.swq import filter_where
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"])
+    where = ("o_totalprice BETWEEN 100000 AND 200000 AND "
+             "o_orderpriority IN ('1-URGENT', '2-HIGH') AND "
+             "NOT (o_custkey % 10 = 3)")
+    return filter_where(ds, where)
+
+
 # --------------------------------------------------------------- aggregates
 
 
@@ -371,6 +386,13 @@ ORACLE: dict[str, str] = {
     "q_filter_select": """
         SELECT l_orderkey, l_quantity, l_extendedprice
         FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.05
+    """,
+    "q_swq_filter": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_totalprice BETWEEN 100000 AND 200000
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND NOT (o_custkey % 10 = 3)
     """,
     "q_cast_math": """
         SELECT l_orderkey,

@@ -1,0 +1,148 @@
+"""Minimal TIFF reader (uncompressed baseline TIFF, strips).
+
+The format entry point for GeoTIFF-shaped inputs (reference
+frmts/gtiff/): classic (non-Big) TIFF, II/MM byte order, striped,
+COMPRESSION=1 (none) or 32773 (PackBits), 8/16/32-bit unsigned or
+float samples, chunky planar config. Enough to read the reference
+test fixtures (autotest/gcore/data/byte.tif, utmsmall.tif) and any
+uncompressed export — compressed codecs raise ``NotImplementedError``
+(no codec libs in this container).
+
+Also decodes the GeoTIFF geotransform when the ModelPixelScale +
+ModelTiepoint tags are present (reference gcore geotransform model).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_STRIP_OFFSETS = 273
+_TAG_SAMPLES_PER_PIXEL = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_BYTE_COUNTS = 279
+_TAG_SAMPLE_FORMAT = 339
+_TAG_PIXEL_SCALE = 33550
+_TAG_TIEPOINT = 33922
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+
+
+def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
+    size = _TYPE_SIZE[typ] * cnt
+    if size <= 4:
+        buf = raw[:size]
+    else:
+        off = struct.unpack(bo + "I", raw)[0]
+        buf = data[off:off + size]
+    if typ == 5:  # RATIONAL
+        vals = struct.unpack(bo + "%dI" % (2 * cnt), buf)
+        return [vals[i] / vals[i + 1] for i in range(0, 2 * cnt, 2)]
+    if typ == 2:  # ASCII
+        return [buf.rstrip(b"\x00").decode("latin-1")]
+    return list(struct.unpack(bo + "%d%s" % (cnt, _TYPE_FMT[typ]), buf))
+
+
+def _unpackbits(src: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expected:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out += src[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += src[i:i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def decode_tiff(data: bytes):
+    """-> (pixels ndarray (h, w) or (h, w, bands), geotransform | None)."""
+    if data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    bo = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
+    if magic != 42:
+        raise NotImplementedError("BigTIFF")
+    n = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])[0]
+    tags: dict[int, list] = {}
+    for i in range(n):
+        t, typ, cnt = struct.unpack(bo + "HHI", data[ifd_off + 2 + 12 * i:
+                                                     ifd_off + 10 + 12 * i])
+        raw = data[ifd_off + 10 + 12 * i: ifd_off + 14 + 12 * i]
+        if typ in _TYPE_SIZE:
+            tags[t] = _read_tag_values(data, bo, typ, cnt, raw)
+    w = int(tags[_TAG_WIDTH][0])
+    h = int(tags[_TAG_HEIGHT][0])
+    bits = int(tags.get(_TAG_BITS, [8])[0])
+    comp = int(tags.get(_TAG_COMPRESSION, [1])[0])
+    spp = int(tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0])
+    fmt = int(tags.get(_TAG_SAMPLE_FORMAT, [1])[0])
+    rows_per_strip = int(tags.get(_TAG_ROWS_PER_STRIP, [h])[0])
+    offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
+    counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (no codec library in this container)")
+    if fmt == 3:
+        dt = {32: "f4", 64: "f8"}[bits]
+    else:
+        dt = {8: "u1", 16: "u2", 32: "u4"}[bits]
+    dtype = np.dtype(bo + dt)
+    row_bytes = w * spp * dtype.itemsize
+    raw_all = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        chunk = data[off:off + cnt]
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        if comp == 32773:
+            chunk = _unpackbits(chunk, nrows * row_bytes)
+        raw_all += chunk[: nrows * row_bytes]
+    px = np.frombuffer(bytes(raw_all), dtype=dtype, count=h * w * spp)
+    px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w)
+
+    gt = None
+    if _TAG_PIXEL_SCALE in tags and _TAG_TIEPOINT in tags:
+        sx, sy = tags[_TAG_PIXEL_SCALE][0], tags[_TAG_PIXEL_SCALE][1]
+        tp = tags[_TAG_TIEPOINT]
+        # tiepoint: (i, j, k, X, Y, Z) — raster point -> model point
+        i, j, X, Y = tp[0], tp[1], tp[3], tp[4]
+        gt = (X - i * sx, sx, 0.0, Y + j * sy, 0.0, -sy)
+    return px, gt
+
+
+def read_tiff_dataset(paths: list[str]):
+    """Ray source: binary files -> decoded tile rows (image_id, pixels
+    meta + raw-codec bytes), the GDALOpenEx probe path for TIFF."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..functions.codecs import encode_image
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def decode(b) -> "pa.Table":
+        ids, blobs, ws, hs, gts = [], [], [], [], []
+        for path, data in zip(b["path"], b["bytes"]):
+            px, gt = decode_tiff(bytes(data))
+            ids.append(path)
+            blobs.append(encode_image(px if px.ndim == 3 else px[:, :, None], "raw"))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            gts.append(list(gt) if gt else [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "gt": pa.array(gts, pa.list_(pa.float64(), 6)),
+        })
+
+    return ds.map_batches(decode, batch_format="numpy")
