@@ -105,6 +105,22 @@ def parent_tile(tx, ty, z):
     return np.asarray(tx, np.int64) >> 1, np.asarray(ty, np.int64) >> 1, z - 1
 
 
+def tile_neighbors(tx: int, ty: int, z: int, k: int = 1):
+    """k-ring of a tile: all tiles within Chebyshev distance k
+    (x wraps around the antimeridian, y clamps at the poles) — the
+    halo-expansion used for cross-cell kNN edge handling
+    (SURVEY.md §2.4, the H3 k-ring analog on the XYZ grid)."""
+    n = 1 << z
+    out = []
+    for dy in range(-k, k + 1):
+        yy = ty + dy
+        if yy < 0 or yy >= n:
+            continue
+        for dx in range(-k, k + 1):
+            out.append(((tx + dx) % n, yy))
+    return out
+
+
 def tiles_overlapping_bounds(xmin, ymin, xmax, ymax, z: int, convention: str = "xyz"):
     """Integer ranges of tiles intersecting a 3857 bbox:
     (tx0, tx1, ty0, ty1) inclusive. Mirrors GetTileIndices

@@ -383,6 +383,84 @@ def q_pansharpen(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_pixel_info(sf_dir: str):
+    """gdallocationinfo / `gdal raster pixel-info`: world point ->
+    inverse geotransform -> pixel lookup on the events-count raster
+    (zone centers as the query points)."""
+    from .common import arrow_table
+
+    grid = _events_grid(sf_dir)  # (64, 64), int32
+    nat = arrow_table(sf_dir, "nation", ["n_nationkey"])
+    keys = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    cx = -180.0 + 14.0 * keys + 6.5
+    cy = -80.0 + 16.0 * (keys % 10) + 7.5
+    # the grid's affine: x = -180 + 360*px/64, y = -85 + 170*py/64
+    from ..functions.affine import world_to_pixel
+
+    gt = (-180.0, 360.0 / 64, 0.0, -85.0, 0.0, 170.0 / 64)
+    px, py = world_to_pixel(gt, cx, cy)
+    ix = np.clip(np.floor(px), 0, 63).astype(np.int64)
+    iy = np.clip(np.floor(py), 0, 63).astype(np.int64)
+    return pa.table({
+        "n_nationkey": pa.array(keys.astype(np.int32)),
+        "cell_x": pa.array(ix), "cell_y": pa.array(iy),
+        "value": pa.array(grid[iy, ix].astype(np.int64)),
+    })
+
+
+def q_proximity(sf_dir: str):
+    """gdal_proximity: exact Euclidean distance (in cells) from every
+    grid cell to the nearest 'target' cell (count >= 4 after the /4
+    quantization), via the Felzenszwalb exact EDT."""
+    from ..functions.proximity import distance_transform
+
+    grid = _events_grid(sf_dir)
+    targets = grid >= 1  # quantized count >= 1 <=> raw count >= 4
+    d = distance_transform(targets)
+    ys, xs = np.mgrid[0:grid.shape[0], 0:grid.shape[1]]
+    return pa.table({
+        "cell_x": pa.array(xs.ravel().astype(np.int64)),
+        "cell_y": pa.array(ys.ravel().astype(np.int64)),
+        "dist": pa.array(round_away_np(d.ravel(), 4)),
+    })
+
+
+def q_dither_palette(sf_dir: str):
+    """rgb-to-palette + Floyd-Steinberg dither (reference
+    alg/gdalmediancut.cpp + alg/gdaldither.cpp): 16-color median-cut
+    palette per image (on a 64x64 bilinear thumb), dithered band-0
+    checksum + palette hash (rows-only)."""
+    import hashlib
+
+    from ..functions.proximity import (apply_palette, floyd_steinberg,
+                                       median_cut_palette)
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(24)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, pal_h, dith, undith = [], [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            thumb = resize(px, 64, 64, "bilinear")
+            pal = median_cut_palette(thumb, 16)
+            levels = np.sort(np.unique(pal[:, 0].astype(np.float64)))
+            d = floyd_steinberg(thumb[:, :, 0].astype(np.float64), levels)
+            q = apply_palette(thumb, pal)
+            ids.append(rec["image_id"])
+            pal_h.append(int.from_bytes(
+                hashlib.blake2b(pal.tobytes(), digest_size=8).digest(),
+                "big", signed=True))
+            dith.append(checksum_image(d))
+            undith.append(checksum_image(q))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "palette_hash": pa.array(pal_h, pa.int64()),
+                         "cksum_dither": pa.array(dith, pa.int64()),
+                         "cksum_palette": pa.array(undith, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """ComputeStatistics per image: min/max/mean/std of band 0 via
     per-tile partials (count/sum/sumsq/min/max merge — the scalable
@@ -472,6 +550,37 @@ ORACLE: dict[str, str] = {
           AND -85.0 + 170.0 * (gy.i + 1) / {RAST_N} > -80.0 + 16.0 * (n_nationkey % 10)
         GROUP BY n_nationkey
     """,
+    "q_pixel_info": f"""
+        WITH centers AS (
+            SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+                   CAST(floor((-180.0 + 14.0 * n_nationkey + 6.5 + 180.0) * 64.0 / 360.0) AS BIGINT) AS cell_x,
+                   CAST(floor((-80.0 + 16.0 * (n_nationkey % 10) + 7.5 + 85.0) * 64.0 / 170.0) AS BIGINT) AS cell_y
+            FROM nation),
+        counts AS (
+            SELECT CAST(least(greatest(floor((({_LON}) + 180.0) / 360.0 * 64.0), 0), 63) AS BIGINT) AS cell_x,
+                   CAST(least(greatest(floor((({_LAT}) + 85.0) / 170.0 * 64.0), 0), 63) AS BIGINT) AS cell_y,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT c.n_nationkey, c.cell_x, c.cell_y,
+               CAST(floor(coalesce(n, 0) / 4.0) AS BIGINT) AS value
+        FROM centers c LEFT JOIN counts USING (cell_x, cell_y)
+    """,
+    "q_proximity": f"""
+        WITH counts AS (
+            SELECT CAST(least(greatest(floor((({_LON}) + 180.0) / 360.0 * 64.0), 0), 63) AS BIGINT) AS cell_x,
+                   CAST(least(greatest(floor((({_LAT}) + 85.0) / 170.0 * 64.0), 0), 63) AS BIGINT) AS cell_y,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2),
+        targets AS (SELECT cell_x AS tx, cell_y AS ty FROM counts WHERE n >= 4),
+        cells AS (SELECT gx.i AS cell_x, gy.i AS cell_y
+                  FROM (SELECT unnest(range(64)) AS i) gx,
+                       (SELECT unnest(range(64)) AS i) gy)
+        SELECT cell_x, cell_y,
+               round(min(sqrt(CAST((cell_x - tx) * (cell_x - tx)
+                                   + (cell_y - ty) * (cell_y - ty) AS DOUBLE))), 4) AS dist
+        FROM cells, targets
+        GROUP BY cell_x, cell_y
+    """,
     "q_geom_zone_metrics": """
         SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
                CAST(round(13.0 * 15.0, 2) AS DOUBLE) AS area,
@@ -491,6 +600,9 @@ QUERIES = {
     "q_pixel_functions": q_pixel_functions,
     "q_convolve_sieve": q_convolve_sieve,
     "q_pansharpen": q_pansharpen,
+    "q_pixel_info": q_pixel_info,
+    "q_proximity": q_proximity,
+    "q_dither_palette": q_dither_palette,
     "q_translate": q_translate,
     "q_hillshade": q_hillshade,
     "q_pyramid": q_pyramid,

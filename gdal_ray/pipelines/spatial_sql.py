@@ -197,7 +197,8 @@ def q_knn(sf_dir: str):
         for i, r in enumerate(rk.tolist()):
             d2 = (lon - qx[i]) * (lon - qx[i]) + (lat - qy[i]) * (lat - qy[i])
             k = min(K, len(d2))
-            part = np.argpartition(d2, k - 1)[:k] if len(d2) > k else np.arange(len(d2))
+            # lexsort: ties at equal distance keep the lowest event_id
+            part = np.lexsort((eid, d2))[:k]
             rows["r_regionkey"].extend([r] * len(part))
             rows["event_id"].extend(eid[part].tolist())
             rows["d2"].extend(d2[part].tolist())
@@ -218,6 +219,134 @@ def q_knn(sf_dir: str):
     return pa.table({"r_regionkey": pa.array(out["r_regionkey"], pa.int32()),
                      "event_id": pa.array(out["event_id"], pa.int64()),
                      "knn_rank": pa.array(out["knn_rank"], pa.int64())})
+
+
+def _ring_margin(qx: float, qy: float, qtx: int, qty: int, z: int,
+                 ring: int) -> float:
+    """Guaranteed-coverage radius (degrees) of the (2r+1)^2 tile block
+    around the query's tile: min distance from the point to the block
+    boundary; sides clamped at the antimeridian wrap / pole rows count
+    as unbounded."""
+    from ..functions.crs import MAX_MERC_LAT, webmercator_to_lonlat
+    from ..functions.tiles import tile_bounds
+
+    n = 1 << z
+    margins = []
+    if 2 * ring + 1 < n:  # lon wraps -> unbounded once the ring closes
+        lon_lo = (qtx - ring) * 360.0 / n - 180.0
+        lon_hi = (qtx + ring + 1) * 360.0 / n - 180.0
+        margins += [qx - lon_lo, lon_hi - qx]
+    top = qty - ring
+    bot = qty + ring
+    if top > 0:
+        _, _, _, ymax = tile_bounds(qtx, top, z)
+        _, lat_hi = webmercator_to_lonlat(0.0, ymax)
+        margins.append(float(lat_hi) - qy)
+    if bot < n - 1:
+        _, ymin, _, _ = tile_bounds(qtx, bot, z)
+        _, lat_lo = webmercator_to_lonlat(0.0, ymin)
+        margins.append(qy - float(lat_lo))
+    return min(margins) if margins else np.inf
+
+
+def q_knn_partitioned(sf_dir: str):
+    """Same kNN semantics as q_knn but executed the partitioned way
+    (SURVEY.md §2.4): events shuffle once on a coarse tile key (z=3),
+    per-cell `map_groups` computes local top-k only for the queries
+    whose ring halo covers the cell, then a tiny final merge. Rings
+    expand adaptively until every query's k-th distance is provably
+    inside its covered block (the gdalgrid quadtree-radius-search
+    contract, alg/gdalgrid.cpp:260, made distributed; at scale only
+    the unsatisfied queries re-run with the wider ring)."""
+    import pandas as pd
+
+    from ..functions.tiles import lonlat_to_tile, tile_neighbors
+    from .common import arrow_table
+
+    Z, K = 3, 5
+    reg = arrow_table(sf_dir, "region", ["r_regionkey"])
+    rk = reg["r_regionkey"].to_numpy().astype(np.int64)
+    qx = -150.0 + 60.0 * rk
+    qy = -60.0 + 30.0 * (rk % 5)
+    qtx, qty = lonlat_to_tile(qx, qy, Z)
+
+    cells_ds = _points_ds(sf_dir)
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        tx, ty = lonlat_to_tile(t["lon"].to_numpy(), t["lat"].to_numpy(), Z)
+        return t.append_column("cell", pa.array(ty * (1 << Z) + tx))
+
+    keyed = cells_ds.map_batches(add_cell, batch_format="pyarrow")
+
+    for ring in range(1, (1 << Z) + 1):
+        cand: dict[int, list[int]] = {}
+        for i in range(len(rk)):
+            for (cx, cy) in tile_neighbors(int(qtx[i]), int(qty[i]), Z, ring):
+                cand.setdefault(cy * (1 << Z) + cx, []).append(i)
+
+        def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
+            cell = int(g["cell"].iloc[0])
+            queries = cand.get(cell, [])
+            if not queries:
+                return pd.DataFrame({"qi": pd.Series([], dtype="int64"),
+                                     "event_id": pd.Series([], dtype="int64"),
+                                     "d2": pd.Series([], dtype="float64")})
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            eid = g["event_id"].to_numpy()
+            rows = {"qi": [], "event_id": [], "d2": []}
+            for i in queries:
+                d2 = (lon - qx[i]) ** 2 + (lat - qy[i]) ** 2
+                k = min(K, len(d2))
+                # ties broken by event_id here too — a plain
+                # argpartition could drop the lower-id duplicate
+                part = np.lexsort((eid, d2))[:k]
+                rows["qi"].extend([i] * len(part))
+                rows["event_id"].extend(eid[part].tolist())
+                rows["d2"].extend(d2[part].tolist())
+            return pd.DataFrame(rows)
+
+        df = keyed.groupby("cell").map_groups(
+            cell_topk, batch_format="pandas").to_pandas()
+        ok = True
+        for i in range(len(rk)):
+            g = df[df["qi"] == i].sort_values(["d2", "event_id"]).head(K)
+            if len(g) < K or np.sqrt(g["d2"].max()) > _ring_margin(
+                    float(qx[i]), float(qy[i]), int(qtx[i]), int(qty[i]), Z, ring):
+                ok = False
+                break
+        if ok:
+            break
+
+    out = {"r_regionkey": [], "event_id": [], "knn_rank": []}
+    for i, g in df.groupby("qi"):
+        g = g.sort_values(["d2", "event_id"]).head(K)
+        out["r_regionkey"].extend([int(rk[i])] * len(g))
+        out["event_id"].extend(g["event_id"].astype(int).tolist())
+        out["knn_rank"].extend(range(1, len(g) + 1))
+    return pa.table({"r_regionkey": pa.array(out["r_regionkey"], pa.int32()),
+                     "event_id": pa.array(out["event_id"], pa.int64()),
+                     "knn_rank": pa.array(out["knn_rank"], pa.int64())})
+
+
+def q_histogram(sf_dir: str):
+    """GetHistogram semantics (gcore/gdalrasterband.cpp): fixed range
+    [0, 1000), 20 buckets, out-of-range excluded; merged per-batch
+    partial histograms (the scalable ComputeStatistics shape)."""
+    LO, HI, NB = 0.0, 1000.0, 20
+    width = (HI - LO) / NB
+    ds = read_table(sf_dir, "events", ["value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        v = v[(v >= LO) & (v < HI)]
+        b = np.floor((v - LO) / width).astype(np.int64)
+        return pa.table({"bucket": pa.array(b),
+                         "one": pa.array(np.ones(len(b), np.int64))})
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["bucket"], [("n", "one", "sum")])
+    return pa.table({"bucket": out["bucket"], "n": out["n"]})
 
 
 # ------------------------------------------------------------------ rasterize
@@ -294,6 +423,22 @@ ORACLE: dict[str, str] = {
             FROM region, events
         ) WHERE knn_rank <= 5
     """,
+    "q_knn_partitioned": f"""
+        SELECT r_regionkey, event_id, knn_rank FROM (
+            SELECT r_regionkey, event_id,
+                   row_number() OVER (
+                       PARTITION BY r_regionkey
+                       ORDER BY (({_LON}) - (-150.0 + 60.0 * r_regionkey)) * (({_LON}) - (-150.0 + 60.0 * r_regionkey))
+                              + (({_LAT}) - (-60.0 + 30.0 * (r_regionkey % 5))) * (({_LAT}) - (-60.0 + 30.0 * (r_regionkey % 5))),
+                              event_id) AS knn_rank
+            FROM region, events
+        ) WHERE knn_rank <= 5
+    """,
+    "q_histogram": f"""
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
+        FROM events WHERE value >= 0.0 AND value < 1000.0
+        GROUP BY 1
+    """,
     "q_rasterize_points": f"""
         SELECT CAST(least(greatest(floor((({_LON}) + 180.0) / 360.0 * 64.0), 0), 63) AS BIGINT) AS cell_x,
                CAST(least(greatest(floor((({_LAT}) + 85.0) / 170.0 * 64.0), 0), 63) AS BIGINT) AS cell_y,
@@ -309,5 +454,7 @@ QUERIES = {
     "q_pip_join": q_pip_join,
     "q_zonal_stats": q_zonal_stats,
     "q_knn": q_knn,
+    "q_knn_partitioned": q_knn_partitioned,
+    "q_histogram": q_histogram,
     "q_rasterize_points": q_rasterize_points,
 }

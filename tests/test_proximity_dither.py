@@ -1,0 +1,61 @@
+"""EDT / dither / palette kernels vs brute-force oracles."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.functions.proximity import (apply_palette, distance_transform,
+                                          floyd_steinberg, median_cut_palette)
+
+
+def test_edt_matches_brute_force():
+    rng = np.random.default_rng(12)
+    t = rng.random((24, 31)) < 0.05
+    t[0, 0] = True  # ensure at least one target
+    d = distance_transform(t)
+    ys, xs = np.nonzero(t)
+    yy, xx = np.mgrid[0:24, 0:31]
+    brute = np.sqrt(((yy[:, :, None] - ys[None, None, :]) ** 2
+                     + (xx[:, :, None] - xs[None, None, :]) ** 2).min(axis=2))
+    np.testing.assert_allclose(d, brute, atol=1e-9)
+    assert (d[t] == 0).all()
+
+
+def test_edt_cellsize_scales():
+    t = np.zeros((5, 5), bool)
+    t[2, 2] = True
+    d = distance_transform(t, cellsize=30.0)
+    assert d[2, 0] == pytest.approx(60.0)
+    assert d[0, 0] == pytest.approx(30.0 * np.sqrt(8))
+
+
+def test_floyd_steinberg_preserves_mean():
+    """Error diffusion keeps the local average close to the input."""
+    rng = np.random.default_rng(7)
+    z = rng.uniform(0, 255, (32, 32))
+    levels = np.array([0.0, 85.0, 170.0, 255.0])
+    idx = floyd_steinberg(z, levels)
+    out = levels[idx]
+    assert abs(out.mean() - z.mean()) < 2.0
+    assert set(np.unique(idx)).issubset({0, 1, 2, 3})
+
+
+def test_floyd_steinberg_flat_levels_exact():
+    z = np.full((8, 8), 85.0)
+    idx = floyd_steinberg(z, np.array([0.0, 85.0, 255.0]))
+    assert (idx == 1).all()
+
+
+def test_median_cut_and_apply():
+    rng = np.random.default_rng(3)
+    # two well-separated color clusters
+    a = rng.normal(50, 3, (100, 3))
+    b = rng.normal(200, 3, (100, 3))
+    px = np.clip(np.vstack([a, b]), 0, 255).astype(np.uint8).reshape(20, 10, 3)
+    pal = median_cut_palette(px, 2)
+    assert pal.shape == (2, 3)
+    means = sorted(pal.mean(axis=1))
+    assert means[0] < 80 and means[1] > 170
+    idx = apply_palette(px, pal)
+    # each pixel mapped to its own cluster's entry
+    dark = pal[:, 0].argmin()
+    assert (idx.reshape(-1)[:100] == dark).mean() > 0.99
