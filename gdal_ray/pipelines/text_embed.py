@@ -31,7 +31,7 @@ from ..functions.text import (
     simhash64,
     token_count_ws,
 )
-from .common import partial_groupby_agg, read_table, round_away_np
+from .common import arrow_table, partial_groupby_agg, read_table, round_away_np
 
 # ------------------------------------------------------------------ documents
 
@@ -467,6 +467,44 @@ def q_ann_lsh(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4, i < j;
+    the synthetic vectors top out at ~0.51 cosine):
+    normalized matrix broadcast once, per-batch rows x all matmul —
+    the exact baseline the LSH path (q_ann_lsh buckets) approximates
+    at scale. SQL-oracled via list_cosine_similarity."""
+    TAU = 0.4
+    full = arrow_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids_all = full["vec_id"].to_numpy()
+    emb = np.array(full["embedding"].to_pylist(), np.float64)
+    unit_all = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        e = np.array(t["embedding"].to_pylist(), np.float64)
+        u = e / np.linalg.norm(e, axis=1, keepdims=True)
+        ids = t["vec_id"].to_numpy()
+        sims = u @ unit_all.T
+        bi, bj = np.nonzero(sims >= TAU)
+        a = ids[bi]
+        b = ids_all[bj]
+        keep = a < b
+        return pa.table({
+            "vec_a": pa.array(a[keep].astype(np.int64)),
+            "vec_b": pa.array(b[keep].astype(np.int64)),
+            "sim": pa.array(round_away_np(sims[bi, bj][keep], 4)),
+        })
+
+    parts = ds.map_batches(f, batch_format="pyarrow")
+    tabs = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tabs:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return pa.concat_tables(tabs, promote_options="default")
+
+
 def q_embed_label_stats(sf_dir: str):
     """Per-label embedding stats: count + mean of first component."""
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
@@ -553,6 +591,17 @@ ORACLE: dict[str, str] = {
         FROM embeddings
         ORDER BY rank LIMIT 10
     """,
+    "q_embed_neardup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+    """,
     "q_embed_label_stats": """
         SELECT label, count(*) AS n,
                round(sum(CAST(embedding[1] AS DOUBLE)) / count(*), 4) AS mean_e0
@@ -577,5 +626,6 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_multi_query": q_ann_multi_query,
     "q_ann_lsh": q_ann_lsh,
+    "q_embed_neardup": q_embed_neardup,
     "q_embed_label_stats": q_embed_label_stats,
 }
