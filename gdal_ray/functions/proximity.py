@@ -69,6 +69,76 @@ def distance_transform(targets: np.ndarray, cellsize: float = 1.0) -> np.ndarray
     return np.sqrt(d2) * cellsize
 
 
+def fillnodata(band: np.ndarray, valid: np.ndarray,
+               max_dist: float = 100.0) -> np.ndarray:
+    """Fill invalid pixels by inverse-distance weighting of the
+    nearest valid pixel along each of 8 scan directions (the
+    GDALFillNodata idea, reference alg/fillnodata.cpp — which searches
+    the four quadrants; this variant uses 8 fixed rays, documented
+    divergence). Pixels with no valid hit within ``max_dist`` stay
+    unchanged; returns (filled, filled_mask)."""
+    z = np.asarray(band, np.float64)
+    v = np.asarray(valid, bool)
+    h, w = z.shape
+    num = np.zeros((h, w))
+    den = np.zeros((h, w))
+
+    def scan(dy: int, dx: int):
+        """Propagate last-valid (value, dist) along direction (dy,dx)."""
+        step = float(np.hypot(dy, dx))
+        last_val = np.full((h, w), np.nan)
+        last_d = np.full((h, w), np.inf)
+        ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
+        for y in ys:
+            py = y - dy
+            if 0 <= py < h:
+                prev_val = last_val[py]
+                prev_d = last_d[py]
+                if dx > 0:
+                    prev_val = np.concatenate([[np.nan], prev_val[:-1]])
+                    prev_d = np.concatenate([[np.inf], prev_d[:-1]])
+                elif dx < 0:
+                    prev_val = np.concatenate([prev_val[1:], [np.nan]])
+                    prev_d = np.concatenate([prev_d[1:], [np.inf]])
+                last_val[y] = prev_val
+                last_d[y] = prev_d + step
+            elif dy != 0:
+                last_val[y] = np.nan
+                last_d[y] = np.inf
+            if dy == 0:
+                # horizontal scan: do the row in-place
+                row_val = np.full(w, np.nan)
+                row_d = np.full(w, np.inf)
+                xs = range(w) if dx > 0 else range(w - 1, -1, -1)
+                for x in xs:
+                    if v[y, x]:
+                        row_val[x] = z[y, x]
+                        row_d[x] = 0.0
+                    else:
+                        px = x - dx
+                        if 0 <= px < w:
+                            row_val[x] = row_val[px]
+                            row_d[x] = row_d[px] + step
+                last_val[y] = row_val
+                last_d[y] = row_d
+            else:
+                hit = v[y]
+                last_val[y][hit] = z[y][hit]
+                last_d[y][hit] = 0.0
+        ok = ~v & np.isfinite(last_val) & (last_d <= max_dist) & (last_d > 0)
+        num[ok] += last_val[ok] / last_d[ok]
+        den[ok] += 1.0 / last_d[ok]
+
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                   (1, 1), (1, -1), (-1, 1), (-1, -1)):
+        scan(dy, dx)
+
+    out = z.copy()
+    filled = den > 0
+    out[filled] = num[filled] / den[filled]
+    return out, (v | filled)
+
+
 def floyd_steinberg(band: np.ndarray, levels: np.ndarray) -> np.ndarray:
     """Dither one band to the given sorted output levels (error
     diffusion 7/16 right, 3/16 down-left, 5/16 down, 1/16 down-right;

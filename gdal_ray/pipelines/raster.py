@@ -461,6 +461,35 @@ def q_dither_palette(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_fillnodata(sf_dir: str):
+    """gdal_fillnodata: punch deterministic holes in each image's
+    band 0, fill by 8-ray IDW, report filled-fraction + checksum
+    (rows-only; kernel tested against semantics in tests/)."""
+    from ..functions.proximity import fillnodata
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(48)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, cks, frac = [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])[:, :, 0].astype(np.float64)
+            h, w = px.shape
+            rng = np.random.default_rng(
+                int(rec["image_id"][3:]) * 977 + 13)
+            valid = rng.random((h, w)) > 0.1  # 10% holes
+            out, m = fillnodata(px, valid, max_dist=16.0)
+            ids.append(rec["image_id"])
+            cks.append(checksum_image(
+                np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)))
+            frac.append(float(m.mean()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "cksum_filled": pa.array(cks, pa.int64()),
+                         "filled_frac": pa.array(np.round(frac, 4))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_raster_stats(sf_dir: str):
     """ComputeStatistics per image: min/max/mean/std of band 0 via
     per-tile partials (count/sum/sumsq/min/max merge — the scalable
@@ -603,6 +632,7 @@ QUERIES = {
     "q_pixel_info": q_pixel_info,
     "q_proximity": q_proximity,
     "q_dither_palette": q_dither_palette,
+    "q_fillnodata": q_fillnodata,
     "q_translate": q_translate,
     "q_hillshade": q_hillshade,
     "q_pyramid": q_pyramid,

@@ -45,6 +45,35 @@ def test_floyd_steinberg_flat_levels_exact():
     assert (idx == 1).all()
 
 
+def test_fillnodata_gradient_hole():
+    from gdal_ray.functions.proximity import fillnodata
+
+    z = np.arange(64, dtype=float).reshape(8, 8)
+    v = np.ones((8, 8), bool)
+    v[3:5, 3:5] = False
+    out, m = fillnodata(z, v)
+    assert m.all()
+    # smooth field: filled values close to the original gradient
+    assert abs(out[3, 3] - 27.0) < 1.5
+    assert abs(out[4, 4] - 36.0) < 1.5
+    # valid pixels untouched
+    np.testing.assert_array_equal(out[v], z[v])
+
+
+def test_fillnodata_max_dist_limits():
+    from gdal_ray.functions.proximity import fillnodata
+
+    z = np.zeros((9, 9))
+    z[0, 0] = 7.0
+    v = np.zeros((9, 9), bool)
+    v[0, 0] = True
+    out, m = fillnodata(z, v, max_dist=2.0)
+    assert m[0, 1] and m[0, 2]
+    assert out[0, 1] == pytest.approx(7.0)
+    assert not m[0, 3]  # beyond max_dist
+    assert not m[8, 8]
+
+
 def test_median_cut_and_apply():
     rng = np.random.default_rng(3)
     # two well-separated color clusters
