@@ -144,6 +144,27 @@ def geom_centroid(geom: Geom) -> tuple[float, float]:
 
 
 # ----------------------------------------------------------------- constructive
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull (OGRGeometry::ConvexHull
+    analog). Input (n, 2); returns a closed CCW ring."""
+    pts = np.unique(np.asarray(points, np.float64), axis=0)
+    if len(pts) < 3:
+        return np.vstack([pts, pts[:1]]) if len(pts) else pts
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([ring, ring[:1]])
+
+
 def clip_ring_to_rect(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
     """Sutherland-Hodgman clip of one ring to an axis-aligned rect.
     Returns a closed ring (possibly empty)."""

@@ -311,7 +311,20 @@ def _mod(a, b):
     return pa.array(np.fmod(an, bn))
 
 
+CUSTOM_FUNCS: dict[str, "callable"] = {}
+
+
+def register_function(name: str, fn) -> None:
+    """User-extension hook: register a custom scalar function usable
+    in WHERE expressions (the SWQ_CUSTOM_FUNC analog, reference
+    ogr/ogr_swq.h:78). ``fn(*args)`` receives evaluated pyarrow
+    arrays / python scalars and returns an array or scalar."""
+    CUSTOM_FUNCS[name.upper()] = fn
+
+
 def _call(name: str, args):
+    if name in CUSTOM_FUNCS:
+        return CUSTOM_FUNCS[name](*args)
     if name == "CONCAT":
         parts = [a if isinstance(a, str) else pc.cast(a, pa.string()) for a in args]
         arrays = [p for p in parts if not isinstance(p, str)]

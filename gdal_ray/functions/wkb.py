@@ -167,6 +167,95 @@ def geom_to_wkb(g: Geom) -> bytes:
     raise NotImplementedError(g.kind)
 
 
+# ----------------------------------------------------------------- WKT codec
+def geom_to_wkt(g: Geom, precision: int = 15) -> str:
+    """ISO WKT writer (OGRGeometry::exportToWkt analog)."""
+    def coords(r: np.ndarray) -> str:
+        return ", ".join(f"{x:.{precision}g} {y:.{precision}g}" for x, y in r)
+
+    if g.kind == POINT:
+        return f"POINT ({coords(g.rings[0][:1])})"
+    if g.kind == LINESTRING:
+        return f"LINESTRING ({coords(g.rings[0])})"
+    if g.kind == POLYGON:
+        rings = ", ".join(f"({coords(r)})" for r in g.rings)
+        return f"POLYGON ({rings})"
+    if g.kind == MULTIPOINT:
+        pts = ", ".join(f"({coords(p.reshape(1, 2))})" for p in g.rings[0])
+        return f"MULTIPOINT ({pts})"
+    if g.kind == MULTILINESTRING:
+        parts = ", ".join(f"({coords(r)})" for r in g.rings)
+        return f"MULTILINESTRING ({parts})"
+    if g.kind == MULTIPOLYGON:
+        out = []
+        i = 0
+        for cnt in g.poly_ring_counts:
+            rings = ", ".join(f"({coords(r)})" for r in g.rings[i:i + cnt])
+            out.append(f"({rings})")
+            i += cnt
+        return f"MULTIPOLYGON ({', '.join(out)})"
+    raise NotImplementedError(g.kind)
+
+
+def wkt_to_geom(wkt: str) -> Geom:
+    """ISO WKT parser for the same subset (OGRGeometryFactory::
+    createFromWkt analog; 2-D, no EMPTY)."""
+    import re as _re
+
+    s = wkt.strip()
+    m = _re.match(r"^([A-Za-z]+)\s*\((.*)\)$", s, _re.S)
+    if not m:
+        raise ValueError(f"bad WKT: {wkt[:40]!r}")
+    kind = m.group(1).upper()
+    body = m.group(2).strip()
+
+    def parse_coords(txt: str) -> np.ndarray:
+        pts = []
+        for pair in txt.split(","):
+            x, y = pair.split()[:2]
+            pts.append((float(x), float(y)))
+        return np.array(pts, np.float64)
+
+    def split_groups(txt: str) -> list[str]:
+        out, depth, start = [], 0, None
+        for i, c in enumerate(txt):
+            if c == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append(txt[start:i])
+        return out
+
+    if kind == "POINT":
+        return Geom(POINT, [parse_coords(body)])
+    if kind == "LINESTRING":
+        return Geom(LINESTRING, [parse_coords(body)])
+    if kind == "POLYGON":
+        rings = [parse_coords(g) for g in split_groups(body)]
+        return Geom(POLYGON, rings, [len(rings)])
+    if kind == "MULTIPOINT":
+        groups = split_groups(body)
+        if groups:
+            pts = np.vstack([parse_coords(g) for g in groups])
+        else:
+            pts = parse_coords(body)
+        return Geom(MULTIPOINT, [pts])
+    if kind == "MULTILINESTRING":
+        return Geom(MULTILINESTRING, [parse_coords(g) for g in split_groups(body)])
+    if kind == "MULTIPOLYGON":
+        rings: list[np.ndarray] = []
+        counts: list[int] = []
+        for poly in split_groups(body):
+            rs = [parse_coords(g) for g in split_groups(poly)]
+            rings.extend(rs)
+            counts.append(len(rs))
+        return Geom(MULTIPOLYGON, rings, counts)
+    raise NotImplementedError(kind)
+
+
 def rect_polygon(xmin: float, ymin: float, xmax: float, ymax: float) -> Geom:
     ring = np.array(
         [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]],

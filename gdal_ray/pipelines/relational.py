@@ -246,6 +246,22 @@ def q_date_extract(sf_dir: str):
     return round_cols(out, {"total": 2})
 
 
+def q_quantiles(sf_dir: str):
+    """Exact continuous quantiles (p25/p50/p75) of o_totalprice via
+    distributed histogram refinement (stages/quantile.py) — no sort,
+    no materialization; matches DuckDB quantile_cont bit-for-bit
+    after rounding."""
+    from ..stages.quantile import quantile_cont
+
+    ds = read_table(sf_dir, "orders", ["o_totalprice"])
+    r = quantile_cont(ds, "o_totalprice", [0.25, 0.5, 0.75])
+    return pa.table({
+        "p25": pa.array([round_away_scalar(r[0.25], 2)]),
+        "p50": pa.array([round_away_scalar(r[0.5], 2)]),
+        "p75": pa.array([round_away_scalar(r[0.75], 2)]),
+    })
+
+
 # --------------------------------------------------------------- distinct/sort/limit
 
 
@@ -456,6 +472,12 @@ ORACLE: dict[str, str] = {
     """,
     "q_distinct": """
         SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "q_quantiles": """
+        SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+        FROM orders
     """,
     "q_orderby_limit": """
         SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders

@@ -110,6 +110,67 @@ def q_explode(sf_dir: str):
     })
 
 
+REGION_Y = (-40.0, 40.0)  # B-layer window rects span this lat band
+
+
+def _region_rects(sf_dir: str):
+    reg = arrow_table(sf_dir, "region", ["r_regionkey"])
+    keys = np.sort(reg["r_regionkey"].to_numpy().astype(np.int64))
+    wkbs = [geom_to_wkb(rect_polygon(-180.0 + 72.0 * k, REGION_Y[0],
+                                     -108.0 + 72.0 * k, REGION_Y[1]))
+            for k in keys.tolist()]
+    return keys, wkbs
+
+
+def _algebra_ds(sf_dir: str):
+    import ray.data
+
+    from ..stages.layer_algebra import LayerAlgebra
+
+    keys, zone_wkbs = _zones(sf_dir)
+    a = pa.table({"fid": pa.array(keys), "geometry": pa.array(zone_wkbs, pa.binary())})
+    b_keys, b_wkbs = _region_rects(sf_dir)
+    ds = ray.data.from_arrow(a).repartition(4)
+    return ds.map_batches(LayerAlgebra, fn_constructor_args=(b_keys, b_wkbs),
+                          batch_format="pyarrow", batch_size=8, concurrency=2)
+
+
+def q_layer_intersection(sf_dir: str):
+    """Layer algebra Intersection (nation zones x region bands):
+    broadcast B + envelope pre-filter + exact convex clip — the
+    ogrlayer.cpp:3345 join shape. Oracle = analytic rect overlap."""
+    import pyarrow.compute as pc
+
+    ds = _algebra_ds(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "inter"))
+        return pa.table({
+            "n_nationkey": pc.cast(t["a_fid"], pa.int32()),
+            "r_regionkey": pc.cast(t["b_fid"], pa.int32()),
+            "inter_area": pa.array(round_away_np(t["area"].to_numpy(), 2)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_layer_erase(sf_dir: str):
+    """Layer algebra Erase: zone minus all region bands (exact since
+    the bands don't overlap each other)."""
+    import pyarrow.compute as pc
+
+    ds = _algebra_ds(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "erase"))
+        return pa.table({
+            "n_nationkey": pc.cast(t["a_fid"], pa.int32()),
+            "erase_area": pa.array(round_away_np(t["area"].to_numpy(), 2)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 ORACLE: dict[str, str] = {
     # densify-then-simplify recovers the 4 corners + closing vertex
     "q_geom_simplify": """
@@ -140,6 +201,32 @@ ORACLE: dict[str, str] = {
                CAST(CASE WHEN part = 0 THEN 195.0 ELSE 1.0 END AS DOUBLE) AS area
         FROM nation, (SELECT unnest(range(2)) AS part)
     """,
+    "q_layer_intersection": """
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(r_regionkey AS INTEGER) AS r_regionkey,
+               CAST(round(
+                 greatest(0.0, least(-167.0 + 14.0 * n_nationkey, -108.0 + 72.0 * r_regionkey)
+                              - greatest(-180.0 + 14.0 * n_nationkey, -180.0 + 72.0 * r_regionkey))
+                 * greatest(0.0, least(-65.0 + 16.0 * (n_nationkey % 10), 40.0)
+                                - greatest(-80.0 + 16.0 * (n_nationkey % 10), -40.0)),
+                 2) AS DOUBLE) AS inter_area
+        FROM nation, region
+        WHERE greatest(0.0, least(-167.0 + 14.0 * n_nationkey, -108.0 + 72.0 * r_regionkey)
+                           - greatest(-180.0 + 14.0 * n_nationkey, -180.0 + 72.0 * r_regionkey))
+              * greatest(0.0, least(-65.0 + 16.0 * (n_nationkey % 10), 40.0)
+                             - greatest(-80.0 + 16.0 * (n_nationkey % 10), -40.0)) > 0
+    """,
+    "q_layer_erase": """
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(round(195.0 - coalesce((
+                 SELECT sum(
+                   greatest(0.0, least(-167.0 + 14.0 * n.n_nationkey, -108.0 + 72.0 * r_regionkey)
+                                - greatest(-180.0 + 14.0 * n.n_nationkey, -180.0 + 72.0 * r_regionkey))
+                   * greatest(0.0, least(-65.0 + 16.0 * (n.n_nationkey % 10), 40.0)
+                                  - greatest(-80.0 + 16.0 * (n.n_nationkey % 10), -40.0)))
+                 FROM region), 0.0), 2) AS DOUBLE) AS erase_area
+        FROM nation n
+    """,
 }
 
 QUERIES = {
@@ -147,4 +234,6 @@ QUERIES = {
     "q_geom_segmentize": q_geom_segmentize,
     "q_clip_zones": q_clip_zones,
     "q_explode": q_explode,
+    "q_layer_intersection": q_layer_intersection,
+    "q_layer_erase": q_layer_erase,
 }

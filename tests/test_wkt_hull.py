@@ -1,0 +1,74 @@
+"""WKT codec round-trips, convex hull, swq custom functions."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from gdal_ray.functions.geom import convex_hull, geom_area, ring_area
+from gdal_ray.functions.wkb import (Geom, MULTIPOLYGON, geom_to_wkb,
+                                    geom_to_wkt, rect_polygon, wkb_to_geom,
+                                    wkt_to_geom)
+
+
+def test_wkt_point_roundtrip():
+    g = wkt_to_geom("POINT (2.5 -3.75)")
+    assert g.kind == 1
+    np.testing.assert_allclose(g.rings[0], [[2.5, -3.75]])
+    assert geom_to_wkt(g) == "POINT (2.5 -3.75)"
+
+
+def test_wkt_polygon_with_hole_roundtrip():
+    wkt = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+           "(2 2, 4 2, 4 4, 2 4, 2 2))")
+    g = wkt_to_geom(wkt)
+    assert len(g.rings) == 2
+    assert geom_area(g) == pytest.approx(100 - 4)
+    g2 = wkt_to_geom(geom_to_wkt(g))
+    for a, b in zip(g.rings, g2.rings):
+        np.testing.assert_allclose(a, b)
+
+
+def test_wkt_multipolygon_and_wkb_cross_codec():
+    m = Geom(MULTIPOLYGON,
+             [rect_polygon(0, 0, 1, 1).rings[0],
+              rect_polygon(5, 5, 7, 8).rings[0]], [1, 1])
+    wkt = geom_to_wkt(m)
+    assert wkt.startswith("MULTIPOLYGON ((")
+    g2 = wkt_to_geom(wkt)
+    # same geometry through the WKB codec
+    g3 = wkb_to_geom(geom_to_wkb(g2))
+    assert g3.poly_ring_counts == [1, 1]
+    assert geom_area(g3) == pytest.approx(1 + 6)
+
+
+def test_wkt_linestring_multipoint():
+    ls = wkt_to_geom("LINESTRING (0 0, 1 1, 2 0)")
+    assert len(ls.rings[0]) == 3
+    mp = wkt_to_geom("MULTIPOINT ((1 2), (3 4))")
+    np.testing.assert_allclose(mp.rings[0], [[1, 2], [3, 4]])
+
+
+def test_convex_hull_square_with_interior():
+    rng = np.random.default_rng(4)
+    inner = rng.uniform(0.2, 0.8, (200, 2))
+    corners = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    ring = convex_hull(np.vstack([inner, corners]))
+    assert abs(ring_area(ring)) == pytest.approx(1.0)
+    assert len(ring) == 5  # 4 corners + closure
+
+
+def test_convex_hull_collinear():
+    pts = np.array([[0, 0], [1, 1], [2, 2], [3, 3]], float)
+    ring = convex_hull(pts)
+    # degenerate hull: area 0
+    assert abs(ring_area(ring)) == pytest.approx(0.0)
+
+
+def test_swq_custom_function():
+    from gdal_ray.functions.swq import compile_where, register_function
+
+    register_function("DOUBLE_IT", lambda a: pc.multiply(a, 2))
+    t = pa.table({"x": pa.array([1, 5, 10])})
+    out = t.filter(compile_where("DOUBLE_IT(x) > 9")(t))
+    assert out["x"].to_pylist() == [5, 10]
