@@ -239,6 +239,27 @@ def segmentize_ring(ring: np.ndarray, max_len: float) -> np.ndarray:
     return np.vstack(out)
 
 
+def wrapdateline_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """-wrapdateline (apps/ogr2ogr_lib.cpp:303): split a ring whose
+    longitudes exceed +/-180 into parts shifted into range. Handles
+    the common case of a ring straddling the antimeridian after an
+    unwrapped reprojection (lon monotonic in [-360, 360])."""
+    lon = ring[:, 0]
+    if lon.max() <= 180.0 and lon.min() >= -180.0:
+        return [ring.copy()]
+    parts = []
+    for shift, keep in ((0.0, (lon >= -180.0) & (lon <= 180.0)),
+                        (-360.0, lon > 180.0), (360.0, lon < -180.0)):
+        if keep.any():
+            r = ring[keep].copy()
+            r[:, 0] += shift
+            if len(r) >= 3:
+                if not np.array_equal(r[0], r[-1]):
+                    r = np.vstack([r, r[:1]])
+                parts.append(r)
+    return parts
+
+
 # ----------------------------------------------------------------- broadcast index
 class PackedPolygonIndex:
     """Broadcast-side spatial index over a polygon layer.

@@ -134,6 +134,36 @@ def resize(src: np.ndarray, out_h: int, out_w: int, method: str = "nearest"):
     return out
 
 
+def interpolate_at_point(src: np.ndarray, gt, x, y, method: str = "bilinear"):
+    """GDALInterpolateAtPoint (reference alg/gdal_interpolateatpoint.h):
+    sample the raster at world coordinates through the inverse
+    geotransform. Returns (values, valid)."""
+    from .affine import world_to_pixel
+
+    px, py = world_to_pixel(gt, np.asarray(x, np.float64), np.asarray(y, np.float64))
+    return sample(src, px, py, method)
+
+
+def apply_lut(band: np.ndarray, src_vals: np.ndarray, dst_vals: np.ndarray):
+    """VRT LUT source (frmts/vrt/vrtsources.cpp LUT): piecewise-linear
+    lookup, clamped at the table ends."""
+    b = np.asarray(band, np.float64)
+    return np.interp(b, np.asarray(src_vals, np.float64),
+                     np.asarray(dst_vals, np.float64))
+
+
+def reclassify(band: np.ndarray, bounds: np.ndarray, out_vals: np.ndarray,
+               default=None):
+    """gdal raster reclassify (frmts/vrt/vrtreclassifier.h interval
+    mapping): value in [bounds[i], bounds[i+1]) -> out_vals[i]."""
+    b = np.asarray(band, np.float64)
+    idx = np.searchsorted(np.asarray(bounds, np.float64), b, side="right") - 1
+    ok = (idx >= 0) & (idx < len(out_vals))
+    out = np.full(b.shape, np.nan if default is None else default, np.float64)
+    out[ok] = np.asarray(out_vals, np.float64)[idx[ok]]
+    return out
+
+
 # ----------------------------------------------------------- 2x reductions
 def reduce2x2(src: np.ndarray, method: str = "average") -> np.ndarray:
     """One overview level: 2x2 block reduction (reference

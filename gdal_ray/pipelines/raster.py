@@ -461,6 +461,88 @@ def q_dither_palette(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_footprint(sf_dir: str):
+    """gdal_footprint (apps/gdal_footprint_lib.cpp): validity mask
+    (band0 > 60) -> connected regions -> convex hull per region;
+    reports region count, mask pixels, hull area of the largest
+    region (rows-only; hull/label kernels golden-tested)."""
+    from ..functions.ccl import label_components
+    from ..functions.geom import convex_hull, ring_area
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(48)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, nreg, npx, harea = [], [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])[:, :, 0]
+            mask = (px > 60).astype(np.int32)
+            labels = label_components(mask, 4)
+            lab_v = labels[mask == 1]
+            ids.append(rec["image_id"])
+            npx.append(int(mask.sum()))
+            if len(lab_v) == 0:
+                nreg.append(0)
+                harea.append(0.0)
+                continue
+            uniq, counts = np.unique(lab_v, return_counts=True)
+            nreg.append(len(uniq))
+            big = uniq[np.argmax(counts)]
+            ys, xs = np.nonzero(labels == big)
+            # hull needs only per-row extreme pixels (their 4 corners),
+            # not every mask pixel — same hull, 1000x fewer points
+            pts_list = []
+            for y in np.unique(ys):
+                row = xs[ys == y]
+                x0, x1 = int(row.min()), int(row.max())
+                pts_list += [(x0, y), (x1 + 1, y), (x0, y + 1), (x1 + 1, y + 1)]
+            ring = convex_hull(np.array(pts_list, np.float64))
+            harea.append(abs(ring_area(ring)))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "n_regions": pa.array(nreg, pa.int64()),
+                         "n_mask_px": pa.array(npx, pa.int64()),
+                         "hull_area": pa.array(np.round(harea, 2))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_reclassify_lut(sf_dir: str):
+    """reclassify (interval table) + LUT (piecewise linear) +
+    interpolate-at-point per image: checksums / sampled values
+    (rows-only; kernels tested)."""
+    from ..functions.resample import apply_lut, interpolate_at_point, reclassify
+    from ..sources.images import corpus_dataset, georef
+
+    ds = corpus_dataset(48)
+    bounds = np.array([0.0, 64.0, 128.0, 192.0, 256.0])
+    classes = np.array([0.0, 1.0, 2.0, 3.0])
+    lut_src = np.array([0.0, 128.0, 255.0])
+    lut_dst = np.array([0.0, 200.0, 255.0])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, rc, lu, ip = [], [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])[:, :, 0]
+            r = reclassify(px, bounds, classes)
+            rc.append(checksum_image(r.astype(np.int32)))
+            l = apply_lut(px, lut_src, lut_dst)
+            lu.append(checksum_image(np.floor(l + 0.5).astype(np.int32)))
+            gt, _ = georef(int(rec["image_id"][3:]))
+            # sample at the image center in world coords
+            from ..functions.affine import apply_gt
+
+            cx, cy = apply_gt(gt, px.shape[1] / 2.0, px.shape[0] / 2.0)
+            v, ok = interpolate_at_point(px, gt, [cx], [cy], "bilinear")
+            ip.append(float(v[0]) if ok[0] else -1.0)
+            ids.append(rec["image_id"])
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "cksum_reclass": pa.array(rc, pa.int64()),
+                         "cksum_lut": pa.array(lu, pa.int64()),
+                         "center_value": pa.array(np.round(ip, 4))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_fillnodata(sf_dir: str):
     """gdal_fillnodata: punch deterministic holes in each image's
     band 0, fill by 8-ray IDW, report filled-fraction + checksum
@@ -633,6 +715,8 @@ QUERIES = {
     "q_proximity": q_proximity,
     "q_dither_palette": q_dither_palette,
     "q_fillnodata": q_fillnodata,
+    "q_footprint": q_footprint,
+    "q_reclassify_lut": q_reclassify_lut,
     "q_translate": q_translate,
     "q_hillshade": q_hillshade,
     "q_pyramid": q_pyramid,
