@@ -240,23 +240,27 @@ def segmentize_ring(ring: np.ndarray, max_len: float) -> np.ndarray:
 
 
 def wrapdateline_ring(ring: np.ndarray) -> list[np.ndarray]:
-    """-wrapdateline (apps/ogr2ogr_lib.cpp:303): split a ring whose
-    longitudes exceed +/-180 into parts shifted into range. Handles
-    the common case of a ring straddling the antimeridian after an
-    unwrapped reprojection (lon monotonic in [-360, 360])."""
+    """-wrapdateline (apps/ogr2ogr_lib.cpp:303): a ring expressed in
+    unwrapped longitudes (range (-360, 360), e.g. after reprojection
+    across the antimeridian) is CLIPPED at lon = +/-180 and the
+    overflow parts shifted back into range — proper Sutherland-Hodgman
+    cuts, so the dateline edge is reconstructed exactly."""
     lon = ring[:, 0]
     if lon.max() <= 180.0 and lon.min() >= -180.0:
         return [ring.copy()]
+    BIG = 1e9
     parts = []
-    for shift, keep in ((0.0, (lon >= -180.0) & (lon <= 180.0)),
-                        (-360.0, lon > 180.0), (360.0, lon < -180.0)):
-        if keep.any():
-            r = ring[keep].copy()
+    pieces = (
+        (0.0, -180.0, 180.0),     # in-range part
+        (-360.0, 180.0, 540.0),   # east overflow -> shift west
+        (360.0, -540.0, -180.0),  # west overflow -> shift east
+    )
+    for shift, xmin, xmax in pieces:
+        clipped = clip_ring_to_rect(ring, xmin, -BIG, xmax, BIG)
+        if len(clipped) >= 4:
+            r = clipped.copy()
             r[:, 0] += shift
-            if len(r) >= 3:
-                if not np.array_equal(r[0], r[-1]):
-                    r = np.vstack([r, r[:1]])
-                parts.append(r)
+            parts.append(r)
     return parts
 
 

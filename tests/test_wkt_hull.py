@@ -65,6 +65,36 @@ def test_convex_hull_collinear():
     assert abs(ring_area(ring)) == pytest.approx(0.0)
 
 
+def test_wrapdateline_split():
+    from gdal_ray.functions.geom import wrapdateline_ring
+
+    ring = np.array([[170, 0], [190, 0], [190, 10], [170, 10], [170, 0]],
+                    np.float64)
+    parts = wrapdateline_ring(ring)
+    assert len(parts) == 2
+    lons = np.concatenate([p[:, 0] for p in parts])
+    assert lons.max() <= 180.0 and lons.min() >= -180.0
+    # in-range ring passes through untouched
+    ok = np.array([[0, 0], [1, 0], [1, 1], [0, 0]], np.float64)
+    assert len(wrapdateline_ring(ok)) == 1
+
+
+def test_interpolate_lut_reclassify():
+    from gdal_ray.functions.resample import (apply_lut, interpolate_at_point,
+                                             reclassify)
+
+    z = np.arange(16, dtype=np.float64).reshape(4, 4)
+    gt = (100.0, 10.0, 0.0, 200.0, 0.0, -10.0)
+    # world point at the center of pixel (1, 2): x=100+15? px=1.5,py=2.5
+    v, ok = interpolate_at_point(z, gt, [115.0], [175.0], "nearest")
+    assert ok[0] and v[0] == z[2, 1]
+    lut = apply_lut(np.array([0.0, 5.0, 10.0]), [0.0, 10.0], [0.0, 100.0])
+    np.testing.assert_allclose(lut, [0.0, 50.0, 100.0])
+    rc = reclassify(np.array([1.0, 5.0, 9.0]), [0.0, 4.0, 8.0, 12.0],
+                    [10.0, 20.0, 30.0])
+    np.testing.assert_allclose(rc, [10.0, 20.0, 30.0])
+
+
 def test_swq_custom_function():
     from gdal_ray.functions.swq import compile_where, register_function
 
