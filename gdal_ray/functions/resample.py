@@ -110,7 +110,49 @@ def _cast_back(v: np.ndarray, dtype, nodata, valid):
     return out
 
 
-_SAMPLERS = {"nearest": sample_nearest, "bilinear": sample_bilinear, "cubic": sample_cubic}
+def _lanczos_weights(t: np.ndarray) -> np.ndarray:
+    """Windowed sinc, radius 3 (GWKLanczosSinc, alg/gdalwarpkernel.cpp
+    filter table :101-135): w(x) = sinc(x) * sinc(x/3) for |x| < 3."""
+    w = np.empty(t.shape + (6,), np.float64)
+    for k, off in enumerate((-2.0, -1.0, 0.0, 1.0, 2.0, 3.0)):
+        x = t - off
+        w[..., k] = np.where(np.abs(x) < 3.0,
+                             np.sinc(x) * np.sinc(x / 3.0), 0.0)
+    return w
+
+
+def sample_lanczos(src: np.ndarray, px, py, nodata=0):
+    """6x6 Lanczos; taps edge-clamped, weights normalized by their sum
+    (the warp kernel accumulates weight totals the same way)."""
+    src3, squeeze = _prep(src)
+    h, w, nb = src3.shape
+    fx = np.asarray(px, np.float64) - 0.5
+    fy = np.asarray(py, np.float64) - 0.5
+    valid = (np.asarray(px) >= 0) & (np.asarray(px) <= w) & \
+            (np.asarray(py) >= 0) & (np.asarray(py) <= h)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = fx - x0
+    ty = fy - y0
+    wx = _lanczos_weights(tx)
+    wy = _lanczos_weights(ty)
+    acc = np.zeros(fx.shape + (nb,), np.float64)
+    norm = np.zeros(fx.shape, np.float64)
+    for j in range(6):
+        yy = np.clip(y0 + (j - 2), 0, h - 1)
+        roww = wy[..., j]
+        for i in range(6):
+            xx = np.clip(x0 + (i - 2), 0, w - 1)
+            wgt = wx[..., i] * roww
+            acc += src3[yy, xx].astype(np.float64) * wgt[..., None]
+            norm += wgt
+    acc /= np.maximum(norm, 1e-12)[..., None]
+    out = _cast_back(acc, src3.dtype, nodata, valid)
+    return (out[..., 0] if squeeze else out), valid
+
+
+_SAMPLERS = {"nearest": sample_nearest, "bilinear": sample_bilinear,
+             "cubic": sample_cubic, "lanczos": sample_lanczos}
 
 
 def sample(src, px, py, method: str = "nearest", nodata=0):
@@ -125,13 +167,54 @@ def sample(src, px, py, method: str = "nearest", nodata=0):
 def resize(src: np.ndarray, out_h: int, out_w: int, method: str = "nearest"):
     """gdal_translate -outsize semantics: sample the destination pixel
     centers through the scale transform (apps/gdal_translate_lib.cpp
-    -outsize/-tr builds a scaled VRT window)."""
+    -outsize/-tr builds a scaled VRT window). method='average' does
+    box-filtered decimation (GRA_Average footprint semantics)."""
     h = src.shape[0]; w = src.shape[1]
+    if method == "average":
+        return resize_average(src, out_h, out_w)
     px = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w)
     py = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h)
     gx, gy = np.meshgrid(px, py)
     out, _ = sample(src, gx, gy, method)
     return out
+
+
+def resize_average(src: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Average-downsampling: each dst pixel is the area-weighted mean
+    of the source pixels its footprint covers (GRA_Average with
+    XSCALE/YSCALE footprint, alg/gdalwarper.cpp:1134-1160). Exact for
+    arbitrary ratios via prefix sums."""
+    src3, squeeze = _prep(src)
+    h, w, nb = src3.shape
+    # integral image for exact box sums at fractional bounds
+    csum = np.zeros((h + 1, w + 1, nb), np.float64)
+    np.cumsum(np.cumsum(src3.astype(np.float64), axis=0), axis=1,
+              out=csum[1:, 1:])
+
+    def frac_integral(y: np.ndarray, x: np.ndarray) -> np.ndarray:
+        """Bilinear interpolation of the integral image at fractional
+        (y, x) -> exact integral of the piecewise-constant source."""
+        yi = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+        xi = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+        fy = (y - yi)[:, None]
+        fx = (x - xi)[None, :]
+        c00 = csum[yi][:, xi]
+        c01 = csum[yi][:, xi + 1]
+        c10 = csum[yi + 1][:, xi]
+        c11 = csum[yi + 1][:, xi + 1]
+        fy = fy[..., None]
+        fx = fx[..., None]
+        return (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
+                + c10 * fy * (1 - fx) + c11 * fy * fx)
+
+    ys = np.linspace(0.0, h, out_h + 1)
+    xs = np.linspace(0.0, w, out_w + 1)
+    big = frac_integral(ys, xs)
+    sums = big[1:, 1:] - big[:-1, 1:] - big[1:, :-1] + big[:-1, :-1]
+    area = (h / out_h) * (w / out_w)
+    out = _cast_back(sums / area, src3.dtype, 0,
+                     np.ones((out_h, out_w), bool))
+    return out[..., 0] if squeeze else out
 
 
 def interpolate_at_point(src: np.ndarray, gt, x, y, method: str = "bilinear"):
