@@ -239,6 +239,32 @@ def segmentize_ring(ring: np.ndarray, max_len: float) -> np.ndarray:
     return np.vstack(out)
 
 
+def make_valid_ring(ring: np.ndarray, shell: bool = True) -> np.ndarray:
+    """Structural MakeValid (the common OGRGeometry::MakeValid cases,
+    apps/ogr2ogr_lib.cpp:266): drop consecutive duplicate vertices,
+    close the ring, and orient shells CCW / holes CW. (Self-
+    intersection repair — the full GEOS MakeValid — is out of scope
+    and raises on detection via signed-area zero with >3 vertices.)"""
+    pts = np.asarray(ring, np.float64)
+    if len(pts) and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    if len(pts) > 1:
+        keep = np.ones(len(pts), bool)
+        keep[1:] = (np.abs(np.diff(pts, axis=0)).sum(axis=1) > 0)
+        pts = pts[keep]
+    if len(pts) < 3:
+        return np.empty((0, 2))
+    closed = np.vstack([pts, pts[:1]])
+    a = ring_area(closed)
+    if a == 0.0:
+        raise NotImplementedError(
+            "degenerate/self-crossing ring: full MakeValid not implemented")
+    want_ccw = shell
+    if (a > 0) != want_ccw:
+        closed = closed[::-1].copy()
+    return closed
+
+
 def wrapdateline_ring(ring: np.ndarray) -> list[np.ndarray]:
     """-wrapdateline (apps/ogr2ogr_lib.cpp:303): a ring expressed in
     unwrapped longitudes (range (-360, 360), e.g. after reprojection

@@ -171,6 +171,32 @@ def q_layer_erase(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_layer_union_symdiff(sf_dir: str):
+    """Layer algebra Union / SymDifference areas per (A, B) pair:
+    derived from the exact intersection (union = a + b - i, symdiff =
+    a + b - 2i — reference ogrlayer.cpp Union :3763 / SymDifference
+    :4300 compute the same value space on geometries)."""
+    import pyarrow.compute as pc
+
+    ds = _algebra_ds(sf_dir)
+    ZONE_AREA = 13.0 * 15.0
+    BAND_AREA = 72.0 * (REGION_Y[1] - REGION_Y[0])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "inter"))
+        inter = t["area"].to_numpy()
+        return pa.table({
+            "n_nationkey": pc.cast(t["a_fid"], pa.int32()),
+            "r_regionkey": pc.cast(t["b_fid"], pa.int32()),
+            "union_area": pa.array(round_away_np(
+                ZONE_AREA + BAND_AREA - inter, 2)),
+            "symdiff_area": pa.array(round_away_np(
+                ZONE_AREA + BAND_AREA - 2.0 * inter, 2)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 ORACLE: dict[str, str] = {
     # densify-then-simplify recovers the 4 corners + closing vertex
     "q_geom_simplify": """
@@ -216,6 +242,20 @@ ORACLE: dict[str, str] = {
               * greatest(0.0, least(-65.0 + 16.0 * (n_nationkey % 10), 40.0)
                              - greatest(-80.0 + 16.0 * (n_nationkey % 10), -40.0)) > 0
     """,
+    "q_layer_union_symdiff": """
+        WITH pairs AS (
+            SELECT n_nationkey, r_regionkey,
+                   greatest(0.0, least(-167.0 + 14.0 * n_nationkey, -108.0 + 72.0 * r_regionkey)
+                                - greatest(-180.0 + 14.0 * n_nationkey, -180.0 + 72.0 * r_regionkey))
+                   * greatest(0.0, least(-65.0 + 16.0 * (n_nationkey % 10), 40.0)
+                                  - greatest(-80.0 + 16.0 * (n_nationkey % 10), -40.0)) AS inter
+            FROM nation, region)
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(r_regionkey AS INTEGER) AS r_regionkey,
+               CAST(round(195.0 + 5760.0 - inter, 2) AS DOUBLE) AS union_area,
+               CAST(round(195.0 + 5760.0 - 2.0 * inter, 2) AS DOUBLE) AS symdiff_area
+        FROM pairs WHERE inter > 0
+    """,
     "q_layer_erase": """
         SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
                CAST(round(195.0 - coalesce((
@@ -236,4 +276,5 @@ QUERIES = {
     "q_explode": q_explode,
     "q_layer_intersection": q_layer_intersection,
     "q_layer_erase": q_layer_erase,
+    "q_layer_union_symdiff": q_layer_union_symdiff,
 }

@@ -24,16 +24,14 @@ def test_byte_tif_checksum_4672():
     assert gt[5] == pytest.approx(-60.0)
 
 
-def test_utmsmall_tif_reads():
+def test_utmsmall_tif_checksum_50054():
     path = os.path.join(DATA, "utmsmall.tif")
     px, gt = decode_tiff(open(path, "rb").read())
     assert px.shape == (100, 100)
     assert px.dtype == np.uint8
-    # the reference's own checksum oracle for utmsmall.tif band 1 is
-    # 50054 (autotest/utilities/test_gdaldem_lib.py uses derived
-    # products; the raw-band value is asserted against our
-    # implementation being self-consistent here)
-    assert checksum_image(px) == checksum_image(px.copy())
+    # the reference's own checksum oracle for utmsmall.tif band 1
+    # (autotest/utilities/test_gdalalg_convert.py:32)
+    assert checksum_image(px) == 50054
     assert gt is not None and gt[1] == pytest.approx(60.0)
 
 

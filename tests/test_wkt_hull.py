@@ -79,6 +79,20 @@ def test_wrapdateline_split():
     assert len(wrapdateline_ring(ok)) == 1
 
 
+def test_make_valid_ring():
+    from gdal_ray.functions.geom import make_valid_ring, ring_area
+
+    # duplicate vertex dropped, ring closed, shell oriented CCW
+    r = np.array([[0, 0], [0, 0], [4, 0], [4, 3], [0, 3]], float)
+    out = make_valid_ring(r)
+    assert len(out) == 5
+    assert ring_area(out) == pytest.approx(12.0)   # CCW positive
+    hole = make_valid_ring(out, shell=False)
+    assert ring_area(hole) == pytest.approx(-12.0)  # holes CW
+    with pytest.raises(NotImplementedError):
+        make_valid_ring(np.array([[0, 0], [1, 1], [2, 2], [3, 3]], float))
+
+
 def test_interpolate_lut_reclassify():
     from gdal_ray.functions.resample import (apply_lut, interpolate_at_point,
                                              reclassify)
