@@ -43,7 +43,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out["q_audio_features"] = audio_features_query
     out["q_video_frames"] = video_frames_query
+    out["q_multidim"] = _q_multidim
     return out
+
+
+def _q_multidim(sf_dir: str):
+    """GDALMDArray bridge: lazy (slice+unscale) view of the synthetic
+    (time,y,x) field -> classic tile Dataset -> per-tile mean partials
+    (rows-only; view semantics golden-tested)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.sources.multidim import synthetic_mdarray
+
+    arr = synthetic_mdarray()
+    ds = arr.slice_view("time", 0, 2).unscaled().as_classic_dataset("x", "y", tile=128)
+
+    def f(t: pa.Table) -> pa.Table:
+        sums, ns = [], []
+        for r in t.to_pylist():
+            block = np.frombuffer(r["pixels"], np.float64)
+            sums.append(float(block.sum()))
+            ns.append(block.size)
+        return pa.table({"ty": t["ty"], "tx": t["tx"],
+                         "mean": pa.array(np.round(np.array(sums) / np.array(ns), 6))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def oracle_sql() -> dict[str, str]:

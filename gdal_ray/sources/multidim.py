@@ -1,0 +1,156 @@
+"""Multidimensional arrays with lazy views (the GDALGroup/GDALMDArray
+model, reference gcore/gdal_priv.h:3700,4246: GetView :4401, Transpose
+:4427, GetUnscaled :4429, AsClassicDataset :4455).
+
+An ``MDArray`` is a named N-d array defined by a *chunk provider*
+``fn(origin, shape) -> np.ndarray`` — data is produced (or read) one
+chunk at a time, never materialized whole. Views (slice, transpose,
+unscale) compose by rewriting the requested window before delegating
+to the parent — exactly GDAL's lazy-view semantics. ``
+as_classic_dataset`` exposes a 2-D (+bands) view as a Ray Dataset of
+tile rows, chunked on a grid — the bridge from the netCDF/Zarr model
+into the tiling engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass
+class MDArray:
+    name: str
+    dims: tuple[str, ...]
+    shape: tuple[int, ...]
+    provider: Callable  # fn(origin: tuple[int,...], shape: tuple[int,...]) -> ndarray
+    attrs: dict = field(default_factory=dict)
+
+    def read(self, origin: Sequence[int] | None = None,
+             shape: Sequence[int] | None = None) -> np.ndarray:
+        origin = tuple(origin or [0] * len(self.shape))
+        shape = tuple(shape or self.shape)
+        if len(origin) != len(self.shape) or len(shape) != len(self.shape):
+            raise ValueError("rank mismatch")
+        for o, s, n in zip(origin, shape, self.shape):
+            if o < 0 or o + s > n:
+                raise IndexError((origin, shape, self.shape))
+        out = self.provider(origin, shape)
+        if tuple(out.shape) != shape:
+            raise RuntimeError(f"provider returned {out.shape}, want {shape}")
+        return out
+
+    # ------------------------------------------------------------ lazy views
+    def slice_view(self, dim: str, start: int, stop: int) -> "MDArray":
+        """GetView('[start:stop]') along one named dimension."""
+        d = self.dims.index(dim)
+        new_shape = tuple(stop - start if i == d else n
+                          for i, n in enumerate(self.shape))
+
+        def prov(origin, shape):
+            o = tuple(v + start if i == d else v for i, v in enumerate(origin))
+            return self.read(o, shape)
+
+        return MDArray(f"{self.name}[{dim}:{start}:{stop}]", self.dims,
+                       new_shape, prov, dict(self.attrs))
+
+    def transpose(self, order: Sequence[int]) -> "MDArray":
+        order = tuple(order)
+        new_dims = tuple(self.dims[i] for i in order)
+        new_shape = tuple(self.shape[i] for i in order)
+        inv = tuple(order.index(i) for i in range(len(order)))
+
+        def prov(origin, shape):
+            o = tuple(origin[inv[i]] for i in range(len(order)))
+            s = tuple(shape[inv[i]] for i in range(len(order)))
+            return self.read(o, s).transpose(order)
+
+        return MDArray(f"{self.name}.T{order}", new_dims, new_shape, prov,
+                       dict(self.attrs))
+
+    def unscaled(self, scale: float | None = None,
+                 offset: float | None = None) -> "MDArray":
+        """GetUnscaled: value * scale + offset (defaults from attrs)."""
+        sc = self.attrs.get("scale", 1.0) if scale is None else scale
+        of = self.attrs.get("offset", 0.0) if offset is None else offset
+
+        def prov(origin, shape):
+            return self.read(origin, shape).astype(np.float64) * sc + of
+
+        return MDArray(f"{self.name}.unscaled", self.dims, self.shape, prov,
+                       {k: v for k, v in self.attrs.items()
+                        if k not in ("scale", "offset")})
+
+    # --------------------------------------------------------- classic bridge
+    def as_classic_dataset(self, x_dim: str, y_dim: str,
+                           tile: int = 256):
+        """2-D (+ leading band dims collapsed) view -> Ray Dataset of
+        tile rows (ty, tx, h, w, bands, pixels:binary float64) chunked
+        on a tile grid (AsClassicDataset semantics)."""
+        import ray.data
+
+        dx = self.dims.index(x_dim)
+        dy = self.dims.index(y_dim)
+        other = [i for i in range(len(self.dims)) if i not in (dx, dy)]
+        if any(self.shape[i] > 8 for i in other):
+            raise NotImplementedError("too many bands for classic view")
+        h, w = self.shape[dy], self.shape[dx]
+        tiles = [(ty, tx) for ty in range(0, h, tile) for tx in range(0, w, tile)]
+        src = self
+
+        def gen(batch) -> pa.Table:
+            rows = {"ty": [], "tx": [], "h": [], "w": [], "bands": [],
+                    "pixels": []}
+            for i in batch["id"]:
+                ty, tx = tiles[int(i)]
+                th = min(tile, h - ty)
+                tw = min(tile, w - tx)
+                origin = [0] * len(src.shape)
+                shape = list(src.shape)
+                origin[dy], shape[dy] = ty, th
+                origin[dx], shape[dx] = tx, tw
+                block = src.read(origin, shape)
+                # move y,x last, flatten leading band dims
+                perm = other + [dy, dx]
+                block = block.transpose(perm).reshape(-1, th, tw)
+                rows["ty"].append(ty)
+                rows["tx"].append(tx)
+                rows["h"].append(th)
+                rows["w"].append(tw)
+                rows["bands"].append(block.shape[0])
+                rows["pixels"].append(
+                    np.ascontiguousarray(block, np.float64).tobytes())
+            return pa.table({
+                "ty": pa.array(rows["ty"], pa.int32()),
+                "tx": pa.array(rows["tx"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "bands": pa.array(rows["bands"], pa.int32()),
+                "pixels": pa.array(rows["pixels"], pa.binary()),
+            })
+
+        ds = ray.data.range(len(tiles),
+                            override_num_blocks=max(1, len(tiles) // 4))
+        return ds.map_batches(gen, batch_format="numpy")
+
+
+def synthetic_mdarray(name: str = "temp", t: int = 6, y: int = 300,
+                      x: int = 400, seed: int = 77) -> MDArray:
+    """Deterministic (time, y, x) field with scale/offset attrs — the
+    netCDF-flavored test fixture (chunk provider evaluates the field
+    analytically, so any window is exact)."""
+    def prov(origin, shape):
+        ot, oy, ox = origin
+        st, sy, sx = shape
+        tt, yy, xx = np.meshgrid(np.arange(ot, ot + st),
+                                 np.arange(oy, oy + sy),
+                                 np.arange(ox, ox + sx), indexing="ij")
+        base = (np.sin(xx / 37.0) * np.cos(yy / 23.0) * 100.0
+                + tt * 10.0 + (xx * 31 + yy * 17 + tt * 7 + seed) % 13)
+        return base
+
+    return MDArray(name, ("time", "y", "x"), (t, y, x), prov,
+                   {"scale": 0.5, "offset": -20.0, "units": "K"})
