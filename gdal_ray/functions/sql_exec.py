@@ -1,0 +1,176 @@
+"""ExecuteSQL analog: a mini OGR-SQL SELECT planner over Ray Data.
+
+The reference parses SELECT with bison into an swq_select plan and
+walks it per feature (reference ogr/swq_select.cpp, executor
+ogr/ogrsf_frmts/generic/ogr_gensql.cpp). Here the same dialect subset
+compiles onto Dataset operators:
+
+    SELECT <expr [AS name]>[, ...] FROM <table>
+        [WHERE <swq expr>] [GROUP BY col[, ...]]
+        [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
+
+- scalar expressions reuse the swq compiler (functions/swq.py);
+- aggregates COUNT(*)/COUNT/SUM/MIN/MAX/AVG compile to the combiner
+  partial-aggregation pattern (pipelines/common.partial_groupby_agg);
+- WHERE runs inside map_batches; ORDER BY+LIMIT uses the distributed
+  top-k; ORDER BY alone sorts the (bounded) result driver-side.
+
+``execute(sql, sf_dir)`` returns a pyarrow Table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .swq import _Parser, _eval, _tokenize
+
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+
+_CLAUSE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    re.I | re.S)
+
+
+def _split_select(s: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+    out.append(s[start:].strip())
+    return out
+
+
+def _parse_item(item: str):
+    m = re.match(r"^(.*?)\s+AS\s+(\w+)$", item, re.I | re.S)
+    expr_s, alias = (m.group(1), m.group(2)) if m else (item, None)
+    if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", expr_s, re.I):
+        return ("agg", "COUNT_ALL", None, alias or "count_star")
+    am = re.fullmatch(r"(COUNT|SUM|MIN|MAX|AVG)\s*\((.*)\)", expr_s.strip(),
+                     re.I | re.S)
+    if am:
+        inner = _Parser(_tokenize(am.group(2))).parse()
+        return ("agg", am.group(1).upper(), inner,
+                alias or f"{am.group(1).lower()}_expr")
+    ast = _Parser(_tokenize(expr_s)).parse()
+    name = alias or (ast[1] if ast[0] == "col" else "expr")
+    return ("scalar", None, ast, name)
+
+
+def execute(sql: str, sf_dir: str):
+    """Run a SELECT over one of the registered tables; returns
+    pyarrow.Table."""
+    from ..pipelines.common import partial_groupby_agg, read_table, topk
+
+    m = _CLAUSE.match(sql)
+    if not m:
+        raise ValueError("unsupported SQL shape")
+    items = [_parse_item(s) for s in _split_select(m.group("select"))]
+    table = m.group("table")
+    where = m.group("where")
+    group = [c.strip() for c in m.group("group").split(",")] if m.group("group") else []
+    order = []
+    if m.group("order"):
+        for part in m.group("order").split(","):
+            toks = part.split()
+            order.append((toks[0],
+                          len(toks) > 1 and toks[1].upper() == "DESC"))
+    limit = int(m.group("limit")) if m.group("limit") else None
+
+    ds = read_table(sf_dir, table)
+    if where:
+        from .swq import compile_where
+
+        wf = compile_where(where)
+        ds = ds.map_batches(lambda t: t.filter(wf(t)), batch_format="pyarrow")
+
+    has_agg = any(k == "agg" for k, *_ in items)
+    if has_agg:
+        # compute aggregate argument columns + group keys per batch
+        scalar_cols = [(i, it) for i, it in enumerate(items) if it[0] == "scalar"]
+        for i, it in scalar_cols:
+            if it[3] not in group:
+                raise ValueError(f"non-aggregated column {it[3]!r} not in GROUP BY")
+
+        def prep(t: pa.Table) -> pa.Table:
+            cols = {g: t[g] for g in group}
+            for i, (kind, fn, ast, name) in enumerate(items):
+                if kind != "agg":
+                    continue
+                if fn == "COUNT_ALL":
+                    cols[f"__a{i}"] = pa.array(np.ones(t.num_rows, np.int64))
+                else:
+                    v = _eval(ast, t)
+                    if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                        v = pa.array([v] * t.num_rows)
+                    cols[f"__a{i}"] = v
+            if not group:
+                cols["__g__"] = pa.array(np.zeros(t.num_rows, np.int8))
+            return pa.table(cols)
+
+        keys = group or ["__g__"]
+        specs = []
+        for i, (kind, fn, ast, name) in enumerate(items):
+            if kind != "agg":
+                continue
+            if fn in ("COUNT_ALL", "COUNT"):
+                specs.append((f"__a{i}", f"__a{i}",
+                              "count_all" if fn == "COUNT_ALL" else "count"))
+            elif fn == "AVG":
+                specs.append((f"__a{i}_s", f"__a{i}", "sum"))
+                specs.append((f"__a{i}_n", f"__a{i}", "count"))
+            else:
+                specs.append((f"__a{i}", f"__a{i}", fn.lower()))
+        part = partial_groupby_agg(
+            ds.map_batches(prep, batch_format="pyarrow"), keys, specs)
+        out_cols = {}
+        for kind, fn, ast, name in items:
+            if kind == "scalar":
+                out_cols[name] = part[name]
+        for i, (kind, fn, ast, name) in enumerate(items):
+            if kind != "agg":
+                continue
+            if fn == "AVG":
+                out_cols[name] = pc.divide(
+                    pc.cast(part[f"__a{i}_s"], pa.float64()),
+                    pc.cast(part[f"__a{i}_n"], pa.float64()))
+            else:
+                out_cols[name] = part[f"__a{i}"]
+        result = pa.table(out_cols)
+    else:
+        def project(t: pa.Table) -> pa.Table:
+            cols = {}
+            for kind, fn, ast, name in items:
+                v = _eval(ast, t)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    v = pa.array([v] * t.num_rows)
+                cols[name] = v
+            return pa.table(cols)
+
+        proj = ds.map_batches(project, batch_format="pyarrow")
+        if order and limit is not None and len(order) == 1:
+            return topk(proj, order[0][0], limit, descending=order[0][1])
+        tabs = list(proj.iter_batches(batch_size=None, batch_format="pyarrow"))
+        result = pa.concat_tables(tabs, promote_options="default") if tabs \
+            else pa.table({})
+
+    if order and result.num_rows:
+        idx = pc.sort_indices(
+            result, sort_keys=[(c, "descending" if d else "ascending")
+                               for c, d in order])
+        result = result.take(idx)
+    if limit is not None:
+        result = result.slice(0, limit)
+    return result
