@@ -30,20 +30,46 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so that operators without a green CORRECTNESS_r01 row
+    come FIRST: the round-1 driver recorded only the first 50 keys, so
+    never-yet-verified pipelines (raster, vector_ops, multimodal, the
+    rows-only sketches) lead, and the 42 round-1-green queries fill the
+    tail. scripts/check_correctness.py mirrors the full set."""
     from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed, vector_ops
-
-    out: dict[str, Callable[[str], Any]] = {}
-    out.update(relational.QUERIES)
-    out.update(spatial_sql.QUERIES)
-    out.update(text_embed.QUERIES)
-    out.update(raster.QUERIES)
-    out.update(vector_ops.QUERIES)
-
     from gdal_ray.stages.multimodal import audio_features_query, video_frames_query
 
-    out["q_audio_features"] = audio_features_query
-    out["q_video_frames"] = video_frames_query
-    out["q_multidim"] = _q_multidim
+    merged: dict[str, Callable[[str], Any]] = {}
+    merged.update(relational.QUERIES)
+    merged.update(spatial_sql.QUERIES)
+    merged.update(text_embed.QUERIES)
+    merged.update(raster.QUERIES)
+    merged.update(vector_ops.QUERIES)
+    merged["q_audio_features"] = audio_features_query
+    merged["q_video_frames"] = video_frames_query
+    merged["q_multidim"] = _q_multidim
+
+    # round-1 driver-verified (hash-green) keys — deprioritized
+    r1_green = {
+        "q_filter_select", "q_cast_math", "q_string_funcs", "q_in_between",
+        "q_case_when", "q_swq_filter", "q_agg_global", "q_groupby_agg",
+        "q_stddev", "q_count_distinct", "q_having", "q_date_extract",
+        "q_sql_execute", "q_quantiles", "q_distinct", "q_orderby_limit",
+        "q_sort_multikey", "q_join_broadcast", "q_join_hash_large",
+        "q_semi_join", "q_anti_join", "q_union_all", "q_tile_assign",
+        "q_tile_counts", "q_pip_join", "q_zonal_stats", "q_knn",
+        "q_knn_partitioned", "q_histogram", "q_rasterize_points",
+        "q_token_count", "q_doc_stats", "q_exact_dedup", "q_doc_quality",
+        "q_events_json", "q_window_tumbling", "q_window_hopping",
+        "q_sessionize", "q_ann_topk", "q_embed_neardup",
+        "q_embed_label_stats", "q_grid_idw",
+    }
+    out: dict[str, Callable[[str], Any]] = {}
+    for k in merged:
+        if k not in r1_green:
+            out[k] = merged[k]
+    for k in merged:
+        if k in r1_green:
+            out[k] = merged[k]
     return out
 
 

@@ -89,6 +89,14 @@ def execute(sql: str, sf_dir: str):
                           len(toks) > 1 and toks[1].upper() == "DESC"))
     limit = int(m.group("limit")) if m.group("limit") else None
 
+    # ORDER BY runs over the projected output; validate up front so a
+    # non-selected column fails with a clear message, not a KeyError
+    out_names = [it[3] for it in items]
+    for c, _ in order:
+        if c not in out_names:
+            raise ValueError(
+                f"unsupported: ORDER BY column {c!r} not in the SELECT list")
+
     ds = read_table(sf_dir, table)
     if where:
         from .swq import compile_where

@@ -264,9 +264,25 @@ def _eval(node, t: pa.Table):
             raise ValueError("swq: LIKE pattern must be a literal")
         kw = {"ignore_case": icase}
         if esc is not None:
-            # translate ESCAPE char to pyarrow's backslash convention
+            # translate ESCAPE char to pyarrow's backslash convention,
+            # char by char: the escape char makes the NEXT char literal
+            # (incl. a doubled escape char meaning the char itself)
             e = _eval(esc, t)
-            pattern = pattern.replace("\\", "\\\\").replace(e, "\\")
+            out = []
+            i = 0
+            while i < len(pattern):
+                c = pattern[i]
+                if c == e and i + 1 < len(pattern):
+                    nxt = pattern[i + 1]
+                    out.append("\\" + nxt if nxt in "%_\\" else nxt)
+                    i += 2
+                elif c == "\\":
+                    out.append("\\\\")
+                    i += 1
+                else:
+                    out.append(c)
+                    i += 1
+            pattern = "".join(out)
         return pc.match_like(_eval(lhs, t), pattern, **kw)
     if kind == "in":
         vals = [_eval(x, t) for x in node[2]]
@@ -277,8 +293,10 @@ def _eval(node, t: pa.Table):
         return pc.if_else(pc.is_null(v), pa.scalar(None, pa.bool_()), hit)
     if kind == "between":
         v = _eval(node[1], t)
-        return pc.and_(pc.greater_equal(v, _eval(node[2], t)),
-                       pc.less_equal(v, _eval(node[3], t)))
+        # and_kleene: NULL BETWEEN follows SQL three-valued logic like
+        # the AND/OR operators above
+        return pc.and_kleene(pc.greater_equal(v, _eval(node[2], t)),
+                             pc.less_equal(v, _eval(node[3], t)))
     if kind == "isnull":
         return pc.is_null(_eval(node[1], t))
     if kind == "arith":

@@ -163,7 +163,14 @@ class ComposePartition:
                         resampling=self.resampling, tile_size=self.tile_size):
                     # keep only tiles owned by this leaf
                     if fr["z"] < pz:
-                        continue
+                        # a fragment coarser than the leaf zoom has no
+                        # owning leaf; silently dropping it would break
+                        # bit-identity with the fragment-shuffle path
+                        raise ValueError(
+                            f"image {ids[i]} warps at z{fr['z']}, coarser than "
+                            f"the leaf zoom z{pz}: the partitioned path needs "
+                            "auto zoom >= base_zoom — lower base_zoom or use "
+                            "the fragment-shuffle path (tiling.compose_tiles)")
                     if (fr["tx"] >> (fr["z"] - pz)) != ptx or \
                        (fr["ty"] >> (fr["z"] - pz)) != pty:
                         continue

@@ -1,8 +1,8 @@
 """Per-stage throughput/row-count metrics (north-rule requirement:
 "throughput/row-count metrics emitted per stage") and lineage helpers.
 
-A tiny named Ray actor accumulates (stage -> rows, bytes, batches,
-udf_sec) counters; ``instrument(ds, stage)`` wraps a Dataset with a
+A tiny named Ray actor accumulates (stage -> rows, bytes, batches)
+counters; ``instrument(ds, stage)`` wraps a Dataset with a
 zero-copy pass-through ``map_batches`` that reports each batch. The
 actor is the only shared mutable state in the engine (the Dataset API
 can't express cross-task counters), which is exactly the carve-out the
@@ -17,8 +17,6 @@ The durable lineage complement lives in stages/tiling.write_tiles
 
 from __future__ import annotations
 
-import time
-
 import pyarrow as pa
 
 _ACTOR_NAME = "gdal_ray_stage_metrics"
@@ -32,13 +30,12 @@ def _get_collector():
         def __init__(self):
             self._m: dict[str, dict] = {}
 
-        def add(self, stage: str, rows: int, nbytes: int, sec: float) -> None:
+        def add(self, stage: str, rows: int, nbytes: int) -> None:
             e = self._m.setdefault(
-                stage, {"rows": 0, "bytes": 0, "batches": 0, "udf_sec": 0.0})
+                stage, {"rows": 0, "bytes": 0, "batches": 0})
             e["rows"] += rows
             e["bytes"] += nbytes
             e["batches"] += 1
-            e["udf_sec"] += sec
 
         def snapshot(self) -> dict:
             return {k: dict(v) for k, v in self._m.items()}
@@ -46,8 +43,10 @@ def _get_collector():
         def reset(self) -> None:
             self._m.clear()
 
+    # session-scoped (not detached): counters die with the job, so a
+    # snapshot never mixes a prior run's numbers
     return StageMetricsActor.options(
-        name=_ACTOR_NAME, get_if_exists=True, lifetime="detached").remote()
+        name=_ACTOR_NAME, get_if_exists=True).remote()
 
 
 def instrument(ds, stage: str):
@@ -55,8 +54,7 @@ def instrument(ds, stage: str):
     collector = _get_collector()
 
     def tap(t: pa.Table) -> pa.Table:
-        t0 = time.time()
-        collector.add.remote(stage, t.num_rows, t.nbytes, time.time() - t0)
+        collector.add.remote(stage, t.num_rows, t.nbytes)
         return t
 
     return ds.map_batches(tap, batch_format="pyarrow", zero_copy_batch=True)

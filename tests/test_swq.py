@@ -94,3 +94,27 @@ def test_filter_where_dataset(ray_session):
     rows = sorted(r["x"] for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
                   for r in b.to_pylist())
     assert rows == [20, 30, 40, 50, 60, 70, 80]
+
+
+def test_like_escape_doubled_and_backslash():
+    t = pa.table({"s": pa.array(["a!b", "a!!b", "ab", "a\\b", "axb"])})
+    # doubled escape char = literal '!'
+    fn = compile_where("s LIKE 'a!!b' ESCAPE '!'")
+    assert t.filter(fn(t))["s"].to_pylist() == ["a!b"]
+    # escaped wildcard = literal '_'
+    t2 = pa.table({"s": pa.array(["a_b", "axb"])})
+    fn2 = compile_where("s LIKE 'a!_b' ESCAPE '!'")
+    assert t2.filter(fn2(t2))["s"].to_pylist() == ["a_b"]
+    # literal backslash in pattern with a different escape char
+    fn3 = compile_where("s LIKE 'a\\b' ESCAPE '!'")
+    assert t.filter(fn3(t))["s"].to_pylist() == ["a\\b"]
+
+
+def test_between_null_three_valued():
+    t = pa.table({"x": pa.array([1, None, 5, 10], pa.int64())})
+    fn = compile_where("x BETWEEN 2 AND 8")
+    # NULL BETWEEN -> NULL -> row filtered out (not an error)
+    assert t.filter(fn(t))["x"].to_pylist() == [5]
+    fn2 = compile_where("NOT (x BETWEEN 2 AND 8)")
+    # NOT NULL -> NULL -> excluded as well (SQL three-valued logic)
+    assert t.filter(fn2(t))["x"].to_pylist() == [1, 10]
