@@ -311,20 +311,26 @@ def q_orderby_limit(sf_dir: str):
 
 
 def q_sort_multikey(sf_dir: str):
-    """Multi-key ORDER BY over a filtered subset (bounded result —
-    sorts driver-side after a distributed filter)."""
+    """Multi-key ORDER BY: distributed filter, then the native
+    range-partitioned sort (sample -> boundaries -> shuffle ->
+    per-partition sort) — `Dataset.sort`, the engine's ORDER BY for
+    unbounded keys. The reference materializes the whole FID array in
+    one process (ogr_gensql.cpp:1862); this streams."""
     ds = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     flt = ds.map_batches(
         lambda t: t.filter(pc.greater(t["c_acctbal"], 9000.0)), batch_format="pyarrow"
     )
-    merged = pa.concat_tables(
-        list(flt.iter_batches(batch_size=None, batch_format="pyarrow")),
-        promote_options="default",
-    )
-    idx = pc.sort_indices(merged, sort_keys=[("c_nationkey", "ascending"),
-                                             ("c_acctbal", "descending"),
-                                             ("c_custkey", "ascending")])
-    return merged.take(idx)
+    return flt.sort(["c_nationkey", "c_acctbal", "c_custkey"],
+                    descending=[False, True, False])
+
+
+def q_orderby_full(sf_dir: str):
+    """Unbounded global ORDER BY over the full orders table — the
+    range-partitioned distributed sort with no driver materialization
+    (each output block is a sorted key range; block order is the total
+    order)."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
 
 
 # --------------------------------------------------------------- joins / set ops
@@ -383,29 +389,36 @@ def q_join_hash_large(sf_dir: str):
 
 
 def q_semi_join(sf_dir: str):
-    """Semi join: broadcast the key set, filter inside map_batches."""
-    cust = arrow_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    keys = pa.array(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_numpy()
-    )
-    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["o_custkey"], value_set=keys)),
-        batch_format="pyarrow",
-    )
+    """Semi join (EXISTS): hash-shuffle left_semi — both sides stream
+    through the partitioned exchange; neither table is read on the
+    driver (the fact-vs-fact form; broadcast key sets are only for
+    dimension-sized sides)."""
+    from ..stages.joins import semi_anti_join
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                       .select(["c_custkey"]),
+            batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return semi_anti_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
 
 
 def q_anti_join(sf_dir: str):
-    """Anti join (NOT EXISTS): broadcast key set, inverted filter —
-    customers with no order above 300k."""
-    orders = arrow_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    big = orders.filter(pc.greater(orders["o_totalprice"], 300000.0))
-    keys = pa.array(np.unique(big["o_custkey"].to_numpy()))
-    ds = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys))),
-        batch_format="pyarrow",
-    )
+    """Anti join (NOT EXISTS): customers with no order above 300k.
+    The >300k keys come from the orders FACT table, so the key side is
+    filtered inside map_batches and hash-shuffled (left_anti) — never
+    collected on the driver."""
+    from ..stages.joins import semi_anti_join
+
+    big = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    return semi_anti_join(cust, big, left_on="c_custkey", right_on="o_custkey",
+                          anti=True)
 
 
 def q_union_all(sf_dir: str):
@@ -515,6 +528,10 @@ ORACLE: dict[str, str] = {
         SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         WHERE c_acctbal > 9000.0
         ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+    """,
+    "q_orderby_full": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
     """,
     "q_join_broadcast": """
         SELECT c_custkey, n_name AS nation, r_name AS region, c_acctbal

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.crs import MAX_MERC_LAT
 from ..functions.geom import PackedPolygonIndex
@@ -276,14 +277,12 @@ def q_knn_partitioned(sf_dir: str):
         tx, ty = lonlat_to_tile(t["lon"].to_numpy(), t["lat"].to_numpy(), Z)
         return t.append_column("cell", pa.array(ty * (1 << Z) + tx))
 
-    keyed = cells_ds.map_batches(add_cell, batch_format="pyarrow")
+    # shuffle-keyed ONCE; every ring iteration below filters this
+    # materialized dataset to the new shell cells only — points are
+    # never re-keyed or re-shuffled
+    keyed = cells_ds.map_batches(add_cell, batch_format="pyarrow").materialize()
 
-    for ring in range(1, (1 << Z) + 1):
-        cand: dict[int, list[int]] = {}
-        for i in range(len(rk)):
-            for (cx, cy) in tile_neighbors(int(qtx[i]), int(qty[i]), Z, ring):
-                cand.setdefault(cy * (1 << Z) + cx, []).append(i)
-
+    def make_cell_topk(cand: dict[int, list[int]]):
         def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
             cell = int(g["cell"].iloc[0])
             queries = cand.get(cell, [])
@@ -306,20 +305,44 @@ def q_knn_partitioned(sf_dir: str):
                 rows["d2"].extend(d2[part].tolist())
             return pd.DataFrame(rows)
 
-        df = keyed.groupby("cell").map_groups(
-            cell_topk, batch_format="pandas").to_pandas()
-        ok = True
-        for i in range(len(rk)):
-            g = df[df["qi"] == i].sort_values(["d2", "event_id"]).head(K)
+        return cell_topk
+
+    n_cells = 1 << Z
+    unsat = list(range(len(rk)))
+    seen_cells: dict[int, set[int]] = {i: set() for i in range(len(rk))}
+    acc = pd.DataFrame({"qi": pd.Series([], dtype="int64"),
+                        "event_id": pd.Series([], dtype="int64"),
+                        "d2": pd.Series([], dtype="float64")})
+    for ring in range(1, (1 << Z) + 1):
+        # only UNSATISFIED queries contribute cells, and only their new
+        # shell (ring r minus already-scanned cells)
+        cand: dict[int, list[int]] = {}
+        for i in unsat:
+            for (cx, cy) in tile_neighbors(int(qtx[i]), int(qty[i]), Z, ring):
+                c = cy * n_cells + cx
+                if c not in seen_cells[i]:
+                    seen_cells[i].add(c)
+                    cand.setdefault(c, []).append(i)
+        if cand:
+            wanted = pa.array(np.array(sorted(cand), np.int64))
+            sub = keyed.map_batches(
+                lambda t, w=wanted: t.filter(pc.is_in(t["cell"], value_set=w)),
+                batch_format="pyarrow")
+            df_new = sub.groupby("cell").map_groups(
+                make_cell_topk(cand), batch_format="pandas").to_pandas()
+            acc = pd.concat([acc, df_new], ignore_index=True)
+        still = []
+        for i in unsat:
+            g = acc[acc["qi"] == i].sort_values(["d2", "event_id"]).head(K)
             if len(g) < K or np.sqrt(g["d2"].max()) > _ring_margin(
                     float(qx[i]), float(qy[i]), int(qtx[i]), int(qty[i]), Z, ring):
-                ok = False
-                break
-        if ok:
+                still.append(i)
+        unsat = still
+        if not unsat:
             break
 
     out = {"r_regionkey": [], "event_id": [], "knn_rank": []}
-    for i, g in df.groupby("qi"):
+    for i, g in acc.groupby("qi"):
         g = g.sort_values(["d2", "event_id"]).head(K)
         out["r_regionkey"].extend([int(rk[i])] * len(g))
         out["event_id"].extend(g["event_id"].astype(int).tolist())

@@ -275,38 +275,47 @@ def q_minhash_lsh(sf_dir: str):
 
     import pandas as pd
 
+    MAX_BUCKET = 256  # cap: a boilerplate megabucket would go O(k^2)
+
     exploded = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=512)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "sig_sim": pd.Series([], dtype="float64")})
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "sig_sim": pd.Series([], dtype="float64")})
-        g = g.sort_values("doc_id")
-        rows_a, rows_b, sims = [], [], []
-        recs = list(g.itertuples(index=False))
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                a, b = recs[i], recs[j]
-                if a.doc_id == b.doc_id:
-                    continue
-                sa = np.frombuffer(a.sig, np.uint64)
-                sb = np.frombuffer(b.sig, np.uint64)
-                sim = float((sa == sb).mean())
-                if sim >= 0.5:
-                    rows_a.append(int(a.doc_id)); rows_b.append(int(b.doc_id)); sims.append(sim)
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "sig_sim": sims})
+            return empty
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return empty
+        if len(g) > MAX_BUCKET:
+            # deterministic cap (lowest doc_ids kept): a bucket this hot
+            # is boilerplate; candidates beyond the cap are found by the
+            # doc's other bands
+            g = g.iloc[:MAX_BUCKET]
+        ids = g["doc_id"].to_numpy()
+        sig_mat = np.frombuffer(b"".join(g["sig"].tolist()),
+                                np.uint64).reshape(len(g), -1)
+        bi, bj = np.triu_indices(len(g), k=1)
+        sims = (sig_mat[bi] == sig_mat[bj]).mean(axis=1)
+        keep = sims >= 0.5
+        return pd.DataFrame({"doc_a": ids[bi[keep]].astype(np.int64),
+                             "doc_b": ids[bj[keep]].astype(np.int64),
+                             "sig_sim": sims[keep]})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    # dedup pairs found in multiple bands
-    import pandas as pd  # noqa: F811
-    df = pairs.to_pandas()
-    if len(df) == 0:
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # distributed dedup of pairs found in multiple bands: a tiny
+    # groupby over (doc_a, doc_b) partials — no driver-side pair table
+    out = partial_groupby_agg(pairs, ["doc_a", "doc_b"],
+                              [("sig_sim", "sig_sim", "max")])
+    if out.num_rows == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "sig_sim": pa.array([], pa.float64())})
-    df = df.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    idx = pc.sort_indices(out, sort_keys=[("doc_a", "ascending"),
+                                          ("doc_b", "ascending")])
+    return out.take(idx).select(["doc_a", "doc_b", "sig_sim"])
 
 
 # ------------------------------------------------------------------ embeddings
@@ -468,41 +477,65 @@ def q_ann_lsh(sf_dir: str):
 
 
 def q_embed_neardup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (sim >= 0.4, i < j;
-    the synthetic vectors top out at ~0.51 cosine):
-    normalized matrix broadcast once, per-batch rows x all matmul —
-    the exact baseline the LSH path (q_ann_lsh buckets) approximates
-    at scale. SQL-oracled via list_cosine_similarity."""
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4, i < j) as a
+    distributed block-pair join: vectors hash into B id-buckets; each
+    row ships to the B bucket-PAIR groups it belongs to, and a
+    groupby(pair).map_groups task matmuls only its two blocks. Exact
+    (matches the all-pairs SQL oracle) with no driver materialization
+    and no full-table broadcast — each task holds 2N/B vectors. The
+    sub-quadratic scale path is the LSH bucketing next door
+    (q_ann_lsh); this is its exact verifier shape."""
     TAU = 0.4
-    full = arrow_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    ids_all = full["vec_id"].to_numpy()
-    emb = np.array(full["embedding"].to_pylist(), np.float64)
-    unit_all = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-
+    B = 8  # id-hash blocks -> B*(B+1)/2 pair tasks, each row shipped B times
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def f(t: pa.Table) -> pa.Table:
-        e = np.array(t["embedding"].to_pylist(), np.float64)
-        u = e / np.linalg.norm(e, axis=1, keepdims=True)
+    def expand(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
-        sims = u @ unit_all.T
-        bi, bj = np.nonzero(sims >= TAU)
-        a = ids[bi]
-        b = ids_all[bj]
-        keep = a < b
-        return pa.table({
-            "vec_a": pa.array(a[keep].astype(np.int64)),
-            "vec_b": pa.array(b[keep].astype(np.int64)),
-            "sim": pa.array(round_away_np(sims[bi, bj][keep], 4)),
-        })
+        bk = (ids % B).astype(np.int64)
+        # pair key for buckets (a<=b): a*B+b; row in bucket k joins
+        # every pair (min(k,j), max(k,j)) for j in 0..B-1
+        reps = []
+        pair_keys = []
+        for j in range(B):
+            lo = np.minimum(bk, j)
+            hi = np.maximum(bk, j)
+            pair_keys.append(lo * B + hi)
+            reps.append(np.arange(len(ids)))
+        idx = np.concatenate(reps)
+        pk = np.concatenate(pair_keys)
+        sub = t.take(pa.array(idx))
+        return sub.append_column("pair", pa.array(pk))
 
-    parts = ds.map_batches(f, batch_format="pyarrow")
-    tabs = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
-    if not tabs:
-        return pa.table({"vec_a": pa.array([], pa.int64()),
-                         "vec_b": pa.array([], pa.int64()),
-                         "sim": pa.array([], pa.float64())})
-    return pa.concat_tables(tabs, promote_options="default")
+    exploded = ds.map_batches(expand, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def pair_sims(g: pd.DataFrame) -> pd.DataFrame:
+        pair = int(g["pair"].iloc[0])
+        a_b, b_b = pair // B, pair % B
+        ids = g["vec_id"].to_numpy()
+        emb = np.array(g["embedding"].tolist(), np.float64)
+        unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        bk = (ids % B).astype(np.int64)
+        if a_b == b_b:
+            sims = unit @ unit.T
+            bi, bj = np.nonzero(sims >= TAU)
+            keep = ids[bi] < ids[bj]
+            va, vb, sv = ids[bi][keep], ids[bj][keep], sims[bi, bj][keep]
+        else:
+            la = bk == a_b
+            lb = bk == b_b
+            sims = unit[la] @ unit[lb].T
+            bi, bj = np.nonzero(sims >= TAU)
+            ia, ib = ids[la][bi], ids[lb][bj]
+            va = np.minimum(ia, ib)
+            vb = np.maximum(ia, ib)
+            sv = sims[bi, bj]
+        return pd.DataFrame({"vec_a": va.astype(np.int64),
+                             "vec_b": vb.astype(np.int64),
+                             "sim": round_away_np(sv, 4)})
+
+    return exploded.groupby("pair").map_groups(pair_sims, batch_format="pandas")
 
 
 def q_embed_label_stats(sf_dir: str):

@@ -18,8 +18,8 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from ..stages.tiling import (build_overview_level, compose_tiles,
-                             resume_filter, write_tiles)
+from ..stages.tiling import (build_overview_level, clean_orphans,
+                             compose_tiles, resume_filter, write_tiles)
 from ..stages.warp import WarpToTiles
 
 
@@ -77,6 +77,7 @@ def tile_pyramid(num_images: int, out_dir: str, *, zoom: int,
     frags = warp_fragments(num_images, zoom=zoom, resampling=resampling,
                            concurrency=concurrency, source_path=source_path)
     if resume:
+        clean_orphans(out_dir)
         frags = resume_filter(frags, out_dir)
     frags = instrument(frags, "warp_fragments")
     tiles = compose_tiles(frags, salt=salt)

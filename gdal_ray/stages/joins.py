@@ -57,6 +57,78 @@ def hash_join(left, right, *, left_on: str, right_on: str,
                         num_buckets=num_partitions * 2, how=how)
 
 
+def semi_anti_join(left, right, *, left_on: str, right_on: str,
+                   anti: bool = False, num_partitions: int | None = None):
+    """Shuffle-based semi/anti join — the fact-vs-fact form.
+
+    Broadcast-key-set semi joins (pipelines/relational.q_join_broadcast
+    style) are only valid when the right side is dimension-sized; when
+    both sides are fact tables the key set itself is too large for the
+    driver, so this hash-partitions BOTH sides on the key (native
+    ``Dataset.join`` left_semi / left_anti) and never materializes
+    either side in one process. The right side is pruned to its key
+    column before the exchange."""
+    import ray.data
+
+    right_keys = right
+    if right.schema() is not None and list(right.schema().names) != [right_on]:
+        right_keys = right.select_columns([right_on])
+    if num_partitions is None:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            cpus = 8
+        num_partitions = max(4, cpus // 4)
+    if hasattr(ray.data.Dataset, "join"):
+        return left.join(right_keys, "left_anti" if anti else "left_semi",
+                         num_partitions=num_partitions,
+                         on=(left_on,), right_on=(right_on,))
+    return _bucket_semi(left, right_keys, left_on=left_on, right_on=right_on,
+                        anti=anti, num_buckets=num_partitions * 2)
+
+
+def _bucket_semi(left, right_keys, *, left_on: str, right_on: str,
+                 anti: bool, num_buckets: int):
+    """Fallback semi/anti: co-partition by key hash, filter per bucket."""
+    lnames = list(left.schema().names)
+
+    def tag(key):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("__bucket__", pa.array(
+                _stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)))
+
+        return f
+
+    lt = left.map_batches(tag(left_on), batch_format="pyarrow")
+    rt = right_keys.map_batches(tag(right_on), batch_format="pyarrow")
+
+    def tag_side(side):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("__side__", pa.array(
+                np.full(t.num_rows, side, np.int8)))
+
+        return f
+
+    lt = lt.map_batches(tag_side(0), batch_format="pyarrow")
+    rt = rt.map_batches(
+        lambda t: pa.table({left_on: t[right_on],
+                            **{n: pa.nulls(t.num_rows, left.schema().types[
+                                lnames.index(n)]) for n in lnames if n != left_on},
+                            "__bucket__": t["__bucket__"],
+                            "__side__": pa.array(np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow")
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        keys = set(g.loc[g["__side__"] == 1, left_on])
+        lpart = g.loc[g["__side__"] == 0, lnames]
+        isin = lpart[left_on].isin(keys)
+        return lpart[~isin] if anti else lpart[isin]
+
+    return lt.union(rt).groupby("__bucket__").map_groups(filt, batch_format="pandas")
+
+
 def _bucket_join(left, right, *, left_on: str, right_on: str,
                  num_buckets: int = 32, how: str = "inner"):
     """Explicit bucket-shuffle join (fallback path)."""

@@ -288,52 +288,135 @@ def build_overview_level(tiles, tile_size: int = DEFAULT_TILE_SIZE,
 # ------------------------------------------------------------------ resume
 
 
+_SHARD_DIR = "_manifest_shards"
+
+_EMPTY_SUMMARY = pa.table({
+    "z": pa.array([], pa.int64()),
+    "n_tiles": pa.array([], pa.int64()),
+    "n_valid_px": pa.array([], pa.int64()),
+})
+
+
+def _write_block(t: pa.Table, out_dir: str) -> pa.Table:
+    """Task-side writer: one parquet file + one manifest shard per
+    block; returns a tiny per-zoom summary row set. Write order
+    (tmp parquet -> atomic rename -> shard) keeps partial failures
+    recoverable: a parquet without its shard is an orphan that
+    ``clean_orphans`` removes on resume."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if t.num_rows == 0:
+        return _EMPTY_SUMMARY
+    zs = t["z"].to_numpy()
+    keys = t["tile_key"].to_numpy()
+    tok = uuid.uuid4().hex[:12]
+    fname = f"part-{tok}-z{int(zs.min())}-{int(zs.max())}.parquet"
+    fpath = os.path.join(out_dir, fname)
+    pq.write_table(t, fpath + ".tmp")
+    os.replace(fpath + ".tmp", fpath)
+    rec = {
+        "file": fname,
+        "key_min": int(keys.min()), "key_max": int(keys.max()),
+        "n_rows": int(t.num_rows),
+        "tile_keys": [int(k) for k in keys],
+        "checksums": [int(c) for c in t["checksum"].to_numpy()],
+    }
+    shard = os.path.join(out_dir, _SHARD_DIR, f"{tok}.json")
+    with open(shard + ".tmp", "w") as f:
+        f.write(json.dumps(rec))
+    os.replace(shard + ".tmp", shard)
+    nv = t["n_valid"].to_numpy()
+    uz = np.unique(zs)
+    return pa.table({
+        "z": pa.array(uz.astype(np.int64)),
+        "n_tiles": pa.array([int((zs == z).sum()) for z in uz], pa.int64()),
+        "n_valid_px": pa.array([int(nv[zs == z].sum()) for z in uz], pa.int64()),
+    })
+
+
 def write_tiles(tiles, out_dir: str) -> dict:
     """Write composed tiles to partitioned parquet + per-partition
-    lineage manifest. Partition = zoom level (tile_key ranges recorded
-    per file); ``manifest.jsonl`` lists every finished tile with its
-    checksum, so a restarted run anti-joins pending tiles against it
-    (the `--resume` skip-existing semantics + lineage record)."""
+    lineage manifest — FROM THE TASKS, not the driver: each block's
+    task writes its own parquet file and a manifest shard; only the
+    tiny per-zoom summaries flow back. The shards are then folded into
+    ``manifest.jsonl`` (append), which lists every finished tile with
+    its checksum so a restarted run anti-joins pending tiles against it
+    (the `--resume` skip-existing semantics + lineage record,
+    reference apps/gdalalg_raster_tile.cpp:377,522)."""
     os.makedirs(out_dir, exist_ok=True)
-    stats = {"n_tiles": 0, "n_valid_px": 0, "by_zoom": {}}
-    manifest_path = os.path.join(out_dir, "manifest.jsonl")
-    with open(manifest_path, "a") as mf:
-        part = 0
-        for t in tiles.iter_batches(batch_size=None, batch_format="pyarrow"):
-            if t.num_rows == 0:
-                continue
-            zs = t["z"].to_numpy()
-            keys = t["tile_key"].to_numpy()
-            fname = f"part-{part:05d}-z{int(zs.min())}-{int(zs.max())}.parquet"
-            import pyarrow.parquet as pq
+    os.makedirs(os.path.join(out_dir, _SHARD_DIR), exist_ok=True)
 
-            pq.write_table(t, os.path.join(out_dir, fname))
-            rec = {
-                "file": fname,
-                "key_min": int(keys.min()), "key_max": int(keys.max()),
-                "n_rows": int(t.num_rows),
-                "tile_keys": [int(k) for k in keys],
-                "checksums": [int(c) for c in t["checksum"].to_numpy()],
-            }
-            mf.write(json.dumps(rec) + "\n")
-            part += 1
-            stats["n_tiles"] += t.num_rows
-            stats["n_valid_px"] += int(t["n_valid"].to_numpy().sum())
-            for z in np.unique(zs):
-                stats["by_zoom"][int(z)] = stats["by_zoom"].get(int(z), 0) \
-                    + int((zs == z).sum())
+    summaries = tiles.map_batches(
+        lambda t: _write_block(t, out_dir), batch_format="pyarrow")
+    stats = {"n_tiles": 0, "n_valid_px": 0, "by_zoom": {}}
+    for s in summaries.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for z, n, npx in zip(s["z"].to_numpy(), s["n_tiles"].to_numpy(),
+                             s["n_valid_px"].to_numpy()):
+            stats["n_tiles"] += int(n)
+            stats["n_valid_px"] += int(npx)
+            stats["by_zoom"][int(z)] = stats["by_zoom"].get(int(z), 0) + int(n)
+    _fold_shards(out_dir)
     return stats
 
 
+def _fold_shards(out_dir: str) -> None:
+    """Fold completed shard files into manifest.jsonl (driver-side,
+    metadata only — O(files), not O(tiles' pixels))."""
+    import glob
+
+    shard_dir = os.path.join(out_dir, _SHARD_DIR)
+    shards = sorted(glob.glob(os.path.join(shard_dir, "*.json")))
+    if not shards:
+        return
+    with open(os.path.join(out_dir, "manifest.jsonl"), "a") as mf:
+        for s in shards:
+            with open(s) as f:
+                mf.write(f.read().rstrip("\n") + "\n")
+            os.remove(s)
+
+
 def finished_tile_keys(out_dir: str) -> set[int]:
-    """Read the manifest; the set of tile keys already written."""
-    path = os.path.join(out_dir, "manifest.jsonl")
+    """The set of tile keys already durably written: manifest.jsonl
+    plus any not-yet-folded shards from an interrupted run."""
+    import glob
+
     done: set[int] = set()
+    path = os.path.join(out_dir, "manifest.jsonl")
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 done.update(json.loads(line)["tile_keys"])
+    for s in glob.glob(os.path.join(out_dir, _SHARD_DIR, "*.json")):
+        with open(s) as f:
+            done.update(json.load(f)["tile_keys"])
     return done
+
+
+def clean_orphans(out_dir: str) -> list[str]:
+    """Remove parquet files not recorded in the manifest or a shard
+    (a task died between its parquet rename and its shard write).
+    Call before a resumed run so re-composed tiles can't be read
+    twice."""
+    import glob
+
+    recorded: set[str] = set()
+    path = os.path.join(out_dir, "manifest.jsonl")
+    if os.path.exists(path):
+        with open(path) as f:
+            recorded.update(json.loads(line)["file"] for line in f)
+    for s in glob.glob(os.path.join(out_dir, _SHARD_DIR, "*.json")):
+        with open(s) as f:
+            recorded.add(json.load(f)["file"])
+    removed = []
+    for p in glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        if os.path.basename(p) not in recorded:
+            os.remove(p)
+            removed.append(os.path.basename(p))
+    for p in glob.glob(os.path.join(out_dir, "part-*.parquet.tmp")):
+        os.remove(p)
+    return removed
 
 
 def resume_filter(fragments, out_dir: str):
