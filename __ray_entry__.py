@@ -86,13 +86,12 @@ def _q_multidim(sf_dir: str):
     ds = arr.slice_view("time", 0, 2).unscaled().as_classic_dataset("x", "y", tile=128)
 
     def f(t: pa.Table) -> pa.Table:
-        sums, ns = [], []
-        for r in t.to_pylist():
-            block = np.frombuffer(r["pixels"], np.float64)
-            sums.append(float(block.sum()))
-            ns.append(block.size)
+        blocks = [np.frombuffer(b, np.float64)
+                  for b in t["pixels"].to_pylist()]
+        sums = np.array([b.sum() for b in blocks])
+        ns = np.array([b.size for b in blocks], np.float64)
         return pa.table({"ty": t["ty"], "tx": t["tx"],
-                         "mean": pa.array(np.round(np.array(sums) / np.array(ns), 6))})
+                         "mean": pa.array(np.round(sums / ns, 6))})
 
     return ds.map_batches(f, batch_format="pyarrow")
 

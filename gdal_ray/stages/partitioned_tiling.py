@@ -35,7 +35,8 @@ import pyarrow as pa
 
 from ..functions.crs import WEB_MERCATOR_EXTENT
 from ..functions.tiles import tile_key, unpack_tile_key
-from ..stages.tiling import _compose_one
+from ..stages.tiling import (TILE_SCHEMA, _compose_one, _per_key_tables,
+                             _rows_table)
 from ..stages.warp import WarpToTiles, src_bounds_3857, warp_image_to_tiles
 
 
@@ -100,7 +101,8 @@ def quadtree_partitions(bboxes: list[tuple], base_zoom: int = 10,
 
 def corpus_bboxes(num_images: int) -> list[tuple]:
     """3857 footprint bboxes of the synthetic corpus, from georef
-    metadata only (no decode)."""
+    metadata only (no decode). Driver-side helper for unit tests; the
+    pipeline path is ``footprint_dataset`` (distributed)."""
     from ..sources.images import georef, image_size
 
     out = []
@@ -111,26 +113,148 @@ def corpus_bboxes(num_images: int) -> list[tuple]:
     return out
 
 
-_EMPTY_OUT = pd.DataFrame({
-    "tile_key": pd.Series([], dtype="int64"),
-    "z": pd.Series([], dtype="int16"),
-    "tx": pd.Series([], dtype="int32"),
-    "ty": pd.Series([], dtype="int32"),
-    "pixels": pd.Series([], dtype=object),
-    "alpha": pd.Series([], dtype=object),
-    "n_src": pd.Series([], dtype="int64"),
-    "n_valid": pd.Series([], dtype="int64"),
-    "checksum": pd.Series([], dtype="int64"),
-    "winner": pd.Series([], dtype=object),
-    "partial": pd.Series([], dtype=bool),
-})
+def footprint_dataset(num_images: int):
+    """Distributed footprint stage: (image_idx, xmin, ymin, xmax, ymax)
+    in EPSG:3857, computed inside map_batches from georef metadata only
+    (no decode). At 10^12 images this IS the job the driver must not
+    do — the driver never sees per-image rows, only the per-leaf
+    aggregates downstream."""
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.images import georef, image_size
+
+        idxs = t["id"].to_numpy()
+        bbs = np.empty((len(idxs), 4), np.float64)
+        for j, i in enumerate(idxs.tolist()):
+            gt, epsg = georef(i)
+            n = image_size(i)
+            bbs[j] = src_bounds_3857(gt, epsg, n, n)
+        return pa.table({
+            "image_idx": pa.array(idxs.astype(np.int64)),
+            "xmin": pa.array(bbs[:, 0]), "ymin": pa.array(bbs[:, 1]),
+            "xmax": pa.array(bbs[:, 2]), "ymax": pa.array(bbs[:, 3]),
+        })
+
+    return ray.data.range(num_images).map_batches(f, batch_format="pyarrow")
+
+
+def quadtree_leaves(fp, base_zoom: int = 10, max_images_per_part: int = 64,
+                    max_part_zoom: int = 18) -> dict[int, int]:
+    """Quadtree leaf set from per-cell aggregate counts — the
+    distributed form of the refinement: each level is one metadata
+    map_batches + a tiny combiner aggregate; the driver holds only
+    {leaf_key: n_images} (O(leaves), never O(images)).
+
+    A cell splits while it holds more than ``max_images_per_part``
+    images (down to ``max_part_zoom``); counting children restricted to
+    hot parents is equivalent to the recursive reassignment because the
+    cells of level z+1 partition their parent."""
+    from ..pipelines.common import partial_groupby_agg
+
+    def count_cells(z: int, hot_parents: set[int] | None):
+        def f(t: pa.Table) -> pa.Table:
+            keys = []
+            for xmin, ymin, xmax, ymax in zip(
+                    t["xmin"].to_numpy(), t["ymin"].to_numpy(),
+                    t["xmax"].to_numpy(), t["ymax"].to_numpy()):
+                for (tx, ty) in _cells_touched((xmin, ymin, xmax, ymax), z):
+                    if hot_parents is None or \
+                            int(tile_key(tx >> 1, ty >> 1, z - 1)) in hot_parents:
+                        keys.append(int(tile_key(tx, ty, z)))
+            return pa.table({"cell": pa.array(keys, pa.int64()),
+                             "one": pa.array(np.ones(len(keys), np.int64))})
+
+        return partial_groupby_agg(fp.map_batches(f, batch_format="pyarrow"),
+                                   ["cell"], [("n", "one", "sum")])
+
+    leaf_map: dict[int, int] = {}
+    hot: set[int] | None = None
+    z = base_zoom
+    while True:
+        counts = count_cells(z, hot)
+        hot_next: set[int] = set()
+        for cell, n in zip(counts["cell"].to_numpy(), counts["n"].to_numpy()):
+            if n <= max_images_per_part or z >= max_part_zoom:
+                leaf_map[int(cell)] = int(n)
+            else:
+                hot_next.add(int(cell))
+        if not hot_next:
+            return leaf_map
+        hot = hot_next
+        z += 1
+
+
+def assignment_dataset(fp, leaf_map: dict[int, int], base_zoom: int,
+                       max_images_per_part: int, num_buckets: int):
+    """(part_key, salt, image_idx, n_salt, __bucket__) rows, computed
+    distributed: each footprint row walks the broadcast leaf-key set
+    down from its base cells (map_batches), then a groupby(part_key)
+    over the METADATA rows ranks images within each leaf to assign
+    balanced salt groups — same salt semantics as the driver-side
+    reference implementation."""
+    leaf_keys = frozenset(leaf_map)
+
+    def walk(t: pa.Table) -> pa.Table:
+        out_k, out_i = [], []
+        for idx, xmin, ymin, xmax, ymax in zip(
+                t["image_idx"].to_numpy(), t["xmin"].to_numpy(),
+                t["ymin"].to_numpy(), t["xmax"].to_numpy(),
+                t["ymax"].to_numpy()):
+            bbox = (xmin, ymin, xmax, ymax)
+            stack = [(base_zoom, tx, ty)
+                     for (tx, ty) in _cells_touched(bbox, base_zoom)]
+            while stack:
+                z, tx, ty = stack.pop()
+                k = int(tile_key(tx, ty, z))
+                if k in leaf_keys:
+                    out_k.append(k)
+                    out_i.append(int(idx))
+                    continue
+                cx0, cx1, cy0, cy1 = _cell_range(bbox, z + 1)
+                for cy in range(max(cy0, 2 * ty), min(cy1, 2 * ty + 1) + 1):
+                    for cx in range(max(cx0, 2 * tx), min(cx1, 2 * tx + 1) + 1):
+                        stack.append((z + 1, cx, cy))
+        return pa.table({"part_key": pa.array(out_k, pa.int64()),
+                         "image_idx": pa.array(out_i, pa.int64())})
+
+    def salt_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_idx").reset_index(drop=True)
+        n_salt = max(1, -(-len(g) // max_images_per_part))
+        g["salt"] = (np.arange(len(g)) % n_salt).astype(np.int32)
+        g["n_salt"] = np.int32(n_salt)
+        g["__bucket__"] = (pd.util.hash_array(
+            g["part_key"].to_numpy() * np.int64(1000003)
+            + g["salt"].to_numpy()) % np.uint64(num_buckets)).astype(np.int64)
+        return g
+
+    return fp.map_batches(walk, batch_format="pyarrow") \
+        .groupby("part_key").map_groups(salt_group, batch_format="pandas")
+
+
+def _cell_range(bbox, z: int):
+    """(tx0, tx1, ty0, ty1) touched by a 3857 bbox at zoom z."""
+    n = 1 << z
+    ext = WEB_MERCATOR_EXTENT
+    size = 2 * ext / n
+    xmin, ymin, xmax, ymax = bbox
+    return (int(np.clip((xmin + ext) // size, 0, n - 1)),
+            int(np.clip((xmax + ext) // size, 0, n - 1)),
+            int(np.clip((ext - ymax) // size, 0, n - 1)),
+            int(np.clip((ext - ymin) // size, 0, n - 1)))
+
+
+_OUT_SCHEMA = pa.schema(
+    list(TILE_SCHEMA)
+    + [pa.field("winner", pa.binary()), pa.field("partial", pa.bool_())])
 
 
 class ComposePartition:
     """Actor: process one (or more) leaf partitions end-to-end —
     load/decode the images, warp, compose only the tiles owned by the
     leaf. ``loader(idxs) -> pa.Table`` is the keyed read
-    (Lance take / parquet pruning / deterministic synthesis)."""
+    (Lance take / parquet pruning / deterministic synthesis). Arrow
+    in/out: the pixel payloads never box through pandas objects."""
 
     def __init__(self, zoom: int | None = None, resampling: str = "bilinear",
                  tile_size: int = 256, loader=None):
@@ -144,14 +268,15 @@ class ComposePartition:
         self.resampling = resampling
         self.tile_size = tile_size
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, t: pa.Table) -> pa.Table:
         import zlib
 
         rows = []
-        for (part_key, salt), sub in g.groupby(["part_key", "salt"], sort=True):
+        for recs in _per_key_tables(t, ["part_key", "salt"]):
+            part_key = recs[0]["part_key"]
             pz, ptx, pty = (int(v) for v in unpack_tile_key(int(part_key)))
-            salted = bool(sub["n_salt"].iloc[0] > 1)
-            idxs = np.sort(sub["image_idx"].to_numpy())
+            salted = bool(recs[0]["n_salt"] > 1)
+            idxs = np.sort(np.array([r["image_idx"] for r in recs], np.int64))
             batch = self._loader(idxs)
             frags_by_tile: dict[int, list[dict]] = {}
             ids = batch["image_id"].to_pylist()
@@ -183,16 +308,13 @@ class ComposePartition:
                     # for the merge stage; tiny volume — hot leaves only
                     r["winner"] = zlib.compress(r.pop("winner"), 1)
                 r["partial"] = salted
+                if "winner" not in r:
+                    r["winner"] = b""
                 rows.append(r)
-        if not rows:
-            return _EMPTY_OUT.copy()
-        df = pd.DataFrame(rows)
-        if "winner" not in df.columns:
-            df["winner"] = b""
-        return df[list(_EMPTY_OUT.columns)]
+        return _rows_table(rows, _OUT_SCHEMA)
 
 
-def merge_partials(g: pd.DataFrame, tile_size: int = 256) -> pd.DataFrame:
+def merge_partials(t: pa.Table, tile_size: int = 256) -> pa.Table:
     """Merge salted partial tiles of one bucket (per-pixel max of the
     winner sort value — associative, same rule as compose)."""
     import zlib
@@ -201,11 +323,12 @@ def merge_partials(g: pd.DataFrame, tile_size: int = 256) -> pd.DataFrame:
     from ..functions.codecs import decode_image, encode_image
 
     rows = []
-    for tk, sub in g.groupby("tile_key", sort=True):
+    for recs in _per_key_tables(t, ["tile_key"]):
+        tk = recs[0]["tile_key"]
         canvas = np.zeros((tile_size, tile_size, 3), np.uint8)
         winner = np.full((tile_size, tile_size), np.iinfo(np.int64).min, np.int64)
         n_src = 0
-        for rec in sub.to_dict("records"):
+        for rec in recs:
             p = decode_image(rec["pixels"])
             w = np.frombuffer(zlib.decompress(rec["winner"]),
                               np.int64).reshape(tile_size, tile_size)
@@ -223,10 +346,7 @@ def merge_partials(g: pd.DataFrame, tile_size: int = 256) -> pd.DataFrame:
             "n_src": n_src, "n_valid": int(valid.sum()),
             "checksum": checksum_image(np.where(valid, canvas[:, :, 0], 0)),
         })
-    out = pd.DataFrame(rows)
-    if len(out) == 0:
-        return _EMPTY_OUT.drop(columns=["winner", "partial"]).copy()
-    return out
+    return _rows_table(rows, TILE_SCHEMA)
 
 
 def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
@@ -240,57 +360,52 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
     tiles Dataset (schema = stages/tiling.TILE_SCHEMA, no winner/
     partial columns).
 
-    The assignment table is split driver-side into unsalted leaves
-    (compose -> final tiles directly, fully streaming) and salted hot
-    leaves (compose partials -> small merge shuffle) — two independent
-    pipelines over metadata, unioned at the end. Exchanges: the tiny
-    assignment table in, the salted-leaf partial tiles out."""
+    The assignment is computed DISTRIBUTED (footprint map_batches ->
+    per-level count aggregates -> leaf walk -> metadata groupby for
+    salt ranks); the driver holds only {leaf_key: count}. The
+    assignment Dataset splits into unsalted leaves (compose -> final
+    tiles directly, fully streaming) and salted hot leaves (compose
+    partials -> small merge shuffle) — unioned at the end. Exchanges:
+    metadata rows in, the salted-leaf partial tiles out."""
     import pyarrow.compute as pc
-    import ray.data
 
-    assign = quadtree_partitions(corpus_bboxes(num_images), base_zoom,
-                                 max_images_per_part, max_part_zoom)
-    # per-(part) salt count so compose tasks know partial vs final
-    pk = assign["part_key"].to_numpy()
-    sl = assign["salt"].to_numpy()
-    import collections
-
-    nsalt = collections.Counter()
-    for k, s in zip(pk.tolist(), sl.tolist()):
-        nsalt[k] = max(nsalt[k], s + 1)
-    ns = np.array([nsalt[k] for k in pk.tolist()], np.int32)
-    assign = assign.append_column("n_salt", pa.array(ns))
+    fp = footprint_dataset(num_images).materialize()  # metadata only
+    leaf_map = quadtree_leaves(fp, base_zoom, max_images_per_part,
+                               max_part_zoom)
     nb = num_buckets or max(64, concurrency * 4)
-    b = (pd.util.hash_array(pk * np.int64(1000003) + sl)
-         % np.uint64(nb)).astype(np.int64)
-    assign = assign.append_column("__bucket__", pa.array(b))
+    assign = assignment_dataset(fp, leaf_map, base_zoom,
+                                max_images_per_part, nb).materialize()
 
     final_cols = ["tile_key", "z", "tx", "ty", "pixels", "alpha",
                   "n_src", "n_valid", "checksum"]
     kwargs = dict(zoom=zoom, resampling=resampling)
-    salted_mask = pc.greater(assign["n_salt"], 1)
 
-    a_plain = assign.filter(pc.invert(salted_mask))
-    a_salted = assign.filter(salted_mask)
-
-    def compose_of(table: pa.Table, conc: int):
-        ds = ray.data.from_arrow(table)
-        n_parts = max(1, min(nb, table.num_rows))
-        return ds.repartition(n_parts).groupby("__bucket__").map_groups(
+    def compose_of(ds, conc: int):
+        return ds.groupby("__bucket__").map_groups(
             ComposePartition, fn_constructor_kwargs=kwargs,
-            batch_format="pandas", concurrency=conc, num_cpus=1)
+            batch_format="pyarrow", concurrency=conc, num_cpus=1)
 
-    # size the two concurrent pools by their share of the work so the
-    # union's branches never oversubscribe the cluster
-    frac = a_salted.num_rows / max(1, assign.num_rows)
+    a_plain = assign.map_batches(
+        lambda t: t.filter(pc.less_equal(t["n_salt"], 1)),
+        batch_format="pyarrow")
+    a_salted = assign.map_batches(
+        lambda t: t.filter(pc.greater(t["n_salt"], 1)),
+        batch_format="pyarrow")
+
+    # size the two concurrent pools by their share of the work (from
+    # the leaf counts — O(leaves) driver state) so the union's branches
+    # never oversubscribe the cluster
+    total = max(1, sum(leaf_map.values()))
+    salted_n = sum(n for n in leaf_map.values() if n > max_images_per_part)
+    frac = salted_n / total
     conc_salted = max(1, min(int(concurrency * frac) + 1, concurrency // 2))
     conc_plain = max(2, concurrency - conc_salted)
 
     finals = compose_of(a_plain, conc_plain).map_batches(
         lambda t: t.select(final_cols), batch_format="pyarrow")
-    if a_salted.num_rows == 0:
+    if salted_n == 0:
         return finals
     # exchange #2: partial tiles of the salted hot leaves (small)
     merged = compose_of(a_salted, conc_salted).groupby("tile_key").map_groups(
-        merge_partials, batch_format="pandas")
+        merge_partials, batch_format="pyarrow")
     return finals.union(merged)

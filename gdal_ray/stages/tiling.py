@@ -143,6 +143,35 @@ def _per_key_groups(g: pd.DataFrame, key_cols: list[str]):
         yield sub.to_dict("records")
 
 
+def _per_key_tables(t: pa.Table, key_cols: list[str]):
+    """Arrow-native per-key split: sort by the (integer) key columns,
+    find run boundaries, yield each run's records. Avoids the pandas
+    object-dtype round-trip on the binary pixel columns — the compose
+    stages are the hottest path in the engine."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return
+    idx = pc.sort_indices(t, sort_keys=[(k, "ascending") for k in key_cols])
+    t = t.take(idx)
+    change = np.zeros(t.num_rows, bool)
+    change[0] = True
+    for k in key_cols:
+        arr = t[k].to_numpy()
+        change[1:] |= arr[1:] != arr[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], t.num_rows)
+    for s, e in zip(starts, ends):
+        yield t.slice(s, e - s).to_pylist()
+
+
+def _rows_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
+    if not rows:
+        return schema.empty_table()
+    return pa.table({f.name: pa.array([r[f.name] for r in rows], f.type)
+                     for f in schema})
+
+
 def compose_tiles(fragments, tile_size: int = DEFAULT_TILE_SIZE,
                   salt: int | None = None, num_buckets: int = 256):
     """Fragments Dataset -> composed tiles Dataset.
@@ -164,13 +193,13 @@ def compose_tiles(fragments, tile_size: int = DEFAULT_TILE_SIZE,
     ds = fragments.map_batches(add_keys, batch_format="pyarrow")
 
     if not salt:
-        def compose_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        def compose_bucket(t: pa.Table) -> pa.Table:
             rows = [_compose_one(recs, tile_size, False)
-                    for recs in _per_key_groups(g, ["tile_key"])]
-            return pd.DataFrame(rows)
+                    for recs in _per_key_tables(t, ["tile_key"])]
+            return _rows_table(rows, TILE_SCHEMA)
 
         return ds.groupby("__bucket__").map_groups(
-            compose_bucket, batch_format="pandas")
+            compose_bucket, batch_format="pyarrow")
 
     def add_salt(t: pa.Table) -> pa.Table:
         s = (pd.util.hash_array(t["__sort__"].to_numpy()) % np.uint64(salt)).astype(np.int64)
@@ -182,23 +211,28 @@ def compose_tiles(fragments, tile_size: int = DEFAULT_TILE_SIZE,
         return t.set_column(t.schema.get_field_index("__bucket__"),
                             "__bucket__", pa.array(b2))
 
-    def compose_partials(g: pd.DataFrame) -> pd.DataFrame:
+    partial_schema = pa.schema(
+        [f for f in TILE_SCHEMA if f.name != "n_src"]
+        + [pa.field("winner", pa.binary()), pa.field("__n_src_p", pa.int64()),
+           pa.field("__bucket__", pa.int64())])
+
+    def compose_partials(t: pa.Table) -> pa.Table:
         rows = []
-        for recs in _per_key_groups(g, ["tile_key", "__salt__"]):
+        for recs in _per_key_tables(t, ["tile_key", "__salt__"]):
             r = _compose_one(recs, tile_size, True)
             r["__n_src_p"] = r.pop("n_src")
             # merge-stage shuffle key: bucket of the tile key alone
             r["__bucket__"] = int(pd.util.hash_array(
                 np.array([r["tile_key"]], np.int64))[0] % num_buckets)
             rows.append(r)
-        return pd.DataFrame(rows)
+        return _rows_table(rows, partial_schema)
 
     partials = ds.map_batches(add_salt, batch_format="pyarrow") \
-        .groupby("__bucket__").map_groups(compose_partials, batch_format="pandas")
+        .groupby("__bucket__").map_groups(compose_partials, batch_format="pyarrow")
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(t: pa.Table) -> pa.Table:
         rows = []
-        for recs in _per_key_groups(g, ["tile_key"]):
+        for recs in _per_key_tables(t, ["tile_key"]):
             canvas = np.zeros((tile_size, tile_size, 3), np.uint8)
             winner = np.full((tile_size, tile_size), np.iinfo(np.int64).min, np.int64)
             n_src = 0
@@ -221,9 +255,9 @@ def compose_tiles(fragments, tile_size: int = DEFAULT_TILE_SIZE,
                 "n_valid": int(valid.sum()),
                 "checksum": checksum_image(np.where(valid, canvas[:, :, 0], 0)),
             })
-        return pd.DataFrame(rows)
+        return _rows_table(rows, TILE_SCHEMA)
 
-    return partials.groupby("__bucket__").map_groups(merge_bucket, batch_format="pandas")
+    return partials.groupby("__bucket__").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ overviews
@@ -277,12 +311,13 @@ def build_overview_level(tiles, tile_size: int = DEFAULT_TILE_SIZE,
             "checksum": checksum_image(np.where(valid, out[:, :, 0], 0)),
         }
 
-    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([reduce_one(recs)
-                             for recs in _per_key_groups(g, ["parent_key"])])
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        return _rows_table([reduce_one(recs)
+                            for recs in _per_key_tables(t, ["parent_key"])],
+                           TILE_SCHEMA)
 
     return tiles.map_batches(to_parent, batch_format="pyarrow") \
-        .groupby("__bucket__").map_groups(reduce_bucket, batch_format="pandas")
+        .groupby("__bucket__").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ resume

@@ -46,3 +46,36 @@ def test_partitioned_equals_shuffle_compose(ray_session):
         assert a[k]["checksum"] == b[k]["checksum"]
         assert a[k]["n_src"] == b[k]["n_src"]
         assert a[k]["n_valid"] == b[k]["n_valid"]
+
+
+def test_distributed_assignment_matches_driver(ray_session):
+    """The distributed footprint->count->walk assignment must produce
+    the same leaf set and per-leaf image sets as the driver-side
+    reference implementation."""
+    import collections
+
+    from gdal_ray.stages.partitioned_tiling import (assignment_dataset,
+                                                    footprint_dataset,
+                                                    quadtree_leaves)
+
+    fp = footprint_dataset(64).materialize()
+    leaves = quadtree_leaves(fp, base_zoom=10, max_images_per_part=4,
+                             max_part_zoom=14)
+    ref_t = quadtree_partitions(corpus_bboxes(64), base_zoom=10,
+                                max_images_per_part=4, max_part_zoom=14)
+    ref = collections.defaultdict(set)
+    for k, i in zip(ref_t["part_key"].to_pylist(), ref_t["image_idx"].to_pylist()):
+        ref[k].add(i)
+    assert set(leaves) == set(ref)
+    assert all(leaves[k] == len(ref[k]) for k in ref)
+
+    got = collections.defaultdict(set)
+    per_group = collections.Counter()
+    ds = assignment_dataset(fp, leaves, 10, 4, 64)
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for r in b.to_pylist():
+            got[r["part_key"]].add(r["image_idx"])
+            per_group[(r["part_key"], r["salt"])] += 1
+    assert {k: v for k, v in got.items()} == dict(ref)
+    # salt ranks balance every (leaf, salt) group to <= threshold
+    assert max(per_group.values()) <= 4
