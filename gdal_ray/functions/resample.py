@@ -76,8 +76,10 @@ def _cubic_weights(t: np.ndarray) -> np.ndarray:
 
 
 def sample_cubic(src: np.ndarray, px, py, nodata=0):
-    """4x4 Catmull-Rom; taps edge-clamped, result range-clamped to the
-    source dtype (GDALCopyWords clamp semantics)."""
+    """4x4 Catmull-Rom; where the full 4x4 window is not inside the
+    raster the kernel falls back to bilinear (reference
+    GWKCubicResample4Sample, alg/gdalwarpkernel.cpp:2988-3027); result
+    range-clamped to the source dtype (GDALCopyWords clamp)."""
     src3, squeeze = _prep(src)
     h, w, nb = src3.shape
     fx = np.asarray(px, np.float64) - 0.5
@@ -97,6 +99,56 @@ def sample_cubic(src: np.ndarray, px, py, nodata=0):
             xx = np.clip(x0 + (i - 1), 0, w - 1)
             row += src3[yy, xx].astype(np.float64) * wx[..., i][..., None]
         acc += row * wy[..., j][..., None]
+    border = (x0 - 1 < 0) | (x0 + 2 >= w) | (y0 - 1 < 0) | (y0 + 2 >= h)
+    if border.any():
+        bl, _ = sample_bilinear(src3.astype(np.float64), px, py, nodata=nodata)
+        acc = np.where(border[..., None], bl, acc)
+    out = _cast_back(acc, src3.dtype, nodata, valid)
+    return (out[..., 0] if squeeze else out), valid
+
+
+def _bspline_weights(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline weights for offsets [-1, 0, 1, 2] (GWKBSpline,
+    reference alg/gdalwarpkernel.cpp CubicSpline filter): smoothing
+    kernel, no prefilter — GDAL's GRA_CubicSpline semantics."""
+    w = np.empty(t.shape + (4,), np.float64)
+    for k, off in enumerate((-1.0, 0.0, 1.0, 2.0)):
+        d = np.abs(t - off)
+        w[..., k] = np.where(
+            d < 1.0, (4.0 - 6.0 * d * d + 3.0 * d**3) / 6.0,
+            np.where(d < 2.0, (2.0 - d) ** 3 / 6.0, 0.0))
+    return w
+
+
+def sample_cubicspline(src: np.ndarray, px, py, nodata=0):
+    """4x4 cubic B-spline (GRA_CubicSpline). Out-of-raster taps are
+    dropped and the result renormalized by the accumulated weight —
+    the GWKResample weight-adjustment border rule (reference
+    alg/gdalwarpkernel.cpp GWKResample accumulator divisor)."""
+    src3, squeeze = _prep(src)
+    h, w, nb = src3.shape
+    fx = np.asarray(px, np.float64) - 0.5
+    fy = np.asarray(py, np.float64) - 0.5
+    valid = (np.asarray(px) >= 0) & (np.asarray(px) <= w) & \
+            (np.asarray(py) >= 0) & (np.asarray(py) <= h)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = _bspline_weights(fx - x0)
+    wy = _bspline_weights(fy - y0)
+    acc = np.zeros(fx.shape + (nb,), np.float64)
+    norm = np.zeros(fx.shape, np.float64)
+    for j in range(4):
+        yj = y0 + (j - 1)
+        in_y = (yj >= 0) & (yj < h)
+        yy = np.clip(yj, 0, h - 1)
+        for i in range(4):
+            xi = x0 + (i - 1)
+            in_x = (xi >= 0) & (xi < w)
+            xx = np.clip(xi, 0, w - 1)
+            wgt = wx[..., i] * wy[..., j] * (in_x & in_y)
+            acc += src3[yy, xx].astype(np.float64) * wgt[..., None]
+            norm += wgt
+    acc /= np.maximum(norm, 1e-12)[..., None]
     out = _cast_back(acc, src3.dtype, nodata, valid)
     return (out[..., 0] if squeeze else out), valid
 
@@ -152,7 +204,8 @@ def sample_lanczos(src: np.ndarray, px, py, nodata=0):
 
 
 _SAMPLERS = {"nearest": sample_nearest, "bilinear": sample_bilinear,
-             "cubic": sample_cubic, "lanczos": sample_lanczos}
+             "cubic": sample_cubic, "cubicspline": sample_cubicspline,
+             "lanczos": sample_lanczos}
 
 
 def sample(src, px, py, method: str = "nearest", nodata=0):

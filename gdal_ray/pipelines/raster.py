@@ -600,6 +600,70 @@ def q_raster_stats(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_GOLDENS = [
+    # (src relpath, golden relpath, algo)
+    ("gcore/data/utmsmall.tif", "alg/data/utmsmall_near.tiff", "nearest"),
+    ("gcore/data/utmsmall.tif", "alg/data/utmsmall_blinear.tiff", "bilinear"),
+    ("gcore/data/utmsmall.tif", "alg/data/utmsmall_cubic.tiff", "cubic"),
+    ("gcore/data/utmsmall.tif", "alg/data/utmsmall_cubicspline.tiff",
+     "cubicspline"),
+    ("gcore/data/utmsmall.tif", "alg/data/utmsmall_average.tiff", "average"),
+    ("gcore/data/utmsmall.tif", "alg/data/utmsmall_mode.tiff", "mode"),
+    ("alg/data/utmsmall-int16-neg.tiff", "alg/data/utmsmall-int16-neg_min.tif",
+     "min"),
+    ("alg/data/utmsmall-int16-neg.tiff", "alg/data/utmsmall-int16-neg_max.tif",
+     "max"),
+    ("alg/data/utmsmall-int16-neg.tiff", "alg/data/utmsmall-int16-neg_med.tif",
+     "med"),
+    ("alg/data/utmsmall-int16-neg.tiff", "alg/data/utmsmall-int16-neg_Q1.tif",
+     "q1"),
+    ("alg/data/utmsmall-int16-neg.tiff", "alg/data/utmsmall-int16-neg_Q3.tif",
+     "q3"),
+]
+
+
+def q_warp_goldens(sf_dir: str):
+    """Warp-resampler conformance vs the reference's own golden
+    images: each (golden, algo) runs as a distributed map_batches task
+    (decode TIFF incl. Deflate strips -> same-CRS GenImgProj warp ->
+    compare), emitting maxdiff vs the reference output under the
+    gdaltest.compare_ds <= 1 rule (reference autotest/alg/warp.py:41-58,
+    kernels alg/gdalwarpkernel.cpp GWKAverageOrMode + cubic/spline).
+    Rows-only (deterministic)."""
+    import os
+
+    import ray.data
+
+    ref_root = "/root/reference/autotest"
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.warpkernels import warp_affine
+        from ..sources.tiff import decode_tiff
+
+        rows = {"golden": [], "algo": [], "maxdiff": [], "cksum": []}
+        for rec in t.to_pylist():
+            with open(os.path.join(ref_root, rec["src"]), "rb") as fh:
+                src, sgt = decode_tiff(fh.read())
+            with open(os.path.join(ref_root, rec["golden"]), "rb") as fh:
+                ref, dgt = decode_tiff(fh.read())
+            out, _ = warp_affine(src, sgt, dgt, ref.shape[0], ref.shape[1],
+                                 rec["algo"])
+            md = int(np.abs(out.astype(np.int64) - ref.astype(np.int64)).max())
+            rows["golden"].append(os.path.basename(rec["golden"]))
+            rows["algo"].append(rec["algo"])
+            rows["maxdiff"].append(md)
+            rows["cksum"].append(checksum_image(out.astype(np.int64)))
+        return pa.table({"golden": pa.array(rows["golden"], pa.string()),
+                         "algo": pa.array(rows["algo"], pa.string()),
+                         "maxdiff": pa.array(rows["maxdiff"], pa.int64()),
+                         "cksum": pa.array(rows["cksum"], pa.int64())})
+
+    items = [{"src": s, "golden": g, "algo": a} for s, g, a in _GOLDENS
+             if os.path.exists(os.path.join(ref_root, g))]
+    return ray.data.from_items(items).map_batches(
+        f, batch_format="pyarrow", batch_size=2)
+
+
 # ------------------------------------------------------------------ oracles
 
 _LON = _DERIVE_SQL[0]
@@ -718,6 +782,7 @@ QUERIES = {
     "q_footprint": q_footprint,
     "q_reclassify_lut": q_reclassify_lut,
     "q_translate": q_translate,
+    "q_warp_goldens": q_warp_goldens,
     "q_hillshade": q_hillshade,
     "q_pyramid": q_pyramid,
     "q_polygonize": q_polygonize,

@@ -1,12 +1,14 @@
-"""Minimal TIFF reader (uncompressed baseline TIFF, strips).
+"""Minimal TIFF reader (baseline TIFF, strips).
 
 The format entry point for GeoTIFF-shaped inputs (reference
 frmts/gtiff/): classic (non-Big) TIFF, II/MM byte order, striped,
-COMPRESSION=1 (none) or 32773 (PackBits), 8/16/32-bit unsigned or
-float samples, chunky planar config. Enough to read the reference
-test fixtures (autotest/gcore/data/byte.tif, utmsmall.tif) and any
-uncompressed export — compressed codecs raise ``NotImplementedError``
-(no codec libs in this container).
+COMPRESSION=1 (none), 5 (LZW, MSB-first with early change), 8/32946
+(Deflate — pure zlib) or 32773 (PackBits), horizontal-differencing
+predictor, 8/16/32-bit signed/unsigned or float samples, chunky
+planar config. Enough to read the reference test fixtures
+(autotest/gcore/data/byte.tif, utmsmall.tif, the autotest/alg warp
+goldens) and any baseline export — other codecs (JPEG etc.) raise
+``NotImplementedError`` (no codec libs in this container).
 
 Also decodes the GeoTIFF geotransform when the ModelPixelScale +
 ModelTiepoint tags are present (reference gcore geotransform model).
@@ -26,6 +28,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
+_TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
 _TAG_PIXEL_SCALE = 33550
 _TAG_TIEPOINT = 33922
@@ -64,6 +67,66 @@ def _unpackbits(src: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _unlzw(src: bytes, expected: int) -> bytes:
+    """TIFF LZW (MSB-first bit order, early-change code width bump —
+    the variant libtiff writes; reference frmts/gtiff tif_lzw)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    i = 0
+    n = len(src)
+    while i < n or nbits >= width:
+        while nbits < width and i < n:
+            buf = (buf << 8) | src[i]
+            i += 1
+            nbits += 8
+        if nbits < width:
+            break
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # libtiff width rule (tif_lzw.c): the decoder bumps when its
+        # next free entry reaches MAXCODE(nbits) — one entry before the
+        # encoder does, which is the TIFF "early change" asymmetry
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break
+    return bytes(out)
+
+
+def _undo_predictor(chunk: bytes, nrows: int, w: int, spp: int,
+                    dtype: np.dtype) -> bytes:
+    """Horizontal differencing (predictor=2): cumulative sum along the
+    row per sample channel, wrapping modulo 2^bits."""
+    if dtype.kind not in "iu":
+        raise NotImplementedError("TIFF predictor on float samples")
+    u = np.dtype(f"{dtype.byteorder}u{dtype.itemsize}")
+    arr = np.frombuffer(chunk, dtype=u,
+                        count=nrows * w * spp).reshape(nrows, w, spp)
+    return np.cumsum(arr, axis=1, dtype=u).tobytes()
+
+
 def decode_tiff(data: bytes):
     """-> (pixels ndarray (h, w) or (h, w, bands), geotransform | None)."""
     if data[:2] not in (b"II", b"MM"):
@@ -89,11 +152,14 @@ def decode_tiff(data: bytes):
     rows_per_strip = int(tags.get(_TAG_ROWS_PER_STRIP, [h])[0])
     offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
     counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} (no codec library in this container)")
+    predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
     if fmt == 3:
         dt = {32: "f4", 64: "f8"}[bits]
+    elif fmt == 2:
+        dt = {8: "i1", 16: "i2", 32: "i4"}[bits]
     else:
         dt = {8: "u1", 16: "u2", 32: "u4"}[bits]
     dtype = np.dtype(bo + dt)
@@ -104,6 +170,15 @@ def decode_tiff(data: bytes):
         nrows = min(rows_per_strip, h - si * rows_per_strip)
         if comp == 32773:
             chunk = _unpackbits(chunk, nrows * row_bytes)
+        elif comp in (8, 32946):
+            import zlib
+
+            chunk = zlib.decompress(chunk)
+        elif comp == 5:
+            chunk = _unlzw(chunk, nrows * row_bytes)
+        if predictor == 2:
+            chunk = _undo_predictor(chunk[: nrows * row_bytes], nrows, w,
+                                    spp, dtype)
         raw_all += chunk[: nrows * row_bytes]
     px = np.frombuffer(bytes(raw_all), dtype=dtype, count=h * w * spp)
     px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w)

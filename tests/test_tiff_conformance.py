@@ -58,3 +58,77 @@ def test_tiff_ray_source(ray_session):
     px = decode_image(rows["byte.tif"]["bytes"])
     band = px[:, :, 0] if px.ndim == 3 else px
     assert checksum_image(band) == 4672
+
+
+def test_tiff_lzw_fixture_decodes():
+    """LZW strips (compression 5): the reference's gh_1439 fixtures
+    decode to their tagged sizes without error."""
+    from gdal_ray.sources.tiff import decode_tiff
+
+    px, _ = decode_tiff(open(
+        "/root/reference/autotest/gcore/data/bug_gh_1439_update_lzw.tif",
+        "rb").read())
+    assert px.shape == (1, 4096) and str(px.dtype) == "uint16"
+
+
+def test_tiff_lzw_spec_roundtrip():
+    """Decode a stream produced by an independent TIFF6-spec LZW
+    encoder (MSB-first, early change) — exercises table growth and
+    width bumps."""
+    import numpy as np
+
+    from gdal_ray.sources.tiff import _unlzw
+
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 7, 70000, dtype=np.uint8))  # repetitive
+
+    # minimal spec encoder
+    out_bits = []
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code, w):
+        out_bits.extend(((code >> (w - 1 - k)) & 1) for k in range(w))
+
+    emit(256, width)  # CLEAR
+    omega = b""
+    for b in data:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        emit(table[omega], width)
+        table[cand] = next_code
+        next_code += 1
+        # libtiff encoder bumps at free_ent > MAXCODE(nbits) — one
+        # entry AFTER the decoder's bump point (the early-change pair)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        omega = bytes([b])
+    if omega:
+        emit(table[omega], width)
+    emit(257, width)  # EOI
+    while len(out_bits) % 8:
+        out_bits.append(0)
+    enc = bytes(int("".join(map(str, out_bits[i:i + 8])), 2)
+                for i in range(0, len(out_bits), 8))
+
+    assert _unlzw(enc, len(data)) == data
+
+
+def test_tiff_deflate_golden():
+    """Deflate strips (compression 8): the reference warp golden reads
+    byte-identically (validated transitively by the warp conformance
+    tests against it)."""
+    from gdal_ray.sources.tiff import decode_tiff
+
+    px, gt = decode_tiff(open(
+        "/root/reference/autotest/alg/data/utmsmall_near.tiff", "rb").read())
+    assert px.shape == (500, 500)
+    assert gt == (440720.0, 10.0, 0.0, 3751320.0, 0.0, -10.0)
