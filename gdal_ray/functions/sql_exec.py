@@ -6,12 +6,18 @@ ogr/ogrsf_frmts/generic/ogr_gensql.cpp). Here the same dialect subset
 compiles onto Dataset operators:
 
     SELECT <expr [AS name]>[, ...] FROM <table>
+        [JOIN <table2> ON <a> = <b>]
         [WHERE <swq expr>] [GROUP BY col[, ...]]
         [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
+    <select> UNION ALL <select> [UNION ALL ...]
 
 - scalar expressions reuse the swq compiler (functions/swq.py);
 - aggregates COUNT(*)/COUNT/SUM/MIN/MAX/AVG compile to the combiner
   partial-aggregation pattern (pipelines/common.partial_groupby_agg);
+- JOIN plans onto the partitioned hash-shuffle join
+  (stages/joins.hash_join — the distributed form of the reference's
+  secondary-table lookup join, ogr_gensql.cpp:526-532,1497-1523);
+- UNION ALL concatenates the member results (swq_select.cpp:128);
 - WHERE runs inside map_batches; ORDER BY+LIMIT uses the distributed
   top-k; ORDER BY alone sorts the (bounded) result driver-side.
 
@@ -32,11 +38,38 @@ _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
 _CLAUSE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>\w+)"
+    r"(?:\s+JOIN\s+(?P<jtable>\w+)\s+ON\s+(?P<jleft>[\w.]+)\s*=\s*(?P<jright>[\w.]+))?"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.I | re.S)
+
+_UNION_ALL = re.compile(r"\s+UNION\s+ALL\s+", re.I)
+
+
+def _split_union(sql: str) -> list[str]:
+    """Split on top-level UNION ALL (not inside parentheses)."""
+    parts = []
+    depth = 0
+    start = 0
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _UNION_ALL.match(sql, i)
+            if m and i > start:
+                parts.append(sql[start:i])
+                start = m.end()
+                i = m.end()
+                continue
+        i += 1
+    parts.append(sql[start:])
+    return parts
 
 
 def _split_select(s: str) -> list[str]:
@@ -74,6 +107,11 @@ def execute(sql: str, sf_dir: str):
     pyarrow.Table."""
     from ..pipelines.common import partial_groupby_agg, read_table, topk
 
+    members = _split_union(sql)
+    if len(members) > 1:
+        tabs = [execute(p, sf_dir) for p in members]
+        return pa.concat_tables(tabs, promote_options="default")
+
     m = _CLAUSE.match(sql)
     if not m:
         raise ValueError("unsupported SQL shape")
@@ -98,6 +136,19 @@ def execute(sql: str, sf_dir: str):
                 f"unsupported: ORDER BY column {c!r} not in the SELECT list")
 
     ds = read_table(sf_dir, table)
+    if m.group("jtable"):
+        from ..stages.joins import hash_join
+
+        right = read_table(sf_dir, m.group("jtable"))
+        jl = m.group("jleft").split(".")[-1]
+        jr = m.group("jright").split(".")[-1]
+        lnames = set(ds.schema().names)
+        if jl not in lnames:
+            jl, jr = jr, jl
+        if jl not in lnames or jr not in set(right.schema().names):
+            raise ValueError(
+                f"JOIN keys {m.group('jleft')}/{m.group('jright')} not found")
+        ds = hash_join(ds, right, left_on=jl, right_on=jr)
     if where:
         from .swq import compile_where
 

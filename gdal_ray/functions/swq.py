@@ -376,6 +376,18 @@ def _call(name: str, args):
             return None
 
         return pa.array([get(v) for v in args[0].to_pylist()], pa.string())
+    if name == "ROUND":
+        # half-away-from-zero, matching OGR SQL / DuckDB round()
+        v = args[0]
+        nd = int(args[1]) if len(args) > 1 else 0
+        arr = v.to_numpy(zero_copy_only=False) if hasattr(v, "to_numpy") \
+            else np.asarray(v, np.float64)
+        s = 10.0 ** nd
+        return pa.array(np.sign(arr) * np.floor(np.abs(arr) * s + 0.5) / s)
+    if name == "ABS":
+        return pc.abs(args[0])
+    if name == "SQRT":
+        return pc.sqrt(args[0])
     raise NotImplementedError(f"swq function {name}")
 
 

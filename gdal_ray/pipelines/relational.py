@@ -252,6 +252,40 @@ _EXEC_SQL = ("SELECT l_returnflag, COUNT(*) AS n, "
              "FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag")
 
 
+_SQL_JOIN = """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority
+    """
+
+_SQL_UNION = """
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 2000.0
+    """
+
+
+def q_sql_join(sf_dir: str):
+    """ExecuteSQL secondary-table JOIN: the SAME SQL string plans onto
+    the partitioned hash-shuffle join (stages/joins.py) + combiner
+    aggregation on the Ray side, and runs verbatim in DuckDB
+    (reference JOIN walk: ogr_gensql.cpp:526-532,1497-1523)."""
+    from ..functions.sql_exec import execute
+
+    return execute(_SQL_JOIN, sf_dir)
+
+
+def q_sql_union(sf_dir: str):
+    """ExecuteSQL UNION ALL (swq_select.cpp:128): same SQL on both
+    sides."""
+    from ..functions.sql_exec import execute
+
+    return execute(_SQL_UNION, sf_dir)
+
+
 def q_sql_execute(sf_dir: str):
     """ExecuteSQL analog end-to-end: the SAME SQL string is planned by
     functions/sql_exec.py onto Dataset operators (swq expression
@@ -514,6 +548,8 @@ ORACLE: dict[str, str] = {
                round(AVG(l_quantity), 2) AS avg_qty
         FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag
     """,
+    "q_sql_join": _SQL_JOIN,
+    "q_sql_union": _SQL_UNION,
     "q_quantiles": """
         SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

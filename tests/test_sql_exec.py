@@ -69,3 +69,48 @@ def test_rejects_unsupported():
         execute("DELETE FROM orders", SF)
     with pytest.raises(ValueError):
         execute("SELECT o_custkey, COUNT(*) AS n FROM orders", SF)
+
+
+def test_sql_join_planner(ray_session):
+    sf_dir = SF
+    """JOIN plans onto the hash-shuffle join; verified vs DuckDB."""
+    import duckdb
+
+    from gdal_ray.functions.sql_exec import execute
+
+    sql = ("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+           "JOIN customer ON o_custkey = c_custkey "
+           "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderpriority")
+    got = execute(sql, sf_dir).to_pandas().sort_values("o_orderpriority") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ref = con.sql(sql).df().sort_values("o_orderpriority").reset_index(drop=True)
+    assert got["n"].tolist() == ref["n"].tolist()
+    assert got["o_orderpriority"].tolist() == ref["o_orderpriority"].tolist()
+
+
+def test_sql_union_all_planner(ray_session):
+    sf_dir = SF
+    import duckdb
+
+    from gdal_ray.functions.sql_exec import execute
+
+    sql = ("SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0 "
+           "UNION ALL SELECT o_orderkey FROM orders WHERE o_totalprice < 2000.0")
+    got = sorted(execute(sql, sf_dir)["o_orderkey"].to_pylist())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    ref = sorted(r[0] for r in con.sql(sql).fetchall())
+    assert got == ref
+
+
+def test_sql_orderby_non_selected_raises(ray_session):
+    sf_dir = SF
+    import pytest
+
+    from gdal_ray.functions.sql_exec import execute
+
+    with pytest.raises(ValueError, match="ORDER BY"):
+        execute("SELECT o_orderkey FROM orders ORDER BY o_totalprice", sf_dir)
