@@ -14,6 +14,15 @@ supports are implemented directly from the public formulas:
                        Krueger series (Karney 2011, "Transverse
                        Mercator with an accuracy of a few nanometers"),
                        k0=0.9996, FE=500000, FN=0/10000000.
+- EPSG:2154          — RGF93 / Lambert-93: Lambert Conformal Conic 2SP
+                       on GRS80 (Snyder 1987 eqs. 15-1..15-11).
+- EPSG:5070          — NAD83 / Conus Albers: Albers Equal Area on
+                       GRS80 (Snyder eqs. 14-1..14-21).
+- EPSG:3413 / 3031   — WGS84 polar stereographic north (NSIDC) /
+                       south (Antarctic), variant B with standard
+                       parallel 70N / 71S (Snyder eqs. 21-30..21-40).
+Datum note: GRS80 and WGS84 geographic coordinates are treated as
+identical (sub-centimeter apart), the standard operational assumption.
 
 All transforms are numpy-vectorized over coordinate arrays. Accuracy:
 UTM series is sub-micrometer in-zone; the inverse conformal-latitude
@@ -150,6 +159,192 @@ def utm_to_lonlat(e, n, zone: int, south: bool = False):
     return tm_to_lonlat(x, y, utm_zone_lon0(zone))
 
 
+# ------------------------------------------------- conic / polar projections
+
+A_GRS80 = 6378137.0
+F_GRS80 = 1.0 / 298.257222101
+
+
+def _ellipsoid(a: float, f: float):
+    e2 = f * (2.0 - f)
+    return a, e2, np.sqrt(e2)
+
+
+def _iso_t(phi, e):
+    """Snyder eq. 15-9: isometric-latitude t."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+
+def _inv_iso_t(t, e):
+    """phi from t (Snyder 7-9), fixed point — e^2-rate convergence."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+    return phi
+
+
+def _m_fn(phi, e2):
+    """Snyder eq. 14-15: m = cos(phi)/sqrt(1 - e2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+
+class LambertConformalConic2SP:
+    """Snyder 1987 pp. 104-110 (the PROJ lcc core)."""
+
+    def __init__(self, lat1, lat2, lat0, lon0, fe, fn,
+                 a=A_GRS80, f=F_GRS80):
+        self.a, self.e2, self.e = _ellipsoid(a, f)
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        self.lon0 = lon0
+        self.fe, self.fn = fe, fn
+        m1 = _m_fn(p1, self.e2)
+        m2 = _m_fn(p2, self.e2)
+        t1 = _iso_t(p1, self.e)
+        t2 = _iso_t(p2, self.e)
+        t0 = _iso_t(p0, self.e)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = self.a * self.F * t0 ** self.n
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        t = _iso_t(phi, self.e)
+        rho = self.a * self.F * t ** self.n
+        th = self.n * lam
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sign(self.n) * np.hypot(dx, dy)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
+        phi = _inv_iso_t(t, self.e)
+        return np.degrees(th / self.n) + self.lon0, np.degrees(phi)
+
+
+class AlbersEqualArea:
+    """Snyder 1987 pp. 98-103 (the PROJ aea core)."""
+
+    def __init__(self, lat1, lat2, lat0, lon0, fe, fn,
+                 a=A_GRS80, f=F_GRS80):
+        self.a, self.e2, self.e = _ellipsoid(a, f)
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        self.lon0 = lon0
+        self.fe, self.fn = fe, fn
+        m1 = _m_fn(p1, self.e2)
+        m2 = _m_fn(p2, self.e2)
+        q1 = self._q(p1)
+        q2 = self._q(p2)
+        q0 = self._q(p0)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = self.a * np.sqrt(self.C - self.n * q0) / self.n
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        e, e2 = self.e, self.e2
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        q = self._q(phi)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * lam
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.hypot(dx, dy)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        th = np.arctan2(dx, dy)
+        # Snyder eq. 3-16 iteration for phi from q
+        e, e2 = self.e, self.e2
+        phi = np.arcsin(np.clip(q / 2, -1, 1))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + ((1 - e2 * s * s) ** 2 / (2 * np.cos(phi))) * (
+                q / (1 - e2) - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+        return np.degrees(th / self.n) + self.lon0, np.degrees(phi)
+
+
+class PolarStereographic:
+    """Variant B (standard parallel), Snyder pp. 160-162; north or
+    south aspect by the sign of ``lat_ts``."""
+
+    def __init__(self, lat_ts, lon0, fe, fn, a=A_WGS84, f=F_WGS84):
+        self.a, self.e2, self.e = _ellipsoid(a, f)
+        self.south = lat_ts < 0
+        pf = np.radians(abs(lat_ts))
+        self.lon0 = lon0
+        self.fe, self.fn = fe, fn
+        self.mf = _m_fn(pf, self.e2)
+        self.tf = _iso_t(pf, self.e)
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        if self.south:
+            lon, lat = -lon, -lat
+            lon0 = -self.lon0
+        else:
+            lon0 = self.lon0
+        phi = np.radians(lat)
+        lam = np.radians(lon - lon0)
+        t = _iso_t(phi, self.e)
+        rho = self.a * self.mf * t / self.tf
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if self.south:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        if self.south:
+            dx, dy = -dx, -dy
+        rho = np.hypot(dx, dy)
+        t = rho * self.tf / (self.a * self.mf)
+        phi = _inv_iso_t(t, self.e)
+        lam = np.arctan2(dx, -dy)
+        lon = np.degrees(lam) + (-self.lon0 if self.south else self.lon0)
+        lat = np.degrees(phi)
+        if self.south:
+            lon, lat = -lon, -lat
+    # normalize into [-180, 180]
+        lon = (np.asarray(lon) + 180.0) % 360.0 - 180.0
+        return lon, lat
+
+
+# EPSG parameter registry for the projected CRSs above
+_PROJECTIONS = {
+    2154: lambda: LambertConformalConic2SP(49.0, 44.0, 46.5, 3.0,
+                                           700000.0, 6600000.0),
+    5070: lambda: AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    3413: lambda: PolarStereographic(70.0, -45.0, 0.0, 0.0),
+    3031: lambda: PolarStereographic(-71.0, 0.0, 0.0, 0.0),
+}
+_PROJ_CACHE: dict[int, object] = {}
+
+
+def _projection(epsg: int):
+    if epsg not in _PROJ_CACHE:
+        _PROJ_CACHE[epsg] = _PROJECTIONS[epsg]()
+    return _PROJ_CACHE[epsg]
+
+
 # ------------------------------------------------------------------ dispatch
 def _parse_epsg(crs: int | str) -> int:
     if isinstance(crs, str):
@@ -169,6 +364,8 @@ def _to_lonlat_fn(epsg: int):
     if 32701 <= epsg <= 32760:
         z = epsg - 32700
         return lambda x, y: utm_to_lonlat(x, y, z, south=True)
+    if epsg in _PROJECTIONS:
+        return _projection(epsg).inverse
     raise NotImplementedError(f"EPSG:{epsg}")
 
 
@@ -183,6 +380,8 @@ def _from_lonlat_fn(epsg: int):
     if 32701 <= epsg <= 32760:
         z = epsg - 32700
         return lambda lon, lat: lonlat_to_utm(lon, lat, z, south=True)
+    if epsg in _PROJECTIONS:
+        return _projection(epsg).forward
     raise NotImplementedError(f"EPSG:{epsg}")
 
 

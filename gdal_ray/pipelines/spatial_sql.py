@@ -110,6 +110,57 @@ def q_cell_index(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_crs_transform(sf_dir: str):
+    """CRS engine over the full projection library: the derived event
+    points transform 4326 -> {3857, UTM, Lambert-93 LCC, Conus Albers,
+    polar stereographic} and back inside map_batches (per-actor
+    Transformer reuse); emits round-trip position error per CRS (max,
+    in projected units) and a coordinate checksum. Rows-only
+    (PROJ formulas are not SQL-expressible); projection invariants are
+    golden-tested in tests/test_crs_projections.py."""
+    from ..functions.crs import Transformer
+
+    # (epsg, domain clip (lon_lo, lon_hi, lat_lo, lat_hi)): each CRS is
+    # exercised inside its validity domain (UTM zone 33 = lon 12..18;
+    # north polar = northern hemisphere)
+    CRSS = [(3857, (-180, 180, -84, 84)),
+            (32633, (9.0, 21.0, -80, 84)),
+            (2154, (-10.0, 12.0, 40.0, 52.0)),
+            (5070, (-125.0, -66.0, 22.0, 50.0)),
+            (3413, (-180, 180, 35.0, 84.0))]
+    ds = _points_ds(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        lon0 = t["lon"].to_numpy()
+        lat0 = t["lat"].to_numpy()
+        rows = {"epsg": [], "n": [], "max_err": [], "cksum": []}
+        for epsg, (lo, hi, la, lb) in CRSS:
+            lon = np.clip(lon0, lo, hi)
+            lat = np.clip(lat0, la, lb)
+            fwd = Transformer(4326, epsg)
+            inv = Transformer(epsg, 4326)
+            x, y = fwd.transform(lon, lat)
+            lon2, lat2 = inv.transform(x, y)
+            x2, y2 = fwd.transform(lon2, lat2)
+            err = float(np.hypot(x2 - x, y2 - y).max())
+            rows["epsg"].append(epsg)
+            rows["n"].append(len(lon))
+            rows["max_err"].append(round(err, 9))
+            rows["cksum"].append(int(np.round(np.abs(x) + np.abs(y)).sum()
+                                     % 4294967291))
+        return pa.table({"epsg": pa.array(rows["epsg"], pa.int32()),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "max_err": pa.array(rows["max_err"]),
+                         "cksum": pa.array(rows["cksum"], pa.int64())})
+
+    part = ds.map_batches(f, batch_format="pyarrow")
+    out = partial_groupby_agg(part, ["epsg"],
+                              [("n", "n", "sum"), ("max_err", "max_err", "max"),
+                               ("cksum", "cksum", "sum")])
+    idx = np.argsort(out["epsg"].to_numpy())
+    return out.take(pa.array(idx))
+
+
 # ------------------------------------------------------------------ PIP join
 
 
@@ -474,6 +525,7 @@ QUERIES = {
     "q_tile_assign": q_tile_assign,
     "q_tile_counts": q_tile_counts,
     "q_cell_index": q_cell_index,
+    "q_crs_transform": q_crs_transform,
     "q_pip_join": q_pip_join,
     "q_zonal_stats": q_zonal_stats,
     "q_knn": q_knn,
