@@ -110,6 +110,135 @@ def contour_segment_count(z: np.ndarray, level: float) -> int:
     return int(segs.sum())
 
 
+def contour_segments(z: np.ndarray, level: float,
+                     x0: float = 0.0, y0: float = 0.0) -> np.ndarray:
+    """Marching-squares iso-line segments at ``level`` with linearly
+    interpolated endpoints, (N, 4) rows [xa, ya, xb, yb] in
+    pixel-center coordinates offset by (x0, y0) (reference
+    alg/marching_squares/square.h segment emission; saddles split by
+    the cell-center mean, the reference's disambiguation).
+
+    Vectorized: all cells of one case are emitted together; endpoint
+    interpolation uses the SAME two corner values in adjacent cells,
+    so segments shared across a tile border match bit-for-bit."""
+    z = np.asarray(z, np.float64)
+    va = z[:-1, :-1]
+    vb = z[:-1, 1:]
+    vc = z[1:, 1:]
+    vd = z[1:, :-1]
+    a = va >= level
+    b = vb >= level
+    c = vc >= level
+    d = vd >= level
+    code = (a.astype(np.int8) | (b.astype(np.int8) << 1)
+            | (c.astype(np.int8) << 2) | (d.astype(np.int8) << 3))
+    ys, xs = np.nonzero((code != 0) & (code != 15))
+    if len(ys) == 0:
+        return np.empty((0, 4), np.float64)
+    cd = code[ys, xs]
+    A, B, C, D = va[ys, xs], vb[ys, xs], vc[ys, xs], vd[ys, xs]
+
+    def interp(v0, v1):
+        return (level - v0) / (v1 - v0)
+
+    # edge crossing points (edges: top a-b, right b-c, bottom d-c,
+    # left a-d), in (x, y) with pixel centers at integer coords
+    top = np.stack([xs + interp(A, B), ys + 0.0], 1)
+    right = np.stack([xs + 1.0, ys + interp(B, C)], 1)
+    bottom = np.stack([xs + interp(D, C), ys + 1.0], 1)
+    left = np.stack([xs + 0.0, ys + interp(A, D)], 1)
+    E = {"t": top, "r": right, "b": bottom, "l": left}
+
+    # case -> edge pair(s); orientation: higher side on the LEFT of
+    # a->b (the reference's ring orientation convention)
+    CASES = {
+        1: [("l", "t")], 2: [("t", "r")], 3: [("l", "r")],
+        4: [("r", "b")], 6: [("t", "b")], 7: [("l", "b")],
+        8: [("b", "l")], 9: [("b", "t")], 11: [("b", "r")],
+        12: [("r", "l")], 13: [("r", "t")], 14: [("t", "l")],
+    }
+    segs = []
+    for case, pairs in CASES.items():
+        m = cd == case
+        if not m.any():
+            continue
+        for ea, eb in pairs:
+            segs.append(np.concatenate([E[ea][m], E[eb][m]], 1))
+    # saddles (5, 10): choose pairing by the cell-center mean
+    for case in (5, 10):
+        m = cd == case
+        if not m.any():
+            continue
+        mean_hi = ((A + B + C + D)[m] / 4.0) >= level
+        if case == 5:  # a, c high
+            p1 = [("l", "t"), ("r", "b")]   # mean low: two corners split
+            p2 = [("l", "b"), ("r", "t")]   # mean high: connected saddle
+        else:  # 10: b, d high
+            p1 = [("t", "r"), ("b", "l")]
+            p2 = [("t", "l"), ("b", "r")]
+        for hi, pairs in ((False, p1), (True, p2)):
+            mm = np.zeros_like(cd, bool)
+            mm[m] = mean_hi == hi
+            if not mm.any():
+                continue
+            for ea, eb in pairs:
+                segs.append(np.concatenate([E[ea][mm], E[eb][mm]], 1))
+    out = np.concatenate(segs, 0)
+    out[:, 0] += x0
+    out[:, 2] += x0
+    out[:, 1] += y0
+    out[:, 3] += y0
+    return out
+
+
+def assemble_polylines(segs: np.ndarray):
+    """Join marching-squares segments into polylines (endpoint
+    matching — the reference's cross-cell merge,
+    alg/contour.cpp:331-383 / segment_merger.h). Returns a list of
+    (points(N,2), closed) tuples, deterministic order."""
+    if len(segs) == 0:
+        return []
+    import collections
+
+    def key(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    adj: dict[tuple, list[int]] = collections.defaultdict(list)
+    for i, s in enumerate(segs):
+        adj[key(s[:2])].append(i)
+        adj[key(s[2:])].append(i)
+    used = np.zeros(len(segs), bool)
+    out = []
+    order = np.lexsort((segs[:, 1], segs[:, 0]))
+    for i0 in order:
+        if used[i0]:
+            continue
+        used[i0] = True
+        pts = [tuple(segs[i0, :2]), tuple(segs[i0, 2:])]
+        # extend forward then backward
+        for end in (1, 0):
+            while True:
+                k = key(pts[-1] if end else pts[0])
+                nxt = [j for j in adj[k] if not used[j]]
+                if not nxt:
+                    break
+                j = nxt[0]
+                used[j] = True
+                pa_, pb_ = tuple(segs[j, :2]), tuple(segs[j, 2:])
+                new = pb_ if key(pa_) == k else pa_
+                if end:
+                    pts.append(new)
+                else:
+                    pts.insert(0, new)
+                if key(pts[0]) == key(pts[-1]):
+                    break
+            if key(pts[0]) == key(pts[-1]):
+                break
+        closed = key(pts[0]) == key(pts[-1]) and len(pts) > 2
+        out.append((np.array(pts, np.float64), closed))
+    return out
+
+
 def contour_levels(zmin: float, zmax: float, interval: float,
                    base: float = 0.0) -> np.ndarray:
     """LEVEL_INTERVAL semantics: levels base + k*interval intersecting

@@ -228,6 +228,39 @@ def q_contour(sf_dir: str):
     })
 
 
+def q_contour_lines(sf_dir: str):
+    """Full contour polyline assembly (alg/contour.cpp:331-383):
+    marching squares per tile -> local assembly -> cross-tile border
+    stitch (stages/contour.py), aggregated per level: polyline count,
+    closed-ring count, vertex total, summed length. Rows-only
+    (deterministic; tiled-vs-single-tile identity is golden-tested)."""
+    import ray.data
+
+    from ..stages.contour import contour_lines, grid_to_contour_tiles
+
+    grid = _events_grid(sf_dir).astype(np.float64)
+    levels = contour_levels(float(grid.min()), float(grid.max()),
+                            max(1.0, float(grid.max() - grid.min()) / 8.0))
+    tiles = ray.data.from_arrow(grid_to_contour_tiles(grid, tile=16))
+    lines = contour_lines(tiles, levels)
+    out = {}
+    for b in lines.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for r in b.to_pylist():
+            e = out.setdefault(r["level"], [0, 0, 0, 0.0])
+            e[0] += 1
+            e[1] += int(r["closed"])
+            e[2] += r["n_pts"]
+            e[3] += r["length"]
+    lv = sorted(out)
+    return pa.table({
+        "level": pa.array(lv, pa.float64()),
+        "n_lines": pa.array([out[v][0] for v in lv], pa.int64()),
+        "n_closed": pa.array([out[v][1] for v in lv], pa.int64()),
+        "n_pts": pa.array([out[v][2] for v in lv], pa.int64()),
+        "total_length": pa.array([round(out[v][3], 4) for v in lv]),
+    })
+
+
 def _events_grid(sf_dir: str, n: int = 64) -> np.ndarray:
     """Deterministic int grid: per-cell event counts (the rasterize
     output), computed distributed via combiner partials."""
@@ -787,5 +820,6 @@ QUERIES = {
     "q_pyramid": q_pyramid,
     "q_polygonize": q_polygonize,
     "q_contour": q_contour,
+    "q_contour_lines": q_contour_lines,
     "q_raster_stats": q_raster_stats,
 }

@@ -1,0 +1,64 @@
+"""Contour polyline assembly + distributed tile stitching
+(reference alg/contour.cpp:331-383 semantics)."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from gdal_ray.functions.ccl import (assemble_polylines, contour_segment_count,
+                                    contour_segments)
+from gdal_ray.stages.contour import contour_lines, grid_to_contour_tiles
+
+
+def _demo_grid(n=48):
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64)
+    # two bumps + a slope: produces closed rings and open lines
+    g = (np.exp(-((xx - 14) ** 2 + (yy - 16) ** 2) / 60.0) * 10.0
+         + np.exp(-((xx - 33) ** 2 + (yy - 30) ** 2) / 90.0) * 8.0
+         + xx * 0.05)
+    return g
+
+
+def test_segment_count_matches_segments():
+    g = _demo_grid()
+    for level in (2.0, 4.0, 6.0):
+        segs = contour_segments(g, level)
+        assert len(segs) == contour_segment_count(g, level)
+
+
+def test_assembly_conserves_segments_and_closes_rings():
+    g = _demo_grid()
+    segs = contour_segments(g, 4.0)
+    lines = assemble_polylines(segs)
+    # every segment is used exactly once
+    assert sum(len(p) - 1 for p, _ in lines) == len(segs)
+    # the bumps produce at least one closed ring at this level
+    assert any(closed for _, closed in lines)
+
+
+def test_interpolated_endpoints_on_grid_edges():
+    g = _demo_grid()
+    segs = contour_segments(g, 4.0)
+    # all endpoints within the cell lattice bounds
+    assert segs[:, [0, 2]].max() <= g.shape[1] - 1
+    assert segs[:, [1, 3]].max() <= g.shape[0] - 1
+
+
+def test_distributed_stitch_matches_single_tile(ray_session):
+    """Tiled + stitched polylines must match the single-tile result
+    as a multiset of (level, closed, n_pts, rounded length)."""
+    g = _demo_grid()
+    levels = np.array([2.0, 4.0, 6.0])
+
+    def summary(ds):
+        rows = []
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for r in b.to_pylist():
+                rows.append((r["level"], r["closed"], r["n_pts"],
+                             round(r["length"], 6)))
+        return sorted(rows)
+
+    one = ray.data.from_arrow(grid_to_contour_tiles(g, tile=64))
+    many = ray.data.from_arrow(grid_to_contour_tiles(g, tile=16))
+    assert summary(contour_lines(one, levels)) == \
+        summary(contour_lines(many, levels))
