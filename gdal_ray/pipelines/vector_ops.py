@@ -197,7 +197,64 @@ def q_layer_union_symdiff(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_layer_nonconvex(sf_dir: str):
+    """NON-CONVEX layer algebra: each region's B feature is an
+    L-shaped (rectilinear) polygon; the Ray side clips every nation
+    zone against it with the general Greiner-Hormann overlay
+    (functions/overlay.py — no convexity assumption), while the SQL
+    oracle computes the same area by rectangle inclusion-exclusion
+    (the L is two interior-disjoint rects)."""
+    from ..functions.overlay import polygon_intersection_area
+
+    keys, zone_wkbs = _zones(sf_dir)
+    reg = arrow_table(sf_dir, "region", ["r_regionkey"])
+    rkeys = np.sort(reg["r_regionkey"].to_numpy().astype(np.int64))
+
+    def l_ring(r: int) -> np.ndarray:
+        x0 = -150.0 + 70.0 * r
+        return np.array([
+            (x0, -40.0), (x0 + 40.0, -40.0), (x0 + 40.0, -20.0),
+            (x0 + 60.0, -20.0), (x0 + 60.0, 0.0), (x0 + 40.0, 0.0),
+            (x0 + 40.0, 20.0), (x0, 20.0), (x0, -40.0)], np.float64)
+
+    rows = {"n_nationkey": [], "r_regionkey": [], "inter_area": []}
+    for k, w in zip(keys.tolist(), zone_wkbs):
+        zone = wkb_to_geom(w).rings[0]
+        for r in rkeys.tolist():
+            area = round_away_np(np.array(
+                [polygon_intersection_area(zone, l_ring(int(r)))]), 2)[0]
+            if area > 0:
+                rows["n_nationkey"].append(k)
+                rows["r_regionkey"].append(int(r))
+                rows["inter_area"].append(area)
+    return pa.table({
+        "n_nationkey": pa.array(rows["n_nationkey"], pa.int32()),
+        "r_regionkey": pa.array(rows["r_regionkey"], pa.int32()),
+        "inter_area": pa.array(round_away_np(np.array(rows["inter_area"]), 2)),
+    })
+
+
 ORACLE: dict[str, str] = {
+    # L = [x0, x0+40]x[-40, 20] ∪ [x0+40, x0+60]x[-20, 0] (disjoint
+    # interiors) with x0 = -150 + 70 r; zone = the nation rect
+    "q_layer_nonconvex": """
+        WITH parts AS (
+            SELECT n_nationkey, r_regionkey,
+                   greatest(0.0, least(-167.0 + 14.0 * n_nationkey, -110.0 + 70.0 * r_regionkey)
+                                - greatest(-180.0 + 14.0 * n_nationkey, -150.0 + 70.0 * r_regionkey))
+                   * greatest(0.0, least(-65.0 + 16.0 * (n_nationkey % 10), 20.0)
+                                  - greatest(-80.0 + 16.0 * (n_nationkey % 10), -40.0))
+                   + greatest(0.0, least(-167.0 + 14.0 * n_nationkey, -90.0 + 70.0 * r_regionkey)
+                                  - greatest(-180.0 + 14.0 * n_nationkey, -110.0 + 70.0 * r_regionkey))
+                   * greatest(0.0, least(-65.0 + 16.0 * (n_nationkey % 10), 0.0)
+                                  - greatest(-80.0 + 16.0 * (n_nationkey % 10), -20.0))
+                   AS inter
+            FROM nation, region)
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(r_regionkey AS INTEGER) AS r_regionkey,
+               CAST(round(inter, 2) AS DOUBLE) AS inter_area
+        FROM parts WHERE round(inter, 2) > 0
+    """,
     # densify-then-simplify recovers the 4 corners + closing vertex
     "q_geom_simplify": """
         SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
@@ -277,4 +334,5 @@ QUERIES = {
     "q_layer_intersection": q_layer_intersection,
     "q_layer_erase": q_layer_erase,
     "q_layer_union_symdiff": q_layer_union_symdiff,
+    "q_layer_nonconvex": q_layer_nonconvex,
 }

@@ -78,18 +78,33 @@ def clip_ring_to_convex(ring: np.ndarray, clip: np.ndarray) -> np.ndarray:
 
 
 def intersection_area(a: Geom, b: Geom) -> float:
-    """Area of A ∩ B; B must be a convex single-ring polygon."""
-    if len(b.rings) != 1 or not _is_convex(b.rings[0]):
-        raise NotImplementedError(
-            "layer algebra overlay implemented for convex B side only")
+    """Area of A ∩ B. Convex single-ring B uses the exact
+    Sutherland-Hodgman fast path; non-convex B routes through the
+    general Greiner-Hormann overlay (functions/overlay.py — the GEOS
+    OverlayNG stand-in, ogrlayer.cpp:3345+)."""
+    if len(b.rings) == 1 and _is_convex(b.rings[0]):
+        def clip_area(r: np.ndarray) -> float:
+            clipped = clip_ring_to_convex(r, b.rings[0])
+            return abs(ring_area(clipped)) if len(clipped) >= 4 else 0.0
+    else:
+        from ..functions.overlay import polygon_intersection_area
+
+        def clip_area(r: np.ndarray) -> float:
+            total = 0.0
+            bi = 0
+            for bcnt in (b.poly_ring_counts or [len(b.rings)]):
+                for bk, br in enumerate(b.rings[bi:bi + bcnt]):
+                    area = polygon_intersection_area(r, br)
+                    total += area if bk == 0 else -area  # B holes subtract
+                bi += bcnt
+            return total
+
     total = 0.0
     i = 0
     for cnt in (a.poly_ring_counts or [len(a.rings)]):
         for k, r in enumerate(a.rings[i:i + cnt]):
-            clipped = clip_ring_to_convex(r, b.rings[0])
-            if len(clipped) >= 4:
-                area = abs(ring_area(clipped))
-                total += area if k == 0 else -area  # holes subtract
+            area = clip_area(r)
+            total += area if k == 0 else -area  # A holes subtract
         i += cnt
     return total
 

@@ -77,8 +77,14 @@ def test_intersection_area_rects():
     assert intersection_area(holed, rect_polygon(0, 0, 10, 10)) == pytest.approx(96.0)
 
 
-def test_intersection_nonconvex_b_raises():
+def test_intersection_nonconvex_b_general_overlay():
+    """Non-convex B now routes through the Greiner-Hormann overlay:
+    the arrowhead polygon's area inside the square is its own area
+    (it is contained), = 100 - notch triangle (5*10/2... analytic:
+    shoelace of the arrowhead itself)."""
+    from gdal_ray.functions.geom import ring_area
+
     a = rect_polygon(0, 0, 10, 10)
     b = wkt_to_geom("POLYGON ((0 0, 10 0, 10 10, 5 5, 0 10, 0 0))")
-    with pytest.raises(NotImplementedError):
-        intersection_area(a, b)
+    expect = abs(ring_area(b.rings[0]))
+    assert intersection_area(a, b) == pytest.approx(expect, abs=1e-6)
