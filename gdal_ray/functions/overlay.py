@@ -146,13 +146,24 @@ def _mark_entries(head: _Node, other_ring: np.ndarray) -> None:
             inside = not inside
 
 
-def polygon_intersection(subject: np.ndarray, clip: np.ndarray,
-                         _depth: int = 0) -> list[np.ndarray]:
-    """Intersection of two simple polygons -> list of closed rings."""
+def polygon_overlay(subject: np.ndarray, clip: np.ndarray,
+                    mode: str = "intersection",
+                    _depth: int = 0) -> list[np.ndarray]:
+    """Greiner-Hormann overlay of two simple polygons -> closed rings.
+
+    mode: 'intersection' | 'union' | 'difference' (subject - clip) —
+    the three traversals differ only in which entry flags invert
+    (Greiner & Hormann 1998 §4: union inverts both, difference
+    inverts the clip side)."""
     s = _ring_open(subject)
     c = _ring_open(clip)
     if len(s) < 3 or len(c) < 3:
-        return []
+        if mode == "intersection":
+            return []
+        if mode == "union" or mode == "difference":
+            return [np.vstack([s, s[:1]])] if len(s) >= 3 else (
+                [np.vstack([c, c[:1]])] if mode == "union" and len(c) >= 3
+                else [])
     s_head = _build(s)
     c_head = _build(c)
     n = _insert_intersections(s_head, c_head)
@@ -161,17 +172,42 @@ def polygon_intersection(subject: np.ndarray, clip: np.ndarray,
             raise ValueError("overlay: unresolved degeneracy")
         diag = float(np.hypot(c[:, 0].ptp(), c[:, 1].ptp())) or 1.0
         eps = diag * 1.7e-9 * (_depth + 1)
-        return polygon_intersection(s, c + np.array([eps, eps * 0.61]),
-                                    _depth + 1)
+        return polygon_overlay(s, c + np.array([eps, eps * 0.61]), mode,
+                               _depth + 1)
     if n == 0:
         # containment / disjoint
-        if _point_in_ring(s[0], c):
-            return [np.vstack([s, s[:1]])]
-        if _point_in_ring(c[0], s):
-            return [np.vstack([c, c[:1]])]
-        return []
+        s_in_c = _point_in_ring(s[0], c)
+        c_in_s = _point_in_ring(c[0], s)
+        sc = np.vstack([s, s[:1]])
+        cc = np.vstack([c, c[:1]])
+        if mode == "intersection":
+            return [sc] if s_in_c else ([cc] if c_in_s else [])
+        if mode == "union":
+            if s_in_c:
+                return [cc]
+            if c_in_s:
+                return [sc]
+            return [sc, cc]
+        # difference
+        if s_in_c:
+            return []
+        if c_in_s:
+            raise NotImplementedError(
+                "overlay difference producing a hole (clip inside subject)")
+        return [sc]
     _mark_entries(s_head, c)
     _mark_entries(c_head, s)
+    if mode == "union":
+        for nd in _iter_ring(s_head):
+            if nd.inter:
+                nd.entry = not nd.entry
+        for nd in _iter_ring(c_head):
+            if nd.inter:
+                nd.entry = not nd.entry
+    elif mode == "difference":
+        for nd in _iter_ring(c_head):
+            if nd.inter:
+                nd.entry = not nd.entry
     inters = [nd for nd in _iter_ring(s_head) if nd.inter]
     out = []
     for start in inters:
@@ -209,5 +245,58 @@ def polygon_intersection(subject: np.ndarray, clip: np.ndarray,
     return out
 
 
+def polygon_intersection(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """Intersection of two simple polygons -> list of closed rings."""
+    return polygon_overlay(subject, clip, "intersection")
+
+
+def polygon_union(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """Union; a result with >1 ring means disjoint parts (a union
+    producing interior holes is out of scope and raises upstream)."""
+    return polygon_overlay(subject, clip, "union")
+
+
+def polygon_difference(subject: np.ndarray, clip: np.ndarray) -> list[np.ndarray]:
+    """Subject minus clip (clip fully inside subject — a hole — raises
+    NotImplementedError)."""
+    return polygon_overlay(subject, clip, "difference")
+
+
 def polygon_intersection_area(subject: np.ndarray, clip: np.ndarray) -> float:
     return sum(abs(ring_area(r)) for r in polygon_intersection(subject, clip))
+
+
+def unary_union_area(rings: list[np.ndarray]) -> float:
+    """UnaryUnion area by inclusion-exclusion over pairwise/triple
+    intersections (exact for families where 4-wise intersections are
+    empty; the area-space analog of GEOS UnaryUnion for layer
+    statistics — full geometry union of arbitrary families is out of
+    scope)."""
+    n = len(rings)
+    total = sum(abs(ring_area(_close(r))) for r in rings)
+    # pairwise
+    pair_cache: dict[tuple, list[np.ndarray]] = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            inter = polygon_intersection(rings[i], rings[j])
+            if inter:
+                pair_cache[(i, j)] = inter
+                total -= sum(abs(ring_area(r)) for r in inter)
+    # triples (A∩B already computed; clip with C)
+    for (i, j), inter in pair_cache.items():
+        for k in range(j + 1, n):
+            if (i, k) not in pair_cache and (j, k) not in pair_cache:
+                continue
+            add = 0.0
+            for r in inter:
+                add += polygon_intersection_area(r, rings[k])
+            if add > 0:
+                total += add
+    return total
+
+
+def _close(r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, np.float64)
+    if not np.allclose(r[0], r[-1]):
+        r = np.vstack([r, r[:1]])
+    return r

@@ -633,6 +633,35 @@ def q_raster_stats(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_raster_stats_approx(sf_dir: str):
+    """ComputeStatistics with bApproxOK: stats on a decimated sample
+    (every 4th row/column — the reference's overview/decimation
+    sampling, gcore/gdalrasterband.cpp ComputeStatistics approx path).
+    Rows-only; exact stats are q_raster_stats."""
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(96)
+
+    def f(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "px_min": [], "px_max": [], "mean": [], "std": []}
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])[::4, ::4, 0].astype(np.float64)
+            out["image_id"].append(rec["image_id"])
+            out["px_min"].append(float(px.min()))
+            out["px_max"].append(float(px.max()))
+            out["mean"].append(float(px.mean()))
+            out["std"].append(float(px.std()))
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "px_min": pa.array(out["px_min"]),
+            "px_max": pa.array(out["px_max"]),
+            "mean": pa.array(round_away_np(np.array(out["mean"]), 4)),
+            "std": pa.array(round_away_np(np.array(out["std"]), 4)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 _GOLDENS = [
     # (src relpath, golden relpath, algo)
     ("gcore/data/utmsmall.tif", "alg/data/utmsmall_near.tiff", "nearest"),
@@ -822,4 +851,5 @@ QUERIES = {
     "q_contour": q_contour,
     "q_contour_lines": q_contour_lines,
     "q_raster_stats": q_raster_stats,
+    "q_raster_stats_approx": q_raster_stats_approx,
 }

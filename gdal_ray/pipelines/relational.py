@@ -252,6 +252,18 @@ _EXEC_SQL = ("SELECT l_returnflag, COUNT(*) AS n, "
              "FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag")
 
 
+def q_sample_rows(sf_dir: str):
+    """Row-level sampling: deterministic systematic sample (key mod N
+    — the reproducible analog of the reference's bApproxOK decimated
+    sampling, gcore/gdalrasterband.cpp ComputeStatistics; and of
+    Dataset.random_sample for pipelines needing exact replay). Runs as
+    a map_batches filter — no shuffle, no driver pass."""
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 31), 7)),
+        batch_format="pyarrow")
+
+
 _SQL_JOIN = """
         SELECT o_orderpriority, COUNT(*) AS n,
                MIN(o_totalprice) AS min_price,
@@ -547,6 +559,9 @@ ORACLE: dict[str, str] = {
                round(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
                round(AVG(l_quantity), 2) AS avg_qty
         FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag
+    """,
+    "q_sample_rows": """
+        SELECT event_id, value FROM events WHERE event_id % 32 = 7
     """,
     "q_sql_join": _SQL_JOIN,
     "q_sql_union": _SQL_UNION,

@@ -234,7 +234,60 @@ def q_layer_nonconvex(sf_dir: str):
     })
 
 
+def q_constructive(sf_dir: str):
+    """Constructive geometry over the real kernels
+    (functions/constructive.py — OGRGeometry::Buffer / Delaunay /
+    MakeValid analogs, ogr/ogr_geometry.h:563-591), SQL-verified via
+    the analytic identities: buffer area = A + P*r + n-gon disc;
+    Delaunay count = 2n - hull - 2 with triangle areas summing to the
+    bounding square; bow-tie MakeValid area = w*h/2."""
+    from ..functions.constructive import (buffer_area, delaunay,
+                                          make_valid_area)
+    from ..functions.geom import ring_area as _ra
+
+    keys, wkbs = _zones(sf_dir)
+    R = 1.5
+    rows = {"n_nationkey": [], "buffer_area": [], "n_triangles": [],
+            "tri_area": [], "makevalid_area": []}
+    for k, w in zip(keys.tolist(), wkbs):
+        zone = wkb_to_geom(w).rings[0]
+        rows["n_nationkey"].append(k)
+        rows["buffer_area"].append(buffer_area(zone, R))
+        side = 3 + k % 3
+        pts = np.array([(x, y) for y in range(side) for x in range(side)],
+                       np.float64)
+        tris = delaunay(pts)
+        rows["n_triangles"].append(len(tris))
+        rows["tri_area"].append(sum(
+            abs(_ra(np.vstack([pts[t], pts[t[:1]]]))) for t in tris))
+        bw, bh = 2.0 + k % 5, 3.0
+        bow = np.array([(0, 0), (bw, bh), (bw, 0), (0, bh)], np.float64)
+        rows["makevalid_area"].append(make_valid_area(bow))
+    return pa.table({
+        "n_nationkey": pa.array(rows["n_nationkey"], pa.int32()),
+        "buffer_area": pa.array(round_away_np(
+            np.array(rows["buffer_area"]), 2)),
+        "n_triangles": pa.array(rows["n_triangles"], pa.int64()),
+        "tri_area": pa.array(round_away_np(np.array(rows["tri_area"]), 2)),
+        "makevalid_area": pa.array(round_away_np(
+            np.array(rows["makevalid_area"]), 2)),
+    })
+
+
 ORACLE: dict[str, str] = {
+    "q_constructive": """
+        SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
+               CAST(round(195.0 + 2.0 * (13.0 + 15.0) * 1.5
+                          + 0.5 * 32.0 * 1.5 * 1.5 * sin(2.0 * pi() / 32.0),
+                          2) AS DOUBLE) AS buffer_area,
+               CAST(2 * (3 + n_nationkey % 3) * (3 + n_nationkey % 3)
+                    - 4 * (3 + n_nationkey % 3 - 1) - 2 AS BIGINT) AS n_triangles,
+               CAST(round((3 + n_nationkey % 3 - 1.0)
+                          * (3 + n_nationkey % 3 - 1.0), 2) AS DOUBLE) AS tri_area,
+               CAST(round((2.0 + n_nationkey % 5) * 3.0 / 2.0, 2)
+                    AS DOUBLE) AS makevalid_area
+        FROM nation
+    """,
     # L = [x0, x0+40]x[-40, 20] ∪ [x0+40, x0+60]x[-20, 0] (disjoint
     # interiors) with x0 = -150 + 70 r; zone = the nation rect
     "q_layer_nonconvex": """
@@ -335,4 +388,5 @@ QUERIES = {
     "q_layer_erase": q_layer_erase,
     "q_layer_union_symdiff": q_layer_union_symdiff,
     "q_layer_nonconvex": q_layer_nonconvex,
+    "q_constructive": q_constructive,
 }

@@ -84,6 +84,50 @@ class MDArray:
                        {k: v for k, v in self.attrs.items()
                         if k not in ("scale", "offset")})
 
+    def resampled(self, x_dim: str, y_dim: str, new_w: int, new_h: int,
+                  method: str = "nearest") -> "MDArray":
+        """GetResampled (reference gcore/gdal_priv.h:4439): lazy view
+        with the X/Y dims resampled to (new_w, new_h); other dims pass
+        through. The provider maps a requested window back to the
+        covering parent window and samples it (functions/resample)."""
+        from ..functions.resample import sample
+
+        dx = self.dims.index(x_dim)
+        dy = self.dims.index(y_dim)
+        w, h = self.shape[dx], self.shape[dy]
+        fx, fy = w / new_w, h / new_h
+        new_shape = tuple(new_w if i == dx else new_h if i == dy else n
+                          for i, n in enumerate(self.shape))
+        src = self
+
+        def prov(origin, shape):
+            # requested dst pixel centers -> fractional src coords
+            px = (np.arange(origin[dx], origin[dx] + shape[dx]) + 0.5) * fx
+            py = (np.arange(origin[dy], origin[dy] + shape[dy]) + 0.5) * fy
+            x0 = max(int(np.floor(px.min() - 3)), 0)
+            x1 = min(int(np.ceil(px.max() + 3)), w)
+            y0 = max(int(np.floor(py.min() - 3)), 0)
+            y1 = min(int(np.ceil(py.max() + 3)), h)
+            o = list(origin)
+            s = list(shape)
+            o[dx], s[dx] = x0, x1 - x0
+            o[dy], s[dy] = y0, y1 - y0
+            block = src.read(o, s)
+            # move (y, x) last, flatten the rest, sample, restore
+            other = [i for i in range(len(src.shape)) if i not in (dx, dy)]
+            perm = other + [dy, dx]
+            moved = block.transpose(perm)
+            lead = moved.shape[:-2]
+            flat = moved.reshape(-1, s[dy], s[dx])
+            gx, gy = np.meshgrid(px - x0, py - y0)
+            out = np.stack([sample(b, gx, gy, method)[0] for b in flat])
+            out = out.reshape(lead + (shape[dy], shape[dx]))
+            inv = np.argsort(perm)
+            return out.transpose(inv)
+
+        return MDArray(f"{self.name}.resampled({new_w}x{new_h},{method})",
+                       self.dims, new_shape, prov, dict(self.attrs))
+
     # --------------------------------------------------------- classic bridge
     def as_classic_dataset(self, x_dim: str, y_dim: str,
                            tile: int = 256):
@@ -135,6 +179,34 @@ class MDArray:
         ds = ray.data.range(len(tiles),
                             override_num_blocks=max(1, len(tiles) // 4))
         return ds.map_batches(gen, batch_format="numpy")
+
+
+def gridded_from_points(px: np.ndarray, py: np.ndarray, pv: np.ndarray,
+                        grid_w: int, grid_h: int, bounds: tuple,
+                        power: float = 2.0, name: str = "gridded") -> MDArray:
+    """GetGridded (reference gcore/gdal_priv.h:4445 /
+    GDALMDArray::GetGridded, backed by gdalgrid invdist): a scattered
+    (x, y, value) point set exposed as a LAZY regular-grid MDArray —
+    each requested chunk IDW-interpolates only its own cells
+    (vectorized cells x points)."""
+    xmin, ymin, xmax, ymax = bounds
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    pv = np.asarray(pv, np.float64)
+
+    def prov(origin, shape):
+        oy, ox = origin
+        sy, sx = shape
+        cx = xmin + (np.arange(ox, ox + sx) + 0.5) * (xmax - xmin) / grid_w
+        cy = ymin + (np.arange(oy, oy + sy) + 0.5) * (ymax - ymin) / grid_h
+        gx, gy = np.meshgrid(cx, cy)
+        d2 = ((gx.ravel()[:, None] - px[None, :]) ** 2
+              + (gy.ravel()[:, None] - py[None, :]) ** 2)
+        w = 1.0 / np.maximum(d2, 1e-30) ** (power / 2.0)
+        est = (w * pv[None, :]).sum(axis=1) / w.sum(axis=1)
+        return est.reshape(sy, sx)
+
+    return MDArray(name, ("y", "x"), (grid_h, grid_w), prov, {})
 
 
 def synthetic_mdarray(name: str = "temp", t: int = 6, y: int = 300,

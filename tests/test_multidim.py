@@ -74,3 +74,53 @@ def test_as_classic_dataset(arr, ray_session):
 def test_bounds_checked(arr):
     with pytest.raises(IndexError):
         arr.read((0, 0, 0), (5, 50, 60))
+
+
+def test_resampled_view_nearest_matches_direct():
+    """GetResampled (gdal_priv.h:4439): nearest 2x downsample equals
+    direct decimation of the parent; chunked reads equal full reads."""
+    import numpy as np
+
+    from gdal_ray.sources.multidim import synthetic_mdarray
+
+    arr = synthetic_mdarray(t=2, y=64, x=80)
+    r = arr.resampled("x", "y", 40, 32, "nearest")
+    assert r.shape == (2, 32, 40)
+    full = r.read()
+    parent = arr.read()
+    # nearest at center (j+0.5)*2 -> floor = 2j+1
+    assert np.array_equal(full, parent[:, 1::2, 1::2])
+    # chunk consistency (the lazy-view contract)
+    chunk = r.read((1, 8, 10), (1, 16, 20))
+    assert np.array_equal(chunk, full[1:2, 8:24, 10:30])
+
+
+def test_resampled_bilinear_range():
+    import numpy as np
+
+    from gdal_ray.sources.multidim import synthetic_mdarray
+
+    arr = synthetic_mdarray(t=1, y=50, x=50)
+    up = arr.resampled("x", "y", 100, 100, "bilinear")
+    full = up.read()
+    parent = arr.read()
+    assert full.shape == (1, 100, 100)
+    assert full.min() >= parent.min() - 1e-9
+    assert full.max() <= parent.max() + 1e-9
+
+
+def test_gridded_from_points():
+    """GetGridded (gdal_priv.h:4445): IDW grid is exact at a point's
+    own cell center when the point sits there, and chunked == full."""
+    import numpy as np
+
+    from gdal_ray.sources.multidim import gridded_from_points
+
+    # one point exactly at the center of cell (2, 3) of an 8x8 grid
+    g = gridded_from_points(np.array([3.5, 6.0]), np.array([2.5, 7.0]),
+                            np.array([10.0, -4.0]), 8, 8, (0, 0, 8, 8))
+    full = g.read()
+    assert full.shape == (8, 8)
+    assert abs(full[2, 3] - 10.0) < 1e-6  # numerically dominated
+    chunk = g.read((2, 2), (3, 4))
+    assert np.allclose(chunk, full[2:5, 2:6])
