@@ -318,6 +318,42 @@ def q_minhash_lsh(sf_dir: str):
     return out.take(idx).select(["doc_a", "doc_b", "sig_sim"])
 
 
+def q_jaccard_verify(sf_dir: str):
+    """n-gram Jaccard verification of the MinHash-LSH candidates: the
+    candidate pairs (distributed LSH bucketing, q_minhash_lsh) are
+    re-scored with EXACT 3-gram Jaccard similarity — the verify stage
+    of a production near-dup pipeline. The pair list is dimension-
+    sized (output of the sketch), so the doc texts for verification
+    are fetched via a broadcast id set; the heavy hashing stays in the
+    sketch stage. Rows-only (sketch semantics not SQL-expressible)."""
+    pairs = q_minhash_lsh(sf_dir)
+    ids_needed = pa.array(np.unique(np.concatenate([
+        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
+        if pairs.num_rows else np.array([], np.int64)))
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    texts_t = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=ids_needed)),
+        batch_format="pyarrow")
+    texts: dict[int, str] = {}
+    for b in texts_t.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i, s in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            texts[i] = s
+
+    def grams(s: str) -> set:
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    sims = []
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        sims.append(len(ga & gb) / max(len(ga | gb), 1))
+    return pa.table({
+        "doc_a": pairs["doc_a"],
+        "doc_b": pairs["doc_b"],
+        "sig_sim": pairs["sig_sim"],
+        "jaccard": pa.array(round_away_np(np.array(sims, np.float64), 4)),
+    })
+
+
 # ------------------------------------------------------------------ embeddings
 
 
@@ -656,6 +692,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_fingerprint": q_fingerprint,
     "q_minhash_lsh": q_minhash_lsh,
+    "q_jaccard_verify": q_jaccard_verify,
     "q_ann_topk": q_ann_topk,
     "q_ann_multi_query": q_ann_multi_query,
     "q_ann_lsh": q_ann_lsh,

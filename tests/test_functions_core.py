@@ -287,3 +287,43 @@ def test_s2_range_disjoint_siblings():
     # a far-away cell must be outside the range
     d = cell_id(np.array([-120.0]), np.array([-30.0]), 12)
     assert not (lo <= int(d[0]) <= hi)
+
+
+def test_vsi_filesystems(ray_session, tmp_path):
+    """VSI analog (port/cpl_vsi.h): /vsimem/ + /vsizip/ + local-fs
+    parquet reads all produce the same rows."""
+    import io
+    import zipfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdal_ray.sources.vsi import (vsi_read_parquet, vsimem_unlink,
+                                      vsimem_write)
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array(["x", "y", "z"])})
+    # local file
+    local = tmp_path / "t.parquet"
+    pq.write_table(t, local)
+    # vsimem
+    sink = io.BytesIO()
+    pq.write_table(t, sink)
+    mem_path = vsimem_write("t.parquet", sink.getvalue())
+    # vsizip (zip on disk containing the parquet)
+    zpath = tmp_path / "a.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("inner/t.parquet", sink.getvalue())
+
+    def rows(ds):
+        return sorted(r["a"] for b in ds.iter_batches(
+            batch_size=None, batch_format="pyarrow") for r in b.to_pylist())
+
+    assert rows(vsi_read_parquet(str(local))) == [1, 2, 3]
+    assert rows(vsi_read_parquet(mem_path)) == [1, 2, 3]
+    assert rows(vsi_read_parquet(f"/vsizip/{zpath}/inner/t.parquet")) == [1, 2, 3]
+    vsimem_unlink("t.parquet")
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        vsi_read_parquet(mem_path)
