@@ -242,9 +242,11 @@ def segmentize_ring(ring: np.ndarray, max_len: float) -> np.ndarray:
 def make_valid_ring(ring: np.ndarray, shell: bool = True) -> np.ndarray:
     """Structural MakeValid (the common OGRGeometry::MakeValid cases,
     apps/ogr2ogr_lib.cpp:266): drop consecutive duplicate vertices,
-    close the ring, and orient shells CCW / holes CW. (Self-
-    intersection repair — the full GEOS MakeValid — is out of scope
-    and raises on detection via signed-area zero with >3 vertices.)"""
+    close the ring, and orient shells CCW / holes CW. A self-crossing
+    ring (signed area 0 with > 3 distinct vertices, e.g. a bow-tie) is
+    untwisted into simple sub-rings by functions/constructive
+    .make_valid_ring; the LARGEST sub-ring is returned here (single-
+    ring contract; multi-ring callers use the constructive API)."""
     pts = np.asarray(ring, np.float64)
     if len(pts) and np.array_equal(pts[0], pts[-1]):
         pts = pts[:-1]
@@ -257,8 +259,15 @@ def make_valid_ring(ring: np.ndarray, shell: bool = True) -> np.ndarray:
     closed = np.vstack([pts, pts[:1]])
     a = ring_area(closed)
     if a == 0.0:
-        raise NotImplementedError(
-            "degenerate/self-crossing ring: full MakeValid not implemented")
+        from .constructive import make_valid_ring as _untwist
+
+        parts = _untwist(closed)
+        if not parts:
+            return np.empty((0, 2))
+        closed = max(parts, key=lambda r: abs(ring_area(r)))
+        a = ring_area(closed)
+        if a == 0.0:
+            return np.empty((0, 2))
     want_ccw = shell
     if (a > 0) != want_ccw:
         closed = closed[::-1].copy()

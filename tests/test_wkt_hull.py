@@ -89,8 +89,13 @@ def test_make_valid_ring():
     assert ring_area(out) == pytest.approx(12.0)   # CCW positive
     hole = make_valid_ring(out, shell=False)
     assert ring_area(hole) == pytest.approx(-12.0)  # holes CW
-    with pytest.raises(NotImplementedError):
-        make_valid_ring(np.array([[0, 0], [1, 1], [2, 2], [3, 3]], float))
+    # fully-collinear ring has no area even after untwisting -> empty
+    assert len(make_valid_ring(
+        np.array([[0, 0], [1, 1], [2, 2], [3, 3]], float))) == 0
+    # bow-tie untwists: the largest wing triangle comes back, CCW
+    bow = np.array([[0, 0], [2, 2], [2, 0], [0, 2]], float)
+    wing = make_valid_ring(bow)
+    assert ring_area(wing) == pytest.approx(1.0)
 
 
 def test_interpolate_lut_reclassify():
