@@ -512,6 +512,83 @@ def q_ann_lsh(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the coarse-quantizer scale path, alongside
+    the LSH variant): k-means centroids trained on a deterministic
+    sample (Lloyd iterations on the driver — O(sample x k), the IVF
+    'train' phase), then every batch assigns its vectors to nearest
+    centroids and scores ONLY vectors in the query's nprobe closest
+    lists — one matmul per batch against the broadcast queries.
+    Rows-only; recall vs brute force is golden-tested."""
+    K, NLIST, NPROBE, SAMPLE = 5, 16, 4, 512
+    Q = _query_vectors()
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # train: deterministic sample (lowest vec_ids) -> Lloyd k-means
+    sample_t = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], SAMPLE)),
+        batch_format="pyarrow")
+    samp = pa.concat_tables(list(sample_t.iter_batches(
+        batch_size=None, batch_format="pyarrow")), promote_options="default")
+    X = np.array(samp["embedding"].to_pylist(), np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(99)
+    cents = X[rng.choice(len(X), NLIST, replace=False)]
+    for _ in range(10):
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(NLIST):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    qlists = np.argsort(-(Q @ cents.T), axis=1)[:, :NPROBE]
+    probe_sets = [set(q.tolist()) for q in qlists]
+
+    def local(t: pa.Table) -> pa.Table:
+        emb = np.array(t["embedding"].to_pylist(), np.float64)
+        unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        lists = (unit @ cents.T).argmax(axis=1)
+        ids = t["vec_id"].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        sims = unit @ Q.T
+        for qi in range(Q.shape[0]):
+            ok = np.isin(lists, list(probe_sets[qi]))
+            if not ok.any():
+                continue
+            s = sims[ok, qi]
+            cand = ids[ok]
+            k = min(K, len(s))
+            part = np.argpartition(-s, k - 1)[:k] if len(s) > k \
+                else np.arange(len(s))
+            out_q.extend([qi] * len(part))
+            out_id.extend(cand[part].tolist())
+            out_s.extend(s[part].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts = ds.map_batches(local, batch_format="pyarrow")
+    df = pa.concat_tables(
+        list(parts.iter_batches(batch_size=None, batch_format="pyarrow")),
+        promote_options="default").to_pandas()
+    import pandas as pd
+
+    out = []
+    for qi, g in df.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(K).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    if not out:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    res = pd.concat(out, ignore_index=True)
+    res["sim"] = round_away_np(res["sim"].to_numpy(), 4)
+    return pa.Table.from_pandas(res[["query_id", "vec_id", "rank", "sim"]],
+                                preserve_index=False)
+
+
 def q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (sim >= 0.4, i < j) as a
     distributed block-pair join: vectors hash into B id-buckets; each
@@ -696,6 +773,7 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_ann_multi_query": q_ann_multi_query,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
     "q_embed_label_stats": q_embed_label_stats,
 }
