@@ -193,6 +193,82 @@ def decode_tiff(data: bytes):
     return px, gt
 
 
+def encode_tiff(px: np.ndarray, gt=None, compression: str = "none") -> bytes:
+    """Minimal classic-TIFF writer (little-endian, single strip,
+    chunky): uint8/16/32, int8/16/32 or float32/64 samples, optional
+    Deflate compression, GeoTIFF ModelPixelScale + ModelTiepoint tags
+    when ``gt`` is given (axis-aligned geotransforms — the writer
+    counterpart of decode_tiff; frmts/gtiff write path analog)."""
+    import zlib
+
+    px = np.ascontiguousarray(px)
+    if px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+    else:
+        h, w, spp = px.shape
+    dt = px.dtype
+    if dt.kind == "f":
+        fmt = 3
+    elif dt.kind == "i":
+        fmt = 2
+    else:
+        fmt = 1
+    bits = dt.itemsize * 8
+    data = px.astype(dt.newbyteorder("<")).tobytes()
+    comp_tag = 1
+    if compression == "deflate":
+        data = zlib.compress(data, 6)
+        comp_tag = 8
+    elif compression != "none":
+        raise NotImplementedError(f"tiff write compression {compression}")
+
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, comp_tag),
+        (262, 3, 1, 1 if spp == 1 else 2),  # photometric: gray / RGB
+        (277, 3, 1, spp), (278, 3, 1, h),
+        (339, 3, 1, fmt),
+    ]
+    extra = b""
+    header_len = 8
+    # strip data right after header; IFD after the strip
+    strip_off = header_len
+    ifd_off = strip_off + len(data)
+    # out-of-line tag payloads appended after the IFD
+    def add_payload(buf: bytes) -> int:
+        nonlocal extra
+        off = ifd_off + 2 + 12 * n_entries + 4 + len(extra)
+        extra += buf
+        return off
+
+    tags.append((273, 4, 1, strip_off))
+    tags.append((279, 4, 1, len(data)))
+    if gt is not None:
+        if gt[2] != 0.0 or gt[4] != 0.0:
+            raise NotImplementedError("rotated geotransform in TIFF tags")
+        tags.append((33550, 12, 3, None))  # pixel scale (payload below)
+        tags.append((33922, 12, 6, None))  # tiepoint
+    tags.sort(key=lambda t: t[0])
+    n_entries = len(tags)
+
+    entries = b""
+    for tag, typ, cnt, val in tags:
+        if tag == 33550:
+            off = add_payload(struct.pack("<3d", abs(gt[1]), abs(gt[5]), 0.0))
+            entries += struct.pack("<HHII", tag, typ, cnt, off)
+        elif tag == 33922:
+            off = add_payload(struct.pack("<6d", 0.0, 0.0, 0.0,
+                                          gt[0], gt[3], 0.0))
+            entries += struct.pack("<HHII", tag, typ, cnt, off)
+        else:
+            entries += struct.pack("<HHII", tag, typ, cnt, val)
+    out = (b"II" + struct.pack("<HI", 42, ifd_off) + data
+           + struct.pack("<H", n_entries) + entries
+           + struct.pack("<I", 0) + extra)
+    return out
+
+
 def read_tiff_dataset(paths: list[str]):
     """Ray source: binary files -> decoded tile rows (image_id, pixels
     meta + raw-codec bytes), the GDALOpenEx probe path for TIFF."""
