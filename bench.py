@@ -43,6 +43,8 @@ HEADLINE = [
     "q_exact_dedup",        # content-hash dedup
     "q_ann_multi_query",    # brute-force cosine ANN, broadcast queries
     "q_sessionize",         # groupby(user).map_groups stateful scan
+    "q_minhash_lsh",        # minhash sketch -> LSH band buckets -> vectorized pairs
+    "q_orderby_full",       # range-partitioned distributed global sort
 ]
 
 FLAGSHIP_IMAGES = int(os.environ.get("GRAFT_FLAGSHIP_IMAGES", "1536"))
