@@ -273,38 +273,70 @@ def q_minhash_lsh(sf_dir: str):
                          "band_hash": pa.array(hashes, pa.int64()),
                          "sig": pa.array(sigs, pa.binary())})
 
+    MAX_BUCKET = 256  # cap: a boilerplate megabucket would go O(k^2)
+    NB = 256  # shuffle granularity: hash-bucket of (band, band_hash) —
+    # one map task processes ALL its bucket's tiny groups in one pass
+    # (per-group map_groups dispatch over ~1e5 distinct band hashes
+    # costs more than the pairing itself)
+
     import pandas as pd
 
-    MAX_BUCKET = 256  # cap: a boilerplate megabucket would go O(k^2)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["band_hash"].to_numpy() * np.int64(131071)
+            + t["band"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return t.append_column("__bucket__",
+                               pa.array((h % np.uint64(NB)).astype(np.int64)))
 
-    exploded = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=512)
+    exploded = ds.map_batches(sig_batch, batch_format="pyarrow",
+                              batch_size=512) \
+        .map_batches(add_bucket, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                              "doc_b": pd.Series([], dtype="int64"),
-                              "sig_sim": pd.Series([], dtype="float64")})
-        if len(g) < 2:
-            return empty
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return empty
-        if len(g) > MAX_BUCKET:
-            # deterministic cap (lowest doc_ids kept): a bucket this hot
-            # is boilerplate; candidates beyond the cap are found by the
-            # doc's other bands
-            g = g.iloc[:MAX_BUCKET]
-        ids = g["doc_id"].to_numpy()
-        sig_mat = np.frombuffer(b"".join(g["sig"].tolist()),
-                                np.uint64).reshape(len(g), -1)
-        bi, bj = np.triu_indices(len(g), k=1)
-        sims = (sig_mat[bi] == sig_mat[bj]).mean(axis=1)
-        keep = sims >= 0.5
-        return pd.DataFrame({"doc_a": ids[bi[keep]].astype(np.int64),
-                             "doc_b": ids[bj[keep]].astype(np.int64),
-                             "sig_sim": sims[keep]})
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        idx = pc.sort_indices(t, sort_keys=[("band", "ascending"),
+                                            ("band_hash", "ascending"),
+                                            ("doc_id", "ascending")])
+        t = t.take(idx)
+        band = t["band"].to_numpy()
+        bh = t["band_hash"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        sig_mat = np.frombuffer(b"".join(t["sig"].to_pylist()),
+                                np.uint64).reshape(t.num_rows, -1)
+        change = np.zeros(t.num_rows, bool)
+        change[0] = True
+        change[1:] |= (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], t.num_rows)
+        for s, e_ in zip(starts, ends):
+            gids = ids[s:e_]
+            keep_u = np.concatenate([[True], gids[1:] != gids[:-1]])
+            gids = gids[keep_u]
+            if len(gids) < 2:
+                continue
+            gsig = sig_mat[s:e_][keep_u]
+            if len(gids) > MAX_BUCKET:
+                # deterministic cap (lowest doc_ids kept): a bucket this
+                # hot is boilerplate; candidates beyond the cap are
+                # found by the doc's other bands
+                gids = gids[:MAX_BUCKET]
+                gsig = gsig[:MAX_BUCKET]
+            bi, bj = np.triu_indices(len(gids), k=1)
+            sims = (gsig[bi] == gsig[bj]).mean(axis=1)
+            keep = sims >= 0.5
+            out_a.append(gids[bi[keep]].astype(np.int64))
+            out_b.append(gids[bj[keep]].astype(np.int64))
+            out_s.append(sims[keep])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "sig_sim": pa.array([], pa.float64())})
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b)),
+                         "sig_sim": pa.array(np.concatenate(out_s))})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = exploded.groupby("__bucket__").map_groups(
+        bucket_pairs, batch_format="pyarrow")
     # distributed dedup of pairs found in multiple bands: a tiny
     # groupby over (doc_a, doc_b) partials — no driver-side pair table
     out = partial_groupby_agg(pairs, ["doc_a", "doc_b"],
