@@ -48,29 +48,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged["q_video_frames"] = video_frames_query
     merged["q_multidim"] = _q_multidim
 
-    # round-1 driver-verified (hash-green) keys — deprioritized
-    r1_green = {
-        "q_filter_select", "q_cast_math", "q_string_funcs", "q_in_between",
-        "q_case_when", "q_swq_filter", "q_agg_global", "q_groupby_agg",
-        "q_stddev", "q_count_distinct", "q_having", "q_date_extract",
-        "q_sql_execute", "q_quantiles", "q_distinct", "q_orderby_limit",
-        "q_sort_multikey", "q_join_broadcast", "q_join_hash_large",
-        "q_semi_join", "q_anti_join", "q_union_all", "q_tile_assign",
-        "q_tile_counts", "q_pip_join", "q_zonal_stats", "q_knn",
-        "q_knn_partitioned", "q_histogram", "q_rasterize_points",
-        "q_token_count", "q_doc_stats", "q_exact_dedup", "q_doc_quality",
-        "q_events_json", "q_window_tumbling", "q_window_hopping",
-        "q_sessionize", "q_ann_topk", "q_embed_neardup",
-        "q_embed_label_stats", "q_grid_idw",
-    }
-    out: dict[str, Callable[[str], Any]] = {}
-    for k in merged:
-        if k not in r1_green:
-            out[k] = merged[k]
-    for k in merged:
-        if k in r1_green:
-            out[k] = merged[k]
-    return out
+    # priority tiers (highest first):
+    # 2 = re-implemented this round (round-1 row covered OLD code)
+    # 1 = round-1 rows-only (driver row exists, no oracle)
+    # 0 = round-1 hash-green and untouched
+    # everything NOT listed (never driver-rowed / new) leads at tier 3
+    tier = {}
+    for k in ("q_sort_multikey", "q_semi_join", "q_anti_join",
+              "q_knn_partitioned", "q_embed_neardup"):
+        tier[k] = 2
+    for k in ("q_cell_index", "q_langid", "q_quality_full", "q_simhash",
+              "q_fingerprint", "q_minhash_lsh", "q_ann_multi_query",
+              "q_ann_lsh"):
+        tier[k] = 1
+    for k in ("q_filter_select", "q_cast_math", "q_string_funcs",
+              "q_in_between", "q_case_when", "q_swq_filter", "q_agg_global",
+              "q_groupby_agg", "q_stddev", "q_count_distinct", "q_having",
+              "q_date_extract", "q_sql_execute", "q_quantiles", "q_distinct",
+              "q_orderby_limit", "q_join_broadcast", "q_join_hash_large",
+              "q_union_all", "q_tile_assign", "q_tile_counts", "q_pip_join",
+              "q_zonal_stats", "q_knn", "q_histogram", "q_rasterize_points",
+              "q_token_count", "q_doc_stats", "q_exact_dedup",
+              "q_doc_quality", "q_events_json", "q_window_tumbling",
+              "q_window_hopping", "q_sessionize", "q_ann_topk",
+              "q_embed_label_stats", "q_grid_idw"):
+        tier[k] = 0
+    ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
+    return {k: merged[k] for k in ranked}
 
 
 def _q_multidim(sf_dir: str):
