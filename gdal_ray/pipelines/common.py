@@ -82,7 +82,9 @@ def _fix_names(g: pa.Table, keys, aggs) -> pa.Table:
     return pa.table(dict(zip(names, cols)))
 
 
-def partial_groupby_agg(ds, keys: Sequence[str], aggs, batch_size: int = 65536) -> pa.Table:
+def partial_groupby_agg(ds, keys: Sequence[str], aggs,
+                        batch_size: int = 65536,
+                        distributed_threshold: int = 2_000_000) -> pa.Table:
     """Combiner-style grouped aggregation.
 
     ``aggs``: list of (out_name, in_col, kind). Returns the combined
@@ -90,10 +92,30 @@ def partial_groupby_agg(ds, keys: Sequence[str], aggs, batch_size: int = 65536) 
     counts/sums are still *mergeable partials* semantics-wise, so
     derived values (avg, stddev) are computed by the caller from the
     returned sums/counts.
-    """
+
+    Scale guard: the partial volume is O(batches x groups-per-batch).
+    When it exceeds ``distributed_threshold`` rows, the final combine
+    runs as ONE MORE distributed round (a second map_batches partial
+    pass over repartitioned partials) before the driver merge, so the
+    driver only ever folds a bounded table. (At sandbox sizes the
+    single driver fold is faster and is the default path.)"""
     partials = ds.map_batches(
         _batch_partial(keys, aggs), batch_format="pyarrow", batch_size=batch_size
     )
+    mid_aggs = [(out, out, "min" if kind == "min" else
+                 ("max" if kind == "max" else "sum"))
+                for out, _, kind in aggs]
+    # materialize so the size probe doesn't re-execute the heavy pass;
+    # partials live in the (spillable) object store, not driver heap
+    partials = partials.materialize()
+    for _ in range(3):  # each round shrinks volume ~batch_size-fold
+        cnt = partials.count()
+        if cnt <= distributed_threshold:
+            break
+        partials = partials.repartition(
+            max(8, cnt // batch_size)).map_batches(
+            _batch_partial(keys, mid_aggs), batch_format="pyarrow",
+            batch_size=batch_size).materialize()
     tables = [pa.Table.from_pandas(df) if not isinstance(df, pa.Table) else df
               for df in _collect_tables(partials)]
     merged = pa.concat_tables(tables, promote_options="default")

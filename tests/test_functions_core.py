@@ -327,3 +327,28 @@ def test_vsi_filesystems(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         vsi_read_parquet(mem_path)
+
+
+def test_partial_groupby_distributed_combine(ray_session):
+    """The partial combine goes distributed when the partial volume
+    exceeds the threshold; result identical either way."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_ray.pipelines.common import partial_groupby_agg
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"k": pa.array(rng.integers(0, 50, 20000)),
+                  "v": pa.array(rng.normal(0, 1, 20000))})
+    ds = ray.data.from_arrow(t).repartition(16)
+    a = partial_groupby_agg(ds, ["k"], [("s", "v", "sum"), ("n", "v", "count_all"),
+                                        ("mx", "v", "max")])
+    b = partial_groupby_agg(ds, ["k"], [("s", "v", "sum"), ("n", "v", "count_all"),
+                                        ("mx", "v", "max")],
+                            distributed_threshold=100)
+    da = a.to_pandas().sort_values("k").reset_index(drop=True)
+    db = b.to_pandas().sort_values("k").reset_index(drop=True)
+    assert da["n"].tolist() == db["n"].tolist()
+    assert np.allclose(da["mx"], db["mx"])
+    assert np.allclose(da["s"], db["s"])
