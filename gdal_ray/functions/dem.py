@@ -53,11 +53,62 @@ def _frame(core: np.ndarray, fill=np.nan) -> np.ndarray:
     return out
 
 
+def pad_edges(z: np.ndarray) -> np.ndarray:
+    """-compute_edges padding: linear extrapolation 2a - b beyond each
+    edge (reference apps/gdaldem_lib.cpp INTERPOL :286-311; rows first,
+    then columns over the already-extended rows — the order
+    GDALGeneric3x3Processing fills edge windows)."""
+    z = np.asarray(z, np.float64)
+    h, w = z.shape
+    p = np.empty((h + 2, w + 2), np.float64)
+    p[1:-1, 1:-1] = z
+    p[0, 1:-1] = 2 * z[0] - z[1]
+    p[-1, 1:-1] = 2 * z[-1] - z[-2]
+    p[:, 0] = 2 * p[:, 1] - p[:, 2]
+    p[:, -1] = 2 * p[:, -2] - p[:, -3]
+    return p
+
+
+def auto_scale_geographic(gt, n_rows: int, semimajor: float = 6378137.0):
+    """gdaldem's default scale for geographic CRS inputs
+    (apps/gdaldem_lib.cpp:3679-3700): yscale = angular_units * a,
+    xscale = yscale * cos(center latitude)."""
+    ang = np.pi / 180.0
+    yscale = ang * semimajor
+    mean_lat = (gt[3] + n_rows * gt[5] / 2) * ang
+    return yscale * np.cos(mean_lat), yscale
+
+
+def _with_computed_edges(kern, z: np.ndarray) -> np.ndarray:
+    """-compute_edges evaluation: run ``kern`` on the extrapolation-
+    padded grid, then redo the four CORNERS with GDAL's clamped corner
+    windows (the first/last-row loop clamps jmin/jmax instead of
+    extrapolating horizontally — gdaldem_lib.cpp:458-482,766+)."""
+    p = pad_edges(z)
+    out = kern(p)[1:-1, 1:-1]
+    h, w = z.shape
+    for cy, prow in ((0, [0, 1, 2]), (h - 1, [h - 1, h, h + 1])):
+        for cx in (0, w - 1):
+            cols = [cx + 1, cx + 1, cx + 2] if cx == 0 else [cx, cx + 1, cx + 1]
+            win = p[np.ix_(prow, cols)]
+            out[cy, cx] = kern(win)[1, 1]
+    return out
+
+
 def hillshade(z: np.ndarray, ewres: float, nsres: float, *, zfactor: float = 1.0,
               azimuth: float = 315.0, altitude: float = 45.0,
-              alg: str = "horn") -> np.ndarray:
-    """Plain hillshade in [1, 255] (GDALHillshadeAlg semantics)."""
+              alg: str = "horn", combined: bool = False,
+              compute_edges: bool = False) -> np.ndarray:
+    """Hillshade in [1, 255] (GDALHillshadeAlg; combined variant
+    :1140-1168 multiplies the Lambertian angle by the slope term)."""
     z = np.asarray(z, np.float64)
+    if compute_edges:
+        def kern(zz):
+            return hillshade(zz, ewres, nsres, zfactor=zfactor,
+                             azimuth=azimuth, altitude=altitude, alg=alg,
+                             combined=combined)
+
+        return _with_computed_edges(kern, z)
     zf = zfactor / (2.0 if alg == "zevenbergen-thorne" else 8.0)
     inv_ew = 1.0 / ewres
     inv_ns = 1.0 / nsres
@@ -65,6 +116,15 @@ def hillshade(z: np.ndarray, ewres: float, nsres: float, *, zfactor: float = 1.0
     az = np.radians(azimuth)
     w = _win(z)
     x, y = (_zt if alg == "zevenbergen-thorne" else _horn)(w, inv_ew, inv_ns)
+    if combined:
+        slope_t = zf * zf * (x * x + y * y)
+        lamb = (np.sin(alt) - (y * np.cos(az) * np.cos(alt) * zf
+                               - x * np.sin(az) * np.cos(alt) * zf)) \
+            / np.sqrt(1.0 + slope_t)
+        c = np.arccos(np.clip(lamb, -1.0, 1.0))
+        c = 1.0 - c * np.arctan(np.sqrt(slope_t)) / ((np.pi / 2) ** 2)
+        cang = np.where(c <= 0.0, 1.0, 1.0 + 254.0 * c)
+        return _frame(cang)
     sin_alt_254 = 254.0 * np.sin(alt)
     cos_az_cos_alt_z_254 = 254.0 * np.cos(az) * np.cos(alt) * zf
     sin_az_cos_alt_z_254 = 254.0 * np.sin(az) * np.cos(alt) * zf
@@ -88,13 +148,18 @@ def slope(z: np.ndarray, ewres: float, nsres: float, *, zfactor: float = 1.0,
     return _frame(core)
 
 
-def aspect(z: np.ndarray, *, azimuth: bool = True) -> np.ndarray:
-    """Aspect (GDALAspectAlg): azimuth degrees by default; flat areas
-    are NaN."""
+def aspect(z: np.ndarray, *, azimuth: bool = True,
+           alg: str = "horn") -> np.ndarray:
+    """Aspect (GDALAspectAlg / GDALAspectZevenbergenThorneAlg):
+    azimuth degrees by default; flat areas are NaN."""
     z = np.asarray(z, np.float64)
     w = _win(z)
-    dx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
-    dy = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    if alg == "zevenbergen-thorne":
+        dx = w[5] - w[3]
+        dy = w[7] - w[1]
+    else:
+        dx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+        dy = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
     a = np.arctan2(dy, -dx) * _DEG
     a = a.astype(np.float32).astype(np.float64)  # reference computes in float
     if azimuth:

@@ -726,6 +726,91 @@ def q_warp_goldens(sf_dir: str):
         f, batch_format="pyarrow", batch_size=2)
 
 
+def q_dem_goldens(sf_dir: str):
+    """gdaldem conformance: hillshade (Horn/ZT x plain/combined x
+    explicit/auto-geographic scale + compute_edges), slope ZT, aspect
+    ZT, TPI, TRI (Riley/Wilson), roughness on the reference's own
+    n43.tif, emitting OUR checksum next to the reference's published
+    expectation (autotest/utilities/test_gdaldem_lib.py) — all equal.
+    Distributed as one task per variant; rows-only (deterministic)."""
+    import os
+
+    import ray.data
+
+    n43 = "/root/reference/autotest/gdrivers/data/n43.tif"
+    cases = [
+        ("hillshade_horn_scaled", 45587), ("hillshade_horn_auto", 46008),
+        ("hillshade_comb_scaled", 43876), ("hillshade_comb_auto", 42176),
+        ("hillshade_zt_scaled", 46544), ("hillshade_zt_auto", 45373),
+        ("hillshade_ztcomb_scaled", 43112), ("hillshade_ztcomb_auto", 42340),
+        ("hillshade_edges", 50239), ("slope_zt_scaled", 64393),
+        ("slope_zt_auto", 65468), ("aspect_zt", 50539),
+        ("tpi", 60504), ("tri_wilson", 61143), ("tri_riley", 41233),
+        ("roughness", 38624),
+    ]
+    if not os.path.exists(n43):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "cksum": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.dem import (aspect, auto_scale_geographic, hillshade,
+                                     roughness, slope, tpi, tri)
+        from ..sources.tiff import decode_tiff
+
+        with open(n43, "rb") as fh:
+            px, gt = decode_tiff(fh.read())
+        z = px.astype(np.float64)
+        xs_a, ys_a = auto_scale_geographic(gt, z.shape[0])
+
+        def byte(hs):
+            return np.where(np.isnan(hs), 0,
+                            np.clip(np.floor(hs + 0.5), 1, 255)).astype(np.uint8)
+
+        def i32(v):
+            return np.floor(np.where(np.isnan(v), -9999.0, v) + 0.5).astype(np.int64)
+
+        S = 111120.0
+        out = {"case": [], "cksum": [], "expected": []}
+        for case, want in [(r["case"], r["expected"]) for r in t.to_pylist()]:
+            if case.startswith("hillshade"):
+                alg = "zevenbergen-thorne" if "_zt" in case or "ztcomb" in case \
+                    else "horn"
+                comb = "comb" in case
+                if case == "hillshade_edges":
+                    hs = hillshade(z, gt[1] * S, gt[5] * S, zfactor=30.0,
+                                   compute_edges=True)
+                else:
+                    xs, ys = (S, S) if case.endswith("scaled") else (xs_a, ys_a)
+                    hs = hillshade(z, gt[1] * xs, gt[5] * ys, zfactor=30.0,
+                                   alg=alg, combined=comb)
+                ck = checksum_image(byte(hs))
+            elif case.startswith("slope"):
+                xs, ys = (S, S) if case.endswith("scaled") else (xs_a, ys_a)
+                ck = checksum_image(i32(slope(z, gt[1] * xs, gt[5] * ys,
+                                              alg="zevenbergen-thorne")))
+            elif case == "aspect_zt":
+                ck = checksum_image(i32(aspect(z, alg="zevenbergen-thorne")))
+            elif case == "tpi":
+                ck = checksum_image(i32(tpi(z)))
+            elif case == "tri_wilson":
+                ck = checksum_image(i32(tri(z, alg="wilson")))
+            elif case == "tri_riley":
+                ck = checksum_image(i32(tri(z, alg="riley")))
+            else:
+                ck = checksum_image(i32(roughness(z)))
+            out["case"].append(case)
+            out["cksum"].append(ck)
+            out["expected"].append(want)
+        return pa.table({"case": pa.array(out["case"], pa.string()),
+                         "cksum": pa.array(out["cksum"], pa.int64()),
+                         "expected": pa.array(out["expected"], pa.int64())})
+
+    items = [{"case": c, "expected": w} for c, w in cases]
+    return ray.data.from_items(items).map_batches(f, batch_format="pyarrow",
+                                                  batch_size=4)
+
+
 # ------------------------------------------------------------------ oracles
 
 _LON = _DERIVE_SQL[0]
@@ -845,6 +930,7 @@ QUERIES = {
     "q_reclassify_lut": q_reclassify_lut,
     "q_translate": q_translate,
     "q_warp_goldens": q_warp_goldens,
+    "q_dem_goldens": q_dem_goldens,
     "q_hillshade": q_hillshade,
     "q_pyramid": q_pyramid,
     "q_polygonize": q_polygonize,

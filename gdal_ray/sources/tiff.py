@@ -31,6 +31,7 @@ _TAG_STRIP_BYTE_COUNTS = 279
 _TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
 _TAG_PIXEL_SCALE = 33550
+_TAG_GEOKEYS = 34735
 _TAG_TIEPOINT = 33922
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
@@ -190,6 +191,16 @@ def decode_tiff(data: bytes):
         # tiepoint: (i, j, k, X, Y, Z) — raster point -> model point
         i, j, X, Y = tp[0], tp[1], tp[3], tp[4]
         gt = (X - i * sx, sx, 0.0, Y + j * sy, 0.0, -sy)
+        # GTRasterTypeGeoKey == RasterPixelIsPoint: the tiepoint names
+        # the pixel CENTER; GDAL converts to its corner convention by
+        # shifting half a pixel (frmts/gtiff geotiff.cpp PixelIsPoint)
+        gk = tags.get(_TAG_GEOKEYS)
+        if gk and len(gk) >= 8:
+            for k in range(4, len(gk) - 3, 4):
+                if int(gk[k]) == 1025 and int(gk[k + 3]) == 2:
+                    gt = (gt[0] - gt[1] / 2, gt[1], 0.0,
+                          gt[3] - gt[5] / 2, 0.0, gt[5])
+                    break
     return px, gt
 
 

@@ -1,0 +1,94 @@
+"""gdaldem conformance against the reference's OWN expected checksums
+on n43.tif (reference autotest/utilities/test_gdaldem_lib.py) — exact
+GDALChecksumImage equality, incl. the PixelIsPoint half-pixel
+geotransform shift and the auto geographic scale rule."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.functions.checksum import checksum_image
+from gdal_ray.functions.dem import (aspect, auto_scale_geographic, hillshade,
+                                    roughness, slope, tpi, tri)
+from gdal_ray.sources.tiff import decode_tiff
+
+N43 = "/root/reference/autotest/gdrivers/data/n43.tif"
+
+
+@pytest.fixture(scope="module")
+def n43():
+    with open(N43, "rb") as f:
+        px, gt = decode_tiff(f.read())
+    return px.astype(np.float64), gt
+
+
+def _byte(hs):
+    return np.where(np.isnan(hs), 0,
+                    np.clip(np.floor(hs + 0.5), 1, 255)).astype(np.uint8)
+
+
+def _int32(v, nodata=-9999.0):
+    out = np.where(np.isnan(v), nodata, v)
+    return np.floor(out + 0.5).astype(np.int64)
+
+
+def test_n43_pixel_is_point_geotransform(n43):
+    _, gt = n43
+    assert gt[0] == pytest.approx(-80.00416666666666)
+    assert gt[3] == pytest.approx(44.00416666666666)
+
+
+# (test_gdaldem_lib_hillshade / _combined / _ZevenbergenThorne[_combined])
+@pytest.mark.parametrize("alg,combined,scaled,want", [
+    ("horn", False, True, 45587),
+    ("horn", False, False, 46008),
+    ("horn", True, True, 43876),
+    ("horn", True, False, 42176),
+    ("zevenbergen-thorne", False, True, 46544),
+    ("zevenbergen-thorne", False, False, 45373),
+    ("zevenbergen-thorne", True, True, 43112),
+    ("zevenbergen-thorne", True, False, 42340),
+])
+def test_hillshade_checksums(n43, alg, combined, scaled, want):
+    z, gt = n43
+    if scaled:
+        xs = ys = 111120.0
+    else:
+        xs, ys = auto_scale_geographic(gt, z.shape[0])
+    hs = hillshade(z, gt[1] * xs, gt[5] * ys, zfactor=30.0, alg=alg,
+                   combined=combined)
+    assert checksum_image(_byte(hs)) == want
+
+
+def test_hillshade_compute_edges(n43):
+    """(test_gdaldem_lib_hillshade_compute_edges: checksum 50239)"""
+    z, gt = n43
+    hs = hillshade(z, gt[1] * 111120.0, gt[5] * 111120.0, zfactor=30.0,
+                   compute_edges=True)
+    out = np.clip(np.floor(hs + 0.5), 1, 255).astype(np.uint8)
+    assert not np.isnan(hs).any()
+    assert checksum_image(out) == 50239
+
+
+@pytest.mark.parametrize("scaled,want", [(True, 64393), (False, 65468)])
+def test_slope_zt_checksums(n43, scaled, want):
+    z, gt = n43
+    if scaled:
+        xs = ys = 111120.0
+    else:
+        xs, ys = auto_scale_geographic(gt, z.shape[0])
+    s = slope(z, gt[1] * xs, gt[5] * ys, alg="zevenbergen-thorne")
+    assert checksum_image(_int32(s)) == want
+
+
+def test_aspect_zt_checksum(n43):
+    z, gt = n43
+    a = aspect(z, alg="zevenbergen-thorne")
+    assert checksum_image(_int32(a)) == 50539
+
+
+def test_tpi_tri_roughness_checksums(n43):
+    z, _ = n43
+    assert checksum_image(_int32(tpi(z))) == 60504
+    assert checksum_image(_int32(tri(z, alg="wilson"))) == 61143
+    assert checksum_image(_int32(tri(z, alg="riley"))) == 41233
+    assert checksum_image(_int32(roughness(z))) == 38624
