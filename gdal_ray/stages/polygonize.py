@@ -95,6 +95,20 @@ def _label_batch(t: pa.Table, connect: int, tiles_per_row: int) -> pa.Table:
             key = (1 if axis == "v" else 2) * (1 << 40) + b * (1 << 20) + o
             emit("border", key=key,
                  payload=vals.astype(np.int32).tobytes() + labs.tobytes())
+        if connect == 8:
+            # corner junctions: diagonal adjacency across 4 tiles
+            # (roles 0=TL 1=TR 2=BL 3=BR of the emitting tile relative
+            # to the junction it touches)
+            for role, (jy, jx), cy, cx in (
+                (3, (rec["ty"] + 1, rec["tx"] + 1), h - 1, w - 1),
+                (2, (rec["ty"] + 1, rec["tx"]), h - 1, 0),
+                (1, (rec["ty"], rec["tx"] + 1), 0, w - 1),
+                (0, (rec["ty"], rec["tx"]), 0, 0),
+            ):
+                key = 3 * (1 << 40) + jy * (1 << 20) + jx
+                payload = np.array([role, v[cy, cx]], np.int32).tobytes() \
+                    + np.array([glab[cy, cx]], np.int64).tobytes()
+                emit("corner", key=key, payload=payload)
 
     return pa.table({
         "kind": pa.array(out["kind"], pa.string()),
@@ -111,12 +125,14 @@ def _label_batch(t: pa.Table, connect: int, tiles_per_row: int) -> pa.Table:
     })
 
 
-def _adjacency_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _adjacency_pairs(g: pd.DataFrame, connect: int = 4) -> pd.DataFrame:
     """Two border strips with the same key: equal values across the
-    boundary union their labels."""
+    boundary union their labels. 8-connected also matches each cell
+    against its diagonal neighbors (i-1, i+1) on the other side."""
+    empty = pd.DataFrame({"gid": pd.Series([], dtype="int64"),
+                          "gid2": pd.Series([], dtype="int64")})
     if len(g) != 2:
-        return pd.DataFrame({"gid": pd.Series([], dtype="int64"),
-                             "gid2": pd.Series([], dtype="int64")})
+        return empty
     bufs = []
     for p in g["payload"]:
         raw = np.frombuffer(p, np.uint8)
@@ -126,10 +142,41 @@ def _adjacency_pairs(g: pd.DataFrame) -> pd.DataFrame:
         bufs.append((vals, labs))
     (va, la), (vb, lb) = bufs
     m = min(len(va), len(vb))
+    out = []
     eq = va[:m] == vb[:m]
-    pairs = np.unique(np.stack([la[:m][eq], lb[:m][eq]], axis=1), axis=0) \
-        if eq.any() else np.empty((0, 2), np.int64)
+    if eq.any():
+        out.append(np.stack([la[:m][eq], lb[:m][eq]], axis=1))
+    if connect == 8 and m > 1:
+        dg = va[: m - 1] == vb[1:m]  # a[i] ~ b[i+1]
+        if dg.any():
+            out.append(np.stack([la[: m - 1][dg], lb[1:m][dg]], axis=1))
+        dg2 = va[1:m] == vb[: m - 1]  # a[i+1] ~ b[i]
+        if dg2.any():
+            out.append(np.stack([la[1:m][dg2], lb[: m - 1][dg2]], axis=1))
+    if not out:
+        return empty
+    pairs = np.unique(np.concatenate(out, axis=0), axis=0)
     return pd.DataFrame({"gid": pairs[:, 0], "gid2": pairs[:, 1]})
+
+
+def _corner_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """A 4-tile junction (8-connected only): diagonal roles
+    (TL=0 <-> BR=3 and TR=1 <-> BL=2) union when values match."""
+    cells = {}
+    for p in g["payload"]:
+        raw = np.frombuffer(p, np.uint8)
+        role, val = np.frombuffer(raw[:8].tobytes(), np.int32)
+        lab = int(np.frombuffer(raw[8:].tobytes(), np.int64)[0])
+        cells[int(role)] = (int(val), lab)
+    out = []
+    for a, b in ((0, 3), (1, 2)):
+        if a in cells and b in cells and cells[a][0] == cells[b][0]:
+            out.append((cells[a][1], cells[b][1]))
+    if not out:
+        return pd.DataFrame({"gid": pd.Series([], dtype="int64"),
+                             "gid2": pd.Series([], dtype="int64")})
+    arr = np.array(out, np.int64)
+    return pd.DataFrame({"gid": arr[:, 0], "gid2": arr[:, 1]})
 
 
 def polygonize_tiles(tiles_ds, connect: int = 4,
@@ -154,8 +201,9 @@ def polygonize_tiles(tiles_ds, connect: int = 4,
     # scale this is the second groupby shuffle)
     pairs: list[np.ndarray] = []
     bdf = bor.select(["key", "payload"]).to_pandas()
-    for _, g in bdf.groupby("key"):
-        p = _adjacency_pairs(g)
+    for key, g in bdf.groupby("key"):
+        p = _corner_pairs(g) if (int(key) >> 40) == 3 \
+            else _adjacency_pairs(g, connect)
         if len(p):
             pairs.append(p[["gid", "gid2"]].to_numpy())
 
