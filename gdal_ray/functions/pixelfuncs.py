@@ -151,39 +151,67 @@ def convolve(band: np.ndarray, kernel: np.ndarray,
 
 
 def sieve(band: np.ndarray, threshold: int, connect: int = 4) -> np.ndarray:
-    """Remove raster polygons smaller than ``threshold`` pixels by
-    assigning them the value of their largest neighboring component
-    (reference alg/sieve.cpp GPMaskImageData merge rule). Iterates
-    until every surviving component meets the threshold."""
-    out = np.asarray(band).copy()
-    while True:
-        labels = label_components(out, connect)
-        n = labels.max() + 1
-        sizes = np.bincount(labels.reshape(-1), minlength=n)
-        small = np.nonzero(sizes < threshold)[0]
-        if len(small) == 0 or n == 1:
-            return out
-        # neighbor sizes: for each small component, find the largest
-        # adjacent component and take its value
-        h, w = out.shape
-        best = {}
-        for dy, dx in ((0, 1), (1, 0)):
-            a = labels[: h - dy, : w - dx]
-            b = labels[dy:, dx:]
-            va = out[: h - dy, : w - dx]
-            vb = out[dy:, dx:]
-            diff = a != b
-            for la, lb, xa, xb in zip(a[diff].ravel(), b[diff].ravel(),
-                                      va[diff].ravel(), vb[diff].ravel()):
-                for s, t, tv in ((la, lb, xb), (lb, la, xa)):
-                    if sizes[s] < threshold:
-                        cur = best.get(s)
-                        if cur is None or sizes[t] > sizes[cur[0]]:
-                            best[s] = (t, tv)
-        if not best:
-            return out
-        for s, (t, tv) in best.items():
-            out[labels == s] = tv
+    """GDALSieveFilter semantics (reference alg/gdalsievefilter.cpp):
+    label polygons once; record each polygon's LARGEST neighbour,
+    updating only on strictly-larger size in GDAL's raster scan order
+    (up, up-left, up-right, left per pixel — the tie-break); each small
+    polygon then walks the largest-neighbour chain to the first
+    polygon >= threshold (a cycle means unmergable: the polygon keeps
+    its value, :486-531) and remaps in one shot. Bit-compatible with
+    the reference's sieve checksums (autotest/alg/sieve.py)."""
+    v = np.asarray(band)
+    labels = label_components(v, connect)
+    h, w = v.shape
+    n = int(labels.max()) + 1
+    flat_l = labels.ravel()
+    sizes = np.bincount(flat_l, minlength=n)
+    values = np.empty(n, v.dtype)
+    values[flat_l] = v.ravel()
+    big = np.full(n, -1, np.int64)
+
+    def cmp(a: int, b: int) -> None:
+        if a == b:
+            return
+        if big[a] == -1 or sizes[big[a]] < sizes[b]:
+            big[a] = b
+        if big[b] == -1 or sizes[big[b]] < sizes[a]:
+            big[b] = a
+
+    L = labels
+    for y in range(h):
+        row = L[y]
+        up = L[y - 1] if y > 0 else None
+        for x in range(w):
+            c = row[x]
+            if up is not None:
+                cmp(c, up[x])
+                if connect == 8 and x > 0:
+                    cmp(c, up[x - 1])
+                if connect == 8 and x < w - 1:
+                    cmp(c, up[x + 1])
+            if x > 0:
+                cmp(c, row[x - 1])
+
+    final = np.arange(n, dtype=np.int64)
+    for p in range(n):
+        if sizes[p] >= threshold or big[p] == -1:
+            continue
+        seen = {p}
+        cur = p
+        target = -1
+        while True:
+            cur = int(big[cur])
+            if cur < 0:
+                break
+            if sizes[cur] >= threshold:
+                target = cur
+                break
+            if cur in seen:
+                break
+            seen.add(cur)
+        if target >= 0:
+            final[p] = target
+    return values[final[flat_l]].reshape(h, w)
 
 
 # ------------------------------------------------------------ pansharpen

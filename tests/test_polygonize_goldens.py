@@ -86,3 +86,20 @@ def test_distributed_polygonize_matches_reference_counts(
     tiles = ray.data.from_arrow(grid_to_tiles(grid.astype(np.int32), tile=3))
     out = polygonize_tiles(tiles, connect=connect)
     assert out.num_rows == want
+
+
+@pytest.mark.parametrize("fixture,connect,want", [
+    ("sieve_src.grd", 4, 364),
+    ("sieve_src.grd", 8, 370),
+    ("unmergable.grd", 8, 451),   # cycle of small polys stays unmerged
+    ("sieve_2634.grd", 4, 98),
+])
+def test_sieve_reference_checksums(fixture, connect, want):
+    """GDALSieveFilter conformance (autotest/alg/sieve.py): threshold
+    2, exact output checksums incl. the unmergable-cycle case."""
+    from gdal_ray.functions.checksum import checksum_image
+    from gdal_ray.functions.pixelfuncs import sieve
+
+    grid, _ = read_aaigrid(f"{DATA}/{fixture}")
+    out = sieve(grid.astype(np.int32), 2, connect).astype(np.uint8)
+    assert checksum_image(out) == want
