@@ -1,0 +1,125 @@
+"""gdal_grid scattered-point gridding algorithms (reference
+alg/gdalgrid.cpp; app apps/gdal_grid_lib.cpp).
+
+Node convention: node (i, j) sits at
+``(xmin + (i+0.5)*dx, ymin + (j+0.5)*dy)`` with ``dx=(xmax-xmin)/nx``,
+``dy=(ymax-ymin)/ny`` (dy may be negative — row 0 is the ymin side,
+matching the -txe/-tye argument order).
+
+Search window: rotated ellipse (radius1, radius2, angle degrees,
+counterclockwise), both radii 0 meaning "all points". ``min_points``
+below which a node becomes nodata; ``max_points`` caps the nearest
+points used (invdistnn).
+
+Algorithms: invdist (power/smoothing; exact-hit rule r2 < 1e-13 takes
+the point value), invdistnn, average, minimum, maximum, range, count,
+average_distance, average_distance_pts, nearest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EXACT_HIT_R2 = 1e-13
+
+
+def _node_coords(xmin, xmax, ymin, ymax, nx, ny):
+    dx = (xmax - xmin) / nx
+    dy = (ymax - ymin) / ny
+    cx = xmin + (np.arange(nx) + 0.5) * dx
+    cy = ymin + (np.arange(ny) + 0.5) * dy
+    return np.meshgrid(cx, cy)
+
+
+def _ellipse_mask(dxs, dys, radius1, radius2, angle_deg):
+    """Boolean mask of points inside the rotated search ellipse
+    (GDALGridExtractPointsIntoBuffers rotation convention)."""
+    if radius1 <= 0 and radius2 <= 0:
+        return np.ones(dxs.shape, bool)
+    a = np.radians(angle_deg)
+    ca, sa = np.cos(a), np.sin(a)
+    xr = dxs * ca + dys * sa
+    yr = -dxs * sa + dys * ca
+    r1 = radius1 if radius1 > 0 else 1e300
+    r2 = radius2 if radius2 > 0 else 1e300
+    return (xr / r1) ** 2 + (yr / r2) ** 2 <= 1.0
+
+
+def grid_points(px, py, pz, algo: str, *, xmin, xmax, ymin, ymax,
+                nx: int, ny: int, power: float = 2.0,
+                smoothing: float = 0.0, radius1: float = 0.0,
+                radius2: float = 0.0, radius: float = 0.0,
+                angle: float = 0.0, min_points: int = 0,
+                max_points: int = 0, nodata: float = 0.0) -> np.ndarray:
+    """Grid the scattered points -> (ny, nx) float64 array."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    pz = np.asarray(pz, np.float64)
+    gx, gy = _node_coords(xmin, xmax, ymin, ymax, nx, ny)
+    # (nodes, points) deltas
+    dxs = px[None, :] - gx.ravel()[:, None]
+    dys = py[None, :] - gy.ravel()[:, None]
+    r2 = dxs * dxs + dys * dys
+    out = np.full(gx.size, nodata, np.float64)
+
+    if algo == "invdistnn":
+        rad = radius if radius > 0 else 0.0
+        inside = r2 <= rad * rad if rad > 0 else np.ones(r2.shape, bool)
+    else:
+        inside = _ellipse_mask(dxs, dys, radius1, radius2, angle)
+
+    for i in range(gx.size):
+        m = inside[i]
+        rr = r2[i][m]
+        zz = pz[m]
+        if algo in ("invdist", "invdistnn"):
+            if algo == "invdistnn" and max_points > 0 and len(rr) > max_points:
+                keep = np.argsort(rr, kind="stable")[:max_points]
+                rr = rr[keep]
+                zz = zz[keep]
+            if len(rr) == 0 or len(rr) < min_points:
+                continue
+            hit = rr < _EXACT_HIT_R2
+            if hit.any():
+                out[i] = zz[np.argmax(hit)]
+                continue
+            w = 1.0 / (rr + smoothing * smoothing) ** (power / 2.0)
+            out[i] = (w * zz).sum() / w.sum()
+        elif algo == "average":
+            if len(zz) == 0 or len(zz) < min_points:
+                continue
+            out[i] = zz.mean()
+        elif algo == "minimum":
+            if len(zz) == 0 or len(zz) < min_points:
+                continue
+            out[i] = zz.min()
+        elif algo == "maximum":
+            if len(zz) == 0 or len(zz) < min_points:
+                continue
+            out[i] = zz.max()
+        elif algo == "range":
+            if len(zz) == 0 or len(zz) < min_points:
+                continue
+            out[i] = zz.max() - zz.min()
+        elif algo == "count":
+            if len(zz) < min_points:
+                continue
+            out[i] = len(zz)
+        elif algo == "average_distance":
+            if len(rr) == 0 or len(rr) < min_points:
+                continue
+            out[i] = np.sqrt(rr).mean()
+        elif algo == "average_distance_pts":
+            if len(zz) < 2 or len(zz) < min_points:
+                continue
+            sx = px[m]
+            sy = py[m]
+            ii, jj = np.triu_indices(len(sx), k=1)
+            out[i] = np.hypot(sx[ii] - sx[jj], sy[ii] - sy[jj]).mean()
+        elif algo == "nearest":
+            if len(rr) == 0:
+                continue
+            out[i] = zz[np.argmin(rr)]
+        else:
+            raise NotImplementedError(f"gdal_grid algorithm {algo!r}")
+    return out.reshape(ny, nx)
