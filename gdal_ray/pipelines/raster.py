@@ -100,6 +100,64 @@ def q_grid_nn_count(sf_dir: str):
     return pa.table({"cell_id": out["cell_id"], "n": out["n"]})
 
 
+def q_grid_metrics(sf_dir: str):
+    """gdalgrid data metrics (average / minimum / maximum / range /
+    count / average_distance, alg/gdalgrid.cpp data-metric family)
+    distributed: every batch computes per-node PARTIALS (count, sum,
+    min, max, distance sum) for points within the circular search
+    radius; the combiner merges them — no all-pairs, no shuffle of
+    point rows. SQL-oracled cell-for-cell."""
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+    cx, cy = _grid_centers()
+    gx, gy = np.meshgrid(cx, cy)
+    gxf = gx.ravel()
+    gyf = gy.ravel()
+    R2 = NN_RADIUS * NN_RADIUS
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy()
+        lon, lat = derive_lonlat(v)
+        d2 = (lon[None, :] - gxf[:, None]) ** 2 + (lat[None, :] - gyf[:, None]) ** 2
+        m = d2 <= R2
+        vv = np.where(m, v[None, :], np.nan)
+        cnt = m.sum(axis=1).astype(np.int64)
+        with np.errstate(all="ignore"):
+            s = np.nansum(np.where(m, v[None, :], 0.0), axis=1)
+            mn = np.where(cnt > 0, np.nanmin(vv, axis=1), np.inf)
+            mx = np.where(cnt > 0, np.nanmax(vv, axis=1), -np.inf)
+            sd = np.where(m, np.sqrt(d2), 0.0).sum(axis=1)
+        return pa.table({"cell_id": pa.array(np.arange(GRID_N * GRID_N)),
+                         "n": pa.array(cnt), "s": pa.array(s),
+                         "mn": pa.array(mn), "mx": pa.array(mx),
+                         "sd": pa.array(sd)})
+
+    out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                              ["cell_id"],
+                              [("n", "n", "sum"), ("s", "s", "sum"),
+                               ("mn", "mn", "min"), ("mx", "mx", "max"),
+                               ("sd", "sd", "sum")])
+    n = out["n"].to_numpy()
+    keep = n > 0
+    s = out["s"].to_numpy()[keep]
+    mn = out["mn"].to_numpy()[keep]
+    mx = out["mx"].to_numpy()[keep]
+    sd = out["sd"].to_numpy()[keep]
+    nk = n[keep]
+    # double-round: the value sums are multiples of 0.01, so rounding
+    # them to 2dp first gives BIT-IDENTICAL dividends on the Ray and
+    # DuckDB sides regardless of float summation order; the quotient
+    # and its 4dp rounding then agree exactly
+    return pa.table({
+        "cell_id": pa.array(out["cell_id"].to_numpy()[keep]),
+        "n": pa.array(nk),
+        "avg_v": pa.array(round_away_np(round_away_np(s, 2) / nk, 4)),
+        "min_v": pa.array(round_away_np(mn, 4)),
+        "max_v": pa.array(round_away_np(mx, 4)),
+        "range_v": pa.array(round_away_np(mx - mn, 4)),
+        "avg_dist": pa.array(round_away_np(round_away_np(sd, 2) / nk, 4)),
+    })
+
+
 def q_geom_zone_metrics(sf_dir: str):
     """Area/perimeter/centroid of each nation-zone polygon computed by
     the real WKB->geometry kernels (shoelace etc.), verified against
@@ -843,6 +901,23 @@ ORACLE: dict[str, str] = {
         FROM {_CELLS_SQL} cells, events
         GROUP BY cell_id
     """,
+    "q_grid_metrics": f"""
+        WITH hits AS (
+            SELECT cell_id, value,
+                   sqrt(((({_LON}) - gx) * (({_LON}) - gx))
+                        + ((({_LAT}) - gy) * (({_LAT}) - gy))) AS dist
+            FROM {_CELLS_SQL} cells, events
+            WHERE ((({_LON}) - gx) * (({_LON}) - gx))
+                  + ((({_LAT}) - gy) * (({_LAT}) - gy)) <= {NN_RADIUS * NN_RADIUS}
+        )
+        SELECT cell_id, count(*) AS n,
+               round(round(sum(value), 2) / count(*), 4) AS avg_v,
+               round(min(value), 4) AS min_v,
+               round(max(value), 4) AS max_v,
+               round(max(value) - min(value), 4) AS range_v,
+               round(round(sum(dist), 2) / count(*), 4) AS avg_dist
+        FROM hits GROUP BY cell_id
+    """,
     "q_rasterize_zones": f"""
         WITH cells AS (
             SELECT gx.i AS cell_x, gy.i AS cell_y,
@@ -916,6 +991,7 @@ ORACLE: dict[str, str] = {
 QUERIES = {
     "q_grid_idw": q_grid_idw,
     "q_grid_nn_count": q_grid_nn_count,
+    "q_grid_metrics": q_grid_metrics,
     "q_geom_zone_metrics": q_geom_zone_metrics,
     "q_rasterize_zones": q_rasterize_zones,
     "q_rasterize_all_touched": q_rasterize_all_touched,
