@@ -280,6 +280,32 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none") -> bytes:
     return out
 
 
+def tiff_nodata(data: bytes) -> float | None:
+    """The GDAL_NODATA ascii tag (42113) as a float, if present."""
+    if data[:2] not in (b"II", b"MM"):
+        return None
+    bo = "<" if data[:2] == b"II" else ">"
+    _, ifd_off = struct.unpack(bo + "HI", data[2:8])
+    n = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        t, typ, cnt = struct.unpack(bo + "HHI", data[ifd_off + 2 + 12 * i:
+                                                     ifd_off + 10 + 12 * i])
+        if t != 42113:
+            continue
+        raw = data[ifd_off + 10 + 12 * i: ifd_off + 14 + 12 * i]
+        if cnt <= 4:
+            buf = raw[:cnt]
+        else:
+            off = struct.unpack(bo + "I", raw)[0]
+            buf = data[off:off + cnt]
+        s = buf.rstrip(b"\x00").decode("latin-1").strip()
+        try:
+            return float(s)
+        except ValueError:
+            return None
+    return None
+
+
 def read_tiff_dataset(paths: list[str]):
     """Ray source: binary files -> decoded tile rows (image_id, pixels
     meta + raw-codec bytes), the GDALOpenEx probe path for TIFF."""

@@ -88,3 +88,33 @@ def test_median_cut_and_apply():
     # each pixel mapped to its own cluster's entry
     dark = pal[:, 0].argmin()
     assert (idx.reshape(-1)[:100] == dark).mean() > 0.99
+
+
+def test_gdal_proximity_reference_checksums():
+    """GDALComputeProximity conformance (autotest/alg/proximity.py):
+    the scanline two-sweep port reproduces all three checksums,
+    including FIXED_BUF_VAL (targets stay 0) and USE_INPUT_NODATA
+    (pat.tif's GDAL_NODATA=255)."""
+    import numpy as np
+
+    from gdal_ray.functions.checksum import checksum_image
+    from gdal_ray.functions.proximity import gdal_proximity
+    from gdal_ray.sources.tiff import decode_tiff, tiff_nodata
+
+    data = open("/root/reference/autotest/alg/data/pat.tif", "rb").read()
+    px, _ = decode_tiff(data)
+    assert tiff_nodata(data) == 255.0
+
+    out = gdal_proximity(px)
+    b = np.clip(np.floor(out.astype(np.float32) + 0.5), 0, 255).astype(np.uint8)
+    assert checksum_image(b) == 1941
+
+    out = gdal_proximity(px, (65, 64), maxdist=12, nodata=-1,
+                         fixed_buf_val=255)
+    assert checksum_image(
+        np.floor(out.astype(np.float32) + 0.5).astype(np.int64)) == 3256
+
+    out = gdal_proximity(px, (65, 64), maxdist=12, nodata=0,
+                         src_nodata=tiff_nodata(data))
+    b = np.clip(np.floor(out.astype(np.float32) + 0.5), 0, 255).astype(np.uint8)
+    assert checksum_image(b) == 1465
