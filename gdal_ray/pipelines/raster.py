@@ -869,6 +869,121 @@ def q_dem_goldens(sf_dir: str):
                                                   batch_size=4)
 
 
+def q_alg_goldens(sf_dir: str):
+    """Conformance battery over the reference's alg/utilities test
+    expectations (sieve, proximity, polygonize counts, gdal_grid
+    goldens) — each case a distributed task emitting our result next
+    to the reference's published expectation. Rows-only
+    (deterministic; the per-kernel detail lives in
+    tests/test_polygonize_goldens.py, test_gdalgrid_goldens.py,
+    test_proximity_dither.py)."""
+    import os
+
+    import ray.data
+
+    ref = "/root/reference/autotest"
+    if not os.path.exists(ref):
+        return pa.table({"suite": pa.array([], pa.string()),
+                         "case": pa.array([], pa.string()),
+                         "ours": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+    cases = ([("sieve", c, w) for c, w in
+              (("sieve_src:4", 364), ("sieve_src:8", 370),
+               ("unmergable:8", 451), ("sieve_2634:4", 98))]
+             + [("proximity", c, w) for c, w in
+                (("default", 1941), ("fixedbuf", 3256), ("nodata", 1465))]
+             + [("polygonize", c, w) for c, w in
+                (("in:4", 17), ("in:8", 16), ("in2:4", 125))]
+             + [("grid", c, 0) for c in
+                ("invdist", "average", "minimum_180", "count_300")])
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.ccl import label_components
+        from ..functions.gdalgrid import grid_points
+        from ..functions.pixelfuncs import sieve
+        from ..functions.proximity import gdal_proximity
+        from ..sources.tiff import decode_tiff, tiff_nodata
+
+        def aai(path):
+            toks = open(path).read().split()
+            hdr = {}
+            i = 0
+            while toks[i].lower() in ("ncols", "nrows", "xllcorner",
+                                      "yllcorner", "cellsize", "nodata_value"):
+                hdr[toks[i].lower()] = float(toks[i + 1])
+                i += 2
+            return np.array(toks[i:], np.float64).reshape(
+                int(hdr["nrows"]), int(hdr["ncols"]))
+
+        out = {"suite": [], "case": [], "ours": [], "expected": []}
+        for suite, case, want in [(r["suite"], r["case"], r["expected"])
+                                  for r in t.to_pylist()]:
+            if suite == "sieve":
+                name, conn = case.split(":")
+                g = aai(f"{ref}/alg/data/{name}.grd")
+                got = int(checksum_image(
+                    sieve(g.astype(np.int32), 2, int(conn)).astype(np.uint8)))
+            elif suite == "proximity":
+                data = open(f"{ref}/alg/data/pat.tif", "rb").read()
+                px, _ = decode_tiff(data)
+                if case == "default":
+                    o = gdal_proximity(px)
+                elif case == "fixedbuf":
+                    o = gdal_proximity(px, (65, 64), maxdist=12, nodata=-1,
+                                       fixed_buf_val=255)
+                    got = int(checksum_image(np.floor(
+                        o.astype(np.float32) + 0.5).astype(np.int64)))
+                    out["suite"].append(suite)
+                    out["case"].append(case)
+                    out["ours"].append(got)
+                    out["expected"].append(want)
+                    continue
+                else:
+                    o = gdal_proximity(px, (65, 64), maxdist=12, nodata=0,
+                                       src_nodata=tiff_nodata(data))
+                got = int(checksum_image(np.clip(np.floor(
+                    o.astype(np.float32) + 0.5), 0, 255).astype(np.uint8)))
+            elif suite == "polygonize":
+                name, conn = case.split(":")
+                fn = "polygonize_in.grd" if name == "in" else "polygonize_in_2.grd"
+                g = aai(f"{ref}/alg/data/{fn}").astype(np.int32)
+                labels = label_components(g, int(conn))
+                got = int(labels.max()) + 1
+            else:  # grid: maxdiff vs golden (0 = bit-equal)
+                pts = np.loadtxt(f"{ref}/utilities/data/grid.csv", delimiter=",")
+                spec = {
+                    "invdist": ("grid_invdist.tif", "invdist",
+                                dict(power=2.0)),
+                    "average": ("grid_average.tif", "average", dict()),
+                    "minimum_180": ("grid_minimum_180_180.tif", "minimum",
+                                    dict(radius1=180.0, radius2=180.0)),
+                    "count_300": ("grid_count_300_300.tif", "count",
+                                  dict(radius1=300.0, radius2=300.0)),
+                }[case]
+                gold, _ = decode_tiff(
+                    open(f"{ref}/utilities/ref_data/{spec[0]}", "rb").read())
+                got_arr = grid_points(pts[:, 0], pts[:, 1], pts[:, 2], spec[1],
+                                      xmin=440720.0, xmax=441920.0,
+                                      ymin=3751320.0, ymax=3750120.0,
+                                      nx=20, ny=20, **spec[2])
+                if gold.dtype == np.uint8:
+                    got_arr = np.clip(np.floor(got_arr + 0.5), 0, 255)
+                got = int(np.ceil(np.abs(
+                    got_arr - gold.astype(np.float64)).max() - 1e-9))
+            out["suite"].append(suite)
+            out["case"].append(case)
+            out["ours"].append(got)
+            out["expected"].append(want)
+        return pa.table({"suite": pa.array(out["suite"], pa.string()),
+                         "case": pa.array(out["case"], pa.string()),
+                         "ours": pa.array(out["ours"], pa.int64()),
+                         "expected": pa.array(out["expected"], pa.int64())})
+
+    items = [{"suite": s, "case": c, "expected": w} for s, c, w in cases]
+    return ray.data.from_items(items).map_batches(f, batch_format="pyarrow",
+                                                  batch_size=3)
+
+
 # ------------------------------------------------------------------ oracles
 
 _LON = _DERIVE_SQL[0]
@@ -1007,6 +1122,7 @@ QUERIES = {
     "q_translate": q_translate,
     "q_warp_goldens": q_warp_goldens,
     "q_dem_goldens": q_dem_goldens,
+    "q_alg_goldens": q_alg_goldens,
     "q_hillshade": q_hillshade,
     "q_pyramid": q_pyramid,
     "q_polygonize": q_polygonize,
