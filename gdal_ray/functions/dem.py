@@ -134,6 +134,81 @@ def hillshade(z: np.ndarray, ewres: float, nsres: float, *, zfactor: float = 1.0
     return _frame(cang)
 
 
+def hillshade_multidirectional(z: np.ndarray, ewres: float, nsres: float, *,
+                               zfactor: float = 1.0, altitude: float = 45.0,
+                               alg: str = "horn",
+                               compute_edges: bool = False) -> np.ndarray:
+    """USGS OF 92-422 multidirectional hillshade
+    (GDALHillshadeMultiDirectionalAlg, apps/gdaldem_lib.cpp:1226+):
+    four azimuths (225/270/315/360) weighted by sin^2(aspect - az)."""
+    z = np.asarray(z, np.float64)
+    if compute_edges:
+        def kern(zz):
+            return hillshade_multidirectional(zz, ewres, nsres,
+                                              zfactor=zfactor,
+                                              altitude=altitude, alg=alg)
+
+        return _with_computed_edges(kern, z)
+    zf = zfactor / (2.0 if alg == "zevenbergen-thorne" else 8.0)
+    w = _win(z)
+    x, y = (_zt if alg == "zevenbergen-thorne" else _horn)(
+        w, 1.0 / ewres, 1.0 / nsres)
+    alt = np.radians(altitude)
+    sin_alt_127 = 127.0 * np.sin(alt)
+    cos225_m = np.cos(np.radians(225.0)) * np.cos(alt) * zf * 127.0
+    cos_alt_z_127 = np.cos(alt) * zf * 127.0
+    xx = x * x
+    yy = y * y
+    xy = xx + yy
+    v225 = np.maximum(sin_alt_127 + (x - y) * cos225_m, 0.0)
+    v270 = np.maximum(sin_alt_127 - x * cos_alt_z_127, 0.0)
+    v315 = np.maximum(sin_alt_127 + (x + y) * cos225_m, 0.0)
+    v360 = np.maximum(sin_alt_127 - y * cos_alt_z_127, 0.0)
+    w225 = 0.5 * xy - x * y
+    w270 = xx
+    w315 = xy - w225
+    w360 = yy
+    with np.errstate(invalid="ignore", divide="ignore"):
+        num = (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360) / xy
+        cang = 1.0 + num / np.sqrt(1.0 + zf * zf * xy)
+    cang = np.where(xy == 0.0, 1.0 + 2.0 * sin_alt_127, cang)
+    return _frame(cang)
+
+
+def hillshade_igor(z: np.ndarray, ewres: float, nsres: float, *,
+                   zfactor: float = 1.0, azimuth: float = 315.0,
+                   alg: str = "horn",
+                   compute_edges: bool = False) -> np.ndarray:
+    """Igor Evsukoff shading (GDALHillshadeIgorAlg,
+    apps/gdaldem_lib.cpp:950-1030): 255 * (1 - slope/90 *
+    aspect-alignment strength); altitude is not used."""
+    z = np.asarray(z, np.float64)
+    if compute_edges:
+        def kern(zz):
+            return hillshade_igor(zz, ewres, nsres, zfactor=zfactor,
+                                  azimuth=azimuth, alg=alg)
+
+        return _with_computed_edges(kern, z)
+    w = _win(z)
+    zt = alg == "zevenbergen-thorne"
+    zf = zfactor / (2.0 if zt else 8.0)
+    gx, gy = (_zt if zt else _horn)(w, 1.0 / ewres, 1.0 / nsres)
+    slope_deg = np.arctan(np.hypot(gx, gy) * zf) * _DEG
+    if zt:
+        dx = w[5] - w[3]
+        dy = w[7] - w[1]
+    else:
+        dx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+        dy = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    aspect = np.arctan2(dy, -dx)
+    az = np.radians(azimuth)
+    diff = np.mod(aspect - (np.pi * 3 / 2 - az), 2 * np.pi)
+    diff = np.minimum(diff, 2 * np.pi - diff)
+    strength = 1.0 - diff / np.pi
+    shadow = 1.0 - (slope_deg / 90.0) * strength
+    return _frame(255.0 * shadow)
+
+
 def slope(z: np.ndarray, ewres: float, nsres: float, *, zfactor: float = 1.0,
           percent: bool = False, alg: str = "horn") -> np.ndarray:
     """Slope in degrees (or percent) — GDALSlopeHornAlg /

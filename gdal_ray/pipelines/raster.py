@@ -801,7 +801,9 @@ def q_dem_goldens(sf_dir: str):
         ("hillshade_comb_scaled", 43876), ("hillshade_comb_auto", 42176),
         ("hillshade_zt_scaled", 46544), ("hillshade_zt_auto", 45373),
         ("hillshade_ztcomb_scaled", 43112), ("hillshade_ztcomb_auto", 42340),
-        ("hillshade_edges", 50239), ("slope_zt_scaled", 64393),
+        ("hillshade_edges", 50239), ("hillshade_multi", 51784),
+        ("hillshade_multi_zt", 50860), ("hillshade_igor", 48830),
+        ("slope_zt_scaled", 64393),
         ("slope_zt_auto", 65468), ("aspect_zt", 50539),
         ("tpi", 60504), ("tri_wilson", 61143), ("tri_riley", 41233),
         ("roughness", 38624),
@@ -838,6 +840,18 @@ def q_dem_goldens(sf_dir: str):
                 if case == "hillshade_edges":
                     hs = hillshade(z, gt[1] * S, gt[5] * S, zfactor=30.0,
                                    compute_edges=True)
+                elif case in ("hillshade_multi", "hillshade_multi_zt"):
+                    from ..functions.dem import hillshade_multidirectional
+
+                    hs = hillshade_multidirectional(
+                        z, gt[1] * S, gt[5] * S, zfactor=30.0,
+                        alg="zevenbergen-thorne" if case.endswith("_zt")
+                        else "horn", compute_edges=True)
+                elif case == "hillshade_igor":
+                    from ..functions.dem import hillshade_igor
+
+                    hs = hillshade_igor(z, gt[1] * S, gt[5] * S,
+                                        zfactor=30.0, compute_edges=True)
                 else:
                     xs, ys = (S, S) if case.endswith("scaled") else (xs_a, ys_a)
                     hs = hillshade(z, gt[1] * xs, gt[5] * ys, zfactor=30.0,

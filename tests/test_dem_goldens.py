@@ -92,3 +92,27 @@ def test_tpi_tri_roughness_checksums(n43):
     assert checksum_image(_int32(tri(z, alg="wilson"))) == 61143
     assert checksum_image(_int32(tri(z, alg="riley"))) == 41233
     assert checksum_image(_int32(roughness(z))) == 38624
+
+
+def test_hillshade_multidirectional_and_igor(n43):
+    """(test_gdaldem_lib_hillshade_multidirectional[_ZT] / _igor:
+    51784 / 50860 / 48830, all with computeEdges)."""
+    from gdal_ray.functions.dem import (hillshade_igor,
+                                        hillshade_multidirectional)
+
+    z, gt = n43
+    S = 111120.0
+
+    def byte(hs):
+        return np.clip(np.floor(hs + 0.5), 1, 255).astype(np.uint8)
+
+    hs = hillshade_multidirectional(z, gt[1] * S, gt[5] * S, zfactor=30.0,
+                                    compute_edges=True)
+    assert checksum_image(byte(hs)) == 51784
+    hs = hillshade_multidirectional(z, gt[1] * S, gt[5] * S, zfactor=30.0,
+                                    alg="zevenbergen-thorne",
+                                    compute_edges=True)
+    assert checksum_image(byte(hs)) == 50860
+    hs = hillshade_igor(z, gt[1] * S, gt[5] * S, zfactor=30.0,
+                        compute_edges=True)
+    assert checksum_image(byte(hs)) == 48830
