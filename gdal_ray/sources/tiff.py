@@ -28,6 +28,10 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_BYTE_COUNTS = 325
 _TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
 _TAG_PIXEL_SCALE = 33550
@@ -151,8 +155,6 @@ def decode_tiff(data: bytes):
     spp = int(tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0])
     fmt = int(tags.get(_TAG_SAMPLE_FORMAT, [1])[0])
     rows_per_strip = int(tags.get(_TAG_ROWS_PER_STRIP, [h])[0])
-    offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
-    counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} (no codec library in this container)")
@@ -164,25 +166,47 @@ def decode_tiff(data: bytes):
     else:
         dt = {8: "u1", 16: "u2", 32: "u4"}[bits]
     dtype = np.dtype(bo + dt)
-    row_bytes = w * spp * dtype.itemsize
-    raw_all = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        chunk = data[off:off + cnt]
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
+    def decomp(chunk: bytes, nrows: int, ncols: int) -> bytes:
+        nbytes = nrows * ncols * spp * dtype.itemsize
         if comp == 32773:
-            chunk = _unpackbits(chunk, nrows * row_bytes)
+            chunk = _unpackbits(chunk, nbytes)
         elif comp in (8, 32946):
             import zlib
 
             chunk = zlib.decompress(chunk)
         elif comp == 5:
-            chunk = _unlzw(chunk, nrows * row_bytes)
+            chunk = _unlzw(chunk, nbytes)
         if predictor == 2:
-            chunk = _undo_predictor(chunk[: nrows * row_bytes], nrows, w,
-                                    spp, dtype)
-        raw_all += chunk[: nrows * row_bytes]
-    px = np.frombuffer(bytes(raw_all), dtype=dtype, count=h * w * spp)
-    px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w)
+            chunk = _undo_predictor(chunk[:nbytes], nrows, ncols, spp, dtype)
+        return chunk[:nbytes]
+
+    if _TAG_TILE_WIDTH in tags:
+        # tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts)
+        tw = int(tags[_TAG_TILE_WIDTH][0])
+        th = int(tags[_TAG_TILE_LENGTH][0])
+        toffs = [int(v) for v in tags[_TAG_TILE_OFFSETS]]
+        tcnts = [int(v) for v in tags[_TAG_TILE_BYTE_COUNTS]]
+        ntx = (w + tw - 1) // tw
+        px = np.zeros((h, w, spp), dtype=dtype)
+        for ti, (off, cnt) in enumerate(zip(toffs, tcnts)):
+            ty, tx = divmod(ti, ntx)
+            buf = decomp(data[off:off + cnt], th, tw)
+            tile = np.frombuffer(buf, dtype=dtype,
+                                 count=th * tw * spp).reshape(th, tw, spp)
+            y0, x0 = ty * th, tx * tw
+            ny = min(th, h - y0)
+            nx_ = min(tw, w - x0)
+            px[y0:y0 + ny, x0:x0 + nx_] = tile[:ny, :nx_]
+        px = px if spp > 1 else px[:, :, 0]
+    else:
+        offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
+        counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
+        raw_all = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            raw_all += decomp(data[off:off + cnt], nrows, w)
+        px = np.frombuffer(bytes(raw_all), dtype=dtype, count=h * w * spp)
+        px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w)
 
     gt = None
     if _TAG_PIXEL_SCALE in tags and _TAG_TIEPOINT in tags:

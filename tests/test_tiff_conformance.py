@@ -165,3 +165,71 @@ def test_tiff_write_matches_reference_reader_semantics():
     blob = encode_tiff(px, gt=gt, compression="deflate")
     out, _ = decode_tiff(blob)
     assert checksum_image(out) == 4672
+
+
+def test_tiff_tiled_read():
+    """Tiled TIFF layout (TileWidth/TileLength tags): a tiled file
+    written by an independent test-local writer round-trips through
+    decode_tiff with the reference checksum preserved (utmsmall's
+    50054), including edge tiles and Deflate-compressed tiles."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from gdal_ray.functions.checksum import checksum_image
+    from gdal_ray.sources.tiff import decode_tiff
+
+    def write_tiled(px, tw, th, deflate=False):
+        h, w = px.shape
+        ntx = (w + tw - 1) // tw
+        nty = (h + th - 1) // th
+        tiles = []
+        for ty in range(nty):
+            for tx in range(ntx):
+                t = np.zeros((th, tw), px.dtype)
+                sub = px[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                t[:sub.shape[0], :sub.shape[1]] = sub
+                buf = t.tobytes()
+                tiles.append(zlib.compress(buf) if deflate else buf)
+        ntags = 11
+        data_off = 8
+        blob = b"".join(tiles)
+        ifd_off = data_off + len(blob)
+        offs = []
+        o = data_off
+        for t in tiles:
+            offs.append(o)
+            o += len(t)
+        extra_off = ifd_off + 2 + 12 * ntags + 4
+        # out-of-line arrays for offsets/counts when >1 tile
+        entries = []
+        extra = b""
+
+        def arr_tag(tag, values):
+            nonlocal extra
+            if len(values) == 1:
+                entries.append(st.pack("<HHII", tag, 4, 1, values[0]))
+            else:
+                entries.append(st.pack("<HHII", tag, 4, len(values),
+                                       extra_off + len(extra)))
+                extra += st.pack(f"<{len(values)}I", *values)
+
+        for tag, val in ((256, w), (257, h), (258, 8),
+                         (259, 8 if deflate else 1), (262, 1), (277, 1),
+                         (339, 1), (322, tw), (323, th)):
+            entries.append(st.pack("<HHII", tag, 3, 1, val))
+        arr_tag(324, offs)
+        arr_tag(325, [len(t) for t in tiles])
+        entries.sort(key=lambda e: st.unpack("<H", e[:2])[0])
+        return (b"II" + st.pack("<HI", 42, ifd_off) + blob
+                + st.pack("<H", len(entries)) + b"".join(entries)
+                + st.pack("<I", 0) + extra)
+
+    src, _ = decode_tiff(open(
+        "/root/reference/autotest/gcore/data/utmsmall.tif", "rb").read())
+    for tw, th, deflate in ((32, 32, False), (48, 16, False), (64, 64, True)):
+        blob = write_tiled(src, tw, th, deflate)
+        out, _ = decode_tiff(blob)
+        assert np.array_equal(out, src), (tw, th, deflate)
+        assert checksum_image(out) == 50054
