@@ -275,6 +275,78 @@ def roughness(z: np.ndarray) -> np.ndarray:
     return _frame(stack.max(axis=0) - stack.min(axis=0))
 
 
+def color_relief_gdal(z: np.ndarray, levels, colors,
+                      mode: str = "linear_interpolation",
+                      src_nodata: float | None = None) -> np.ndarray:
+    """Faithful gdaldem color-relief (GDALColorReliefGetRGBA,
+    apps/gdaldem_lib.cpp:1300-1500): stable-sorted entries, binary-
+    search bucket, exact / nearest / linear selection, nextafter guard
+    entries around a nodata value present in the table, interpolation
+    rounded int(0.5 + a + t*(b-a)) clamped to [0, 255].
+
+    mode: 'linear_interpolation' | 'nearest_color_entry' |
+    'exact_color_entry'. Returns (h, w, 3) uint8."""
+    z = np.asarray(z, np.float64)
+    order = np.argsort(np.asarray(levels, np.float64), kind="stable")
+    vals = np.asarray(levels, np.float64)[order]
+    cols = np.asarray(colors, np.float64)[order]
+    if src_nodata is not None and mode != "exact_color_entry":
+        # guard entries on both sides of a table entry equal to nodata
+        add_v, add_c = [], []
+        for i in range(1, len(vals)):
+            if vals[i] == src_nodata:
+                nv = np.nextafter(vals[i], -np.inf)
+                if nv > vals[i - 1]:
+                    add_v.append(nv)
+                    add_c.append(cols[i - 1])
+            elif vals[i - 1] == src_nodata:
+                nv = np.nextafter(vals[i - 1], np.inf)
+                if nv < vals[i]:
+                    add_v.append(nv)
+                    add_c.append(cols[i])
+        if add_v:
+            vals = np.concatenate([vals, add_v])
+            cols = np.vstack([cols, add_c])
+            o2 = np.argsort(vals, kind="stable")
+            vals = vals[o2]
+            cols = cols[o2]
+    flat = z.ravel()
+    n = len(vals)
+    i = np.searchsorted(vals, flat, side="left")
+    out = np.zeros((flat.size, 3), np.float64)
+    lowc = np.clip(i - 1, 0, n - 1)
+    hic = np.clip(i, 0, n - 1)
+    exact_lo = vals[lowc] == flat
+    exact_hi = vals[hic] == flat
+    below = i == 0
+    above = i == n
+    mid = ~below & ~above
+    if mode == "exact_color_entry":
+        hit = (mid & (exact_lo | exact_hi)) \
+            | (below & (vals[0] == flat)) | (above & (vals[n - 1] == flat))
+        out[below & hit] = cols[0]
+        out[above & hit] = cols[n - 1]
+        m = mid & hit
+        out[m] = np.where(exact_lo[m, None], cols[lowc[m]], cols[hic[m]])
+        return np.clip(out, 0, 255).astype(np.uint8).reshape(z.shape + (3,))
+    out[below] = cols[0]
+    out[above] = cols[n - 1]
+    m_exlo = mid & exact_lo
+    out[m_exlo] = cols[lowc[m_exlo]]
+    m_exhi = mid & ~exact_lo & exact_hi
+    out[m_exhi] = cols[hic[m_exhi]]
+    rest = mid & ~exact_lo & ~exact_hi
+    if mode == "nearest_color_entry":
+        use_lo = (flat[rest] - vals[lowc[rest]]) < (vals[hic[rest]] - flat[rest])
+        out[rest] = np.where(use_lo[:, None], cols[lowc[rest]], cols[hic[rest]])
+    else:
+        t = ((flat[rest] - vals[lowc[rest]])
+             / (vals[hic[rest]] - vals[lowc[rest]]))[:, None]
+        out[rest] = np.floor(0.5 + cols[lowc[rest]]
+                             + t * (cols[hic[rest]] - cols[lowc[rest]]))
+    return np.clip(out, 0, 255).astype(np.uint8).reshape(z.shape + (3,))
+
+
 def color_relief(z: np.ndarray, levels, colors) -> np.ndarray:
     """gdaldem color-relief with linear interpolation between level
     entries (reference apps/gdaldem_lib.cpp color-relief mode).

@@ -806,7 +806,8 @@ def q_dem_goldens(sf_dir: str):
         ("slope_zt_scaled", 64393),
         ("slope_zt_auto", 65468), ("aspect_zt", 50539),
         ("tpi", 60504), ("tri_wilson", 61143), ("tri_riley", 41233),
-        ("roughness", 38624),
+        ("roughness", 38624), ("color_relief_linear", 55066),
+        ("color_relief_nearest", 57296), ("color_relief_exact", 8073),
     ]
     if not os.path.exists(n43):
         return pa.table({"case": pa.array([], pa.string()),
@@ -863,6 +864,19 @@ def q_dem_goldens(sf_dir: str):
                                               alg="zevenbergen-thorne")))
             elif case == "aspect_zt":
                 ck = checksum_image(i32(aspect(z, alg="zevenbergen-thorne")))
+            elif case.startswith("color_relief"):
+                from ..functions.dem import color_relief_gdal
+
+                levels = [500, 450, 300, 150, 76, 75, -32768]
+                colors = [(255, 255, 255), (235, 220, 175), (190, 185, 135),
+                          (240, 250, 150), (50, 180, 50), (200, 230, 255),
+                          (200, 230, 255)]
+                mode = {"color_relief_linear": "linear_interpolation",
+                        "color_relief_nearest": "nearest_color_entry",
+                        "color_relief_exact": "exact_color_entry"}[case]
+                rel = color_relief_gdal(z, levels, colors, mode,
+                                        src_nodata=-32767.0)
+                ck = checksum_image(rel[:, :, 0])
             elif case == "tpi":
                 ck = checksum_image(i32(tpi(z)))
             elif case == "tri_wilson":

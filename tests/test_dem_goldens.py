@@ -116,3 +116,47 @@ def test_hillshade_multidirectional_and_igor(n43):
     hs = hillshade_igor(z, gt[1] * S, gt[5] * S, zfactor=30.0,
                         compute_edges=True)
     assert checksum_image(byte(hs)) == 48830
+
+
+def test_color_relief_reference_checksums(n43):
+    """(test_gdaldem_lib_color_relief + _synthetic: linear band
+    checksums 55066/37594/47768, nearest 57296, exact 8073; plus the
+    4-pixel synthetic expectations, incl. nodata-255 guard entries)."""
+    from gdal_ray.functions.dem import color_relief_gdal
+    from gdal_ray.sources.tiff import tiff_nodata
+
+    z, _ = n43
+    nd = -32767.0
+    levels = [500, 450, 300, 150, 76, 75, -32768]
+    colors = [(255, 255, 255), (235, 220, 175), (190, 185, 135),
+              (240, 250, 150), (50, 180, 50), (200, 230, 255),
+              (200, 230, 255)]
+    out = color_relief_gdal(z, levels, colors, "linear_interpolation",
+                            src_nodata=nd)
+    assert [checksum_image(out[:, :, b]) for b in range(3)] == \
+        [55066, 37594, 47768]
+    out = color_relief_gdal(z, levels, colors, "nearest_color_entry",
+                            src_nodata=nd)
+    assert checksum_image(out[:, :, 0]) == 57296
+    out = color_relief_gdal(z, levels, colors, "exact_color_entry",
+                            src_nodata=nd)
+    assert checksum_image(out[:, :, 0]) == 8073
+
+    z4 = np.array([[0, 1, 2, 3]], np.float64)
+    for mode in ("nearest_color_entry", "exact_color_entry",
+                 "linear_interpolation"):
+        o = color_relief_gdal(z4, [0, 1, 2, 3],
+                              [(0, 0, 0), (10, 11, 12), (20, 21, 22),
+                               (30, 31, 32)], mode)
+        assert o[0, :, 0].tolist() == [0, 10, 20, 30]
+        assert o[0, :, 1].tolist() == [0, 11, 21, 31]
+        assert o[0, :, 2].tolist() == [0, 12, 22, 32]
+    # nodata-255 variant: nodata pixels keep the 255 table entry, and
+    # values adjacent to it do not interpolate into it
+    z5 = np.array([[0, 1, 2, 255]], np.float64)
+    o = color_relief_gdal(z5, [0, 1, 2, 255],
+                          [(0, 1, 2), (10, 11, 12), (20, 21, 22),
+                           (255, 255, 255)], "linear_interpolation",
+                          src_nodata=255.0)
+    assert o[0, :, 0].tolist() == [0, 10, 20, 255]
+    assert o[0, :, 1].tolist() == [1, 11, 21, 255]
