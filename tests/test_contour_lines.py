@@ -62,3 +62,48 @@ def test_distributed_stitch_matches_single_tile(ray_session):
     many = ray.data.from_arrow(grid_to_contour_tiles(g, tile=16))
     assert summary(contour_lines(one, levels)) == \
         summary(contour_lines(many, levels))
+
+
+def test_contour_reference_analytic(ray_session):
+    """Replicates autotest/alg/contour.py test_contour_1: the nested
+    1/10/20/25 block raster contoured at interval 10 yields exactly
+    one closed ring per level {10, 20}, with world envelopes matching
+    the reference's expected values within its own half-pixel
+    tolerance."""
+    size = 160
+    p = 1.0 / size
+    g = np.full((size, size), 1.0)
+    g[size // 4: 3 * size // 4, size // 4: 3 * size // 4] = 10
+    s8 = size // 4 + size // 8
+    g[s8: s8 + size // 4, s8: s8 + size // 4] = 20
+    s16 = s8 + size // 16
+    g[s16: s16 + size // 8, s16: s16 + size // 8] = 25
+
+    from gdal_ray.functions.ccl import (assemble_polylines, contour_levels,
+                                        contour_segments)
+
+    levels = contour_levels(float(g.min()), float(g.max()), 10.0)
+    assert levels.tolist() == [10.0, 20.0]
+
+    gt = (1.0, p, 0.0, 50.0, 0.0, -p)
+    expected_env = {10.0: (1.25, 1.75, 49.25, 49.75),
+                    20.0: (1.375, 1.625, 49.375, 49.625)}
+    for level in levels:
+        lines = assemble_polylines(contour_segments(g, float(level)))
+        assert len(lines) == 1 and lines[0][1], level  # one closed ring
+        pts = lines[0][0]
+        wx = gt[0] + (pts[:, 0] + 0.5) * gt[1]
+        wy = gt[3] + (pts[:, 1] + 0.5) * gt[5]
+        xmin, xmax, ymin, ymax = expected_env[float(level)]
+        tol = p / 2 * 1.001
+        assert abs(wx.min() - xmin) <= tol and abs(wx.max() - xmax) <= tol
+        assert abs(wy.min() - ymin) <= tol and abs(wy.max() - ymax) <= tol
+
+    # the distributed tiled stage reproduces the same ring set
+    tiles = ray.data.from_arrow(grid_to_contour_tiles(g, tile=48))
+    rows = []
+    for b in contour_lines(tiles, levels).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        rows.extend(b.to_pylist())
+    assert sorted((r["level"], r["closed"]) for r in rows) == \
+        [(10.0, True), (20.0, True)]
