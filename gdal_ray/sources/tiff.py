@@ -166,8 +166,11 @@ def decode_tiff(data: bytes):
     else:
         dt = {8: "u1", 16: "u2", 32: "u4"}[bits]
     dtype = np.dtype(bo + dt)
-    def decomp(chunk: bytes, nrows: int, ncols: int) -> bytes:
-        nbytes = nrows * ncols * spp * dtype.itemsize
+    planar = int(tags.get(284, [1])[0])
+
+    def decomp(chunk: bytes, nrows: int, ncols: int, nspp: int = None) -> bytes:
+        nspp = spp if nspp is None else nspp
+        nbytes = nrows * ncols * nspp * dtype.itemsize
         if comp == 32773:
             chunk = _unpackbits(chunk, nbytes)
         elif comp in (8, 32946):
@@ -177,7 +180,7 @@ def decode_tiff(data: bytes):
         elif comp == 5:
             chunk = _unlzw(chunk, nbytes)
         if predictor == 2:
-            chunk = _undo_predictor(chunk[:nbytes], nrows, ncols, spp, dtype)
+            chunk = _undo_predictor(chunk[:nbytes], nrows, ncols, nspp, dtype)
         return chunk[:nbytes]
 
     if _TAG_TILE_WIDTH in tags:
@@ -198,6 +201,19 @@ def decode_tiff(data: bytes):
             nx_ = min(tw, w - x0)
             px[y0:y0 + ny, x0:x0 + nx_] = tile[:ny, :nx_]
         px = px if spp > 1 else px[:, :, 0]
+    elif planar == 2 and spp > 1:
+        # separate planes: one run of strips per band
+        offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
+        counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
+        spb = (h + rows_per_strip - 1) // rows_per_strip
+        px = np.empty((h, w, spp), dtype=dtype)
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            band, blk = divmod(si, spb)
+            y0 = blk * rows_per_strip
+            nrows = min(rows_per_strip, h - y0)
+            buf = decomp(data[off:off + cnt], nrows, w, 1)
+            px[y0:y0 + nrows, :, band] = np.frombuffer(
+                buf, dtype=dtype, count=nrows * w).reshape(nrows, w)
     else:
         offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
         counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
