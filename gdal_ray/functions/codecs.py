@@ -29,6 +29,7 @@ from .png import decode_png, encode_png
 
 _JQ_MAGIC = b"JQ5\x00"
 _RAW_MAGIC = b"RAW\x00"
+_RAW0_MAGIC = b"RW0\x00"
 _JQ_LEVELS = 32  # 5-bit quantization
 _JQ_STEP = 255.0 / (_JQ_LEVELS - 1)
 
@@ -69,6 +70,26 @@ def _decode_raw(data: bytes) -> np.ndarray:
     return arr[:, :, 0] if c == 1 else arr
 
 
+def _encode_raw0(pixels: np.ndarray) -> bytes:
+    """Uncompressed raw (``raw0``): for payloads that never cross a
+    process boundary (e.g. fragments composed inside the same task in
+    the partitioned tiling path) the zlib round-trip is pure waste."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    dt = pixels.dtype.str.encode()
+    return (_RAW0_MAGIC + struct.pack(">III4s", h, w, c, dt)
+            + np.ascontiguousarray(pixels).tobytes())
+
+
+def _decode_raw0(data: bytes) -> np.ndarray:
+    h, w, c, dt = struct.unpack(">III4s", data[4:20])
+    arr = np.frombuffer(data[20:],
+                        dtype=np.dtype(dt.rstrip(b"\x00").decode()),
+                        count=h * w * c).reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
@@ -76,6 +97,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return _encode_jq(pixels)
     if fmt == "raw":
         return _encode_raw(pixels)
+    if fmt == "raw0":
+        return _encode_raw0(pixels)
     raise NotImplementedError(f"format {fmt!r} (no codec library in this environment)")
 
 
@@ -88,6 +111,8 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return _decode_jq(data)
     if data[:4] == _RAW_MAGIC:
         return _decode_raw(data)
+    if data[:4] == _RAW0_MAGIC:
+        return _decode_raw0(data)
     raise NotImplementedError(f"unrecognized image payload (fmt hint {fmt!r})")
 
 

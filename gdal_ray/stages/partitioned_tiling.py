@@ -285,7 +285,8 @@ class ComposePartition:
                 gt, epsg = self._georef(int(idxs[i]))
                 for fr in warp_image_to_tiles(
                         px, gt, epsg, ids[i], self.zoom,
-                        resampling=self.resampling, tile_size=self.tile_size):
+                        resampling=self.resampling, tile_size=self.tile_size,
+                        frag_codec="raw0"):  # consumed in-task: skip zlib
                     # keep only tiles owned by this leaf
                     if fr["z"] < pz:
                         # a fragment coarser than the leaf zoom has no

@@ -131,14 +131,32 @@ def src_bounds_3857(gt, epsg: int, w: int, h: int, edge_pts: int = 21):
     return float(mx.min()), float(my.min()), float(mx.max()), float(my.max())
 
 
+_MESH_CACHE: dict[tuple, tuple] = {}
+
+
+def _dst_mesh(fw: int, fh: int):
+    """Cached dst pixel-center meshgrid (fragments repeat sizes)."""
+    key = (fw, fh)
+    m = _MESH_CACHE.get(key)
+    if m is None:
+        if len(_MESH_CACHE) > 512:
+            _MESH_CACHE.clear()
+        m = np.meshgrid(np.arange(fw) + 0.5, np.arange(fh) + 0.5)
+        _MESH_CACHE[key] = m
+    return m
+
+
 def warp_image_to_tiles(pixels: np.ndarray, gt, epsg: int, image_id: str,
                         zoom: int | None = None, *, resampling: str = "bilinear",
                         tile_size: int = DEFAULT_TILE_SIZE,
                         max_tiles: int = 256, approx_grid: int = 8,
-                        exact_transform: bool = False):
+                        exact_transform: bool = False,
+                        frag_codec: str = "raw"):
     """Warp one georeferenced image into WebMercatorQuad tile fragments.
 
     Returns a list of fragment dicts (FRAGMENT_SCHEMA fields).
+    ``frag_codec='raw0'`` skips fragment compression — use when the
+    fragments are consumed inside the same task (partitioned compose).
     """
     h, w = pixels.shape[:2]
     xmin, ymin, xmax, ymax = src_bounds_3857(gt, epsg, w, h)
@@ -176,7 +194,7 @@ def warp_image_to_tiles(pixels: np.ndarray, gt, epsg: int, image_id: str,
             exact = GenImgProjTransform(gt, epsg, dst_gt, 3857)
             tr = exact if exact_transform else ApproxGridTransform(
                 exact, fw, fh, grid=min(approx_grid, max(2, fw // 16), max(2, fh // 16)))
-            dpx, dpy = np.meshgrid(np.arange(fw) + 0.5, np.arange(fh) + 0.5)
+            dpx, dpy = _dst_mesh(fw, fh)
             spx, spy = tr(dpx, dpy)
             out, valid = sample(pixels, spx, spy, resampling)
             n_valid = int(valid.sum())
@@ -186,7 +204,7 @@ def warp_image_to_tiles(pixels: np.ndarray, gt, epsg: int, image_id: str,
                 "tile_key": int(tile_key(tx, ty, zoom)),
                 "z": zoom, "tx": tx, "ty": ty, "image_id": image_id,
                 "x0": fx0, "y0": fy0, "fw": fw, "fh": fh,
-                "pixels": encode_image(out, "raw"),
+                "pixels": encode_image(out, frag_codec),
                 "mask": np.packbits(valid.astype(np.uint8)).tobytes(),
                 "n_valid": n_valid,
             })
