@@ -87,8 +87,8 @@ def decode_png(data: bytes) -> np.ndarray:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError("unsupported PNG variant (interlace/compression)")
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise ValueError("unsupported PNG variant (compression/filter)")
             if depth not in (8, 16) or color_type not in _COLOR_TYPE_CHANNELS:
                 raise ValueError(f"unsupported depth/color {depth}/{color_type}")
         elif tag == b"IDAT":
@@ -99,11 +99,43 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     channels = _COLOR_TYPE_CHANNELS[color_type]
     bpp = channels * depth // 8  # filter step in bytes
-    stride = width * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("bad PNG payload size")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if interlace == 0:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("bad PNG payload size")
+        out = _unfilter(raw, height, stride, bpp)
+    else:
+        # Adam7 (PNG spec 8.2): seven sub-images, each filtered
+        # independently, scattered onto the (x_start, y_start,
+        # x_step, y_step) grids
+        out = np.empty((height, width * bpp), dtype=np.uint8)
+        full = out.reshape(height, width, bpp)
+        pos2 = 0
+        for (x0, y0, dx, dy) in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                                 (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                                 (0, 1, 1, 2)):
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = wp * bpp
+            sub = _unfilter(raw[pos2:pos2 + hp * (sp + 1)], hp, sp, bpp)
+            pos2 += hp * (sp + 1)
+            full[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+    if depth == 8:
+        arr = out.reshape(height, width, channels)
+    else:
+        arr = out.view(">u2").astype(np.uint16).reshape(height, width, channels)
+    if channels == 1:
+        return arr[:, :, 0]
+    return arr
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over one sub-image."""
+    rows = np.frombuffer(raw, dtype=np.uint8,
+                         count=height * (stride + 1)).reshape(height, stride + 1)
     filters = rows[:, 0]
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -132,10 +164,4 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad filter {f}")
         out[y] = rec
         prev = out[y]
-    if depth == 8:
-        arr = out.reshape(height, width, channels)
-    else:
-        arr = out.view(">u2").astype(np.uint16).reshape(height, width, channels)
-    if channels == 1:
-        return arr[:, :, 0]
-    return arr
+    return out

@@ -352,3 +352,29 @@ def test_partial_groupby_distributed_combine(ray_session):
     assert da["n"].tolist() == db["n"].tolist()
     assert np.allclose(da["mx"], db["mx"])
     assert np.allclose(da["s"], db["s"])
+
+
+def test_png_reference_fixture_checksums():
+    """PNG decoder vs the reference's own fixtures: 16-bit RGBA
+    (rgba16.png bands 1815/4873, autotest/gdrivers/png.py:102-112),
+    Adam7-interlaced RGBA (stefan_full_rgba.png bands
+    12603/58561/36064 per autotest/gcore/cog.py:2046), interlaced
+    uint16, and the byte-pattern PNG (4672)."""
+    from gdal_ray.functions.checksum import checksum_image
+    from gdal_ray.functions.png import decode_png
+
+    P = "/root/reference/autotest"
+    px = decode_png(open(f"{P}/gdrivers/data/png/rgba16.png", "rb").read())
+    assert checksum_image(px[:, :, 2]) == 1815
+    assert checksum_image(px[:, :, 3]) == 4873
+
+    st = decode_png(open(f"{P}/gcore/data/stefan_full_rgba.png", "rb").read())
+    assert [checksum_image(st[:, :, b]) for b in range(3)] == \
+        [12603, 58561, 36064]
+
+    u16 = decode_png(
+        open(f"{P}/gdrivers/data/png/uint16_interlaced.png", "rb").read())
+    assert u16.dtype.name == "uint16" and checksum_image(u16) == 4672
+
+    b = decode_png(open(f"{P}/gdrivers/data/png/byte_with_xmp.png", "rb").read())
+    assert checksum_image(b) == 4672
