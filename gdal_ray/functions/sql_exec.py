@@ -41,6 +41,7 @@ _CLAUSE = re.compile(
     r"(?:\s+JOIN\s+(?P<jtable>\w+)\s+ON\s+(?P<jleft>[\w.]+)\s*=\s*(?P<jright>[\w.]+))?"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
+    r"(?:\s+HAVING\s+(?P<having>.*?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.*?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.I | re.S)
@@ -208,6 +209,15 @@ def execute(sql: str, sf_dir: str):
             else:
                 out_cols[name] = part[f"__a{i}"]
         result = pa.table(out_cols)
+        if m.group("having"):
+            # HAVING evaluates over the aggregated output columns
+            # (reference swq HAVING runs post-aggregation,
+            # ogr/swq_select.cpp): reuse the swq compiler against the
+            # result table's alias names
+            from .swq import compile_where
+
+            hf = compile_where(m.group("having"))
+            result = result.filter(hf(result))
     else:
         def project(t: pa.Table) -> pa.Table:
             cols = {}

@@ -273,6 +273,22 @@ _SQL_JOIN = """
         GROUP BY o_orderpriority
     """
 
+_SQL_HAVING = """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY o_orderpriority HAVING n > 3000
+    """
+
+
+def q_sql_having(sf_dir: str):
+    """ExecuteSQL HAVING (post-aggregation filter over output alias
+    names, ogr/swq_select.cpp HAVING walk): same SQL verbatim in
+    DuckDB."""
+    from ..functions.sql_exec import execute
+
+    return execute(_SQL_HAVING, sf_dir)
+
+
 _SQL_UNION = """
         SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
         UNION ALL
@@ -565,6 +581,7 @@ ORACLE: dict[str, str] = {
     """,
     "q_sql_join": _SQL_JOIN,
     "q_sql_union": _SQL_UNION,
+    "q_sql_having": _SQL_HAVING,
     "q_quantiles": """
         SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

@@ -114,3 +114,18 @@ def test_sql_orderby_non_selected_raises(ray_session):
 
     with pytest.raises(ValueError, match="ORDER BY"):
         execute("SELECT o_orderkey FROM orders ORDER BY o_totalprice", sf_dir)
+
+
+def test_sql_having_planner(ray_session):
+    sf_dir = SF
+    import duckdb
+
+    from gdal_ray.functions.sql_exec import execute
+
+    sql = ("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+           "GROUP BY o_orderpriority HAVING n > 300")
+    got = execute(sql, sf_dir).to_pandas().sort_values("o_orderpriority")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    ref = con.sql(sql).df().sort_values("o_orderpriority")
+    assert got["n"].tolist() == ref["n"].tolist()
