@@ -139,7 +139,10 @@ def contour_segments(z: np.ndarray, level: float,
     A, B, C, D = va[ys, xs], vb[ys, xs], vc[ys, xs], vd[ys, xs]
 
     def interp(v0, v1):
-        return (level - v0) / (v1 - v0)
+        # edges whose corners sit on the same side never enter the
+        # case table, so a 0/0 here is computed-but-unused — silence it
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return (level - v0) / (v1 - v0)
 
     # edge crossing points (edges: top a-b, right b-c, bottom d-c,
     # left a-d), in (x, y) with pixel centers at integer coords

@@ -107,3 +107,16 @@ def test_contour_reference_analytic(ray_session):
         rows.extend(b.to_pylist())
     assert sorted((r["level"], r["closed"]) for r in rows) == \
         [(10.0, True), (20.0, True)]
+
+
+def test_contour_degenerate_levels():
+    """Level equal to the grid max / min: the >= rule gives a ring
+    around the single max cell and nothing at the min."""
+    g = np.ones((5, 5))
+    g[2, 2] = 2.0
+    segs = contour_segments(g, 2.0)
+    assert len(segs) == 4
+    lines = assemble_polylines(segs)
+    assert len(lines) == 1 and lines[0][1]
+    assert np.isfinite(lines[0][0]).all()
+    assert len(contour_segments(g, 1.0)) == 0

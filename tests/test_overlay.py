@@ -100,3 +100,22 @@ def test_layer_algebra_nonconvex_b():
                             rect(0.5, 0.5, 2.5, 2.5)[:1]])], [1])
     got = intersection_area(a, b)
     assert got == pytest.approx(2.0 * 0.5 + 0.5 * 1.5)
+
+
+def test_overlay_edge_cases():
+    # identical polygons resolve via perturbation to the shared area
+    assert polygon_intersection_area(rect(0, 0, 2, 2), rect(0, 0, 2, 2)) \
+        == pytest.approx(4.0, abs=1e-6)
+    # corner-only touch is empty
+    assert polygon_intersection_area(rect(0, 0, 1, 1), rect(1, 1, 2, 2)) == 0.0
+
+
+def test_sieve_all_small_keeps_values():
+    """Every polygon small and no reachable big neighbour: GDAL keeps
+    the original values (unmergable chain cycles)."""
+    import numpy as np
+
+    from gdal_ray.functions.pixelfuncs import sieve
+
+    g = np.arange(9).reshape(3, 3).astype(np.int32)
+    assert np.array_equal(sieve(g, 100, 4), g)
