@@ -90,6 +90,93 @@ def region_table(values: np.ndarray, labels: np.ndarray) -> dict:
     return out
 
 
+def region_rings(mask: np.ndarray) -> list[np.ndarray]:
+    """Exact polygon rings (outer + holes) of a boolean region mask —
+    the run/arc assembly of the polygonizer (reference
+    alg/polygonize_polygonizer.cpp semantics): every boundary edge of
+    the region becomes a directed unit segment with the region on its
+    LEFT; walking the segments (right-turn preference at checkerboard
+    corners, which separates 4-connected touching corners) yields
+    closed rings in pixel-corner coordinates; collinear vertices are
+    collapsed. Returns closed (N, 2) rings — the first with positive
+    shoelace area in image coordinates is the outer ring; opposite
+    orientation = holes."""
+    m = np.asarray(mask, bool)
+    h, w = m.shape
+    pad = np.zeros((h + 2, w + 2), bool)
+    pad[1:-1, 1:-1] = m
+    # directed edges with region on the left, image coords (x right,
+    # y down): top edge of a cell goes +x, right edge +y, bottom -x,
+    # left -y
+    edges: dict = {}
+
+    def add(p, q):
+        edges.setdefault(p, []).append(q)
+
+    ys, xs = np.nonzero(m)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        if not pad[y, x + 1]:        # open above -> top edge, +x
+            add((x, y), (x + 1, y))
+        if not pad[y + 2, x + 1]:    # open below -> bottom edge, -x
+            add((x + 1, y + 1), (x, y + 1))
+        if not pad[y + 1, x]:        # open left -> left edge, -y
+            add((x, y + 1), (x, y))
+        if not pad[y + 1, x + 2]:    # open right -> right edge, +y
+            add((x + 1, y), (x + 1, y + 1))
+
+    rings = []
+    while edges:
+        start = min(edges)
+        prev_dir = None
+        cur = start
+        ring = [start]
+        while True:
+            outs = edges[cur]
+            if len(outs) == 1:
+                nxt = outs.pop()
+                del edges[cur]
+            else:
+                # checkerboard corner: prefer the RIGHT turn relative
+                # to the incoming direction so diagonal regions stay
+                # separate (4-connected polygonize rule)
+                dx, dy = prev_dir
+                right = (-dy, dx)
+                pick = None
+                for cand in outs:
+                    d = (cand[0] - cur[0], cand[1] - cur[1])
+                    if d == right:
+                        pick = cand
+                        break
+                if pick is None:
+                    pick = outs[0]
+                outs.remove(pick)
+                nxt = pick
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            if cur == start:
+                break
+            ring.append(cur)
+        ring.append(start)
+        arr = np.array(ring, np.float64)
+        # collapse collinear runs
+        keep = [0]
+        for i in range(1, len(arr) - 1):
+            a, b, c = arr[keep[-1]], arr[i], arr[i + 1]
+            if (b[0] - a[0]) * (c[1] - b[1]) != (b[1] - a[1]) * (c[0] - b[0]):
+                keep.append(i)
+        arr = np.vstack([arr[keep], arr[:1]])
+        rings.append(arr)
+    # outer ring first (largest absolute area)
+    rings.sort(key=lambda r: -abs(ring_area_xy(r)))
+    return rings
+
+
+def ring_area_xy(ring: np.ndarray) -> float:
+    x = ring[:-1, 0]
+    y = ring[:-1, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
 # ------------------------------------------------------------- marching squares
 
 

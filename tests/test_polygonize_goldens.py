@@ -103,3 +103,62 @@ def test_sieve_reference_checksums(fixture, connect, want):
     grid, _ = read_aaigrid(f"{DATA}/{fixture}")
     out = sieve(grid.astype(np.int32), 2, connect).astype(np.uint8)
     assert checksum_image(out) == want
+
+
+def _cycle_equal(a, b):
+    """Closed-ring equality modulo rotation and direction."""
+    a = [tuple(p) for p in a[:-1]]
+    b = [tuple(p) for p in b[:-1]]
+    if len(a) != len(b):
+        return False
+    for cand in (b, b[::-1]):
+        for s in range(len(cand)):
+            if a == cand[s:] + cand[:s]:
+                return True
+    return False
+
+
+def test_region_rings_match_reference_wkt():
+    """(test_polygonize_1's geometry check): the DN=156 region's
+    polygon is the exact WKT the reference asserts — outer ring with
+    one interior hole, world coordinates."""
+    from gdal_ray.functions.ccl import region_rings
+
+    grid, _ = read_aaigrid(f"{DATA}/polygonize_in.grd")
+    g = grid.astype(np.int32)
+    labels = label_components(g, 4)
+    lab = collections.Counter(
+        labels[np.nonzero(g == 156)].tolist()).most_common(1)[0][0]
+    rings = region_rings(labels == lab)
+    assert len(rings) == 2
+    ytop = 3751020 + 7 * 60
+    world = [[(440720 + cx * 60, ytop - cy * 60) for cx, cy in r]
+             for r in rings]
+    expect_outer = [(440720, 3751200), (440720, 3751020), (440900, 3751020),
+                    (440900, 3751200), (440720, 3751200)]
+    expect_hole = [(440780, 3751140), (440840, 3751140), (440840, 3751080),
+                   (440780, 3751080), (440780, 3751140)]
+    assert _cycle_equal(world[0], expect_outer)
+    assert _cycle_equal(world[1], expect_hole)
+
+
+def test_region_rings_complex_staircase():
+    """(test_polygonize_3's DN=0 geometry, polygonize_in_2.grd): the
+    big region's ring structure — 1 outer + 2 holes with the exact
+    vertex counts of the reference's expected WKT (47/13/13 points),
+    and conservation: ring areas reproduce the pixel count."""
+    from gdal_ray.functions.ccl import region_rings, ring_area_xy
+
+    grid, _ = read_aaigrid(f"{DATA}/polygonize_in_2.grd")
+    g = grid.astype(np.int32)
+    labels = label_components(g, 4)
+    # the reference filters dn = 0 and takes the first feature: the
+    # largest 0-valued region
+    zero_labels = labels[np.nonzero(g == 0)]
+    lab = collections.Counter(zero_labels.tolist()).most_common(1)[0][0]
+    rings = region_rings(labels == lab)
+    assert len(rings) == 3
+    assert [len(r) - 1 for r in rings] == [46, 12, 12]
+    area = abs(ring_area_xy(rings[0])) - sum(
+        abs(ring_area_xy(r)) for r in rings[1:])
+    assert area == (labels == lab).sum()
