@@ -554,10 +554,12 @@ def q_dither_palette(sf_dir: str):
 
 def q_footprint(sf_dir: str):
     """gdal_footprint (apps/gdal_footprint_lib.cpp): validity mask
-    (band0 > 60) -> connected regions -> convex hull per region;
-    reports region count, mask pixels, hull area of the largest
-    region (rows-only; hull/label kernels golden-tested)."""
-    from ..functions.ccl import label_components
+    (band0 > 60) -> connected regions -> EXACT boundary polygon of the
+    largest region (region_rings; outer + holes — the polygonizer's
+    run/arc assembly) plus the -convex_hull variant; reports region
+    count, mask pixels, exact ring area/vertex/hole structure and hull
+    area (rows-only; ring extraction is WKT-conformance-tested)."""
+    from ..functions.ccl import label_components, region_rings, ring_area_xy
     from ..functions.geom import convex_hull, ring_area
     from ..sources.images import corpus_dataset
 
@@ -565,6 +567,7 @@ def q_footprint(sf_dir: str):
 
     def f(t: pa.Table) -> pa.Table:
         ids, nreg, npx, harea = [], [], [], []
+        fp_area, fp_pts, fp_holes = [], [], []
         for rec in t.to_pylist():
             px = decode_image(rec["bytes"])[:, :, 0]
             mask = (px > 60).astype(np.int32)
@@ -575,11 +578,20 @@ def q_footprint(sf_dir: str):
             if len(lab_v) == 0:
                 nreg.append(0)
                 harea.append(0.0)
+                fp_area.append(0.0)
+                fp_pts.append(0)
+                fp_holes.append(0)
                 continue
             uniq, counts = np.unique(lab_v, return_counts=True)
             nreg.append(len(uniq))
             big = uniq[np.argmax(counts)]
-            ys, xs = np.nonzero(labels == big)
+            region = labels == big
+            rings = region_rings(region)
+            fp_area.append(abs(ring_area_xy(rings[0]))
+                           - sum(abs(ring_area_xy(r)) for r in rings[1:]))
+            fp_pts.append(sum(len(r) - 1 for r in rings))
+            fp_holes.append(len(rings) - 1)
+            ys, xs = np.nonzero(region)
             # hull needs only per-row extreme pixels (their 4 corners),
             # not every mask pixel — same hull, 1000x fewer points
             pts_list = []
@@ -592,7 +604,10 @@ def q_footprint(sf_dir: str):
         return pa.table({"image_id": pa.array(ids, pa.string()),
                          "n_regions": pa.array(nreg, pa.int64()),
                          "n_mask_px": pa.array(npx, pa.int64()),
-                         "hull_area": pa.array(np.round(harea, 2))})
+                         "hull_area": pa.array(np.round(harea, 2)),
+                         "footprint_area": pa.array(np.round(fp_area, 2)),
+                         "n_ring_pts": pa.array(fp_pts, pa.int64()),
+                         "n_holes": pa.array(fp_holes, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
