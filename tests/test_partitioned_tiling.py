@@ -79,3 +79,18 @@ def test_distributed_assignment_matches_driver(ray_session):
     assert {k: v for k, v in got.items()} == dict(ref)
     # salt ranks balance every (leaf, salt) group to <= threshold
     assert max(per_group.values()) <= 4
+
+
+def test_fast_leaves_match_iterative(ray_session):
+    """The single-pass quadtree (one map_batches + one combiner) must
+    produce exactly the iterative refinement's leaf map."""
+    from gdal_ray.stages.partitioned_tiling import (footprint_dataset,
+                                                    quadtree_leaves,
+                                                    quadtree_leaves_fast)
+
+    fp = footprint_dataset(64).materialize()
+    a = quadtree_leaves(fp, base_zoom=10, max_images_per_part=4,
+                        max_part_zoom=14)
+    b = quadtree_leaves_fast(fp, base_zoom=10, max_images_per_part=4,
+                             max_part_zoom=14)
+    assert b is not None and a == b
