@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 
 from .swq import _Parser, _eval, _tokenize
 
-_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_AGGS = {"COUNT", "COUNT_ALL", "SUM", "MIN", "MAX", "AVG"}
 
 _CLAUSE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>\w+)"
@@ -87,18 +87,43 @@ def _split_select(s: str) -> list[str]:
     return out
 
 
+_COUNT_STAR = re.compile(r"COUNT\s*\(\s*\*\s*\)", re.I)
+
+
+def _extract_aggs(ast, aggs: list):
+    """Replace aggregate calls anywhere in the expression tree with
+    synthetic column refs ("col", "__aN"); collect (fn, arg_ast) into
+    ``aggs``. Enables scalar expressions OVER aggregates —
+    round(SUM(x), 2), SUM(a)/SUM(b), MAX(x)-MIN(x) — the swq HAVING/
+    select post-evaluation shape (ogr/swq_select.cpp)."""
+    if not isinstance(ast, tuple):
+        return ast
+    if ast[0] == "func" and ast[1] in _AGGS:
+        args = ast[2]
+        inner = args[0] if args else None
+        aggs.append((ast[1], inner))
+        return ("col", f"__a{len(aggs) - 1}")
+    return tuple(
+        [ast[0]]
+        + [tuple(_extract_aggs(x, aggs) for x in part) if isinstance(part, list)
+           else _extract_aggs(part, aggs)
+           for part in ast[1:]]
+    )
+
+
 def _parse_item(item: str):
     m = re.match(r"^(.*?)\s+AS\s+(\w+)$", item, re.I | re.S)
     expr_s, alias = (m.group(1), m.group(2)) if m else (item, None)
-    if re.fullmatch(r"COUNT\s*\(\s*\*\s*\)", expr_s, re.I):
-        return ("agg", "COUNT_ALL", None, alias or "count_star")
-    am = re.fullmatch(r"(COUNT|SUM|MIN|MAX|AVG)\s*\((.*)\)", expr_s.strip(),
-                     re.I | re.S)
-    if am:
-        inner = _Parser(_tokenize(am.group(2))).parse()
-        return ("agg", am.group(1).upper(), inner,
-                alias or f"{am.group(1).lower()}_expr")
-    ast = _Parser(_tokenize(expr_s)).parse()
+    # COUNT(*) -> COUNT_ALL() so the expression parser accepts it
+    star = bool(_COUNT_STAR.search(expr_s))
+    expr_norm = _COUNT_STAR.sub("COUNT_ALL()", expr_s)
+    ast = _Parser(_tokenize(expr_norm)).parse()
+    aggs: list = []
+    ast2 = _extract_aggs(ast, aggs)
+    if aggs:
+        default = (f"{aggs[0][0].lower()}_expr"
+                   if not (star and len(aggs) == 1) else "count_star")
+        return ("agg", aggs, ast2, alias or default)
     name = alias or (ast[1] if ast[0] == "col" else "expr")
     return ("scalar", None, ast, name)
 
@@ -158,7 +183,9 @@ def execute(sql: str, sf_dir: str):
 
     has_agg = any(k == "agg" for k, *_ in items)
     if has_agg:
-        # compute aggregate argument columns + group keys per batch
+        # compute aggregate argument columns + group keys per batch;
+        # each item's aggregate calls were rewritten to __aN column
+        # refs (local N), globalized here to __gI_N
         scalar_cols = [(i, it) for i, it in enumerate(items) if it[0] == "scalar"]
         for i, it in scalar_cols:
             if it[3] not in group:
@@ -166,48 +193,62 @@ def execute(sql: str, sf_dir: str):
 
         def prep(t: pa.Table) -> pa.Table:
             cols = {g: t[g] for g in group}
-            for i, (kind, fn, ast, name) in enumerate(items):
+            for i, (kind, aggs, _ast, _name) in enumerate(items):
                 if kind != "agg":
                     continue
-                if fn == "COUNT_ALL":
-                    cols[f"__a{i}"] = pa.array(np.ones(t.num_rows, np.int64))
-                else:
-                    v = _eval(ast, t)
-                    if not isinstance(v, (pa.Array, pa.ChunkedArray)):
-                        v = pa.array([v] * t.num_rows)
-                    cols[f"__a{i}"] = v
+                for j, (fn, arg) in enumerate(aggs):
+                    if fn == "COUNT_ALL":
+                        cols[f"__g{i}_{j}"] = pa.array(
+                            np.ones(t.num_rows, np.int64))
+                    else:
+                        v = _eval(arg, t)
+                        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                            v = pa.array([v] * t.num_rows)
+                        cols[f"__g{i}_{j}"] = v
             if not group:
                 cols["__g__"] = pa.array(np.zeros(t.num_rows, np.int8))
             return pa.table(cols)
 
         keys = group or ["__g__"]
         specs = []
-        for i, (kind, fn, ast, name) in enumerate(items):
+        for i, (kind, aggs, _ast, _name) in enumerate(items):
             if kind != "agg":
                 continue
-            if fn in ("COUNT_ALL", "COUNT"):
-                specs.append((f"__a{i}", f"__a{i}",
-                              "count_all" if fn == "COUNT_ALL" else "count"))
-            elif fn == "AVG":
-                specs.append((f"__a{i}_s", f"__a{i}", "sum"))
-                specs.append((f"__a{i}_n", f"__a{i}", "count"))
-            else:
-                specs.append((f"__a{i}", f"__a{i}", fn.lower()))
+            for j, (fn, _arg) in enumerate(aggs):
+                c = f"__g{i}_{j}"
+                if fn in ("COUNT_ALL", "COUNT"):
+                    specs.append((c, c,
+                                  "count_all" if fn == "COUNT_ALL" else "count"))
+                elif fn == "AVG":
+                    specs.append((f"{c}_s", c, "sum"))
+                    specs.append((f"{c}_n", c, "count"))
+                else:
+                    specs.append((c, c, fn.lower()))
         part = partial_groupby_agg(
             ds.map_batches(prep, batch_format="pyarrow"), keys, specs)
         out_cols = {}
-        for kind, fn, ast, name in items:
+        for kind, aggs, ast, name in items:
             if kind == "scalar":
                 out_cols[name] = part[name]
-        for i, (kind, fn, ast, name) in enumerate(items):
+        for i, (kind, aggs, ast, name) in enumerate(items):
             if kind != "agg":
                 continue
-            if fn == "AVG":
-                out_cols[name] = pc.divide(
-                    pc.cast(part[f"__a{i}_s"], pa.float64()),
-                    pc.cast(part[f"__a{i}_n"], pa.float64()))
-            else:
-                out_cols[name] = part[f"__a{i}"]
+            # environment table mapping the item's local __aN refs to
+            # the merged aggregate columns
+            env = {}
+            for j, (fn, _arg) in enumerate(aggs):
+                c = f"__g{i}_{j}"
+                if fn == "AVG":
+                    env[f"__a{j}"] = pc.divide(
+                        pc.cast(part[f"{c}_s"], pa.float64()),
+                        pc.cast(part[f"{c}_n"], pa.float64()))
+                else:
+                    env[f"__a{j}"] = part[c]
+            env_t = pa.table(env) if env else part
+            v = _eval(ast, env_t)
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = pa.array([v] * part.num_rows)
+            out_cols[name] = v
         result = pa.table(out_cols)
         if m.group("having"):
             # HAVING evaluates over the aggregated output columns

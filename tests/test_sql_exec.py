@@ -129,3 +129,33 @@ def test_sql_having_planner(ray_session):
     con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
     ref = con.sql(sql).df().sort_values("o_orderpriority")
     assert got["n"].tolist() == ref["n"].tolist()
+
+
+def test_sql_scalar_over_aggregates(ray_session):
+    """Scalar expressions wrapping aggregates plan correctly:
+    ROUND(SUM(x), 2), SUM(a)/COUNT(*), MAX-MIN."""
+    import duckdb
+    import numpy as np
+
+    from gdal_ray.functions.sql_exec import execute
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for sql in [
+        "SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) AS total, "
+        "SUM(o_totalprice) / COUNT(*) AS avg2 FROM orders "
+        "GROUP BY o_orderpriority",
+        "SELECT MAX(l_quantity) - MIN(l_quantity) AS rng, COUNT(*) AS n "
+        "FROM lineitem",
+    ]:
+        a = execute(sql, SF).to_pandas()
+        b = con.sql(sql).df()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        for c in cols:
+            if a[c].dtype.kind == "f":
+                assert np.allclose(a[c], b[c]), (sql, c)
+            else:
+                assert (a[c] == b[c]).all(), (sql, c)
