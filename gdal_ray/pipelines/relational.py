@@ -246,10 +246,12 @@ def q_date_extract(sf_dir: str):
     return round_cols(out, {"total": 2})
 
 
-_EXEC_SQL = ("SELECT l_returnflag, COUNT(*) AS n, "
-             "SUM(l_extendedprice * (1 - l_discount)) AS rev, "
-             "AVG(l_quantity) AS avg_qty "
-             "FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag")
+_EXEC_SQL = """
+        SELECT l_returnflag, COUNT(*) AS n,
+               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
+               round(AVG(l_quantity), 2) AS avg_qty
+        FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag
+    """
 
 
 def q_sample_rows(sf_dir: str):
@@ -315,19 +317,13 @@ def q_sql_union(sf_dir: str):
 
 
 def q_sql_execute(sf_dir: str):
-    """ExecuteSQL analog end-to-end: the SAME SQL string is planned by
-    functions/sql_exec.py onto Dataset operators (swq expression
-    compiler + combiner aggregation) on the Ray side and run verbatim
-    by DuckDB as the oracle."""
+    """ExecuteSQL analog end-to-end: the SAME SQL string — including
+    the round(SUM(...), 2) scalar-over-aggregate expressions — is
+    planned by functions/sql_exec.py onto Dataset operators and run
+    verbatim by DuckDB as the oracle."""
     from ..functions.sql_exec import execute
 
-    t = execute(_EXEC_SQL, sf_dir)
-    return pa.table({
-        "l_returnflag": t["l_returnflag"],
-        "n": t["n"],
-        "rev": round_away(t["rev"], 2),
-        "avg_qty": round_away(t["avg_qty"], 2),
-    })
+    return execute(_EXEC_SQL, sf_dir)
 
 
 def q_quantiles(sf_dir: str):
