@@ -90,17 +90,19 @@ def region_table(values: np.ndarray, labels: np.ndarray) -> dict:
     return out
 
 
-def region_rings(mask: np.ndarray) -> list[np.ndarray]:
+def region_rings(mask: np.ndarray, connect: int = 4) -> list[np.ndarray]:
     """Exact polygon rings (outer + holes) of a boolean region mask —
     the run/arc assembly of the polygonizer (reference
     alg/polygonize_polygonizer.cpp semantics): every boundary edge of
     the region becomes a directed unit segment with the region on its
-    LEFT; walking the segments (right-turn preference at checkerboard
-    corners, which separates 4-connected touching corners) yields
-    closed rings in pixel-corner coordinates; collinear vertices are
-    collapsed. Returns closed (N, 2) rings — the first with positive
-    shoelace area in image coordinates is the outer ring; opposite
-    orientation = holes."""
+    LEFT; walking the segments yields closed rings in pixel-corner
+    coordinates; collinear vertices are collapsed. At checkerboard
+    corners ``connect=4`` prefers the RIGHT turn (diagonal regions
+    stay separate) and ``connect=8`` the LEFT turn (the ring passes
+    through the shared corner, keeping the diagonal halves one
+    polygon — the 8CONNECTED polygonize rule). Returns closed (N, 2)
+    rings — the first with positive shoelace area in image
+    coordinates is the outer ring; opposite orientation = holes."""
     m = np.asarray(mask, bool)
     h, w = m.shape
     pad = np.zeros((h + 2, w + 2), bool)
@@ -136,20 +138,22 @@ def region_rings(mask: np.ndarray) -> list[np.ndarray]:
                 nxt = outs.pop()
                 del edges[cur]
             else:
-                # checkerboard corner: prefer the RIGHT turn relative
-                # to the incoming direction so diagonal regions stay
-                # separate (4-connected polygonize rule)
+                # checkerboard corner: turn preference decides whether
+                # diagonal regions split (right, 4-conn) or stay one
+                # ring through the corner (left, 8-conn)
                 dx, dy = prev_dir
-                right = (-dy, dx)
+                pref = (-dy, dx) if connect == 4 else (dy, -dx)
                 pick = None
                 for cand in outs:
                     d = (cand[0] - cur[0], cand[1] - cur[1])
-                    if d == right:
+                    if d == pref:
                         pick = cand
                         break
                 if pick is None:
                     pick = outs[0]
                 outs.remove(pick)
+                if not outs:
+                    del edges[cur]
                 nxt = pick
             prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
             cur = nxt

@@ -162,3 +162,23 @@ def test_region_rings_complex_staircase():
     area = abs(ring_area_xy(rings[0])) - sum(
         abs(ring_area_xy(r)) for r in rings[1:])
     assert area == (labels == lab).sum()
+
+
+def test_region_rings_8connected_diagonal():
+    """8CONNECTED ring tracing: a diagonal cell pair is ONE polygon
+    whose ring passes through the shared corner (area 2); 4-connected
+    splits it into two unit squares."""
+    from gdal_ray.functions.ccl import region_rings, ring_area_xy
+
+    m = np.zeros((3, 3), bool)
+    m[0, 0] = True
+    m[1, 1] = True
+    r4 = region_rings(m, 4)
+    assert len(r4) == 2
+    assert sorted(abs(ring_area_xy(r)) for r in r4) == [1.0, 1.0]
+    r8 = region_rings(m, 8)
+    assert len(r8) == 1
+    assert abs(ring_area_xy(r8[0])) == 2.0
+    # the shared corner appears twice in the ring (self-touching)
+    pts = [tuple(p) for p in r8[0][:-1]]
+    assert pts.count((1.0, 1.0)) == 2
