@@ -41,3 +41,13 @@ def test_srcwin_and_minimal_sizes(byte):
 def test_outsize_average(byte):
     """(generate_ovr: resampleAlg=Average to 10x10 -> 1152)."""
     assert checksum_image(resize_average(byte, 10, 10)) == 1152
+
+
+def test_scale_params_semantics(byte):
+    """(lib -scale [0,255,0,65535] -> UInt16 min/max (19018, 65535)):
+    linear scale dst = (src-smin)*(dmax-dmin)/(smax-smin)+dmin with
+    GDALCopyWords rounding."""
+    v = byte.astype(np.float64)
+    scaled = (v - 0.0) * (65535.0 - 0.0) / (255.0 - 0.0) + 0.0
+    out = np.clip(np.floor(scaled + 0.5), 0, 65535).astype(np.uint16)
+    assert (int(out.min()), int(out.max())) == (19018, 65535)
