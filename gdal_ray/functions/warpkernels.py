@@ -50,10 +50,18 @@ def _edge_weights(lo: float, hi: float, i0: int, i1: int) -> np.ndarray:
 
 
 def warp_area(src: np.ndarray, cx: np.ndarray, cy: np.ndarray,
-              algo: str, valid: np.ndarray | None = None):
+              algo: str, valid: np.ndarray | None = None,
+              wrap_x: bool = False):
     """Area-resample ``src`` onto a dst grid whose CORNER source
     coordinates are given by ``cx``/``cy`` of shape (dst_h+1, dst_w+1)
     (fractional source pixel coords).
+
+    ``wrap_x=True`` enables the antimeridian rule (reference
+    GWKAverageOrModeThread bWrapOverX, alg/gdalwarpkernel.cpp:6790+):
+    a footprint whose corner x's are farther apart than half the
+    raster is read as the WRAPPED interval [xmax, xmin + sw) with
+    modulo column indexing — global rasters where dst pixels straddle
+    the +-180 column seam.
 
     Returns (out, out_valid); ``valid`` optionally masks source pixels
     (GWK unified validity mask).
@@ -72,12 +80,17 @@ def warp_area(src: np.ndarray, cx: np.ndarray, cy: np.ndarray,
             ys = (cy[y, x], cy[y + 1, x + 1])
             xmin, xmax = (xs[0], xs[1]) if xs[0] <= xs[1] else (xs[1], xs[0])
             ymin, ymax = (ys[0], ys[1]) if ys[0] <= ys[1] else (ys[1], ys[0])
-            if not (xmax > -_EPS and xmin < sw + _EPS):
+            wrapped = wrap_x and (xmax - xmin) > sw / 2.0
+            if wrapped:
+                xmin, xmax = xmax, xmin + sw
+            if not (xmax > -_EPS and xmin < (2 * sw if wrapped else sw) + _EPS):
                 continue
             if not (ymax > -_EPS and ymin < sh + _EPS):
                 continue
             ix0 = int(max(np.floor(xmin + _EPS), 0.0))
-            ix1 = min(int(np.ceil(xmax - _EPS)), sw)
+            ix1 = int(np.ceil(xmax - _EPS))
+            if not wrapped:
+                ix1 = min(ix1, sw)
             if ix0 == ix1 and ix1 < sw:
                 ix1 += 1
             iy0 = int(max(np.floor(ymin + _EPS), 0.0))
@@ -86,13 +99,15 @@ def warp_area(src: np.ndarray, cx: np.ndarray, cy: np.ndarray,
                 iy1 += 1
             if ix0 >= ix1 or iy0 >= iy1:
                 continue
-            block = srcf[iy0:iy1, ix0:ix1]
-            if valid is not None:
-                vm = valid[iy0:iy1, ix0:ix1]
-                if not vm.any():
-                    continue
+            if wrapped:
+                cols = np.arange(ix0, ix1) % sw
+                block = srcf[iy0:iy1][:, cols]
+                vm = valid[iy0:iy1][:, cols] if valid is not None else None
             else:
-                vm = None
+                block = srcf[iy0:iy1, ix0:ix1]
+                vm = valid[iy0:iy1, ix0:ix1] if valid is not None else None
+            if vm is not None and not vm.any():
+                continue
             wts = (_edge_weights(ymin, ymax, iy0, iy1)[:, None]
                    * _edge_weights(xmin, xmax, ix0, ix1)[None, :])
             if vm is not None:

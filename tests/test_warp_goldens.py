@@ -88,3 +88,28 @@ def test_warp_rms_matches_definition():
     q = full.astype(np.float64).reshape(50, 2, 50, 2)
     expect = np.sqrt((q ** 2).mean(axis=(1, 3)))
     assert np.allclose(r, expect)
+
+
+def test_warp_area_antimeridian_wrap():
+    """bWrapOverX (GWKAverageOrModeThread, gdalwarpkernel.cpp:6790+):
+    a dst footprint spanning the x seam of a global raster reads the
+    WRAPPED interval with modulo columns."""
+    from gdal_ray.functions.warpkernels import warp_area
+
+    src = np.tile(np.arange(8, dtype=np.float64), (4, 1))  # cols 0..7
+    # one dst pixel whose corners land at x = 6.5 and 1.5 (crossing
+    # the seam), y covering rows 1..2 exactly
+    cx = np.array([[6.5, 1.5], [6.5, 1.5]])
+    cy = np.array([[1.0, 1.0], [2.0, 2.0]])
+    out, ok = warp_area(src, cx, cy, "average", wrap_x=True)
+    # wrapped coverage: half of col 6, cols 7, 0, half of col 1
+    expect = (0.5 * 6 + 1.0 * 7 + 1.0 * 0 + 0.5 * 1) / 3.0
+    assert ok[0, 0]
+    assert out[0, 0] == pytest.approx(expect)
+    # without wrap the same corners read the interior [1.5, 6.5]
+    out2, _ = warp_area(src, cx, cy, "average", wrap_x=False)
+    expect2 = (0.5 * 1 + 2 + 3 + 4 + 5 + 0.5 * 6) / 5.0
+    assert out2[0, 0] == pytest.approx(expect2)
+    # weighted sum with wrap
+    out3, _ = warp_area(src, cx, cy, "sum", wrap_x=True)
+    assert out3[0, 0] == pytest.approx(0.5 * 6 + 7 + 0 + 0.5 * 1)
