@@ -100,7 +100,8 @@ def _q_multidim(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def oracle_sql() -> dict[str, str]:
+def computed_oracles() -> dict[str, str]:
+    """Oracles that recompute the answer from the sf tables in SQL."""
     from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed, vector_ops
 
     out: dict[str, str] = {}
@@ -109,4 +110,15 @@ def oracle_sql() -> dict[str, str]:
     out.update(text_embed.ORACLE)
     out.update(raster.ORACLE)
     out.update(vector_ops.ORACLE)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    """Computed oracles + literal-VALUES oracles for the deterministic
+    golden pipelines (pinned at sf0.01 by scripts/gen_literal_oracles.py;
+    computed oracles win on any key collision)."""
+    from gdal_ray.pipelines.literal_oracles import ORACLE as literal
+
+    out = dict(literal)
+    out.update(computed_oracles())
     return out
