@@ -182,3 +182,25 @@ def test_region_rings_8connected_diagonal():
     # the shared corner appears twice in the ring (self-touching)
     pts = [tuple(p) for p in r8[0][:-1]]
     assert pts.count((1.0, 1.0)) == 2
+
+
+@pytest.mark.parametrize("fixture,connect", [
+    ("polygonize_in.grd", 4),
+    ("polygonize_in.grd", 8),
+    ("polygonize_in_2.grd", 4),
+    ("polygonize_in_2.grd", 8),
+])
+def test_hierarchical_merge_bit_identical_to_single_tile(
+        ray_session, fixture, connect):
+    """Stress the hierarchical 2x2 merge: tile=2 (hundreds of tiles,
+    every region crosses borders, ragged last row/col) must produce
+    the exact same region table (value, n_pixels, bbox) as a single
+    tile holding the whole grid."""
+    grid, _ = read_aaigrid(f"{DATA}/{fixture}")
+    g = grid.astype(np.int32)
+    one = polygonize_tiles(
+        ray.data.from_arrow(grid_to_tiles(g, tile=4096)), connect=connect)
+    many = polygonize_tiles(
+        ray.data.from_arrow(grid_to_tiles(g, tile=2)), connect=connect)
+    assert one.num_rows == many.num_rows
+    assert one.to_pydict() == many.to_pydict()
