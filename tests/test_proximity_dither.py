@@ -118,3 +118,19 @@ def test_gdal_proximity_reference_checksums():
                          src_nodata=tiff_nodata(data))
     b = np.clip(np.floor(out.astype(np.float32) + 0.5), 0, 255).astype(np.uint8)
     assert checksum_image(b) == 1465
+
+
+def test_proximity_fractional_targets_and_nodata():
+    """The band's real (float) values drive target/nodata matching —
+    no int truncation (GDALComputeProximity reads float64)."""
+    import numpy as np
+
+    from gdal_ray.functions.proximity import gdal_proximity
+
+    src = np.array([[0.0, 0.5, 0.0], [0.0, 0.0, 0.0]])
+    out = gdal_proximity(src, target_values=[0.5])
+    assert out[0, 1] == 0.0 and out[0, 0] == 1.0
+    assert out[1, 2] == np.hypot(1, 1)
+    out2 = gdal_proximity(np.array([[0.25, 1.0], [0.0, 0.0]]),
+                          target_values=[1.0], src_nodata=0.25, nodata=-1)
+    assert out2[0, 0] == -1 and out2[0, 1] == 0.0
