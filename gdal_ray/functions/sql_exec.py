@@ -6,10 +6,12 @@ ogr/ogrsf_frmts/generic/ogr_gensql.cpp). Here the same dialect subset
 compiles onto Dataset operators:
 
     SELECT <expr [AS name]>[, ...] FROM <table>
-        [JOIN <table2> ON <a> = <b>]
+        [[LEFT [OUTER]] JOIN <table2> ON <a> = <b>]
         [WHERE <swq expr>] [GROUP BY col[, ...]]
         [ORDER BY col [ASC|DESC][, ...]] [LIMIT n]
     <select> UNION ALL <select> [UNION ALL ...]
+    aggregates: COUNT(*) / COUNT(x) / COUNT(DISTINCT x) / SUM / MIN /
+    MAX / AVG, composable inside scalar expressions
 
 - scalar expressions reuse the swq compiler (functions/swq.py);
 - aggregates COUNT(*)/COUNT/SUM/MIN/MAX/AVG compile to the combiner
@@ -34,11 +36,12 @@ import pyarrow.compute as pc
 
 from .swq import _Parser, _eval, _tokenize
 
-_AGGS = {"COUNT", "COUNT_ALL", "SUM", "MIN", "MAX", "AVG"}
+_AGGS = {"COUNT", "COUNT_ALL", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG"}
 
 _CLAUSE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>\w+)"
-    r"(?:\s+JOIN\s+(?P<jtable>\w+)\s+ON\s+(?P<jleft>[\w.]+)\s*=\s*(?P<jright>[\w.]+))?"
+    r"(?:\s+(?P<jhow>LEFT\s+(?:OUTER\s+)?)?"
+    r"JOIN\s+(?P<jtable>\w+)\s+ON\s+(?P<jleft>[\w.]+)\s*=\s*(?P<jright>[\w.]+))?"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
     r"(?:\s+HAVING\s+(?P<having>.*?))?"
@@ -49,20 +52,49 @@ _CLAUSE = re.compile(
 _UNION_ALL = re.compile(r"\s+UNION\s+ALL\s+", re.I)
 
 
+def _mask_literals(sql: str) -> str:
+    """Blank out the CONTENTS of single-quoted string literals
+    (keeping the quotes and the length) so clause keywords inside a
+    literal — WHERE name = ' UNION ALL ' — never steer the structural
+    regexes. Offsets into the masked string map 1:1 onto the original,
+    which is what gets sliced for the actual sub-parsers. '' escapes
+    stay inside the literal (swq ESCAPE semantics)."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _split_union(sql: str) -> list[str]:
-    """Split on top-level UNION ALL (not inside parentheses)."""
+    """Split on top-level UNION ALL (not inside parentheses or string
+    literals); returns slices of the ORIGINAL string."""
+    masked = _mask_literals(sql)
     parts = []
     depth = 0
     start = 0
     i = 0
-    while i < len(sql):
-        c = sql[i]
+    while i < len(masked):
+        c = masked[i]
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
         elif depth == 0:
-            m = _UNION_ALL.match(sql, i)
+            m = _UNION_ALL.match(masked, i)
             if m and i > start:
                 parts.append(sql[start:i])
                 start = m.end()
@@ -74,8 +106,9 @@ def _split_union(sql: str) -> list[str]:
 
 
 def _split_select(s: str) -> list[str]:
+    masked = _mask_literals(s)
     out, depth, start = [], 0, 0
-    for i, c in enumerate(s):
+    for i, c in enumerate(masked):
         if c == "(":
             depth += 1
         elif c == ")":
@@ -88,6 +121,7 @@ def _split_select(s: str) -> list[str]:
 
 
 _COUNT_STAR = re.compile(r"COUNT\s*\(\s*\*\s*\)", re.I)
+_COUNT_DISTINCT = re.compile(r"COUNT\s*\(\s*DISTINCT\s+", re.I)
 
 
 def _extract_aggs(ast, aggs: list):
@@ -114,9 +148,11 @@ def _extract_aggs(ast, aggs: list):
 def _parse_item(item: str):
     m = re.match(r"^(.*?)\s+AS\s+(\w+)$", item, re.I | re.S)
     expr_s, alias = (m.group(1), m.group(2)) if m else (item, None)
-    # COUNT(*) -> COUNT_ALL() so the expression parser accepts it
+    # COUNT(*) -> COUNT_ALL(), COUNT(DISTINCT x) -> COUNT_DISTINCT(x)
+    # so the expression parser accepts them
     star = bool(_COUNT_STAR.search(expr_s))
     expr_norm = _COUNT_STAR.sub("COUNT_ALL()", expr_s)
+    expr_norm = _COUNT_DISTINCT.sub("COUNT_DISTINCT(", expr_norm)
     ast = _Parser(_tokenize(expr_norm)).parse()
     aggs: list = []
     ast2 = _extract_aggs(ast, aggs)
@@ -138,20 +174,28 @@ def execute(sql: str, sf_dir: str):
         tabs = [execute(p, sf_dir) for p in members]
         return pa.concat_tables(tabs, promote_options="default")
 
-    m = _CLAUSE.match(sql)
+    # structural match runs on the literal-masked string; clause text
+    # is sliced from the ORIGINAL at the matched spans so literals
+    # survive intact
+    m = _CLAUSE.match(_mask_literals(sql))
     if not m:
         raise ValueError("unsupported SQL shape")
-    items = [_parse_item(s) for s in _split_select(m.group("select"))]
-    table = m.group("table")
-    where = m.group("where")
-    group = [c.strip() for c in m.group("group").split(",")] if m.group("group") else []
+
+    def grp(name: str) -> str | None:
+        s_, e_ = m.span(name)
+        return None if s_ == -1 else sql[s_:e_]
+
+    items = [_parse_item(s) for s in _split_select(grp("select"))]
+    table = grp("table")
+    where = grp("where")
+    group = [c.strip() for c in grp("group").split(",")] if grp("group") else []
     order = []
-    if m.group("order"):
-        for part in m.group("order").split(","):
+    if grp("order"):
+        for part in grp("order").split(","):
             toks = part.split()
             order.append((toks[0],
                           len(toks) > 1 and toks[1].upper() == "DESC"))
-    limit = int(m.group("limit")) if m.group("limit") else None
+    limit = int(grp("limit")) if grp("limit") else None
 
     # ORDER BY runs over the projected output; validate up front so a
     # non-selected column fails with a clear message, not a KeyError
@@ -162,19 +206,20 @@ def execute(sql: str, sf_dir: str):
                 f"unsupported: ORDER BY column {c!r} not in the SELECT list")
 
     ds = read_table(sf_dir, table)
-    if m.group("jtable"):
+    if grp("jtable"):
         from ..stages.joins import hash_join
 
-        right = read_table(sf_dir, m.group("jtable"))
-        jl = m.group("jleft").split(".")[-1]
-        jr = m.group("jright").split(".")[-1]
+        right = read_table(sf_dir, grp("jtable"))
+        jl = grp("jleft").split(".")[-1]
+        jr = grp("jright").split(".")[-1]
         lnames = set(ds.schema().names)
         if jl not in lnames:
             jl, jr = jr, jl
         if jl not in lnames or jr not in set(right.schema().names):
             raise ValueError(
-                f"JOIN keys {m.group('jleft')}/{m.group('jright')} not found")
-        ds = hash_join(ds, right, left_on=jl, right_on=jr)
+                f"JOIN keys {grp('jleft')}/{grp('jright')} not found")
+        how = "left_outer" if grp("jhow") else "inner"
+        ds = hash_join(ds, right, left_on=jl, right_on=jr, how=how)
     if where:
         from .swq import compile_where
 
@@ -197,6 +242,8 @@ def execute(sql: str, sf_dir: str):
                 if kind != "agg":
                     continue
                 for j, (fn, arg) in enumerate(aggs):
+                    if fn == "COUNT_DISTINCT":
+                        continue  # separate distinct-pair sub-pipeline
                     if fn == "COUNT_ALL":
                         cols[f"__g{i}_{j}"] = pa.array(
                             np.ones(t.num_rows, np.int64))
@@ -211,12 +258,15 @@ def execute(sql: str, sf_dir: str):
 
         keys = group or ["__g__"]
         specs = []
+        dist_aggs = []  # (column name, arg ast)
         for i, (kind, aggs, _ast, _name) in enumerate(items):
             if kind != "agg":
                 continue
-            for j, (fn, _arg) in enumerate(aggs):
+            for j, (fn, arg) in enumerate(aggs):
                 c = f"__g{i}_{j}"
-                if fn in ("COUNT_ALL", "COUNT"):
+                if fn == "COUNT_DISTINCT":
+                    dist_aggs.append((c, arg))
+                elif fn in ("COUNT_ALL", "COUNT"):
                     specs.append((c, c,
                                   "count_all" if fn == "COUNT_ALL" else "count"))
                 elif fn == "AVG":
@@ -224,8 +274,38 @@ def execute(sql: str, sf_dir: str):
                     specs.append((f"{c}_n", c, "count"))
                 else:
                     specs.append((c, c, fn.lower()))
+        if not specs:
+            # keys must still materialize when every agg is DISTINCT
+            specs.append(("__cnt__", keys[0], "count_all"))
         part = partial_groupby_agg(
             ds.map_batches(prep, batch_format="pyarrow"), keys, specs)
+        for cname, arg in dist_aggs:
+            # COUNT(DISTINCT x): per-batch distinct (keys, x) pairs ->
+            # distributed partial combine -> per-key count of the
+            # bounded deduped table (q_count_distinct's shape); joined
+            # back onto the aggregate table by group key
+            def dprep(t: pa.Table, arg=arg) -> pa.Table:
+                cols = {g: t[g] for g in group}
+                v = _eval(arg, t)
+                if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    v = pa.array([v] * t.num_rows)
+                cols["__dv"] = v
+                if not group:
+                    cols["__g__"] = pa.array(np.zeros(t.num_rows, np.int8))
+                tt = pa.table(cols)
+                tt = tt.filter(pc.is_valid(tt["__dv"]))  # SQL skips NULLs
+                return tt.group_by(tt.column_names).aggregate([])
+
+            dd = partial_groupby_agg(
+                ds.map_batches(dprep, batch_format="pyarrow"),
+                keys + ["__dv"], [("__n", "__dv", "count_all")])
+            cnt = dd.group_by(keys).aggregate([("__dv", "count")])
+            cnt = cnt.rename_columns(
+                [cname if c == "__dv_count" else c for c in cnt.column_names])
+            part = part.join(cnt, keys=keys, join_type="left outer")
+            ci = part.schema.get_field_index(cname)
+            part = part.set_column(
+                ci, cname, pc.fill_null(part[cname], pa.scalar(0, pa.int64())))
         out_cols = {}
         for kind, aggs, ast, name in items:
             if kind == "scalar":

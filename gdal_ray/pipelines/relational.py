@@ -318,6 +318,40 @@ def q_sql_union(sf_dir: str):
     return execute(_SQL_UNION, sf_dir)
 
 
+_SQL_LEFT_JOIN = """
+        SELECT c_mktsegment, COUNT(*) AS n, COUNT(o_orderkey) AS n_orders,
+               round(SUM(o_totalprice), 2) AS total
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """
+
+_SQL_COUNT_DISTINCT = """
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def q_sql_left_join(sf_dir: str):
+    """ExecuteSQL LEFT OUTER JOIN (reference OGR SQL secondary-table
+    LEFT JOIN, ogr_gensql.cpp:526-532): plans onto hash_join
+    how=left_outer; COUNT(col) skips the nulls the outer join
+    introduces. Same SQL verbatim in DuckDB."""
+    from ..functions.sql_exec import execute
+
+    return execute(_SQL_LEFT_JOIN, sf_dir)
+
+
+def q_sql_count_distinct(sf_dir: str):
+    """ExecuteSQL COUNT(DISTINCT x): plans onto the distinct-pair
+    combiner (per-batch distinct -> distributed partial combine ->
+    bounded per-key count), joined back onto the other aggregates.
+    Same SQL verbatim in DuckDB."""
+    from ..functions.sql_exec import execute
+
+    return execute(_SQL_COUNT_DISTINCT, sf_dir)
+
+
 def q_sql_execute(sf_dir: str):
     """ExecuteSQL analog end-to-end: the SAME SQL string — including
     the round(SUM(...), 2) scalar-over-aggregate expressions — is
@@ -580,6 +614,8 @@ ORACLE: dict[str, str] = {
     "q_sql_join": _SQL_JOIN,
     "q_sql_union": _SQL_UNION,
     "q_sql_having": _SQL_HAVING,
+    "q_sql_left_join": _SQL_LEFT_JOIN,
+    "q_sql_count_distinct": _SQL_COUNT_DISTINCT,
     "q_quantiles": """
         SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

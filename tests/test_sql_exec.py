@@ -159,3 +159,41 @@ def test_sql_scalar_over_aggregates(ray_session):
                 assert np.allclose(a[c], b[c]), (sql, c)
             else:
                 assert (a[c] == b[c]).all(), (sql, c)
+
+
+def test_sql_string_literal_masking(ray_session, con):
+    """Clause keywords inside string literals must not steer the
+    structural parse (ADVICE r2): a literal containing ' UNION ALL '
+    or ORDER BY stays a comparison value."""
+    sql = "SELECT c_custkey FROM customer WHERE c_mktsegment = ' UNION ALL '"
+    got = execute(sql, SF)
+    assert got.num_rows == 0
+    sql2 = ("SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey LIMIT 5")
+    _cmp(execute(sql2, SF), con.execute(sql2))
+
+
+def test_sql_left_join_unmatched(ray_session, con):
+    """LEFT OUTER JOIN keeps unmatched left rows; COUNT(col) skips the
+    nulls while COUNT(*) keeps them."""
+    sql = ("SELECT c_mktsegment, COUNT(*) AS n, COUNT(event_id) AS n_events "
+           "FROM customer LEFT JOIN events ON c_custkey = user_id "
+           "GROUP BY c_mktsegment")
+    got = execute(sql, SF)
+    _cmp(got, con.execute(sql))
+    g = got.to_pandas()
+    assert (g["n"] > g["n_events"]).any()  # most customers have no events
+    # plain inner join drops those rows
+    inner = execute(sql.replace("LEFT JOIN", "JOIN"), SF)
+    assert inner.to_pandas()["n"].sum() < g["n"].sum()
+
+
+def test_sql_count_distinct(ray_session, con):
+    sql = ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, "
+           "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
+    _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_count_distinct_global(ray_session, con):
+    sql = "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders"
+    _cmp(execute(sql, SF), con.execute(sql))
