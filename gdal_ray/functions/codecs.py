@@ -4,14 +4,14 @@ corpus (input_hint schema: image_id, bytes, w, h, fmt, caption, phash).
 Formats:
 
 - ``png``  — real, spec-compliant lossless PNG (functions/png.py).
-- ``jpeg`` — **deterministic lossy stand-in**: no JPEG library exists in
-  this container, so per the multimodal-stub contract the "jpeg" rows
-  use a quantize-to-5-bits + zlib codec with the same plumbing (binary
-  in, pixels out). Uniform 5-bit quantization has MSE ~ step^2/12 with
-  step 8.2 -> PSNR ~ 40.9 dB, deliberately just above the >=40 dB
-  per-row invariant from BASELINE.json, so the PSNR gate is exercised
-  for real. Swap `_encode_jq`/`_decode_jq` for libjpeg bindings when
-  available; nothing else changes.
+- ``jpeg`` — real baseline JFIF (functions/jpeg.py, pure numpy; ITU
+  T.81 semantics matching the reference's vendored libjpeg). The
+  corpus encoder uses flat quantization tables (lum 5 / chrom 4):
+  the synthetic images carry white noise, where Annex K's
+  low-frequency bias wastes rate; flat tables land PSNR ~41 dB —
+  above the >=40 dB per-row invariant from BASELINE.json — at ~25%
+  fewer entropy symbols. The legacy JQ5 quantize+zlib stand-in still
+  DECODES (old payloads sniff by magic) but is no longer emitted.
 - ``raw``  — zlib-compressed raw pixels with a tiny header (lossless,
   fastest; used for intermediate tiles).
 
@@ -25,7 +25,14 @@ import zlib
 
 import numpy as np
 
+from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
+
+# flat quant tables tuned for the noisy synthetic corpus (see module
+# docstring); chroma errors amplify ~2.9x through YCbCr->RGB, so
+# chroma quantizes finer than luma
+_JPEG_QLUM = np.full(64, 5, np.int64)
+_JPEG_QCHROM = np.full(64, 4, np.int64)
 
 _JQ_MAGIC = b"JQ5\x00"
 _RAW_MAGIC = b"RAW\x00"
@@ -94,7 +101,7 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        return _encode_jq(pixels)
+        return encode_jpeg(pixels, quant_tables=(_JPEG_QLUM, _JPEG_QCHROM))
     if fmt == "raw":
         return _encode_raw(pixels)
     if fmt == "raw0":
@@ -107,6 +114,8 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
     driver probing — reference gcore/gdaldataset.cpp:3621)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     if data[:4] == _JQ_MAGIC:
         return _decode_jq(data)
     if data[:4] == _RAW_MAGIC:
