@@ -101,7 +101,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        return encode_jpeg(pixels, quant_tables=(_JPEG_QLUM, _JPEG_QCHROM))
+        return encode_jpeg(pixels, quant_tables=(_JPEG_QLUM, _JPEG_QCHROM),
+                           restart_interval="auto")
     if fmt == "raw":
         return _encode_raw(pixels)
     if fmt == "raw0":

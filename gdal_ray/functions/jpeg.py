@@ -151,7 +151,8 @@ class _BitWriter:
 
     def flush(self):
         if self.n:
-            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad to byte with 1s (T.81 F.1.2.3)
         self.acc = 0
         self.n = 0
 
@@ -228,6 +229,149 @@ def _encode_scan(comp_qcoef: list[np.ndarray], comp_tables: list[int],
     return bytes(w.buf)
 
 
+def _huff_arrays(spec) -> tuple[np.ndarray, np.ndarray]:
+    """(code[256], length[256]) int64 arrays indexed by symbol."""
+    code = np.zeros(256, np.int64)
+    length = np.zeros(256, np.int64)
+    for sym, (c, ln) in _canonical_codes(*spec).items():
+        code[sym] = c
+        length[sym] = ln
+    return code, length
+
+
+_DC_ARR = [_huff_arrays(DC_LUM), _huff_arrays(DC_CHROM)]
+_AC_ARR = [_huff_arrays(AC_LUM), _huff_arrays(AC_CHROM)]
+
+
+def _bit_length(a: np.ndarray) -> np.ndarray:
+    """Exact integer bit length per element (frexp exponent; exact for
+    |a| < 2^53, far above any baseline-JPEG coefficient)."""
+    _, e = np.frexp(np.abs(a).astype(np.float64))
+    return e.astype(np.int64)
+
+
+def _encode_scan_fast(comp_qcoef: list[np.ndarray], comp_tables: list[int],
+                      restart_interval: int = 0) -> bytes:
+    """Vectorized Huffman scan encoder — bit-identical to the serial
+    `_encode_scan` (4:4:4 interleave, one block per component per MCU).
+
+    Strategy: build (value, nbits) event arrays per component (DC diff,
+    ZRL, AC coefficient, EOB), order them globally by a (block, comp,
+    zigzag-rank) key, then bit-pack the whole stream with numpy
+    (per-restart-segment byte alignment with 1-padding), stuff 0xFF
+    bytes and splice RSTn markers — all without a per-symbol loop.
+    """
+    ncomp = len(comp_qcoef)
+    nblocks = comp_qcoef[0].shape[0]
+    ri = int(restart_interval)
+    stride = ncomp * 66
+    keys_all, vals_all, nbits_all = [], [], []
+    blk = np.arange(nblocks, dtype=np.int64)
+    for ci, zz in enumerate(comp_qcoef):
+        t = comp_tables[ci]
+        dc_code, dc_len = _DC_ARR[t]
+        ac_code, ac_len = _AC_ARR[t]
+        zz = np.asarray(zz, np.int64)
+        # --- DC: diff vs predecessor, predictor reset at segment starts
+        dc = zz[:, 0]
+        prev = np.empty_like(dc)
+        prev[0] = 0
+        prev[1:] = dc[:-1]
+        if ri:
+            prev[blk % ri == 0] = 0
+        diff = dc - prev
+        size = _bit_length(diff)
+        bitsv = np.where(diff >= 0, diff,
+                         diff + np.left_shift(np.int64(1), size) - 1)
+        keys_all.append(blk * stride + ci * 66)
+        vals_all.append((dc_code[size] << size) | np.where(size > 0, bitsv, 0))
+        nbits_all.append(dc_len[size] + size)
+        # --- AC coefficients (zigzag positions 1..63)
+        rows, cols = np.nonzero(zz[:, 1:])
+        rows = rows.astype(np.int64)
+        kpos = cols.astype(np.int64) + 1
+        prevk = np.empty_like(kpos)
+        prevk[1:] = kpos[:-1]
+        if len(kpos):
+            prevk[0] = 0
+        newrow = np.ones(len(rows), bool)
+        newrow[1:] = rows[1:] != rows[:-1]
+        prevk[newrow] = 0
+        run = kpos - prevk - 1
+        nzrl, rrem = run // 16, run % 16
+        v = zz[rows, kpos]
+        size = _bit_length(v)
+        bitsv = np.where(v >= 0, v, v + np.left_shift(np.int64(1), size) - 1)
+        sym = (rrem << 4) | size
+        keys_all.append(rows * stride + ci * 66 + kpos + 1)
+        vals_all.append((ac_code[sym] << size) | bitsv)
+        nbits_all.append(ac_len[sym] + size)
+        # --- ZRL fills for zero-runs >= 16, ranked just before their coef
+        zr = np.nonzero(nzrl)[0]
+        if len(zr):
+            reps = nzrl[zr]
+            total = int(reps.sum())
+            start = np.cumsum(reps) - reps
+            zi = np.arange(total) - np.repeat(start, reps)
+            kz = np.repeat(kpos[zr] - rrem[zr], reps) - 16 * (np.repeat(reps, reps) - zi)
+            keys_all.append(np.repeat(rows[zr], reps) * stride + ci * 66 + kz + 1)
+            vals_all.append(np.full(total, ac_code[0xF0], np.int64))
+            nbits_all.append(np.full(total, ac_len[0xF0], np.int64))
+        # --- EOB where the block's last coded coefficient isn't k=63
+        lastk = np.zeros(nblocks, np.int64)
+        lastk[rows] = kpos  # rows ascending: final write per block wins
+        eob = np.nonzero(lastk != 63)[0].astype(np.int64)
+        keys_all.append(eob * stride + ci * 66 + 65)
+        vals_all.append(np.full(len(eob), ac_code[0], np.int64))
+        nbits_all.append(np.full(len(eob), ac_len[0], np.int64))
+
+    keys = np.concatenate(keys_all)
+    vals = np.concatenate(vals_all)
+    nbits = np.concatenate(nbits_all)
+    order = np.argsort(keys, kind="stable")
+    vals, nbits, keys = vals[order], nbits[order], keys[order]
+
+    # --- per-segment byte-aligned bit offsets
+    segid = (keys // stride) // ri if ri else np.zeros(len(keys), np.int64)
+    seg_change = np.empty(len(keys), bool)
+    seg_change[0] = True
+    seg_change[1:] = segid[1:] != segid[:-1]
+    seg_starts = np.nonzero(seg_change)[0]
+    nseg = len(seg_starts)
+    seg_nbits = np.add.reduceat(nbits, seg_starts)
+    seg_nbytes = (seg_nbits + 7) // 8
+    seg_bit_base = np.concatenate([[0], np.cumsum(seg_nbytes * 8)[:-1]])
+    cw = np.cumsum(nbits) - nbits  # unpadded global cumsum
+    ev_seg = np.repeat(np.arange(nseg),
+                       np.diff(np.concatenate([seg_starts, [len(keys)]])))
+    off = (cw - cw[seg_starts][ev_seg]) + seg_bit_base[ev_seg]
+
+    # --- scatter symbol bits into a 1-padded bit array, pack to bytes
+    total_bits = int((seg_nbytes * 8).sum())
+    bitarr = np.ones(total_bits, np.uint8)  # pad bits are 1s
+    nb_total = int(nbits.sum())
+    ev_of_bit = np.repeat(np.arange(len(keys)), nbits)
+    within = np.arange(nb_total) - np.repeat(cw, nbits)
+    bitarr[np.repeat(off, nbits) + within] = (
+        (vals[ev_of_bit] >> (nbits[ev_of_bit] - 1 - within)) & 1)
+    raw = np.packbits(bitarr)
+
+    # --- stuff 0xFF bytes and splice RSTn markers, fully vectorized
+    byte_seg = np.repeat(np.arange(nseg), seg_nbytes)
+    is_ff = raw == 0xFF
+    stuff_before = np.cumsum(is_ff) - is_ff  # stuffed zeros before byte j
+    outpos = np.arange(len(raw)) + stuff_before + 2 * byte_seg
+    out = np.zeros(len(raw) + int(is_ff.sum()) + 2 * (nseg - 1), np.uint8)
+    out[outpos] = raw
+    # stuffed 0x00 lands right after each 0xFF (next byte is >= 2 ahead)
+    # markers: 2 bytes before each segment s >= 1
+    if nseg > 1:
+        seg_out_start = outpos[np.cumsum(seg_nbytes)[:-1]]
+        out[seg_out_start - 2] = 0xFF
+        out[seg_out_start - 1] = 0xD0 + (np.arange(nseg - 1) & 7)
+    return out.tobytes()
+
+
 def _dht_segment(tc: int, th: int, spec) -> bytes:
     bits, values = spec
     payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
@@ -241,7 +385,7 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 92,
                 quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int | str = 0) -> bytes:
     """Baseline JFIF bytes for (h, w) grayscale or (h, w, 3) RGB uint8
     (4:4:4). Tables: quality-scaled Annex K, or explicit raster-order
     (lum, chrom) arrays via ``quant_tables`` (e.g. flat tables for
@@ -264,6 +408,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 92,
         cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
         planes = [y, cb, cr]
+    if restart_interval == "auto":
+        # target ~1024 restart segments: each segment is an independent
+        # decode lane for the vectorized lockstep decoder (pixels are
+        # unchanged — restarts only alter entropy packaging)
+        nmcu = -(-h // 8) * -(-w // 8)
+        restart_interval = max(1, -(-nmcu // 4096))
     qtabs = [qlum] + [qchrom] * (len(planes) - 1)
     comp_zz = []
     for plane, qt in zip(planes, qtabs):
@@ -293,7 +443,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 92,
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos  # SOS
-    out += _encode_scan(comp_zz, [0] + [1] * (ncomp - 1), restart_interval)
+    out += _encode_scan_fast(comp_zz, [0] + [1] * (ncomp - 1), restart_interval)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -301,15 +451,24 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 92,
 # ---------------------------------------------------------------- decoder
 
 
-def _build_lut(bits, values) -> list[int]:
+_LUT_CACHE: dict = {}
+
+
+def _build_lut(bits, values) -> np.ndarray:
     """65536-entry lookup: 16-bit window -> (length << 8) | symbol.
-    0 marks an invalid/unseen code (lengths are always >= 1)."""
-    lut = [0] * 65536
+    0 marks an invalid/unseen code (lengths are always >= 1).
+    Cached by table content (corpus images share the Annex K tables)."""
+    key = (tuple(bits), tuple(values))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = np.zeros(65536, np.int32)
     codes = _canonical_codes(bits, values)
     for sym, (code, length) in codes.items():
         base = code << (16 - length)
-        for off in range(1 << (16 - length)):
-            lut[base + off] = (length << 8) | sym
+        lut[base: base + (1 << (16 - length))] = (length << 8) | sym
+    if len(_LUT_CACHE) < 64:
+        _LUT_CACHE[key] = lut
     return lut
 
 
@@ -437,6 +596,11 @@ def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
         break
     seg_bounds.append((seg_start, end))
 
+    if restart_interval and len(seg_bounds) >= 4:
+        _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
+                         restart_interval, nmcu, mcux)
+        return _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct)
+
     # per-MCU block decode order, with everything the hot loop needs
     # prebound per entry: base = my*A + mx*B + C
     comp_pos = {id(c): comps.index(c) for c in comps}
@@ -450,8 +614,8 @@ def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
                 B = c.hsamp * 64
                 C = by * c.blocks_w * 64 + bx * 64
                 cp = comp_pos[id(c)]
-                mcu_layout.append((ci, A, B, C, dc_luts[c.td],
-                                   ac_luts[c.ta], scat_idx[cp], scat_val[cp]))
+                mcu_layout.append((ci, A, B, C, dc_luts[c.td].tolist(),
+                                   ac_luts[c.ta].tolist(), scat_idx[cp], scat_val[cp]))
 
     zig = ZIGZAG.tolist()  # Python ints: fast list indexing in the loop
     mcu_idx = 0
@@ -520,7 +684,143 @@ def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
             flat = c.coefs.reshape(-1)
             flat[np.array(scat_idx[cpos], np.int64)] = \
                 np.array(scat_val[cpos], np.int64)
+    return _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct)
 
+
+def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
+                     restart_interval, nmcu, mcux):
+    """Entropy-decode every restart segment simultaneously.
+
+    Each restart segment is an independent bitstream (DC predictors
+    reset at RSTn), so we treat segments as numpy *lanes* and step a
+    vectorized Huffman state machine: one symbol per active lane per
+    step.  Total serial steps = max symbols in any one segment (vs the
+    whole scan's symbol count for the serial loop) — the same
+    segment-parallel strategy GPU decoders use.  Writes quantized
+    coefficients into ``comps[*].coefs``.
+    """
+    ri = int(restart_interval)
+    nseg = len(seg_bounds)
+
+    # --- concatenated unstuffed segment bytes, 3 pad 0xFF bytes between
+    # segments so a lane's final 16-bit window reads never cross into
+    # the next segment; windows are composed on demand from a 24-bit
+    # byte-triple gather (cheaper than materializing a window per bit)
+    byte_chunks = []
+    seg_bit_base = np.empty(nseg, np.int64)
+    total = 0
+    pad = np.full(3, 0xFF, np.uint8)
+    for s, (a, b) in enumerate(seg_bounds):
+        seg = tail[a:b]
+        if len(seg) > 1:
+            stuffed = np.zeros(len(seg), bool)
+            stuffed[1:] = (seg[:-1] == 0xFF) & (seg[1:] == 0x00)
+            seg = seg[~stuffed]
+        seg_bit_base[s] = total * 8
+        byte_chunks.append(seg)
+        byte_chunks.append(pad)
+        total += len(seg) + 3
+    allb = np.concatenate(byte_chunks).astype(np.int64)
+    b24 = (allb[:-2] << 16) | (allb[1:-1] << 8) | allb[2:]
+
+    # --- layout arrays (block order within an MCU)
+    comp_idx = {id(c): i for i, c in enumerate(comps)}
+    lay_A, lay_B, lay_C, lay_cp, lay_td, lay_ta = [], [], [], [], [], []
+    for c in order:
+        for by in range(c.vsamp):
+            for bx in range(c.hsamp):
+                lay_A.append(c.vsamp * c.blocks_w * 64)
+                lay_B.append(c.hsamp * 64)
+                lay_C.append(by * c.blocks_w * 64 + bx * 64)
+                lay_cp.append(comp_idx[id(c)])
+                lay_td.append(c.td)
+                lay_ta.append(c.ta)
+    lay_A = np.array(lay_A, np.int64)
+    lay_B = np.array(lay_B, np.int64)
+    lay_C = np.array(lay_C, np.int64)
+    lay_cp = np.array(lay_cp, np.int64)
+    nlay = len(lay_A)
+    ncomp = len(comps)
+    # stacked LUTs indexed by layout position (resolves td/ta per block)
+    # one flat LUT: rows [0..ndc) = DC tables, rows [ndc..) = AC tables;
+    # a single gather at lutrow*65536 + window resolves either kind
+    ndc = max(dc_luts) + 1
+    nac = max(ac_luts) + 1
+    lut = np.zeros((ndc + nac) * 65536, np.int64)
+    for t, a in dc_luts.items():
+        lut[t * 65536:(t + 1) * 65536] = a
+    for t, a in ac_luts.items():
+        lut[(ndc + t) * 65536:(ndc + t + 1) * 65536] = a
+    dc_row = np.array(lay_td, np.int64) * 65536
+    ac_row = (ndc + np.array(lay_ta, np.int64)) * 65536
+    zig96 = np.concatenate([ZIGZAG, np.zeros(32, np.int64)])  # kk+run pad
+
+    # --- lane state
+    act = np.arange(nseg, dtype=np.int64)          # active lane ids
+    i_pos = seg_bit_base.copy()                     # bit cursor per lane
+    li = np.zeros(nseg, np.int64)                   # layout position
+    kz = np.zeros(nseg, np.int64)                   # zigzag index (0 = DC)
+    mcu_g = np.arange(nseg, dtype=np.int64) * ri    # global MCU id
+    seg_end_mcu = np.minimum(mcu_g + ri, nmcu)
+    pred = np.zeros((nseg, ncomp), np.int64)
+
+    out_comp, out_idx, out_val = [], [], []
+    while len(act):
+        ii = i_pos[act]
+        lli = li[act]
+        kk = kz[act]
+        isdc = kk == 0
+        w16 = (b24[ii >> 3] >> (8 - (ii & 7))) & 0xFFFF
+        look = lut[np.where(isdc, dc_row[lli], ac_row[lli]) + w16]
+        if not look.all():
+            raise ValueError("bad Huffman code")
+        sym = look & 0xFF
+        ii = ii + (look >> 8)
+        size = np.where(isdc, sym, sym & 15)
+        run = np.where(isdc, 0, sym >> 4)
+        w16 = (b24[ii >> 3] >> (8 - (ii & 7))) & 0xFFFF
+        bitsv = w16 >> (16 - size)  # size<=11 always; top bits only
+        ii = ii + size
+        half = np.left_shift(np.int64(1), np.maximum(size, 1) - 1)
+        ext = np.where(size > 0,
+                       np.where(bitsv >= half, bitsv, bitsv - 2 * half + 1), 0)
+        # DC: accumulate predictor; AC normal: coefficient at kk+run
+        cp = lay_cp[lli]
+        pred[act[isdc], cp[isdc]] += ext[isdc]
+        coefpos = np.where(isdc, 0, kk + run)
+        my, mx = np.divmod(mcu_g[act], mcux)
+        base = my * lay_A[lli] + mx * lay_B[lli] + lay_C[lli]
+        wmask = isdc | (size > 0)
+        out_comp.append(cp[wmask])
+        out_idx.append((base + zig96[coefpos])[wmask])
+        out_val.append(np.where(isdc, pred[act, cp], ext)[wmask])
+        # advance zigzag / block / MCU (EOB: sym==0 -> 64; ZRL: +16)
+        nk = np.where(isdc, 1,
+                      np.where(sym == 0, 64,
+                               np.where(sym == 0xF0, kk + 16, kk + run + 1)))
+        done = nk >= 64
+        nk = np.where(done, 0, nk)
+        nli = lli + done
+        mcu_done = nli == nlay
+        nli = np.where(mcu_done, 0, nli)
+        i_pos[act] = ii
+        kz[act] = nk
+        li[act] = nli
+        mcu_g[act] += mcu_done
+        alive = mcu_g[act] < seg_end_mcu[act]
+        if not alive.all():
+            act = act[alive]
+    if out_comp:
+        oc = np.concatenate(out_comp)
+        oi = np.concatenate(out_idx)
+        ov = np.concatenate(out_val)
+        for cpos, c in enumerate(comps):
+            sel = oc == cpos
+            if sel.any():
+                c.coefs.reshape(-1)[oi[sel]] = ov[sel]
+
+
+def _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct):
     # vectorized dequant + IDCT per component (batched matmul + in-place
     # round/clip: these post passes cost as much as the symbol loop if
     # done with temporaries)

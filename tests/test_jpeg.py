@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from gdal_ray.functions.codecs import decode_image, encode_image, psnr
+from gdal_ray.functions import jpeg
 from gdal_ray.functions.jpeg import decode_jpeg, encode_jpeg
 
 JDATA = "/root/reference/autotest/gdrivers/data/jpeg"
@@ -93,3 +94,44 @@ def test_restart_interval_roundtrip():
     assert b"\xff\xdd" in seg  # DRI present
     out = decode_jpeg(seg)
     assert np.array_equal(plain, out)
+
+
+def test_fast_scan_encoder_bit_identical_to_serial():
+    """_encode_scan_fast must produce byte-identical streams to the
+    per-symbol reference encoder, across restart intervals."""
+    rng = np.random.default_rng(123)
+    for shape, ri in [((64, 56, 3), 0), ((72, 72, 3), 3), ((40, 40), 1)]:
+        px = rng.normal(128, 40, shape).clip(0, 255).astype(np.uint8)
+        if px.ndim == 2:
+            planes = [px.astype(np.float64)]
+        else:
+            r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+            planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                      -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0,
+                      0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0]
+        qlum, qchrom = jpeg._quality_tables(85)
+        qtabs = [qlum] + [qchrom] * (len(planes) - 1)
+        comp_zz = []
+        for plane, qt in zip(planes, qtabs):
+            blocks, _, _ = jpeg._to_blocks(plane - 128.0)
+            qc = np.round(jpeg._fdct_blocks(blocks).reshape(-1, 64)
+                          / qt[None, :]).astype(np.int64)
+            comp_zz.append(qc[:, jpeg.ZIGZAG])
+        tables = [0] + [1] * (len(planes) - 1)
+        assert (jpeg._encode_scan(comp_zz, tables, ri)
+                == jpeg._encode_scan_fast(comp_zz, tables, ri))
+
+
+def test_lockstep_decoder_matches_serial_decoder():
+    """Restart-segment lockstep decode must yield the same pixels as the
+    serial symbol loop (ri=0 stream of the same quantized coefficients)."""
+    rng = np.random.default_rng(321)
+    px = rng.normal(128, 48, (96, 104, 3)).clip(0, 255).astype(np.uint8)
+    with_rst = jpeg.encode_jpeg(px, quality=88, restart_interval=2)
+    without = jpeg.encode_jpeg(px, quality=88, restart_interval=0)
+    assert np.array_equal(jpeg.decode_jpeg(with_rst), jpeg.decode_jpeg(without))
+    # corpus configuration: flat tables + auto restart interval
+    flat = (np.full(64, 5, np.int64), np.full(64, 4, np.int64))
+    auto = jpeg.encode_jpeg(px, quant_tables=flat, restart_interval="auto")
+    plain = jpeg.encode_jpeg(px, quant_tables=flat)
+    assert np.array_equal(jpeg.decode_jpeg(auto), jpeg.decode_jpeg(plain))
