@@ -54,12 +54,13 @@ CORPUS_ROOT = os.environ.get("GRAFT_CORPUS_ROOT", "/tmp/gdal_ray_bench")
 
 def ensure_corpus(n: int) -> str:
     """Write (once, in parallel, untimed) the image corpus parquet —
-    the stand-in for the stored Lance table the real pipeline reads."""
-    path = os.path.join(CORPUS_ROOT, f"images_{n}")
+    the stand-in for the stored Lance table the real pipeline reads.
+    The path embeds CORPUS_VERSION so stale bytes are never reused."""
+    from gdal_ray.sources.images import CORPUS_VERSION, corpus_dataset
+
+    path = os.path.join(CORPUS_ROOT, f"images_{n}_v{CORPUS_VERSION}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
-        from gdal_ray.sources.images import corpus_dataset
-
         os.makedirs(path, exist_ok=True)
         corpus_dataset(n).write_parquet(path)
         open(marker, "w").close()
@@ -69,11 +70,14 @@ def ensure_corpus(n: int) -> str:
 def run_warp_compose_partitioned(num_cpus: int, n_images: int) -> tuple[float, int]:
     """Timed: the metadata-partitioned tiling job (no pixel shuffle;
     quadtree leaves, salted hot cells). The scaling headline."""
+    from gdal_ray.sources.images import ParquetKeyedLoader
     from gdal_ray.stages.partitioned_tiling import warp_compose_partitioned
 
+    src = ensure_corpus(n_images)
     t0 = time.time()
     ds = warp_compose_partitioned(n_images, concurrency=max(2, num_cpus - 2),
-                                  max_images_per_part=32)
+                                  max_images_per_part=32,
+                                  loader=ParquetKeyedLoader(src))
     rows = ds.count()
     return time.time() - t0, rows
 
@@ -146,8 +150,10 @@ def run_flagship(num_cpus: int) -> tuple[float, int]:
     """Run the flagship image pipeline; return (sec, rows)."""
     from gdal_ray.pipelines.flagship import flagship
 
+    src = ensure_corpus(FLAGSHIP_IMAGES)
     t0 = time.time()
-    ds = flagship(num_images=FLAGSHIP_IMAGES, concurrency=max(2, num_cpus))
+    ds = flagship(num_images=FLAGSHIP_IMAGES, concurrency=max(2, num_cpus),
+                  source_path=src)
     rows = consume(ds)
     return time.time() - t0, rows
 

@@ -94,8 +94,11 @@ class PolygonJoin:
         return batch.append_column("n_polygons", pa.array(counts))
 
 
-def flagship(num_images: int = 256, concurrency: int = 4):
-    """Build the flagship Dataset (lazy; caller consumes)."""
+def flagship(num_images: int = 256, concurrency: int = 4,
+             source_path: str | None = None):
+    """Build the flagship Dataset (lazy; caller consumes).
+    ``source_path`` reads a stored corpus parquet (column-pruned)
+    instead of synthesizing — the real pipeline's shape."""
     from ..sources.images import corpus_dataset
     from ..sources.vector import polygons_table
 
@@ -105,7 +108,12 @@ def flagship(num_images: int = 256, concurrency: int = 4):
 
     # Autoscaling actor pools (min 1): a fixed-size pool that demands
     # every cluster CPU would deadlock the upstream task stages.
-    ds = corpus_dataset(num_images)
+    if source_path is not None:
+        import ray.data
+        ds = ray.data.read_parquet(source_path,
+                                   columns=["image_id", "bytes", "caption"])
+    else:
+        ds = corpus_dataset(num_images)
     ds = ds.map_batches(DecodeSummarize, batch_format="pyarrow", batch_size=32,
                         concurrency=(1, max(2, concurrency)))
     ds = ds.map_batches(assign_keys, batch_format="pyarrow")

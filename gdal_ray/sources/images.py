@@ -194,3 +194,33 @@ def cached_corpus_parquet(n: int, root: str = "/tmp/gdal_ray_fixtures") -> str:
         pq.write_table(corpus_table(n), tmp)
         os.replace(tmp, path)
     return path
+
+
+CORPUS_VERSION = 3  # bump when synthesized bytes change (cache key)
+
+
+class ParquetKeyedLoader:
+    """Keyed read of corpus rows from a stored parquet directory —
+    the sandbox stand-in for a Lance ``take``: predicate pushdown on
+    the (zero-padded, hence order-preserving) ``image_id`` range prunes
+    row groups, then an exact membership filter selects the rows.
+
+    Picklable (holds only the path); the pyarrow dataset handle is
+    opened lazily inside the consuming actor.
+    """
+
+    def __init__(self, path: str, columns=("image_id", "bytes")):
+        self.path = path
+        self.columns = list(columns)
+        self._ds = None
+
+    def __call__(self, idxs) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        if self._ds is None:
+            self._ds = pads.dataset(self.path, format="parquet")
+        ids = [f"img{int(i):08d}" for i in np.asarray(idxs).tolist()]
+        f = pads.field("image_id")
+        expr = (f >= min(ids)) & (f <= max(ids)) & f.isin(ids)
+        t = self._ds.to_table(columns=self.columns, filter=expr)
+        return t.sort_by("image_id")

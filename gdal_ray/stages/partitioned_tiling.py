@@ -441,7 +441,8 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
                              max_images_per_part: int = 64,
                              max_part_zoom: int = 18,
                              num_buckets: int | None = None,
-                             concurrency: int = 8):
+                             concurrency: int = 8,
+                             loader=None):
     """The metadata-shuffle tiling pipeline. Returns the composed
     tiles Dataset (schema = stages/tiling.TILE_SCHEMA, no winner/
     partial columns).
@@ -467,7 +468,7 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
 
     final_cols = ["tile_key", "z", "tx", "ty", "pixels", "alpha",
                   "n_src", "n_valid", "checksum"]
-    kwargs = dict(zoom=zoom, resampling=resampling)
+    kwargs = dict(zoom=zoom, resampling=resampling, loader=loader)
 
     def compose_of(ds, conc: int):
         return ds.groupby("__bucket__").map_groups(

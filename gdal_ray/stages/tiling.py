@@ -263,6 +263,57 @@ def compose_tiles(fragments, tile_size: int = DEFAULT_TILE_SIZE,
 # ------------------------------------------------------------------ overviews
 
 
+def _reduce_quads(q, c, csum, valid, method, tile_size):
+    """Masked 2x2 reduction of (T, 2, T, 2, 3) quads -> (T, T, 3) uint8.
+
+    Methods follow GDALRegenerateOverviewsEx semantics (reference
+    gcore/overview.cpp): average = mean of contributing (valid) pixels;
+    rms = sqrt of mean square; nearest = the first contributing sample
+    in source scan order (TL, TR, BL, BR); min/max over contributing
+    samples; mode = most frequent value, smallest value winning ties.
+    Invalid parent pixels (no contributing child) come out 0.
+    """
+    cc = c[:, :, :, :, None]
+    if method == "average":
+        acc = (q * cc).sum(axis=(1, 3))
+        avg = np.zeros((tile_size, tile_size, 3), np.float64)
+        avg[valid] = acc[valid] / csum[valid][:, None]
+        return np.clip(np.floor(avg + 0.5), 0, 255).astype(np.uint8)
+    if method == "rms":
+        acc = (q * q * cc).sum(axis=(1, 3))
+        ms = np.zeros((tile_size, tile_size, 3), np.float64)
+        ms[valid] = acc[valid] / csum[valid][:, None]
+        return np.clip(np.floor(np.sqrt(ms) + 0.5), 0, 255).astype(np.uint8)
+    # flatten the quad axis: (T, T, 4, 3) values + (T, T, 4) validity
+    vals = q.transpose(0, 2, 1, 3, 4).reshape(tile_size, tile_size, 4, 3)
+    vmask = (c.transpose(0, 2, 1, 3).reshape(tile_size, tile_size, 4) > 0)
+    if method == "nearest":
+        first = np.argmax(vmask, axis=2)  # first valid in TL,TR,BL,BR order
+        out = np.take_along_axis(
+            vals, first[:, :, None, None], axis=2)[:, :, 0, :]
+        out[~valid] = 0
+        return np.clip(out, 0, 255).astype(np.uint8)
+    if method == "min" or method == "max":
+        fill = np.inf if method == "min" else -np.inf
+        masked = np.where(vmask[:, :, :, None], vals, fill)
+        red = masked.min(axis=2) if method == "min" else masked.max(axis=2)
+        red[~valid] = 0
+        return np.clip(red, 0, 255).astype(np.uint8)
+    if method == "mode":
+        # count, for each candidate i, how many valid samples equal it;
+        # candidates are biased so ties resolve to the smallest value
+        eq = (vals[:, :, :, None, :] == vals[:, :, None, :, :])
+        both = vmask[:, :, :, None, None] & vmask[:, :, None, :, None]
+        counts = (eq & both).sum(axis=3).astype(np.float64)
+        counts[~vmask[:, :, :, None].repeat(3, axis=3)] = -1
+        score = counts - vals / 1024.0  # tie -> smallest value
+        pick = np.argmax(score, axis=2)
+        out = np.take_along_axis(vals, pick[:, :, None, :], axis=2)[:, :, 0, :]
+        out[~valid] = 0
+        return np.clip(out, 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"overview method {method!r}")
+
+
 def build_overview_level(tiles, tile_size: int = DEFAULT_TILE_SIZE,
                          method: str = "average", num_buckets: int = 256):
     """One overview zoom: tiles at z -> tiles at z-1, built FROM the
@@ -292,15 +343,12 @@ def build_overview_level(tiles, tile_size: int = DEFAULT_TILE_SIZE,
             big[qy:qy + tile_size, qx:qx + tile_size][valid] = px[valid]
             cnt[qy:qy + tile_size, qx:qx + tile_size] = valid
             n_src += int(rec["n_src"])
-        # masked 2x2 average: sum of valid / count of valid
+        # masked 2x2 reduce: (T, 2, T, 2, 3) quads + validity counts
         q = big.reshape(tile_size, 2, tile_size, 2, 3)
         c = cnt.reshape(tile_size, 2, tile_size, 2)
         csum = c.sum(axis=(1, 3))
-        psum = (q * c[:, :, :, :, None]).sum(axis=(1, 3))
         valid = csum > 0
-        avg = np.zeros((tile_size, tile_size, 3), np.float64)
-        avg[valid] = psum[valid] / csum[valid][:, None]
-        out = np.clip(np.floor(avg + 0.5), 0, 255).astype(np.uint8)
+        out = _reduce_quads(q, c, csum, valid, method, tile_size)
         return {
             "tile_key": key, "z": np.int16(z), "tx": np.int32(ptx),
             "ty": np.int32(pty),

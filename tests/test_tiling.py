@@ -145,3 +145,67 @@ def test_pyramid_overview_conservation(ray_session, tmp_path):
     v14 = m["levels"][14]["n_valid_px"]
     # each valid parent pixel covers >=1 valid child pixel; ratio in (2,6)
     assert 2.0 < v15 / v14 < 6.0
+
+
+def test_overview_methods_reduce_quads():
+    """Direct check of every overview method's masked 2x2 semantics on a
+    hand-built quad (values 10, 20, 20, 250 with one invalid corner)."""
+    from gdal_ray.stages.tiling import _reduce_quads
+
+    T = 2
+    big = np.zeros((2 * T, 2 * T, 3), np.float64)
+    cnt = np.zeros((2 * T, 2 * T), np.int32)
+    # parent pixel (0,0): quad TL=10 TR=20 BL=20 BR=250, all valid
+    big[0, 0] = 10; big[0, 1] = 20; big[1, 0] = 20; big[1, 1] = 250
+    cnt[:2, :2] = 1
+    # parent pixel (0,1): quad TL invalid, TR=40 BL=60 BR=60
+    big[0, 3] = 40; big[1, 2] = 60; big[1, 3] = 60
+    cnt[0, 3] = cnt[1, 2] = cnt[1, 3] = 1
+    q = big.reshape(T, 2, T, 2, 3)
+    c = cnt.reshape(T, 2, T, 2)
+    csum = c.sum(axis=(1, 3))
+    valid = csum > 0
+    got = {m: _reduce_quads(q, c, csum, valid, m, T)
+           for m in ("average", "rms", "nearest", "min", "max", "mode")}
+    assert got["average"][0, 0, 0] == 75          # (10+20+20+250)/4
+    assert got["average"][0, 1, 0] == 53          # (40+60+60)/3 -> 53.33 -> 53
+    assert got["rms"][0, 0, 0] == 126             # sqrt(mean squares) = 125.8
+    assert got["nearest"][0, 0, 0] == 10          # TL valid
+    assert got["nearest"][0, 1, 0] == 40          # TL invalid -> TR
+    assert got["min"][0, 0, 0] == 10 and got["max"][0, 0, 0] == 250
+    assert got["mode"][0, 0, 0] == 20             # 20 appears twice
+    assert got["mode"][0, 1, 0] == 60
+    # invalid parent pixels come out 0 everywhere
+    for m, arr in got.items():
+        assert (arr[1, :, :] == 0).all() and (arr[0, :, :].ndim == 2)
+
+
+def test_overview_method_nearest_through_stage(ray_session):
+    """`method` is wired through build_overview_level (was dead)."""
+    from gdal_ray.stages.tiling import build_overview_level, compose_tiles
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (256, 256, 3), np.uint8)
+    frag = _frag(6, 9, 10, "img00000001", 0, 0, 256, 256, 0)
+    frag["pixels"] = encode_image(px, "raw")
+    tiles = compose_tiles(_frag_ds(ray_session, [frag]))
+    parents = _tiles_dict(build_overview_level(tiles, method="nearest"))
+    p = next(iter(parents.values()))
+    out = decode_image(p["pixels"])
+    np.testing.assert_array_equal(out[128:, :128], px[::2, ::2])
+
+
+def test_parquet_keyed_loader_matches_synth(ray_session, tmp_path):
+    """ParquetKeyedLoader returns exactly the synthesized rows for a
+    keyed subset, in ascending image order."""
+    from gdal_ray.sources.images import (ParquetKeyedLoader, corpus_dataset,
+                                         make_batch)
+
+    path = str(tmp_path / "corpus")
+    corpus_dataset(24).write_parquet(path)
+    loader = ParquetKeyedLoader(path)
+    idxs = np.array([3, 7, 20])
+    got = loader(idxs)
+    want = make_batch(idxs)
+    assert got["image_id"].to_pylist() == want["image_id"].to_pylist()
+    assert [b.as_py() for b in got["bytes"]] == [b.as_py() for b in want["bytes"]]
