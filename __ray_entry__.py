@@ -49,30 +49,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged["q_multidim"] = _q_multidim
 
     # priority tiers (highest first):
-    # 2 = re-implemented this round (round-1 row covered OLD code)
-    # 1 = round-1 rows-only (driver row exists, no oracle)
-    # 0 = round-1 hash-green and untouched
+    # 2 = implementation OR oracle changed this round (round 3): the
+    #     29 queries that gained literal-VALUES oracles, the ExecuteSQL
+    #     planner family (string-literal masking touched every plan),
+    #     the reworked distributed folds, and every corpus-decoding
+    #     query (JPEG codec rewritten; pixels should be unchanged —
+    #     the driver hash is the proof)
+    # 1 = rows-only (driver row exists, no oracle)
+    # 0 = hash-green and untouched this round
     # everything NOT listed (never driver-rowed / new) leads at tier 3
+    from gdal_ray.pipelines.literal_oracles import ORACLE as _LIT
+
+    oracled = set(_LIT) | set(computed_oracles())
     tier = {}
-    for k in ("q_sort_multikey", "q_semi_join", "q_anti_join",
-              "q_knn_partitioned", "q_embed_neardup"):
+    for k in merged:
+        tier[k] = 0 if k in oracled else 1   # default: green < rows-only
+    for k in _LIT:
         tier[k] = 2
-    for k in ("q_cell_index", "q_langid", "q_quality_full", "q_simhash",
-              "q_fingerprint", "q_minhash_lsh", "q_ann_multi_query",
-              "q_ann_lsh"):
-        tier[k] = 1
-    for k in ("q_filter_select", "q_cast_math", "q_string_funcs",
-              "q_in_between", "q_case_when", "q_swq_filter", "q_agg_global",
-              "q_groupby_agg", "q_stddev", "q_count_distinct", "q_having",
-              "q_date_extract", "q_sql_execute", "q_quantiles", "q_distinct",
-              "q_orderby_limit", "q_join_broadcast", "q_join_hash_large",
-              "q_union_all", "q_tile_assign", "q_tile_counts", "q_pip_join",
-              "q_zonal_stats", "q_knn", "q_histogram", "q_rasterize_points",
-              "q_token_count", "q_doc_stats", "q_exact_dedup",
-              "q_doc_quality", "q_events_json", "q_window_tumbling",
-              "q_window_hopping", "q_sessionize", "q_ann_topk",
-              "q_embed_label_stats", "q_grid_idw"):
-        tier[k] = 0
+    for k in ("q_sql_execute", "q_sql_join", "q_sql_union", "q_sql_having",
+              "q_count_distinct", "q_jaccard_verify", "q_contour_lines",
+              "q_polygonize", "q_proximity", "q_minhash_lsh",
+              "q_raster_stats", "q_raster_stats_approx", "q_histogram",
+              "q_pixel_info", "q_tile_counts", "q_tile_assign",
+              "q_pyramid", "q_footprint"):
+        tier[k] = 2
+    for k in ("q_sql_left_join", "q_sql_count_distinct"):
+        tier[k] = 3                           # new this round, never rowed
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}
 
