@@ -701,13 +701,19 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
     """
     ri = int(restart_interval)
     nseg = len(seg_bounds)
+    # int32 state halves memory traffic (the loop is gather-bound and
+    # runs on many cores at once); int64 only for coefficient spaces
+    # that could overflow 31 bits (enormous images take the serial path
+    # rarely enough that this stays theoretical)
+    total_coefs = sum(c.nb for c in comps) * 64
+    dt = np.int32 if total_coefs < (1 << 31) - 1 else np.int64
 
     # --- concatenated unstuffed segment bytes, 3 pad 0xFF bytes between
     # segments so a lane's final 16-bit window reads never cross into
     # the next segment; windows are composed on demand from a 24-bit
     # byte-triple gather (cheaper than materializing a window per bit)
     byte_chunks = []
-    seg_bit_base = np.empty(nseg, np.int64)
+    seg_bit_base = np.empty(nseg, dt)
     total = 0
     pad = np.full(3, 0xFF, np.uint8)
     for s, (a, b) in enumerate(seg_bounds):
@@ -720,7 +726,7 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
         byte_chunks.append(seg)
         byte_chunks.append(pad)
         total += len(seg) + 3
-    allb = np.concatenate(byte_chunks).astype(np.int64)
+    allb = np.concatenate(byte_chunks).astype(np.int32)
     b24 = (allb[:-2] << 16) | (allb[1:-1] << 8) | allb[2:]
 
     # --- layout arrays (block order within an MCU)
@@ -735,10 +741,10 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
                 lay_cp.append(comp_idx[id(c)])
                 lay_td.append(c.td)
                 lay_ta.append(c.ta)
-    lay_A = np.array(lay_A, np.int64)
-    lay_B = np.array(lay_B, np.int64)
-    lay_C = np.array(lay_C, np.int64)
-    lay_cp = np.array(lay_cp, np.int64)
+    lay_A = np.array(lay_A, dt)
+    lay_B = np.array(lay_B, dt)
+    lay_C = np.array(lay_C, dt)
+    lay_cp = np.array(lay_cp, dt)
     nlay = len(lay_A)
     ncomp = len(comps)
     # stacked LUTs indexed by layout position (resolves td/ta per block)
@@ -746,23 +752,23 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
     # a single gather at lutrow*65536 + window resolves either kind
     ndc = max(dc_luts) + 1
     nac = max(ac_luts) + 1
-    lut = np.zeros((ndc + nac) * 65536, np.int64)
+    lut = np.zeros((ndc + nac) * 65536, np.int32)
     for t, a in dc_luts.items():
         lut[t * 65536:(t + 1) * 65536] = a
     for t, a in ac_luts.items():
         lut[(ndc + t) * 65536:(ndc + t + 1) * 65536] = a
-    dc_row = np.array(lay_td, np.int64) * 65536
-    ac_row = (ndc + np.array(lay_ta, np.int64)) * 65536
-    zig96 = np.concatenate([ZIGZAG, np.zeros(32, np.int64)])  # kk+run pad
+    dc_row = np.array(lay_td, np.int32) * 65536
+    ac_row = (ndc + np.array(lay_ta, np.int32)) * 65536
+    zig96 = np.concatenate([ZIGZAG, np.zeros(32, np.int64)]).astype(dt)
 
     # --- lane state
-    act = np.arange(nseg, dtype=np.int64)          # active lane ids
+    act = np.arange(nseg, dtype=dt)                # active lane ids
     i_pos = seg_bit_base.copy()                     # bit cursor per lane
-    li = np.zeros(nseg, np.int64)                   # layout position
-    kz = np.zeros(nseg, np.int64)                   # zigzag index (0 = DC)
-    mcu_g = np.arange(nseg, dtype=np.int64) * ri    # global MCU id
-    seg_end_mcu = np.minimum(mcu_g + ri, nmcu)
-    pred = np.zeros((nseg, ncomp), np.int64)
+    li = np.zeros(nseg, dt)                         # layout position
+    kz = np.zeros(nseg, dt)                         # zigzag index (0 = DC)
+    mcu_g = np.arange(nseg, dtype=dt) * ri          # global MCU id
+    seg_end_mcu = np.minimum(mcu_g + ri, nmcu).astype(dt)
+    pred = np.zeros((nseg, ncomp), dt)
 
     out_comp, out_idx, out_val = [], [], []
     while len(act):
@@ -781,7 +787,7 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
         w16 = (b24[ii >> 3] >> (8 - (ii & 7))) & 0xFFFF
         bitsv = w16 >> (16 - size)  # size<=11 always; top bits only
         ii = ii + size
-        half = np.left_shift(np.int64(1), np.maximum(size, 1) - 1)
+        half = np.left_shift(np.int32(1), np.maximum(size, 1) - 1)
         ext = np.where(size > 0,
                        np.where(bitsv >= half, bitsv, bitsv - 2 * half + 1), 0)
         # DC: accumulate predictor; AC normal: coefficient at kk+run

@@ -114,8 +114,14 @@ def flagship(num_images: int = 256, concurrency: int = 4,
                                    columns=["image_id", "bytes", "caption"])
     else:
         ds = corpus_dataset(num_images)
-    ds = ds.map_batches(DecodeSummarize, batch_format="pyarrow", batch_size=32,
-                        concurrency=(1, max(2, concurrency)))
+    # batch_size 8: decode cost per row is wildly skewed (20px..512px
+    # images), so fine batches keep the actor pool balanced — the tail
+    # of a coarse batching is one actor stuck with several 512^2 JPEGs.
+    # Pool floor at half the target: a floor of 1 spends most of the
+    # run ramping up; a fixed full-size pool starves upstream tasks.
+    ds = ds.map_batches(DecodeSummarize, batch_format="pyarrow", batch_size=8,
+                        concurrency=(max(1, concurrency // 2),
+                                     max(2, concurrency)))
     ds = ds.map_batches(assign_keys, batch_format="pyarrow")
     ds = ds.map_batches(PolygonJoin, fn_constructor_args=(fids, wkbs),
                         batch_format="pyarrow", batch_size=128, concurrency=(1, 4))
