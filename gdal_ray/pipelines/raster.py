@@ -1154,7 +1154,89 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def q_gcp_warp(sf_dir: str):
+    """GCP-polynomial / TPS georeferencing (VERDICT r2 directive #7):
+    each case builds a deterministic scene + GCP set, warps it through
+    the GenImgProj chain with the fitted transformer as the src link
+    (functions/gcp.py; reference alg/gdal_crs.cpp, thinplatespline.cpp)
+    and reports maxdiff vs the exact-affine render (affine-consistent
+    GCP cases — must be <= 1, the autotest comparator bar) plus
+    fragment/valid-pixel counts. Deterministic -> literal oracle."""
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.affine import apply_gt
+        from ..functions.gcp import georef_from_gcps
+        from ..stages.warp import warp_image_to_tiles
+
+        gt = (500_000.0, 30.0, 0.0, 4_200_000.0, 0.0, -30.0)
+        rows = {"case": [], "maxdiff": [], "n_frags": [], "n_valid": []}
+        for rec in t.to_pylist():
+            case = rec["case"]
+            rng = np.random.default_rng(1234)
+            w = h = 96
+            pixels = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            px = rng.uniform(0, w, 20)
+            ln = rng.uniform(0, h, 20)
+            gx, gy = apply_gt(gt, px, ln)
+            distorted = case.endswith("_dist")
+            if distorted:
+                gx = gx + 5.0 * np.sin(px / 25)
+                gy = gy + 5.0 * np.cos(ln / 20)
+            kind = case.split("_")[0]
+            georef = georef_from_gcps(
+                px, ln, gx, gy, tps=(kind == "tps"),
+                order=None if kind == "tps" else int(kind[-1]))
+            frags = warp_image_to_tiles(pixels, None, 32618, case,
+                                        src_georef=georef)
+            md = -1
+            if not distorted:
+                # compare in tile space on the valid-mask intersection:
+                # fitted bounds can shift a fragment window by 1 px
+                def tilebufs(fl):
+                    out = {}
+                    for fr in fl:
+                        buf = np.zeros((256, 256, 3), np.int16)
+                        msk = np.zeros((256, 256), bool)
+                        ph = decode_image(fr["pixels"]).reshape(
+                            fr["fh"], fr["fw"], 3)
+                        mv = np.unpackbits(
+                            np.frombuffer(fr["mask"], np.uint8),
+                            count=fr["fh"] * fr["fw"]).reshape(
+                                fr["fh"], fr["fw"]).astype(bool)
+                        y0, x0 = fr["y0"], fr["x0"]
+                        buf[y0:y0 + fr["fh"], x0:x0 + fr["fw"]] = ph
+                        msk[y0:y0 + fr["fh"], x0:x0 + fr["fw"]] = mv
+                        out[fr["tile_key"]] = (buf, msk)
+                    return out
+
+                base = tilebufs(warp_image_to_tiles(pixels, gt, 32618,
+                                                    "affine"))
+                ours = tilebufs(frags)
+                md = 0
+                for k in set(base) & set(ours):
+                    bb, bm = base[k]
+                    ob, om = ours[k]
+                    both = bm & om
+                    if both.any():
+                        md = max(md, int(np.abs(bb - ob)[both].max()))
+            rows["case"].append(case)
+            rows["maxdiff"].append(md)
+            rows["n_frags"].append(len(frags))
+            rows["n_valid"].append(int(sum(fr["n_valid"] for fr in frags)))
+        return pa.table({"case": pa.array(rows["case"], pa.string()),
+                         "maxdiff": pa.array(rows["maxdiff"], pa.int64()),
+                         "n_frags": pa.array(rows["n_frags"], pa.int64()),
+                         "n_valid": pa.array(rows["n_valid"], pa.int64())})
+
+    cases = [{"case": c} for c in
+             ("order1", "order2", "order3", "tps", "order2_dist", "tps_dist")]
+    return ray.data.from_items(cases).map_batches(
+        f, batch_format="pyarrow", batch_size=2)
+
+
 QUERIES = {
+    "q_gcp_warp": q_gcp_warp,
     "q_grid_idw": q_grid_idw,
     "q_grid_nn_count": q_grid_nn_count,
     "q_grid_metrics": q_grid_metrics,

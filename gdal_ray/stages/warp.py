@@ -56,18 +56,27 @@ FRAGMENT_SCHEMA = pa.schema([
 
 class GenImgProjTransform:
     """dst pixel/line -> src pixel/line, the GenImgProj chain
-    (dst affine) o (dst CRS -> src CRS) o (inverse src affine)
-    (reference alg/gdal_alg_priv.h:310-339)."""
+    (dst affine) o (dst CRS -> src CRS) o (inverse src georeferencing)
+    (reference alg/gdal_alg_priv.h:310-339).
 
-    def __init__(self, src_gt, src_epsg: int, dst_gt, dst_epsg: int):
+    The src link is the inverse affine by default; a GCP-polynomial or
+    TPS transformer (functions/gcp.py) slots in via ``src_georef`` —
+    exactly GDALCreateGenImgProjTransformer2's METHOD=GCP_POLYNOMIAL /
+    GCP_TPS choice (reference alg/gdaltransformer.cpp)."""
+
+    def __init__(self, src_gt, src_epsg: int, dst_gt, dst_epsg: int,
+                 src_georef=None):
         self.dst_gt = dst_gt
-        self.inv_src_gt = invert_gt(src_gt)
+        self.src_georef = src_georef
+        self.inv_src_gt = None if src_gt is None else invert_gt(src_gt)
         self.ct = Transformer(dst_epsg, src_epsg)
 
     def __call__(self, dpx, dpy):
         """Fractional dst pixel coords -> fractional src pixel coords."""
         wx, wy = apply_gt(self.dst_gt, dpx, dpy)
         sx, sy = self.ct.transform(wx, wy)
+        if self.src_georef is not None:
+            return self.src_georef.geo_to_pixel(sx, sy)
         return apply_gt(self.inv_src_gt, sx, sy)
 
 
@@ -118,14 +127,19 @@ def auto_zoom(res_3857: float, tile_size: int = DEFAULT_TILE_SIZE,
     return z
 
 
-def src_bounds_3857(gt, epsg: int, w: int, h: int, edge_pts: int = 21):
+def src_bounds_3857(gt, epsg: int, w: int, h: int, edge_pts: int = 21,
+                    georef=None):
     """Source footprint bbox in EPSG:3857, sampled along the edges
     (GDALSuggestedWarpOutput2's 21-points-per-edge rule, reference
-    alg/gdaltransformer.cpp:193-216)."""
+    alg/gdaltransformer.cpp:193-216). ``georef`` (GCP poly / TPS)
+    replaces the affine when the scene has no geotransform."""
     t = np.linspace(0.0, 1.0, edge_pts)
     px = np.concatenate([t * w, t * w, np.zeros(edge_pts), np.full(edge_pts, w)])
     ln = np.concatenate([np.zeros(edge_pts), np.full(edge_pts, h), t * h, t * h])
-    x, y = apply_gt(gt, px, ln)
+    if georef is not None:
+        x, y = georef.pixel_to_geo(px, ln)
+    else:
+        x, y = apply_gt(gt, px, ln)
     ct = Transformer(epsg, 3857)
     mx, my = ct.transform(x, y)
     return float(mx.min()), float(my.min()), float(mx.max()), float(my.max())
@@ -151,20 +165,32 @@ def warp_image_to_tiles(pixels: np.ndarray, gt, epsg: int, image_id: str,
                         tile_size: int = DEFAULT_TILE_SIZE,
                         max_tiles: int = 256, approx_grid: int = 8,
                         exact_transform: bool = False,
-                        frag_codec: str = "raw"):
+                        frag_codec: str = "raw", src_georef=None):
     """Warp one georeferenced image into WebMercatorQuad tile fragments.
 
     Returns a list of fragment dicts (FRAGMENT_SCHEMA fields).
     ``frag_codec='raw0'`` skips fragment compression — use when the
     fragments are consumed inside the same task (partitioned compose).
+    ``src_georef`` (functions/gcp.py transformer) georeferences the
+    scene by GCPs instead of the affine ``gt``.
     """
     h, w = pixels.shape[:2]
-    xmin, ymin, xmax, ymax = src_bounds_3857(gt, epsg, w, h)
+    xmin, ymin, xmax, ymax = src_bounds_3857(gt, epsg, w, h,
+                                             georef=src_georef)
     if zoom is None:
         # source resolution in 3857 units at the footprint center
         cy = 0.5 * (ymin + ymax)
         lat = np.degrees(2 * np.arctan(np.exp(cy / R_MERC)) - np.pi / 2)
-        res_ground = float(np.hypot(gt[1], gt[4]))
+        if src_georef is not None:
+            # finite-difference pixel size at the scene center
+            gx, gy = src_georef.pixel_to_geo(
+                np.array([w / 2 - 0.5, w / 2 + 0.5, w / 2, w / 2]),
+                np.array([h / 2, h / 2, h / 2 - 0.5, h / 2 + 0.5]))
+            res_x = float(np.hypot(gx[1] - gx[0], gy[1] - gy[0]))
+            res_y = float(np.hypot(gx[3] - gx[2], gy[3] - gy[2]))
+            res_ground = 0.5 * (res_x + res_y)
+        else:
+            res_ground = float(np.hypot(gt[1], gt[4]))
         if epsg == 4326:
             res_ground *= 111320.0  # degrees -> meters
         res_3857 = res_ground * float(mercator_scale(lat))
@@ -191,7 +217,8 @@ def warp_image_to_tiles(pixels: np.ndarray, gt, epsg: int, image_id: str,
             if fw <= 0 or fh <= 0:
                 continue
             dst_gt = (bxmin + fx0 * res, res, 0.0, bymax - fy0 * res, 0.0, -res)
-            exact = GenImgProjTransform(gt, epsg, dst_gt, 3857)
+            exact = GenImgProjTransform(gt, epsg, dst_gt, 3857,
+                                        src_georef=src_georef)
             tr = exact if exact_transform else ApproxGridTransform(
                 exact, fw, fh, grid=min(approx_grid, max(2, fw // 16), max(2, fh // 16)))
             dpx, dpy = _dst_mesh(fw, fh)
