@@ -85,15 +85,16 @@ def tile_pyramid(num_images: int, out_dir: str, *, zoom: int,
     stats = write_tiles(tiles, out_dir)
     metrics["levels"][zoom] = {**stats, "sec": round(time.time() - t0, 3)}
 
-    import glob as _glob
-    import os
+    from ..stages.tiling import _SinkFS
 
+    sink = _SinkFS(out_dir)
     for z in range(zoom, min_zoom, -1):
         t0 = time.time()
-        files = sorted(_glob.glob(os.path.join(out_dir, f"part-*-z{z}-{z}.parquet")))
+        files = [f"{out_dir}/{name}" for name in sink.listdir("", ".parquet")
+                 if name.startswith("part-") and name.endswith(f"-z{z}-{z}.parquet")]
         if not files:
             break
-        level = ray.data.read_parquet(files)
+        level = ray.data.read_parquet(sorted(files))
         parent = build_overview_level(level)
         if resume:
             parent = resume_filter(parent, out_dir)

@@ -373,6 +373,84 @@ def build_overview_level(tiles, tile_size: int = DEFAULT_TILE_SIZE,
 
 _SHARD_DIR = "_manifest_shards"
 
+
+class _SinkFS:
+    """pyarrow-FileSystem-routed sink I/O (matching the vsi.py
+    dispatch): plain paths use LocalFileSystem with the exact
+    tmp-write -> atomic-rename protocol; URI paths
+    (file://, s3://, gs://, ...) resolve via FileSystem.from_uri so
+    object-store backends work on real multi-node clusters, where an
+    out_dir on worker-local disk would silently lose tiles (writes
+    there are single-PUT atomic, so no rename step is needed)."""
+
+    def __init__(self, out_dir: str):
+        from pyarrow import fs
+
+        if "://" in out_dir:
+            self.fs, self.root = fs.FileSystem.from_uri(out_dir)
+            self.atomic_rename = isinstance(self.fs, fs.LocalFileSystem)
+        else:
+            self.fs = fs.LocalFileSystem()
+            self.root = out_dir
+            self.atomic_rename = True
+
+    def join(self, *parts: str) -> str:
+        return "/".join([self.root, *parts])
+
+    def mkdirs(self) -> None:
+        self.fs.create_dir(self.join(_SHARD_DIR), recursive=True)
+
+    def write_atomic(self, rel: str, writer) -> None:
+        """``writer(stream)`` produces the content. Local: tmp +
+        rename; object store: direct (PUT completes atomically)."""
+        path = self.join(rel)
+        if self.atomic_rename:
+            with self.fs.open_output_stream(path + ".tmp") as f:
+                writer(f)
+            self.fs.move(path + ".tmp", path)
+        else:
+            with self.fs.open_output_stream(path) as f:
+                writer(f)
+
+    def read_text(self, rel: str) -> str:
+        with self.fs.open_input_stream(self.join(rel)) as f:
+            return f.read().decode()
+
+    def append_text(self, rel: str, text: str) -> None:
+        """Local FS appends in place; object stores read+rewrite
+        (bounded: the manifest is metadata, O(finished files))."""
+        path = self.join(rel)
+        if self.atomic_rename:
+            with open(path, "a") as f:
+                f.write(text)
+            return
+        try:
+            old = self.read_text(rel)
+        except FileNotFoundError:
+            old = ""
+        with self.fs.open_output_stream(path) as f:
+            f.write((old + text).encode())
+
+    def listdir(self, rel: str, suffix: str = "") -> list[str]:
+        from pyarrow import fs
+
+        sel = fs.FileSelector(self.join(rel) if rel else self.root,
+                              allow_not_found=True)
+        return sorted(
+            info.path.rsplit("/", 1)[-1]
+            for info in self.fs.get_file_info(sel)
+            if info.type == fs.FileType.File
+            and info.path.endswith(suffix))
+
+    def exists(self, rel: str) -> bool:
+        from pyarrow import fs
+
+        return (self.fs.get_file_info(self.join(rel)).type
+                != fs.FileType.NotFound)
+
+    def delete(self, rel: str) -> None:
+        self.fs.delete_file(self.join(rel))
+
 _EMPTY_SUMMARY = pa.table({
     "z": pa.array([], pa.int64()),
     "n_tiles": pa.array([], pa.int64()),
@@ -392,13 +470,12 @@ def _write_block(t: pa.Table, out_dir: str) -> pa.Table:
 
     if t.num_rows == 0:
         return _EMPTY_SUMMARY
+    sink = _SinkFS(out_dir)
     zs = t["z"].to_numpy()
     keys = t["tile_key"].to_numpy()
     tok = uuid.uuid4().hex[:12]
     fname = f"part-{tok}-z{int(zs.min())}-{int(zs.max())}.parquet"
-    fpath = os.path.join(out_dir, fname)
-    pq.write_table(t, fpath + ".tmp")
-    os.replace(fpath + ".tmp", fpath)
+    sink.write_atomic(fname, lambda f: pq.write_table(t, f))
     rec = {
         "file": fname,
         "key_min": int(keys.min()), "key_max": int(keys.max()),
@@ -406,10 +483,8 @@ def _write_block(t: pa.Table, out_dir: str) -> pa.Table:
         "tile_keys": [int(k) for k in keys],
         "checksums": [int(c) for c in t["checksum"].to_numpy()],
     }
-    shard = os.path.join(out_dir, _SHARD_DIR, f"{tok}.json")
-    with open(shard + ".tmp", "w") as f:
-        f.write(json.dumps(rec))
-    os.replace(shard + ".tmp", shard)
+    sink.write_atomic(f"{_SHARD_DIR}/{tok}.json",
+                      lambda f: f.write(json.dumps(rec).encode()))
     nv = t["n_valid"].to_numpy()
     uz = np.unique(zs)
     return pa.table({
@@ -428,8 +503,7 @@ def write_tiles(tiles, out_dir: str) -> dict:
     its checksum so a restarted run anti-joins pending tiles against it
     (the `--resume` skip-existing semantics + lineage record,
     reference apps/gdalalg_raster_tile.cpp:377,522)."""
-    os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(os.path.join(out_dir, _SHARD_DIR), exist_ok=True)
+    _SinkFS(out_dir).mkdirs()
 
     summaries = tiles.map_batches(
         lambda t: _write_block(t, out_dir), batch_format="pyarrow")
@@ -447,33 +521,29 @@ def write_tiles(tiles, out_dir: str) -> dict:
 def _fold_shards(out_dir: str) -> None:
     """Fold completed shard files into manifest.jsonl (driver-side,
     metadata only — O(files), not O(tiles' pixels))."""
-    import glob
-
-    shard_dir = os.path.join(out_dir, _SHARD_DIR)
-    shards = sorted(glob.glob(os.path.join(shard_dir, "*.json")))
+    sink = _SinkFS(out_dir)
+    shards = sink.listdir(_SHARD_DIR, ".json")
     if not shards:
         return
-    with open(os.path.join(out_dir, "manifest.jsonl"), "a") as mf:
-        for s in shards:
-            with open(s) as f:
-                mf.write(f.read().rstrip("\n") + "\n")
-            os.remove(s)
+    text = "".join(
+        sink.read_text(f"{_SHARD_DIR}/{s}").rstrip("\n") + "\n"
+        for s in shards)
+    sink.append_text("manifest.jsonl", text)
+    for s in shards:
+        sink.delete(f"{_SHARD_DIR}/{s}")
 
 
 def finished_tile_keys(out_dir: str) -> set[int]:
     """The set of tile keys already durably written: manifest.jsonl
     plus any not-yet-folded shards from an interrupted run."""
-    import glob
-
+    sink = _SinkFS(out_dir)
     done: set[int] = set()
-    path = os.path.join(out_dir, "manifest.jsonl")
-    if os.path.exists(path):
-        with open(path) as f:
-            for line in f:
+    if sink.exists("manifest.jsonl"):
+        for line in sink.read_text("manifest.jsonl").splitlines():
+            if line.strip():
                 done.update(json.loads(line)["tile_keys"])
-    for s in glob.glob(os.path.join(out_dir, _SHARD_DIR, "*.json")):
-        with open(s) as f:
-            done.update(json.load(f)["tile_keys"])
+    for s in sink.listdir(_SHARD_DIR, ".json"):
+        done.update(json.loads(sink.read_text(f"{_SHARD_DIR}/{s}"))["tile_keys"])
     return done
 
 
@@ -482,23 +552,23 @@ def clean_orphans(out_dir: str) -> list[str]:
     (a task died between its parquet rename and its shard write).
     Call before a resumed run so re-composed tiles can't be read
     twice."""
-    import glob
-
+    sink = _SinkFS(out_dir)
     recorded: set[str] = set()
-    path = os.path.join(out_dir, "manifest.jsonl")
-    if os.path.exists(path):
-        with open(path) as f:
-            recorded.update(json.loads(line)["file"] for line in f)
-    for s in glob.glob(os.path.join(out_dir, _SHARD_DIR, "*.json")):
-        with open(s) as f:
-            recorded.add(json.load(f)["file"])
+    if sink.exists("manifest.jsonl"):
+        recorded.update(
+            json.loads(line)["file"]
+            for line in sink.read_text("manifest.jsonl").splitlines()
+            if line.strip())
+    for s in sink.listdir(_SHARD_DIR, ".json"):
+        recorded.add(json.loads(sink.read_text(f"{_SHARD_DIR}/{s}"))["file"])
     removed = []
-    for p in glob.glob(os.path.join(out_dir, "part-*.parquet")):
-        if os.path.basename(p) not in recorded:
-            os.remove(p)
-            removed.append(os.path.basename(p))
-    for p in glob.glob(os.path.join(out_dir, "part-*.parquet.tmp")):
-        os.remove(p)
+    for p in sink.listdir("", ".parquet"):
+        if p.startswith("part-") and p not in recorded:
+            sink.delete(p)
+            removed.append(p)
+    for p in sink.listdir("", ".parquet.tmp"):
+        if p.startswith("part-"):
+            sink.delete(p)
     return removed
 
 
