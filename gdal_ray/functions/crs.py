@@ -366,6 +366,11 @@ def _to_lonlat_fn(epsg: int):
         return lambda x, y: utm_to_lonlat(x, y, z, south=True)
     if epsg in _PROJECTIONS:
         return _projection(epsg).inverse
+    from .crs_registry import lookup
+
+    ent = lookup(epsg)
+    if ent is not None:
+        return ent[0].inverse
     raise NotImplementedError(f"EPSG:{epsg}")
 
 
@@ -382,7 +387,21 @@ def _from_lonlat_fn(epsg: int):
         return lambda lon, lat: lonlat_to_utm(lon, lat, z, south=True)
     if epsg in _PROJECTIONS:
         return _projection(epsg).forward
+    from .crs_registry import lookup
+
+    ent = lookup(epsg)
+    if ent is not None:
+        return ent[0].forward
     raise NotImplementedError(f"EPSG:{epsg}")
+
+
+def _datum_fn(epsg: int):
+    """Helmert shift to/from WGS84 for registry CRSs on genuinely
+    offset datums; None = WGS84-equivalent."""
+    from .crs_registry import lookup
+
+    ent = lookup(epsg)
+    return None if ent is None else ent[1]
 
 
 class Transformer:
@@ -399,11 +418,20 @@ class Transformer:
         self.dst = _parse_epsg(dst)
         self._to_ll = _to_lonlat_fn(self.src)
         self._from_ll = _from_lonlat_fn(self.dst)
+        # datum hop through WGS84 (null for the WGS84-equivalent
+        # family: NAD83/ETRS89/RGF93/NZGD2000)
+        sd, dd = _datum_fn(self.src), _datum_fn(self.dst)
+        self._src_datum = sd if sd is not dd else None
+        self._dst_datum = dd if sd is not dd else None
 
     def transform(self, x, y):
         if self.src == self.dst:
             return np.asarray(x, np.float64), np.asarray(y, np.float64)
         lon, lat = self._to_ll(x, y)
+        if self._src_datum is not None:
+            lon, lat = self._src_datum.to_wgs84(lon, lat)
+        if self._dst_datum is not None:
+            lon, lat = self._dst_datum.from_wgs84(lon, lat)
         return self._from_ll(lon, lat)
 
     def inverse(self) -> "Transformer":

@@ -127,7 +127,16 @@ def q_crs_transform(sf_dir: str):
             (32633, (9.0, 21.0, -80, 84)),
             (2154, (-10.0, 12.0, 40.0, 52.0)),
             (5070, (-125.0, -66.0, 22.0, 50.0)),
-            (3413, (-180, 180, 35.0, 84.0))]
+            (3413, (-180, 180, 35.0, 84.0)),
+            # registry codes (crs_registry.py): general-TM / Mercator
+            # 1SP / LAEA / UPS variant-A / Helmert-datum grids
+            (27700, (-7.0, 1.8, 49.9, 60.8)),   # OSGB + OSGB36 Helmert
+            (31467, (6.0, 12.0, 47.0, 55.0)),   # Gauss-Krueger z3 + DHDN
+            (25832, (6.0, 12.0, 35.0, 70.0)),   # ETRS89 UTM
+            (2193, (166.0, 178.5, -47.5, -34.0)),  # NZTM2000
+            (3395, (-180, 180, -80.0, 84.0)),   # World Mercator
+            (3035, (-10.0, 30.0, 35.0, 70.0)),  # LAEA Europe
+            (32661, (-180, 180, 60.0, 88.0))]   # UPS North
     ds = _points_ds(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
