@@ -318,6 +318,48 @@ def q_gpkg_layer(sf_dir: str):
     })
 
 
+_GJL_FIXTURE = "/tmp/gdal_ray_fixtures/vector_fixture_v1.geojsonl"
+
+
+def q_geojson_layer(sf_dir: str):
+    """Second real vector file format: the canonical point fixture as
+    newline-delimited GeoJSON (GeoJSONSeq, reference
+    ogr/ogrsf_frmts/geojson/ogrgeojsonseqdriver.cpp), read back through
+    the byte-range-sharded Ray reader (sources/geojson.py), altitude-
+    bucket aggregate over the decoded attributes. Deterministic
+    (corpus-only) — oracle is a pinned literal VALUES table."""
+    import os
+
+    from ..sources.geojson import geojsonl_dataset, write_geojsonl
+    from ..sources.vector import points_table
+    from .common import partial_groupby_agg
+
+    if not os.path.exists(_GJL_FIXTURE):
+        os.makedirs(os.path.dirname(_GJL_FIXTURE), exist_ok=True)
+        tmp = _GJL_FIXTURE + f".tmp{os.getpid()}"
+        write_geojsonl(tmp, points_table(256).drop_columns(["tags", "t"]),
+                       precision=12)
+        os.replace(tmp, _GJL_FIXTURE)
+
+    ds = geojsonl_dataset(_GJL_FIXTURE, columns=["x", "y", "z"], num_shards=4)
+    ds = ds.add_column("zband", lambda t: pa.compute.floor(
+        pa.compute.divide(t["z"], 200.0)), batch_format="pyarrow")
+    agg = partial_groupby_agg(ds, ["zband"], [
+        ("n", "fid", "count"),
+        ("x_sum", "x", "sum"),
+        ("y_sum", "y", "sum"),
+    ])
+    agg = agg.sort_by("zband")
+    return pa.table({
+        "zband": agg["zband"].cast(pa.int64()),
+        "n": agg["n"].cast(pa.int64()),
+        "x_sum": pa.array(round_away_np(
+            agg["x_sum"].to_numpy(zero_copy_only=False), 6)),
+        "y_sum": pa.array(round_away_np(
+            agg["y_sum"].to_numpy(zero_copy_only=False), 6)),
+    })
+
+
 ORACLE: dict[str, str] = {
     "q_constructive": """
         SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
@@ -434,4 +476,5 @@ QUERIES = {
     "q_layer_nonconvex": q_layer_nonconvex,
     "q_constructive": q_constructive,
     "q_gpkg_layer": q_gpkg_layer,
+    "q_geojson_layer": q_geojson_layer,
 }

@@ -1,0 +1,291 @@
+"""GeoJSON (RFC 7946) + GeoJSONSeq reader/writer on stdlib json.
+
+Second real vector file format (after GeoPackage, ``sources/gpkg.py``).
+Layers round-trip between the engine's OGR-layer-shaped Arrow tables
+(WKB ``geometry`` column + ``bbox_*`` pruning columns) and
+
+- a ``FeatureCollection`` document (classic ``.geojson`` — one JSON
+  object, inherently whole-file parse, fine for small layers), and
+- newline-delimited features (``.geojsonl`` / GeoJSONSeq, reference
+  driver ``ogr/ogrsf_frmts/geojson/ogrgeojsonseqdriver.cpp`` — it
+  accepts both LF-separated and RS 0x1e-separated streams, :27).
+
+Writer semantics follow the reference's RFC7946 mode
+(``ogr/ogrgeojsonwriter.cpp:87`` SetRFC7946Settings): XY coordinate
+precision defaults to 7 decimals (:90-91), a layer-level ``bbox``
+member is emitted (:89), coordinates are long/lat WGS84.
+
+Scale note: the GeoJSONSeq path is the one that matters at 100 TB.
+``geojsonl_dataset`` plans byte ranges on the driver (one ``stat``)
+and fans them out as a Ray Dataset; each task opens the file, seeks,
+aligns to the next newline (the canonical split-text contract: a
+shard owns every record whose first byte lies inside its range), and
+parses its lines with the C ``json`` scanner — feature decode, the
+expensive part, is fully distributed. The classic FeatureCollection
+reader is deliberately driver-side whole-document (matching the
+reference, which DOM-parses the collection,
+``ogrgeojsonreader.cpp``); use GeoJSONSeq for big layers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.wkb import (
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geom,
+    geom_to_wkb,
+    wkb_to_geom,
+)
+
+_GJ_NAMES = {POINT: "Point", LINESTRING: "LineString", POLYGON: "Polygon",
+             MULTIPOINT: "MultiPoint", MULTILINESTRING: "MultiLineString",
+             MULTIPOLYGON: "MultiPolygon"}
+_GJ_KINDS = {v: k for k, v in _GJ_NAMES.items()}
+
+
+# ------------------------------------------------------------- geometry codec
+
+def geom_to_geojson(g: Geom, precision: int = 7) -> dict:
+    """Geom -> GeoJSON geometry dict (2-D, rounded per RFC7946 mode)."""
+    def ring(r: np.ndarray) -> list:
+        rr = np.round(r, precision)
+        return [[float(x), float(y)] for x, y in rr]
+
+    if g.kind == POINT:
+        x, y = g.rings[0][0]
+        return {"type": "Point",
+                "coordinates": [round(float(x), precision),
+                                round(float(y), precision)]}
+    if g.kind == MULTIPOINT:
+        return {"type": "MultiPoint", "coordinates": ring(g.rings[0])}
+    if g.kind == LINESTRING:
+        return {"type": "LineString", "coordinates": ring(g.rings[0])}
+    if g.kind == MULTILINESTRING:
+        return {"type": "MultiLineString",
+                "coordinates": [ring(r) for r in g.rings]}
+    if g.kind == POLYGON:
+        return {"type": "Polygon", "coordinates": [ring(r) for r in g.rings]}
+    if g.kind == MULTIPOLYGON:
+        out, i = [], 0
+        for cnt in g.poly_ring_counts:
+            out.append([ring(r) for r in g.rings[i:i + cnt]])
+            i += cnt
+        return {"type": "MultiPolygon", "coordinates": out}
+    raise ValueError(f"unsupported geometry kind {g.kind}")
+
+
+def geojson_to_geom(obj: dict) -> Geom:
+    """GeoJSON geometry dict -> Geom (z values, if present, dropped —
+    the engine is 2-D throughout, like the reference's default
+    promotion rules)."""
+    t = obj["type"]
+    c = obj["coordinates"]
+    arr2 = lambda pts: np.asarray([p[:2] for p in pts], np.float64).reshape(-1, 2)
+    if t == "Point":
+        return Geom(POINT, [arr2([c])])
+    if t == "MultiPoint":
+        return Geom(MULTIPOINT, [arr2(c)])
+    if t == "LineString":
+        return Geom(LINESTRING, [arr2(c)])
+    if t == "MultiLineString":
+        return Geom(MULTILINESTRING, [arr2(r) for r in c])
+    if t == "Polygon":
+        return Geom(POLYGON, [arr2(r) for r in c], [len(c)])
+    if t == "MultiPolygon":
+        rings, counts = [], []
+        for poly in c:
+            rings.extend(arr2(r) for r in poly)
+            counts.append(len(poly))
+        return Geom(MULTIPOLYGON, rings, counts)
+    raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
+
+
+# ------------------------------------------------------------- table <-> json
+
+def _features_to_table(feats: list[dict], columns: list[str] | None = None,
+                       with_bbox: bool = True) -> pa.Table:
+    """Feature dicts -> OGR-layer-shaped Arrow table. Property keys are
+    unioned across features (missing -> null), matching the reference
+    reader's field-gathering pass (ogrgeojsonreader.cpp
+    GenerateFeatureDefnSchema)."""
+    keys: list[str] = []
+    seen = set()
+    for f in feats:
+        for k in (f.get("properties") or {}):
+            if k not in seen:
+                seen.add(k)
+                keys.append(k)
+    if columns is not None:
+        keys = [k for k in keys if k in columns]
+    want_geom = columns is None or "geometry" in columns
+
+    cols: dict[str, list] = {k: [] for k in keys}
+    fids, wkbs = [], []
+    bx0, by0, bx1, by1 = [], [], [], []
+    for i, f in enumerate(feats):
+        props = f.get("properties") or {}
+        for k in keys:
+            cols[k].append(props.get(k))
+        fids.append(f.get("id", i))
+        if want_geom or with_bbox:
+            g = geojson_to_geom(f["geometry"])
+            if want_geom:
+                wkbs.append(geom_to_wkb(g))
+            if with_bbox:
+                xmin, ymin, xmax, ymax = g.bbox()
+                bx0.append(xmin); by0.append(ymin)
+                bx1.append(xmax); by1.append(ymax)
+
+    out: dict[str, pa.Array] = {"fid": pa.array(fids, pa.int64())}
+    if want_geom:
+        out["geometry"] = pa.array(wkbs, pa.binary())
+    for k in keys:
+        out[k] = pa.array(cols[k])
+    if with_bbox:
+        out["bbox_xmin"] = pa.array(bx0, pa.float64())
+        out["bbox_ymin"] = pa.array(by0, pa.float64())
+        out["bbox_xmax"] = pa.array(bx1, pa.float64())
+        out["bbox_ymax"] = pa.array(by1, pa.float64())
+    return pa.table(out)
+
+
+_LAYER_COLS = ("fid", "geometry", "bbox_xmin", "bbox_ymin",
+               "bbox_xmax", "bbox_ymax")
+
+
+def _row_to_feature(row: dict, precision: int) -> dict:
+    props = {k: v for k, v in row.items() if k not in _LAYER_COLS}
+    for k, v in props.items():
+        if isinstance(v, np.generic):
+            props[k] = v.item()
+    return {
+        "type": "Feature",
+        "id": int(row["fid"]),
+        "geometry": geom_to_geojson(wkb_to_geom(row["geometry"]), precision),
+        "properties": props,
+    }
+
+
+def table_to_featurecollection(table: pa.Table, precision: int = 7) -> dict:
+    feats = [_row_to_feature(r, precision) for r in table.to_pylist()]
+    fc: dict = {"type": "FeatureCollection", "features": feats}
+    if {"bbox_xmin", "bbox_ymax"} <= set(table.column_names):
+        import pyarrow.compute as pc
+        fc["bbox"] = [  # RFC7946 layer bbox (ogrgeojsonwriter.cpp:89,495)
+            round(pc.min(table["bbox_xmin"]).as_py(), precision),
+            round(pc.min(table["bbox_ymin"]).as_py(), precision),
+            round(pc.max(table["bbox_xmax"]).as_py(), precision),
+            round(pc.max(table["bbox_ymax"]).as_py(), precision),
+        ]
+    return fc
+
+
+def write_geojson(path: str, table: pa.Table, precision: int = 7) -> None:
+    """Classic FeatureCollection document."""
+    with open(path, "w") as f:
+        json.dump(table_to_featurecollection(table, precision), f)
+
+
+def read_geojson(path_or_obj, columns: list[str] | None = None) -> pa.Table:
+    """FeatureCollection (path, JSON text, or parsed dict) -> table."""
+    if isinstance(path_or_obj, dict):
+        obj = path_or_obj
+    elif isinstance(path_or_obj, str) and path_or_obj.lstrip()[:1] == "{":
+        obj = json.loads(path_or_obj)
+    else:
+        with open(path_or_obj) as f:
+            obj = json.load(f)
+    if obj.get("type") == "Feature":
+        return _features_to_table([obj], columns)
+    if obj.get("type") != "FeatureCollection":
+        raise ValueError("not a GeoJSON FeatureCollection")
+    return _features_to_table(obj["features"], columns)
+
+
+# ------------------------------------------------------------- GeoJSONSeq
+
+RS = "\x1e"  # optional record separator (ogrgeojsonseqdriver.cpp:27)
+
+
+def write_geojsonl(path: str, table: pa.Table, precision: int = 7) -> None:
+    """One feature per LF-terminated line (GeoJSONSeq)."""
+    with open(path, "w") as f:
+        for r in table.to_pylist():
+            f.write(json.dumps(_row_to_feature(r, precision)))
+            f.write("\n")
+
+
+def _parse_lines(chunk: str, columns: list[str] | None) -> pa.Table:
+    feats = [json.loads(ln.lstrip(RS)) for ln in chunk.splitlines()
+             if ln.strip(RS).strip()]
+    return _features_to_table(feats, columns)
+
+
+def _read_shard(path: str, start: int, end: int, size: int) -> bytes:
+    """Byte range -> the raw text of the lines this shard owns.
+
+    Split-text ownership contract (the classic one): a shard with
+    start > 0 discards through the first newline in its range, then
+    ALWAYS reads past ``end`` through the next newline — so a line
+    starting at byte p belongs to the shard with start < p <= end
+    (shard 0 also owns p = 0). A range containing no newline at all
+    emits nothing (the spanning record is read by an earlier shard's
+    extension)."""
+    with open(path, "rb") as f:
+        f.seek(start)
+        data = f.read(end - start)
+        if start > 0:
+            nl = data.find(b"\n")
+            if nl < 0:
+                return b""
+            data = data[nl + 1:]
+        if end < size:
+            tail = bytearray()
+            while True:
+                b = f.read(1 << 16)
+                if not b:
+                    break
+                nl = b.find(b"\n")
+                if nl >= 0:
+                    tail += b[:nl]
+                    break
+                tail += b
+            data += bytes(tail)
+    return data
+
+
+def geojsonl_dataset(path: str, columns: list[str] | None = None,
+                     num_shards: int = 8):
+    """GeoJSONSeq file -> Ray Dataset, byte-range sharded so JSON parse
+    + WKB encode run distributed (one task per shard)."""
+    import ray
+    import ray.data
+
+    size = os.path.getsize(path)
+    num_shards = max(1, min(num_shards, max(1, size // (1 << 16))))
+    bounds = np.linspace(0, size, num_shards + 1).astype(np.int64)
+    shards = [{"path": path, "start": int(bounds[i]), "end": int(bounds[i + 1]),
+               "size": size} for i in range(num_shards)]
+
+    def load(batch: pa.Table) -> pa.Table:
+        tabs = []
+        for row in batch.to_pylist():
+            raw = _read_shard(row["path"], row["start"], row["end"], row["size"])
+            if raw:
+                tabs.append(_parse_lines(raw.decode("utf-8"), columns))
+        if not tabs:
+            return _features_to_table([], columns)
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return (ray.data.from_items(shards, override_num_blocks=num_shards)
+            .map_batches(load, batch_format="pyarrow", batch_size=1))
