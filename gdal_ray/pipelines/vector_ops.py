@@ -360,6 +360,42 @@ def q_geojson_layer(sf_dir: str):
     })
 
 
+_FGB_FIXTURE = "/tmp/gdal_ray_fixtures/vector_fixture_v1.fgb"
+
+
+def q_fgb_layer(sf_dir: str):
+    """Third real vector file format: the canonical polygon fixture as
+    FlatGeobuf (sources/fgb.py — pure-Python flatbuffers codec +
+    packed Hilbert R-tree per ogr/ogrsf_frmts/flatgeobuf/
+    packedrtree.cpp), read back through the R-tree-sharded Ray reader
+    with a hot-cluster bbox pushed down THROUGH the index, per-category
+    aggregate. Deterministic (corpus-only) — pinned literal oracle."""
+    import os
+
+    from ..sources.fgb import fgb_dataset, write_fgb
+    from ..sources.vector import polygons_table
+    from .common import partial_groupby_agg
+
+    if not os.path.exists(_FGB_FIXTURE):
+        os.makedirs(os.path.dirname(_FGB_FIXTURE), exist_ok=True)
+        tmp = _FGB_FIXTURE + f".tmp{os.getpid()}"
+        write_fgb(tmp, polygons_table(64), name="zones")
+        os.replace(tmp, _FGB_FIXTURE)
+
+    ds = fgb_dataset(_FGB_FIXTURE, columns=["category", "pop"],
+                     bbox=(2.25, 48.8, 2.35, 48.92), num_shards=4)
+    agg = partial_groupby_agg(ds, ["category"], [
+        ("n", "fid", "count"),
+        ("pop_sum", "pop", "sum"),
+    ])
+    agg = agg.sort_by("category")
+    return pa.table({
+        "category": agg["category"],
+        "n": agg["n"].cast(pa.int64()),
+        "pop_sum": agg["pop_sum"].cast(pa.int64()),
+    })
+
+
 ORACLE: dict[str, str] = {
     "q_constructive": """
         SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
@@ -477,4 +513,5 @@ QUERIES = {
     "q_constructive": q_constructive,
     "q_gpkg_layer": q_gpkg_layer,
     "q_geojson_layer": q_geojson_layer,
+    "q_fgb_layer": q_fgb_layer,
 }
