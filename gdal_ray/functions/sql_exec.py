@@ -40,8 +40,8 @@ _AGGS = {"COUNT", "COUNT_ALL", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG"}
 
 _CLAUSE = re.compile(
     r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>\w+)"
-    r"(?:\s+(?P<jhow>LEFT\s+(?:OUTER\s+)?)?"
-    r"JOIN\s+(?P<jtable>\w+)\s+ON\s+(?P<jleft>[\w.]+)\s*=\s*(?P<jright>[\w.]+))?"
+    r"(?P<joins>(?:\s+(?:LEFT\s+(?:OUTER\s+)?)?"
+    r"JOIN\s+\w+\s+ON\s+[\w.]+\s*=\s*[\w.]+)*)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
     r"(?:\s+HAVING\s+(?P<having>.*?))?"
@@ -206,20 +206,28 @@ def execute(sql: str, sf_dir: str):
                 f"unsupported: ORDER BY column {c!r} not in the SELECT list")
 
     ds = read_table(sf_dir, table)
-    if grp("jtable"):
+    if grp("joins"):
+        # chained secondary-table joins, planned left-deep like the
+        # reference's swq join list (ogr_gensql.cpp:526-532 — each
+        # JOIN's ON references the accumulated left side)
         from ..stages.joins import hash_join
 
-        right = read_table(sf_dir, grp("jtable"))
-        jl = grp("jleft").split(".")[-1]
-        jr = grp("jright").split(".")[-1]
-        lnames = set(ds.schema().names)
-        if jl not in lnames:
-            jl, jr = jr, jl
-        if jl not in lnames or jr not in set(right.schema().names):
-            raise ValueError(
-                f"JOIN keys {grp('jleft')}/{grp('jright')} not found")
-        how = "left_outer" if grp("jhow") else "inner"
-        ds = hash_join(ds, right, left_on=jl, right_on=jr, how=how)
+        _JOIN = re.compile(
+            r"(?P<jhow>LEFT\s+(?:OUTER\s+)?)?JOIN\s+(?P<jtable>\w+)"
+            r"\s+ON\s+(?P<jleft>[\w.]+)\s*=\s*(?P<jright>[\w.]+)", re.I)
+        for jm in _JOIN.finditer(grp("joins")):
+            right = read_table(sf_dir, jm.group("jtable"))
+            jl = jm.group("jleft").split(".")[-1]
+            jr = jm.group("jright").split(".")[-1]
+            lnames = set(ds.schema().names)
+            if jl not in lnames:
+                jl, jr = jr, jl
+            if jl not in lnames or jr not in set(right.schema().names):
+                raise ValueError(
+                    f"JOIN keys {jm.group('jleft')}/{jm.group('jright')}"
+                    " not found")
+            how = "left_outer" if jm.group("jhow") else "inner"
+            ds = hash_join(ds, right, left_on=jl, right_on=jr, how=how)
     if where:
         from .swq import compile_where
 
@@ -330,14 +338,14 @@ def execute(sql: str, sf_dir: str):
                 v = pa.array([v] * part.num_rows)
             out_cols[name] = v
         result = pa.table(out_cols)
-        if m.group("having"):
+        if grp("having"):
             # HAVING evaluates over the aggregated output columns
             # (reference swq HAVING runs post-aggregation,
             # ogr/swq_select.cpp): reuse the swq compiler against the
             # result table's alias names
             from .swq import compile_where
 
-            hf = compile_where(m.group("having"))
+            hf = compile_where(grp("having"))
             result = result.filter(hf(result))
     else:
         def project(t: pa.Table) -> pa.Table:

@@ -342,6 +342,26 @@ def q_sql_left_join(sf_dir: str):
     return execute(_SQL_LEFT_JOIN, sf_dir)
 
 
+_SQL_MULTI_JOIN = """
+        SELECT n_name, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY n_name
+    """
+
+
+def q_sql_multi_join(sf_dir: str):
+    """ExecuteSQL chained secondary-table joins: the planner walks the
+    JOIN list left-deep — each ON resolves against the accumulated
+    left side — like the reference's swq join array
+    (ogr_gensql.cpp:526-532). Both hops plan onto the partitioned
+    hash-shuffle join. Same SQL verbatim in DuckDB."""
+    from ..functions.sql_exec import execute
+
+    return execute(_SQL_MULTI_JOIN, sf_dir)
+
+
 def q_sql_count_distinct(sf_dir: str):
     """ExecuteSQL COUNT(DISTINCT x): plans onto the distinct-pair
     combiner (per-batch distinct -> distributed partial combine ->
@@ -616,6 +636,7 @@ ORACLE: dict[str, str] = {
     "q_sql_having": _SQL_HAVING,
     "q_sql_left_join": _SQL_LEFT_JOIN,
     "q_sql_count_distinct": _SQL_COUNT_DISTINCT,
+    "q_sql_multi_join": _SQL_MULTI_JOIN,
     "q_quantiles": """
         SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

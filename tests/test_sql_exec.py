@@ -197,3 +197,31 @@ def test_sql_count_distinct(ray_session, con):
 def test_sql_count_distinct_global(ray_session, con):
     sql = "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders"
     _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_multi_join_chain(ray_session, con):
+    """Chained JOINs plan left-deep like the reference's swq join list
+    (ogr_gensql.cpp:526-532): each ON resolves against the accumulated
+    left side."""
+    sql = ("SELECT n_name, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total "
+           "FROM orders JOIN customer ON o_custkey = c_custkey "
+           "JOIN nation ON c_nationkey = n_nationkey "
+           "WHERE o_orderpriority = '1-URGENT' GROUP BY n_name")
+    _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_multi_join_mixed_left(ray_session, con):
+    """INNER then LEFT OUTER in one chain."""
+    sql = ("SELECT n_name, COUNT(*) AS n, COUNT(o_orderkey) AS n_orders "
+           "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+           "LEFT JOIN orders ON c_custkey = o_custkey "
+           "GROUP BY n_name")
+    _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_having_string_literal(ray_session, con):
+    """HAVING text is sliced from the ORIGINAL sql, not the
+    literal-masked copy: a string literal in HAVING survives."""
+    sql = ("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+           "GROUP BY o_orderpriority HAVING o_orderpriority = '1-URGENT'")
+    _cmp(execute(sql, SF), con.execute(sql))
