@@ -1235,8 +1235,80 @@ def q_gcp_warp(sf_dir: str):
         f, batch_format="pyarrow", batch_size=2)
 
 
+def q_geoloc_warp(sf_dir: str):
+    """Geolocation-array georeferencing (functions/geoloc.py; reference
+    alg/gdalgeoloc.cpp): each case builds a deterministic scene whose
+    geoloc arrays sample either an exact affine (warp must then match
+    the affine render bit-for-bit on the shared valid mask) or a
+    sinusoidally bent swath (fragment/valid counts pinned). The
+    transformer's backmap+Newton inverse slots into the GenImgProj
+    chain as the src link, like GCP/TPS/RPC. Deterministic -> literal
+    oracle."""
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.geoloc import GeolocTransform, synthetic_swath
+        from ..stages.warp import warp_image_to_tiles
+
+        gt = (500_000.0, 30.0, 0.0, 4_200_000.0, 0.0, -30.0)
+        rows = {"case": [], "maxdiff": [], "n_frags": [], "n_valid": []}
+        for rec in t.to_pylist():
+            case = rec["case"]
+            rng = np.random.default_rng(1234)
+            pixels = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+            step = 8 if case.endswith("_coarse") else 4
+            distorted = case.startswith("distorted")
+            georef = GeolocTransform(**synthetic_swath(
+                96, 96, step=step, gt=gt, distorted=distorted))
+            frags = warp_image_to_tiles(pixels, None, 32618, case,
+                                        src_georef=georef)
+            md = -1
+            if not distorted:
+                def tilebufs(fl):
+                    out = {}
+                    for fr in fl:
+                        buf = np.zeros((256, 256, 3), np.int16)
+                        msk = np.zeros((256, 256), bool)
+                        ph = decode_image(fr["pixels"]).reshape(
+                            fr["fh"], fr["fw"], 3)
+                        mv = np.unpackbits(
+                            np.frombuffer(fr["mask"], np.uint8),
+                            count=fr["fh"] * fr["fw"]).reshape(
+                                fr["fh"], fr["fw"]).astype(bool)
+                        y0, x0 = fr["y0"], fr["x0"]
+                        buf[y0:y0 + fr["fh"], x0:x0 + fr["fw"]] = ph
+                        msk[y0:y0 + fr["fh"], x0:x0 + fr["fw"]] = mv
+                        out[fr["tile_key"]] = (buf, msk)
+                    return out
+
+                base = tilebufs(warp_image_to_tiles(pixels, gt, 32618,
+                                                    "affine"))
+                ours = tilebufs(frags)
+                md = 0
+                for k in set(base) & set(ours):
+                    bb, bm = base[k]
+                    ob, om = ours[k]
+                    both = bm & om
+                    if both.any():
+                        md = max(md, int(np.abs(bb - ob)[both].max()))
+            rows["case"].append(case)
+            rows["maxdiff"].append(md)
+            rows["n_frags"].append(len(frags))
+            rows["n_valid"].append(int(sum(fr["n_valid"] for fr in frags)))
+        return pa.table({"case": pa.array(rows["case"], pa.string()),
+                         "maxdiff": pa.array(rows["maxdiff"], pa.int64()),
+                         "n_frags": pa.array(rows["n_frags"], pa.int64()),
+                         "n_valid": pa.array(rows["n_valid"], pa.int64())})
+
+    cases = [{"case": c} for c in
+             ("affine", "affine_coarse", "distorted", "distorted_coarse")]
+    return ray.data.from_items(cases).map_batches(
+        f, batch_format="pyarrow", batch_size=2)
+
+
 QUERIES = {
     "q_gcp_warp": q_gcp_warp,
+    "q_geoloc_warp": q_geoloc_warp,
     "q_grid_idw": q_grid_idw,
     "q_grid_nn_count": q_grid_nn_count,
     "q_grid_metrics": q_grid_metrics,
