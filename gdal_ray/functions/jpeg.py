@@ -698,35 +698,41 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
     whole scan's symbol count for the serial loop) — the same
     segment-parallel strategy GPU decoders use.  Writes quantized
     coefficients into ``comps[*].coefs``.
+
+    Hot-path notes: byte unstuffing runs as ONE global pass (the RST
+    marker bytes stay in place between segments — the Huffman prefix
+    property guarantees no in-segment symbol read consumes them, so
+    they serve as inter-segment padding); lane state lives in compact
+    arrays filtered as lanes finish (no gather/scatter through a lane
+    id indirection); the per-symbol (mcu,block)->coefficient base
+    resolves through a precomputed (nmcu x nlay) table instead of a
+    divmod per step.
     """
     ri = int(restart_interval)
     nseg = len(seg_bounds)
     # int32 state halves memory traffic (the loop is gather-bound and
-    # runs on many cores at once); int64 only for coefficient spaces
-    # that could overflow 31 bits (enormous images take the serial path
-    # rarely enough that this stays theoretical)
+    # runs on many cores at once); int64 only for coefficient/bit
+    # spaces that could overflow 31 bits
     total_coefs = sum(c.nb for c in comps) * 64
-    dt = np.int32 if total_coefs < (1 << 31) - 1 else np.int64
+    end_all = seg_bounds[-1][1]
+    dt = (np.int32 if (total_coefs < (1 << 31) - 1
+                       and end_all * 8 < (1 << 31) - 64) else np.int64)
 
-    # --- concatenated unstuffed segment bytes, 3 pad 0xFF bytes between
-    # segments so a lane's final 16-bit window reads never cross into
-    # the next segment; windows are composed on demand from a 24-bit
-    # byte-triple gather (cheaper than materializing a window per bit)
-    byte_chunks = []
-    seg_bit_base = np.empty(nseg, dt)
-    total = 0
-    pad = np.full(3, 0xFF, np.uint8)
-    for s, (a, b) in enumerate(seg_bounds):
-        seg = tail[a:b]
-        if len(seg) > 1:
-            stuffed = np.zeros(len(seg), bool)
-            stuffed[1:] = (seg[:-1] == 0xFF) & (seg[1:] == 0x00)
-            seg = seg[~stuffed]
-        seg_bit_base[s] = total * 8
-        byte_chunks.append(seg)
-        byte_chunks.append(pad)
-        total += len(seg) + 3
-    allb = np.concatenate(byte_chunks).astype(np.int32)
+    # --- ONE unstuffing pass over the whole scan: drop every 0x00
+    # that follows 0xFF. RST markers (0xFF 0xD0-7) survive and pad the
+    # gap between consecutive segments; 3 trailing 0xFF pad the final
+    # window reads.
+    raw = tail[:end_all]
+    stuffed = np.zeros(len(raw), bool)
+    if len(raw) > 1:
+        stuffed[1:] = (raw[:-1] == 0xFF) & (raw[1:] == 0x00)
+    removed = np.cumsum(stuffed)
+    allb = np.concatenate(
+        [raw[~stuffed], np.full(3, 0xFF, np.uint8)]).astype(np.int32)
+    starts = np.fromiter((a for a, _b in seg_bounds), np.int64, nseg)
+    # stuffed[start] is always False (a segment begins after a marker
+    # byte), so removed[start] counts removals strictly before start
+    seg_bit_base = ((starts - removed[starts]) * 8).astype(dt)
     b24 = (allb[:-2] << 16) | (allb[1:-1] << 8) | allb[2:]
 
     # --- layout arrays (block order within an MCU)
@@ -747,6 +753,14 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
     lay_cp = np.array(lay_cp, dt)
     nlay = len(lay_A)
     ncomp = len(comps)
+    # (mcu, layout) -> flat coefficient base, one gather per step
+    # (falls back to per-step divmod only for enormous rasters)
+    base_table = None
+    if nmcu * nlay <= (1 << 25):
+        myv, mxv = np.divmod(np.arange(nmcu, dtype=dt), dt(mcux))
+        base_table = (myv[:, None] * lay_A[None, :]
+                      + mxv[:, None] * lay_B[None, :]
+                      + lay_C[None, :]).ravel()
     # stacked LUTs indexed by layout position (resolves td/ta per block)
     # one flat LUT: rows [0..ndc) = DC tables, rows [ndc..) = AC tables;
     # a single gather at lutrow*65536 + window resolves either kind
@@ -761,20 +775,16 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
     ac_row = (ndc + np.array(lay_ta, np.int32)) * 65536
     zig96 = np.concatenate([ZIGZAG, np.zeros(32, np.int64)]).astype(dt)
 
-    # --- lane state
-    act = np.arange(nseg, dtype=dt)                # active lane ids
-    i_pos = seg_bit_base.copy()                     # bit cursor per lane
-    li = np.zeros(nseg, dt)                         # layout position
-    kz = np.zeros(nseg, dt)                         # zigzag index (0 = DC)
-    mcu_g = np.arange(nseg, dtype=dt) * ri          # global MCU id
-    seg_end_mcu = np.minimum(mcu_g + ri, nmcu).astype(dt)
+    # --- compact lane state (filtered in place as lanes finish)
+    ii = seg_bit_base.copy()                        # bit cursor
+    lli = np.zeros(nseg, dt)                        # layout position
+    kk = np.zeros(nseg, dt)                         # zigzag index (0 = DC)
+    mcu_g = (np.arange(nseg, dtype=dt) * ri)        # global MCU id
+    end_mcu = np.minimum(mcu_g + ri, nmcu).astype(dt)
     pred = np.zeros((nseg, ncomp), dt)
 
     out_comp, out_idx, out_val = [], [], []
-    while len(act):
-        ii = i_pos[act]
-        lli = li[act]
-        kk = kz[act]
+    while len(ii):
         isdc = kk == 0
         w16 = (b24[ii >> 3] >> (8 - (ii & 7))) & 0xFFFF
         look = lut[np.where(isdc, dc_row[lli], ac_row[lli]) + w16]
@@ -792,30 +802,36 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
                        np.where(bitsv >= half, bitsv, bitsv - 2 * half + 1), 0)
         # DC: accumulate predictor; AC normal: coefficient at kk+run
         cp = lay_cp[lli]
-        pred[act[isdc], cp[isdc]] += ext[isdc]
+        dcr = np.flatnonzero(isdc)
+        pred[dcr, cp[dcr]] += ext[dcr]
         coefpos = np.where(isdc, 0, kk + run)
-        my, mx = np.divmod(mcu_g[act], mcux)
-        base = my * lay_A[lli] + mx * lay_B[lli] + lay_C[lli]
+        if base_table is not None:
+            base = base_table[mcu_g * nlay + lli]
+        else:
+            my, mx = np.divmod(mcu_g, dt(mcux))
+            base = my * lay_A[lli] + mx * lay_B[lli] + lay_C[lli]
         wmask = isdc | (size > 0)
         out_comp.append(cp[wmask])
         out_idx.append((base + zig96[coefpos])[wmask])
-        out_val.append(np.where(isdc, pred[act, cp], ext)[wmask])
+        out_val.append(np.where(isdc, pred[np.arange(len(ii)), cp], ext)[wmask])
         # advance zigzag / block / MCU (EOB: sym==0 -> 64; ZRL: +16)
         nk = np.where(isdc, 1,
                       np.where(sym == 0, 64,
                                np.where(sym == 0xF0, kk + 16, kk + run + 1)))
         done = nk >= 64
-        nk = np.where(done, 0, nk)
-        nli = lli + done
-        mcu_done = nli == nlay
-        nli = np.where(mcu_done, 0, nli)
-        i_pos[act] = ii
-        kz[act] = nk
-        li[act] = nli
-        mcu_g[act] += mcu_done
-        alive = mcu_g[act] < seg_end_mcu[act]
+        kk = np.where(done, 0, nk)
+        lli = lli + done
+        mcu_done = lli == nlay
+        lli = np.where(mcu_done, 0, lli)
+        mcu_g = mcu_g + mcu_done
+        alive = mcu_g < end_mcu
         if not alive.all():
-            act = act[alive]
+            ii = ii[alive]
+            kk = kk[alive]
+            lli = lli[alive]
+            mcu_g = mcu_g[alive]
+            end_mcu = end_mcu[alive]
+            pred = pred[alive]
     if out_comp:
         oc = np.concatenate(out_comp)
         oi = np.concatenate(out_idx)
