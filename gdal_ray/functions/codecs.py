@@ -25,7 +25,7 @@ import zlib
 
 import numpy as np
 
-from .jpeg import decode_jpeg, encode_jpeg
+from .jpeg import decode_jpeg, decode_jpeg_batch, encode_jpeg
 from .png import decode_png, encode_png
 
 # flat quant tables tuned for the noisy synthetic corpus (see module
@@ -124,6 +124,27 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
     if data[:4] == _RAW0_MAGIC:
         return _decode_raw0(data)
     raise NotImplementedError(f"unrecognized image payload (fmt hint {fmt!r})")
+
+
+def decode_images(blobs: list[bytes]) -> list[np.ndarray]:
+    """Decode a whole batch of image payloads, batching the JPEGs
+    through the merged lockstep state machine (functions/jpeg.py
+    decode_jpeg_batch) — the per-batch form every map_batches decode
+    stage should use. Non-JPEG payloads decode per row as before;
+    order is preserved."""
+    outs: list = [None] * len(blobs)
+    jpeg_pos: list[int] = []
+    jpeg_blobs: list[bytes] = []
+    for i, data in enumerate(blobs):
+        if data[:2] == b"\xff\xd8":
+            jpeg_pos.append(i)
+            jpeg_blobs.append(data)
+        else:
+            outs[i] = decode_image(data)
+    if jpeg_blobs:
+        for i, px in zip(jpeg_pos, decode_jpeg_batch(jpeg_blobs)):
+            outs[i] = px
+    return outs
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:

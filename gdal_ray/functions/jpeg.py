@@ -481,8 +481,9 @@ class _Component:
                  "blocks_h", "coefs", "nb")
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes to (h, w) or (h, w, 3) uint8."""
+def _parse_jpeg(data: bytes) -> dict:
+    """Parse JFIF markers up to SOS; returns everything the entropy
+    decoder needs (shared by single and batched decode)."""
     buf = np.frombuffer(data, np.uint8)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -556,11 +557,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             rgb_direct = (adobe_transform == 0
                           or [c.cid for c in comps] == [82, 71, 66])
             pos += seglen
-            return _decode_entropy(buf, pos, order, comps, qtabs,
-                                   dc_luts, ac_luts, h, w,
-                                   restart_interval, rgb_direct)
+            return dict(buf=buf, pos=pos, order=order, comps=comps,
+                        qtabs=qtabs, dc_luts=dc_luts, ac_luts=ac_luts,
+                        h=h, w=w, restart_interval=restart_interval,
+                        rgb_direct=rgb_direct)
         pos += seglen
     raise ValueError("no SOS marker found")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JFIF bytes to (h, w) or (h, w, 3) uint8."""
+    return _decode_entropy(**_parse_jpeg(data))
 
 
 def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
@@ -689,105 +696,153 @@ def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
 
 def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
                      restart_interval, nmcu, mcux):
-    """Entropy-decode every restart segment simultaneously.
+    """Single-image wrapper over the multi-image lockstep decoder."""
+    _decode_lockstep_multi([dict(
+        tail=tail, seg_bounds=seg_bounds, order=order, comps=comps,
+        dc_luts=dc_luts, ac_luts=ac_luts,
+        ri=int(restart_interval) or nmcu, nmcu=nmcu, mcux=mcux)])
+
+
+def _decode_lockstep_multi(images: list[dict]) -> None:
+    """Entropy-decode restart segments of MANY images simultaneously.
 
     Each restart segment is an independent bitstream (DC predictors
-    reset at RSTn), so we treat segments as numpy *lanes* and step a
-    vectorized Huffman state machine: one symbol per active lane per
-    step.  Total serial steps = max symbols in any one segment (vs the
-    whole scan's symbol count for the serial loop) — the same
-    segment-parallel strategy GPU decoders use.  Writes quantized
-    coefficients into ``comps[*].coefs``.
+    reset at RSTn), so segments become numpy *lanes* and a vectorized
+    Huffman state machine steps one symbol per active lane per
+    iteration — the segment-parallel strategy GPU decoders use.
+    Merging the lanes of a whole batch of images into one state
+    machine amortizes the fixed per-iteration numpy overhead across
+    every image in a map_batches batch: total serial steps = max
+    symbols per segment over the batch, not per image.
 
-    Hot-path notes: byte unstuffing runs as ONE global pass (the RST
-    marker bytes stay in place between segments — the Huffman prefix
-    property guarantees no in-segment symbol read consumes them, so
-    they serve as inter-segment padding); lane state lives in compact
-    arrays filtered as lanes finish (no gather/scatter through a lane
-    id indirection); the per-symbol (mcu,block)->coefficient base
-    resolves through a precomputed (nmcu x nlay) table instead of a
-    divmod per step.
+    Per-lane constants (layout offset, LUT rows, coefficient base
+    table, component offset) resolve every per-image difference, so
+    images of mixed sizes/tables batch freely. Byte unstuffing is one
+    vector pass per image (RST markers stay in place as inter-segment
+    padding — the Huffman prefix property guarantees no in-segment
+    symbol read consumes them). Writes quantized coefficients into
+    each image's ``comps[*].coefs``.
     """
-    ri = int(restart_interval)
-    nseg = len(seg_bounds)
-    # int32 state halves memory traffic (the loop is gather-bound and
-    # runs on many cores at once); int64 only for coefficient/bit
-    # spaces that could overflow 31 bits
-    total_coefs = sum(c.nb for c in comps) * 64
-    end_all = seg_bounds[-1][1]
-    dt = (np.int32 if (total_coefs < (1 << 31) - 1
-                       and end_all * 8 < (1 << 31) - 64) else np.int64)
+    # ---- global assembly over images
+    byte_chunks = []
+    lane_bit, lane_layoff, lane_nlay, lane_tbloff, lane_mcu0, lane_end = \
+        [], [], [], [], [], []
+    glay_A, glay_B, glay_C, glay_cploc, glay_cpglob = [], [], [], [], []
+    gdc_row, gac_row = [], []
+    base_tables = []
+    lut_rows: dict[int, int] = {}   # id(lut array) -> stacked row
+    lut_parts: list[np.ndarray] = []
+    gcomps: list = []
+    byte_off = 0
+    tbl_off = 0
+    lay_off = 0
+    max_ncomp = 1
+    max_coef = 0
+    pad = np.full(3, 0xFF, np.uint8)
 
-    # --- ONE unstuffing pass over the whole scan: drop every 0x00
-    # that follows 0xFF. RST markers (0xFF 0xD0-7) survive and pad the
-    # gap between consecutive segments; 3 trailing 0xFF pad the final
-    # window reads.
-    raw = tail[:end_all]
-    stuffed = np.zeros(len(raw), bool)
-    if len(raw) > 1:
-        stuffed[1:] = (raw[:-1] == 0xFF) & (raw[1:] == 0x00)
-    removed = np.cumsum(stuffed)
-    allb = np.concatenate(
-        [raw[~stuffed], np.full(3, 0xFF, np.uint8)]).astype(np.int32)
-    starts = np.fromiter((a for a, _b in seg_bounds), np.int64, nseg)
-    # stuffed[start] is always False (a segment begins after a marker
-    # byte), so removed[start] counts removals strictly before start
-    seg_bit_base = ((starts - removed[starts]) * 8).astype(dt)
+    def lut_row(arr) -> int:
+        r = lut_rows.get(id(arr))
+        if r is None:
+            r = len(lut_parts)
+            lut_rows[id(arr)] = r
+            lut_parts.append(arr)
+        return r
+
+    for im in images:
+        comps = im["comps"]
+        order = im["order"]
+        comp_off = len(gcomps)
+        gcomps.extend(comps)
+        max_ncomp = max(max_ncomp, len(comps))
+        comp_idx = {id(c): i for i, c in enumerate(comps)}
+        lA, lB, lC = [], [], []
+        for c in order:
+            max_coef = max(max_coef, c.nb * 64)
+            for by in range(c.vsamp):
+                for bx in range(c.hsamp):
+                    lA.append(c.vsamp * c.blocks_w * 64)
+                    lB.append(c.hsamp * 64)
+                    lC.append(by * c.blocks_w * 64 + bx * 64)
+                    glay_cploc.append(comp_idx[id(c)])
+                    glay_cpglob.append(comp_off + comp_idx[id(c)])
+                    gdc_row.append(lut_row(im["dc_luts"][c.td]) * 65536)
+                    gac_row.append(lut_row(im["ac_luts"][c.ta]) * 65536)
+        nlay = len(lA)
+        glay_A.extend(lA)
+        glay_B.extend(lB)
+        glay_C.extend(lC)
+        nmcu = im["nmcu"]
+        myv, mxv = np.divmod(np.arange(nmcu, dtype=np.int64),
+                             np.int64(im["mcux"]))
+        base_tables.append(
+            (myv[:, None] * np.array(lA, np.int64)[None, :]
+             + mxv[:, None] * np.array(lB, np.int64)[None, :]
+             + np.array(lC, np.int64)[None, :]).ravel())
+
+        # one unstuffing pass per image; RST bytes remain as padding
+        tail = im["tail"]
+        seg_bounds = im["seg_bounds"]
+        end_all = seg_bounds[-1][1]
+        raw = tail[:end_all]
+        stuffed = np.zeros(len(raw), bool)
+        if len(raw) > 1:
+            stuffed[1:] = (raw[:-1] == 0xFF) & (raw[1:] == 0x00)
+        removed = np.cumsum(stuffed) if len(raw) else np.zeros(0, np.int64)
+        byte_chunks.append(raw[~stuffed])
+        byte_chunks.append(pad)
+        ri = im["ri"]
+        for li_, (a, _b) in enumerate(seg_bounds):
+            m0 = li_ * ri
+            if m0 >= nmcu:
+                break
+            # stuffed[a] is always False (segments begin after a
+            # marker byte) so removed[a] counts strictly-before drops
+            lane_bit.append((byte_off + a - int(removed[a])) * 8)
+            lane_layoff.append(lay_off)
+            lane_nlay.append(nlay)
+            lane_tbloff.append(tbl_off)
+            lane_mcu0.append(m0)
+            lane_end.append(min(m0 + ri, nmcu))
+        byte_off += len(byte_chunks[-2]) + 3
+        tbl_off += nmcu * nlay
+        lay_off += nlay
+
+    nlanes = len(lane_bit)
+    if not nlanes:
+        return
+    dt = (np.int32 if (byte_off * 8 < (1 << 31) - 64
+                       and max_coef < (1 << 31) - 1
+                       and tbl_off < (1 << 31) - 1) else np.int64)
+    allb = np.concatenate(byte_chunks).astype(np.int32)
     b24 = (allb[:-2] << 16) | (allb[1:-1] << 8) | allb[2:]
-
-    # --- layout arrays (block order within an MCU)
-    comp_idx = {id(c): i for i, c in enumerate(comps)}
-    lay_A, lay_B, lay_C, lay_cp, lay_td, lay_ta = [], [], [], [], [], []
-    for c in order:
-        for by in range(c.vsamp):
-            for bx in range(c.hsamp):
-                lay_A.append(c.vsamp * c.blocks_w * 64)
-                lay_B.append(c.hsamp * 64)
-                lay_C.append(by * c.blocks_w * 64 + bx * 64)
-                lay_cp.append(comp_idx[id(c)])
-                lay_td.append(c.td)
-                lay_ta.append(c.ta)
-    lay_A = np.array(lay_A, dt)
-    lay_B = np.array(lay_B, dt)
-    lay_C = np.array(lay_C, dt)
-    lay_cp = np.array(lay_cp, dt)
-    nlay = len(lay_A)
-    ncomp = len(comps)
-    # (mcu, layout) -> flat coefficient base, one gather per step
-    # (falls back to per-step divmod only for enormous rasters)
-    base_table = None
-    if nmcu * nlay <= (1 << 25):
-        myv, mxv = np.divmod(np.arange(nmcu, dtype=dt), dt(mcux))
-        base_table = (myv[:, None] * lay_A[None, :]
-                      + mxv[:, None] * lay_B[None, :]
-                      + lay_C[None, :]).ravel()
-    # stacked LUTs indexed by layout position (resolves td/ta per block)
-    # one flat LUT: rows [0..ndc) = DC tables, rows [ndc..) = AC tables;
-    # a single gather at lutrow*65536 + window resolves either kind
-    ndc = max(dc_luts) + 1
-    nac = max(ac_luts) + 1
-    lut = np.zeros((ndc + nac) * 65536, np.int32)
-    for t, a in dc_luts.items():
-        lut[t * 65536:(t + 1) * 65536] = a
-    for t, a in ac_luts.items():
-        lut[(ndc + t) * 65536:(ndc + t + 1) * 65536] = a
-    dc_row = np.array(lay_td, np.int32) * 65536
-    ac_row = (ndc + np.array(lay_ta, np.int32)) * 65536
+    lay_A = np.array(glay_A, dt)
+    lay_B = np.array(glay_B, dt)
+    lay_C = np.array(glay_C, dt)
+    lay_cp = np.array(glay_cploc, dt)
+    lay_cpg = np.array(glay_cpglob, dt)
+    dc_row = np.array(gdc_row, np.int32)
+    ac_row = np.array(gac_row, np.int32)
+    lut = np.concatenate(lut_parts)
+    base_table = np.concatenate(base_tables).astype(dt)
     zig96 = np.concatenate([ZIGZAG, np.zeros(32, np.int64)]).astype(dt)
 
-    # --- compact lane state (filtered in place as lanes finish)
-    ii = seg_bit_base.copy()                        # bit cursor
-    lli = np.zeros(nseg, dt)                        # layout position
-    kk = np.zeros(nseg, dt)                         # zigzag index (0 = DC)
-    mcu_g = (np.arange(nseg, dtype=dt) * ri)        # global MCU id
-    end_mcu = np.minimum(mcu_g + ri, nmcu).astype(dt)
-    pred = np.zeros((nseg, ncomp), dt)
+    # ---- compact lane state (filtered in place as lanes finish)
+    ii = np.array(lane_bit, dt)                 # bit cursor
+    loff = np.array(lane_layoff, dt)
+    lnlay = np.array(lane_nlay, dt)
+    toff = np.array(lane_tbloff, dt)
+    mcu_g = np.array(lane_mcu0, dt)             # image-local MCU id
+    end_mcu = np.array(lane_end, dt)
+    lli = np.zeros(nlanes, dt)                  # layout position
+    kk = np.zeros(nlanes, dt)                   # zigzag index (0 = DC)
+    pred = np.zeros((nlanes, max_ncomp), dt)
 
     out_comp, out_idx, out_val = [], [], []
     while len(ii):
+        gl = loff + lli
         isdc = kk == 0
         w16 = (b24[ii >> 3] >> (8 - (ii & 7))) & 0xFFFF
-        look = lut[np.where(isdc, dc_row[lli], ac_row[lli]) + w16]
+        look = lut[np.where(isdc, dc_row[gl], ac_row[gl]) + w16]
         if not look.all():
             raise ValueError("bad Huffman code")
         sym = look & 0xFF
@@ -801,19 +856,16 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
         ext = np.where(size > 0,
                        np.where(bitsv >= half, bitsv, bitsv - 2 * half + 1), 0)
         # DC: accumulate predictor; AC normal: coefficient at kk+run
-        cp = lay_cp[lli]
+        cp = lay_cp[gl]
         dcr = np.flatnonzero(isdc)
         pred[dcr, cp[dcr]] += ext[dcr]
         coefpos = np.where(isdc, 0, kk + run)
-        if base_table is not None:
-            base = base_table[mcu_g * nlay + lli]
-        else:
-            my, mx = np.divmod(mcu_g, dt(mcux))
-            base = my * lay_A[lli] + mx * lay_B[lli] + lay_C[lli]
+        base = base_table[toff + mcu_g * lnlay + lli]
         wmask = isdc | (size > 0)
-        out_comp.append(cp[wmask])
+        out_comp.append(lay_cpg[gl][wmask])
         out_idx.append((base + zig96[coefpos])[wmask])
-        out_val.append(np.where(isdc, pred[np.arange(len(ii)), cp], ext)[wmask])
+        out_val.append(np.where(isdc, pred[np.arange(len(ii)), cp],
+                                ext)[wmask])
         # advance zigzag / block / MCU (EOB: sym==0 -> 64; ZRL: +16)
         nk = np.where(isdc, 1,
                       np.where(sym == 0, 64,
@@ -821,7 +873,7 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
         done = nk >= 64
         kk = np.where(done, 0, nk)
         lli = lli + done
-        mcu_done = lli == nlay
+        mcu_done = lli == lnlay
         lli = np.where(mcu_done, 0, lli)
         mcu_g = mcu_g + mcu_done
         alive = mcu_g < end_mcu
@@ -831,15 +883,93 @@ def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
             lli = lli[alive]
             mcu_g = mcu_g[alive]
             end_mcu = end_mcu[alive]
+            loff = loff[alive]
+            lnlay = lnlay[alive]
+            toff = toff[alive]
             pred = pred[alive]
     if out_comp:
         oc = np.concatenate(out_comp)
         oi = np.concatenate(out_idx)
         ov = np.concatenate(out_val)
-        for cpos, c in enumerate(comps):
+        for cpos, c in enumerate(gcomps):
             sel = oc == cpos
             if sel.any():
                 c.coefs.reshape(-1)[oi[sel]] = ov[sel]
+
+
+def _scan_segments(buf, pos):
+    """(tail, seg_bounds): entropy bytes and the byte ranges between
+    restart markers."""
+    tail = buf[pos:]
+    ff = tail == 0xFF
+    markers = np.nonzero(ff[:-1] & (tail[1:] != 0x00))[0]
+    end = len(tail)
+    seg_bounds = []
+    seg_start = 0
+    for mpos in markers.tolist():
+        mk = int(tail[mpos + 1])
+        if 0xD0 <= mk <= 0xD7:
+            seg_bounds.append((seg_start, mpos))
+            seg_start = mpos + 2
+            continue
+        end = mpos
+        break
+    seg_bounds.append((seg_start, end))
+    return tail, seg_bounds
+
+
+def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Decode a batch of baseline JFIF images in ONE lockstep state
+    machine (see _decode_lockstep_multi). Equivalent to
+    [decode_jpeg(d) for d in datas], much faster for many small or
+    restart-segmented images."""
+    outs: list = [None] * len(datas)
+    lock = []
+    for i, data in enumerate(datas):
+        p = _parse_jpeg(data)
+        comps = p["comps"]
+        hmax = max(c.hsamp for c in comps)
+        vmax = max(c.vsamp for c in comps)
+        mcux = -(-p["w"] // (8 * hmax))
+        mcuy = -(-p["h"] // (8 * vmax))
+        nmcu = mcux * mcuy
+        nlay = sum(c.hsamp * c.vsamp for c in p["order"])
+        if nmcu * nlay > (1 << 25):
+            outs[i] = _decode_entropy(**p)   # enormous raster: solo
+            continue
+        for c in comps:
+            c.blocks_w = mcux * c.hsamp
+            c.blocks_h = mcuy * c.vsamp
+            c.nb = c.blocks_w * c.blocks_h
+            c.coefs = np.zeros((c.nb, 64), np.int32)
+        tail, seg_bounds = _scan_segments(p["buf"], p["pos"])
+        lock.append((i, p, hmax, vmax, dict(
+            tail=tail, seg_bounds=seg_bounds, order=p["order"],
+            comps=comps, dc_luts=p["dc_luts"], ac_luts=p["ac_luts"],
+            ri=p["restart_interval"] or nmcu, nmcu=nmcu, mcux=mcux)))
+    # cap the merged lane count per state-machine run. Two cliffs
+    # measured on this host: far beyond the cap each per-statement
+    # temporary crosses glibc's mmap threshold and every numpy temp
+    # becomes an mmap/munmap + page-fault round trip (30-100x
+    # slower); nearer in, the ~30 live temporaries stop fitting L2.
+    # 8192 lanes (32 KiB int32 temps) measured fastest across
+    # small-image and 4096-segment 512x512 workloads.
+    MAX_LANES = 8192
+    chunk: list = []
+    lanes = 0
+    for entry in lock:
+        n = len(entry[4]["seg_bounds"])
+        if chunk and lanes + n > MAX_LANES:
+            _decode_lockstep_multi([im for *_x, im in chunk])
+            chunk, lanes = [], 0
+        chunk.append(entry)
+        lanes += n
+    if chunk:
+        _decode_lockstep_multi([im for *_x, im in chunk])
+    for i, p, hmax, vmax, _im in lock:
+        outs[i] = _idct_planes(p["comps"], p["qtabs"], p["h"], p["w"],
+                               hmax, vmax, p["rgb_direct"])
+    return outs
 
 
 def _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct):

@@ -15,7 +15,7 @@ import pyarrow as pa
 
 from ..functions.affine import apply_gt, bounds_of
 from ..functions.checksum import checksum_image
-from ..functions.codecs import decode_image
+from ..functions.codecs import decode_image, decode_images
 from ..functions.crs import Transformer
 from ..functions.geom import PackedPolygonIndex
 from ..functions.s2cell import cell_id
@@ -45,8 +45,8 @@ class DecodeSummarize:
         caps = batch["caption"]
         out = {"image_id": ids, "caption": caps, "w": [], "h": [],
                "checksum": [], "lon": [], "lat": []}
-        for i, blob in enumerate(batch["bytes"]):
-            px = decode_image(blob.as_py())
+        pixs = decode_images(batch["bytes"].to_pylist())
+        for i, px in enumerate(pixs):
             idx = int(ids[i][3:])
             gt, epsg = georef(idx)
             h, w = px.shape[0], px.shape[1]

@@ -343,10 +343,10 @@ class ComposePartition:
 
     def __init__(self, zoom: int | None = None, resampling: str = "bilinear",
                  tile_size: int = 256, loader=None):
-        from ..functions.codecs import decode_image
+        from ..functions.codecs import decode_images
         from ..sources.images import georef, make_batch
 
-        self._decode = decode_image
+        self._decode_batch = decode_images
         self._georef = georef
         self._loader = loader or (lambda idxs: make_batch(np.asarray(idxs)))
         self.zoom = zoom
@@ -365,8 +365,8 @@ class ComposePartition:
             batch = self._loader(idxs)
             frags_by_tile: dict[int, list[dict]] = {}
             ids = batch["image_id"].to_pylist()
-            for i, blob in enumerate(batch["bytes"]):
-                px = self._decode(blob.as_py())
+            pixs = self._decode_batch(batch["bytes"].to_pylist())
+            for i, px in enumerate(pixs):
                 gt, epsg = self._georef(int(idxs[i]))
                 for fr in warp_image_to_tiles(
                         px, gt, epsg, ids[i], self.zoom,

@@ -262,10 +262,12 @@ class WarpToTiles:
         self.georef_fn = georef_fn or (lambda image_id: default_georef(int(image_id[3:])))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_images
+
         frags: list[dict] = []
         ids = batch["image_id"].to_pylist()
-        for i, blob in enumerate(batch["bytes"]):
-            px = decode_image(blob.as_py())
+        pixs = decode_images(batch["bytes"].to_pylist())
+        for i, px in enumerate(pixs):
             gt, epsg = self.georef_fn(ids[i])
             frags.extend(warp_image_to_tiles(
                 px, gt, epsg, ids[i], self.zoom,
