@@ -61,6 +61,11 @@ def ensure_corpus(n: int) -> str:
     path = os.path.join(CORPUS_ROOT, f"images_{n}_v{CORPUS_VERSION}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
+        # a dir without the marker is a partial write from a killed
+        # run; write_parquet would APPEND duplicate rows — wipe first
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         corpus_dataset(n).write_parquet(path)
         open(marker, "w").close()

@@ -135,3 +135,55 @@ def test_lockstep_decoder_matches_serial_decoder():
     auto = jpeg.encode_jpeg(px, quant_tables=flat, restart_interval="auto")
     plain = jpeg.encode_jpeg(px, quant_tables=flat)
     assert np.array_equal(jpeg.decode_jpeg(auto), jpeg.decode_jpeg(plain))
+
+
+def test_batched_decode_matches_single():
+    """decode_jpeg_batch merges many images' restart lanes into one
+    state machine; pixels must equal per-image decode for mixed sizes,
+    tables and subsampling, in input order."""
+    rng = np.random.default_rng(99)
+    blobs = []
+    for shape, q in (((64, 64, 3), 90), ((40, 56), 75), ((100, 100, 3), 85),
+                     ((16, 16, 3), 92), ((33, 47), 60)):
+        px = rng.normal(128, 40, shape).clip(0, 255).astype(np.uint8)
+        blobs.append(jpeg.encode_jpeg(px, quality=q, restart_interval="auto"))
+    # a no-restart member exercises the single-lane merge path
+    px = rng.normal(128, 40, (48, 48, 3)).clip(0, 255).astype(np.uint8)
+    blobs.append(jpeg.encode_jpeg(px, quality=88, restart_interval=0))
+    singles = [jpeg.decode_jpeg(b) for b in blobs]
+    batched = jpeg.decode_jpeg_batch(blobs)
+    assert len(batched) == len(singles)
+    for a, b in zip(singles, batched):
+        assert np.array_equal(a, b)
+
+
+def test_batched_decode_chunking_cap():
+    """More merged lanes than MAX_LANES: the batch splits into chunks
+    and still matches (exercises the chunk-flush boundary)."""
+    rng = np.random.default_rng(7)
+    pxs = [rng.normal(128, 40, (80, 80, 3)).clip(0, 255).astype(np.uint8)
+           for _ in range(8)]
+    blobs = [jpeg.encode_jpeg(p, quality=85, restart_interval=1)
+             for p in pxs]  # 100 lanes each
+    singles = [jpeg.decode_jpeg(b) for b in blobs]
+    batched = jpeg.decode_jpeg_batch(blobs)
+    for a, b in zip(singles, batched):
+        assert np.array_equal(a, b)
+
+
+def test_decode_images_mixed_formats_preserve_order():
+    from gdal_ray.functions.codecs import decode_images, encode_image
+
+    rng = np.random.default_rng(11)
+    pxs = [rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+           for _ in range(6)]
+    fmts = ["png", "jpeg", "raw", "jpeg", "png", "jpeg"]
+    blobs = [encode_image(p, f) for p, f in zip(pxs, fmts)]
+    outs = decode_images(blobs)
+    for px, out, fmt in zip(pxs, outs, fmts):
+        assert out.shape == px.shape
+        if fmt != "jpeg":
+            assert np.array_equal(out, px)
+        else:
+            from gdal_ray.functions.codecs import psnr
+            assert psnr(px, out) > 25.0
