@@ -105,6 +105,84 @@ def _split_union(sql: str) -> list[str]:
     return parts
 
 
+_SUBQ_OPEN = re.compile(r"\(\s*SELECT\b", re.I)
+
+
+def _mask_subqueries(masked: str) -> str:
+    """Blank the INSIDE of every parenthesized subquery (literals
+    already masked) so the structural clause regex never splits on a
+    subquery's own WHERE/GROUP BY/ORDER BY keywords. Parens survive;
+    offsets map 1:1 onto the original."""
+    out = list(masked)
+    for m in _SUBQ_OPEN.finditer(masked):
+        depth = 0
+        i = m.start()
+        while i < len(masked):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        for k in range(m.start() + 1, min(i, len(masked))):
+            out[k] = " "
+    return "".join(out)
+
+
+_AND = re.compile(r"\s+AND\s+", re.I)
+_IN_SUBQ = re.compile(
+    r"^\s*([\w.]+)\s+(NOT\s+)?IN\s*\(\s*(SELECT\b.*)\)\s*$", re.I | re.S)
+
+
+def _split_conjuncts(where: str) -> list[str]:
+    """Top-level AND conjuncts (outside parens/literals); raises on a
+    top-level OR when a subquery is present (not plannable here)."""
+    masked = _mask_literals(where)
+    parts, starts = [], [0]
+    depth = 0
+    i = 0
+    while i < len(masked):
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _AND.match(masked, i)
+            if m:
+                parts.append(where[starts[-1]:i])
+                starts.append(m.end())
+                i = m.end()
+                continue
+        i += 1
+    parts.append(where[starts[-1]:])
+    return parts
+
+
+def _extract_in_subqueries(where: str):
+    """Split WHERE into (residual_where | None, [(col, anti, inner_sql)])
+    — each ``col [NOT] IN (SELECT ...)`` top-level conjunct plans onto
+    a broadcast key-set semi/anti filter."""
+    if "(" not in where or not _SUBQ_OPEN.search(_mask_literals(where)):
+        return where, []
+    conjs = _split_conjuncts(where)
+    plain, subs = [], []
+    for c in conjs:
+        masked_c = _mask_literals(c)
+        if _SUBQ_OPEN.search(masked_c):
+            m = _IN_SUBQ.match(c)
+            if not m or re.search(r"\bOR\b", _mask_subqueries(masked_c), re.I):
+                raise ValueError(
+                    "unsupported: subquery predicate must be a top-level "
+                    "`col [NOT] IN (SELECT ...)` conjunct")
+            subs.append((m.group(1).split(".")[-1], bool(m.group(2)),
+                         m.group(3)))
+        else:
+            plain.append(c)
+    return (" AND ".join(p.strip() for p in plain) or None), subs
+
+
 def _split_select(s: str) -> list[str]:
     masked = _mask_literals(s)
     out, depth, start = [], 0, 0
@@ -174,10 +252,10 @@ def execute(sql: str, sf_dir: str):
         tabs = [execute(p, sf_dir) for p in members]
         return pa.concat_tables(tabs, promote_options="default")
 
-    # structural match runs on the literal-masked string; clause text
-    # is sliced from the ORIGINAL at the matched spans so literals
-    # survive intact
-    m = _CLAUSE.match(_mask_literals(sql))
+    # structural match runs on the literal- and subquery-masked
+    # string; clause text is sliced from the ORIGINAL at the matched
+    # spans so literals and subqueries survive intact
+    m = _CLAUSE.match(_mask_subqueries(_mask_literals(sql)))
     if not m:
         raise ValueError("unsupported SQL shape")
 
@@ -185,9 +263,22 @@ def execute(sql: str, sf_dir: str):
         s_, e_ = m.span(name)
         return None if s_ == -1 else sql[s_:e_]
 
-    items = [_parse_item(s) for s in _split_select(grp("select"))]
+    select_s = grp("select")
+    distinct = bool(re.match(r"\s*DISTINCT\b", select_s, re.I))
+    if distinct:
+        select_s = re.sub(r"\s*DISTINCT\b", "", select_s, count=1, flags=re.I)
+    items = [_parse_item(s) for s in _split_select(select_s)]
     table = grp("table")
     where = grp("where")
+    having = grp("having")
+    having_hidden = False
+    if having and re.search(r"\b(COUNT|SUM|MIN|MAX|AVG)\s*\(", having, re.I):
+        # aggregates directly in HAVING (HAVING COUNT(*) >= 8): ride
+        # the same agg-extraction machinery as a hidden select item,
+        # filter on it post-aggregation, then drop the column
+        h = _parse_item(having)
+        items.append(("agg", h[1], h[2], "__having__"))
+        having_hidden = True
     group = [c.strip() for c in grp("group").split(",")] if grp("group") else []
     order = []
     if grp("order"):
@@ -231,8 +322,34 @@ def execute(sql: str, sf_dir: str):
     if where:
         from .swq import compile_where
 
-        wf = compile_where(where)
-        ds = ds.map_batches(lambda t: t.filter(wf(t)), batch_format="pyarrow")
+        where, subs = _extract_in_subqueries(where)
+        for col, anti, inner_sql in subs:
+            # col [NOT] IN (SELECT ...): run the subquery, broadcast
+            # its (bounded, distinct-key) first column into a per-batch
+            # is_in filter — the broadcast-key-set semi/anti join
+            # (fact-vs-fact pipelines use stages/joins.semi_anti_join).
+            # SQL 3-valued logic: NOT IN against a set containing NULL
+            # matches nothing; IN ignores the NULLs.
+            inner = execute(inner_sql, sf_dir)
+            keys = inner.column(0)
+            had_null = keys.null_count > 0
+            keys = pc.drop_null(keys).combine_chunks()
+
+            def _subq_filter(t: pa.Table, col=col, keys=keys, anti=anti,
+                             had_null=had_null) -> pa.Table:
+                if anti and had_null:
+                    return t.slice(0, 0)
+                hit = pc.is_in(t[col], value_set=keys)
+                if anti:
+                    hit = pc.and_kleene(pc.invert(hit),
+                                        pc.is_valid(t[col]))
+                return t.filter(hit)
+
+            ds = ds.map_batches(_subq_filter, batch_format="pyarrow")
+        if where:
+            wf = compile_where(where)
+            ds = ds.map_batches(lambda t: t.filter(wf(t)),
+                                batch_format="pyarrow")
 
     has_agg = any(k == "agg" for k, *_ in items)
     if has_agg:
@@ -338,14 +455,16 @@ def execute(sql: str, sf_dir: str):
                 v = pa.array([v] * part.num_rows)
             out_cols[name] = v
         result = pa.table(out_cols)
-        if grp("having"):
-            # HAVING evaluates over the aggregated output columns
+        if having_hidden:
+            keep = result["__having__"]
+            result = result.drop_columns(["__having__"]).filter(keep)
+        elif having:
+            # HAVING over the aggregated output columns' alias names
             # (reference swq HAVING runs post-aggregation,
-            # ogr/swq_select.cpp): reuse the swq compiler against the
-            # result table's alias names
+            # ogr/swq_select.cpp): reuse the swq compiler
             from .swq import compile_where
 
-            hf = compile_where(grp("having"))
+            hf = compile_where(having)
             result = result.filter(hf(result))
     else:
         def project(t: pa.Table) -> pa.Table:
@@ -357,12 +476,23 @@ def execute(sql: str, sf_dir: str):
                 cols[name] = v
             return pa.table(cols)
 
+        if distinct:
+            # SELECT DISTINCT: per-batch dedupe cuts what leaves each
+            # task; the global dedupe folds the bounded distinct rows
+            orig_project = project
+
+            def project(t: pa.Table, _p=orig_project) -> pa.Table:
+                o = _p(t)
+                return o.group_by(o.column_names).aggregate([])
+
         proj = ds.map_batches(project, batch_format="pyarrow")
-        if order and limit is not None and len(order) == 1:
+        if not distinct and order and limit is not None and len(order) == 1:
             return topk(proj, order[0][0], limit, descending=order[0][1])
         tabs = list(proj.iter_batches(batch_size=None, batch_format="pyarrow"))
         result = pa.concat_tables(tabs, promote_options="default") if tabs \
             else pa.table({})
+        if distinct and result.num_rows:
+            result = result.group_by(result.column_names).aggregate([])
 
     if order and result.num_rows:
         idx = pc.sort_indices(

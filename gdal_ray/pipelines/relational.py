@@ -362,6 +362,30 @@ def q_sql_multi_join(sf_dir: str):
     return execute(_SQL_MULTI_JOIN, sf_dir)
 
 
+_SQL_SUBQUERY = """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               round(SUM(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_custkey NOT IN (SELECT o_custkey FROM orders
+                                GROUP BY o_custkey HAVING COUNT(*) >= 12)
+        GROUP BY o_orderpriority
+    """
+
+
+def q_sql_subquery(sf_dir: str):
+    """ExecuteSQL IN / NOT IN (SELECT ...) subquery predicates: each
+    top-level conjunct plans onto a broadcast key-set semi/anti filter
+    (the fact-vs-fact form is stages/joins.semi_anti_join); the inner
+    HAVING COUNT(*) rides the hidden-agg path. Beyond the reference's
+    OGR SQL dialect (no subqueries there) — parity with the DuckDB
+    oracle is the contract. Same SQL verbatim in DuckDB."""
+    from ..functions.sql_exec import execute
+
+    return execute(_SQL_SUBQUERY, sf_dir)
+
+
 def q_sql_count_distinct(sf_dir: str):
     """ExecuteSQL COUNT(DISTINCT x): plans onto the distinct-pair
     combiner (per-batch distinct -> distributed partial combine ->
@@ -637,6 +661,7 @@ ORACLE: dict[str, str] = {
     "q_sql_left_join": _SQL_LEFT_JOIN,
     "q_sql_count_distinct": _SQL_COUNT_DISTINCT,
     "q_sql_multi_join": _SQL_MULTI_JOIN,
+    "q_sql_subquery": _SQL_SUBQUERY,
     "q_quantiles": """
         SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
                round(quantile_cont(o_totalprice, 0.5), 2) AS p50,

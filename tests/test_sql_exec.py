@@ -225,3 +225,46 @@ def test_sql_having_string_literal(ray_session, con):
     sql = ("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
            "GROUP BY o_orderpriority HAVING o_orderpriority = '1-URGENT'")
     _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_in_subquery(ray_session, con):
+    sql = ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+           "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+           "WHERE c_mktsegment = 'BUILDING') AND o_totalprice > 100000.0")
+    _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_not_in_subquery(ray_session, con):
+    sql = ("SELECT c_custkey, c_name FROM customer "
+           "WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders "
+           "WHERE o_totalprice > 300000.0)")
+    _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_subquery_with_groupby_inside(ray_session, con):
+    """The subquery's own GROUP BY/HAVING must not steer the outer
+    structural parse (subquery masking)."""
+    sql = ("SELECT o_orderkey, o_custkey FROM orders "
+           "WHERE o_custkey IN (SELECT o_custkey FROM orders "
+           "GROUP BY o_custkey HAVING COUNT(*) >= 8) "
+           "ORDER BY o_orderkey LIMIT 20")
+    _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_subquery_plus_aggregate_outer(ray_session, con):
+    sql = ("SELECT COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total "
+           "FROM orders WHERE o_custkey IN "
+           "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)")
+    _cmp(execute(sql, SF), con.execute(sql))
+
+
+def test_sql_subquery_top_level_or_raises(ray_session):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        execute("SELECT o_orderkey FROM orders WHERE o_totalprice > 1.0 "
+                "OR o_custkey IN (SELECT c_custkey FROM customer)", SF)
+
+
+def test_sql_select_distinct(ray_session, con):
+    sql = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+    _cmp(execute(sql, SF), con.execute(sql))
