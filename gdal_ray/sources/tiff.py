@@ -1,17 +1,21 @@
-"""Minimal TIFF reader (baseline TIFF, strips).
+"""Minimal TIFF reader (baseline TIFF + BigTIFF, strips + tiles).
 
 The format entry point for GeoTIFF-shaped inputs (reference
-frmts/gtiff/): classic (non-Big) TIFF, II/MM byte order, striped,
-COMPRESSION=1 (none), 5 (LZW, MSB-first with early change), 8/32946
-(Deflate — pure zlib) or 32773 (PackBits), horizontal-differencing
-predictor, 8/16/32-bit signed/unsigned or float samples, chunky
-planar config. Enough to read the reference test fixtures
+frmts/gtiff/): classic TIFF (magic 42) AND BigTIFF (magic 43, 8-byte
+offsets — the >4 GiB layout, libtiff tif_open.c big-TIFF branch),
+II/MM byte order, striped or tiled, COMPRESSION=1 (none), 5 (LZW,
+MSB-first with early change), 8/32946 (Deflate — pure zlib) or 32773
+(PackBits), horizontal-differencing predictor, 8/16/32-bit
+signed/unsigned or float samples, chunky or separate planar config.
+Enough to read the reference test fixtures
 (autotest/gcore/data/byte.tif, utmsmall.tif, the autotest/alg warp
 goldens) and any baseline export — other codecs (JPEG etc.) raise
 ``NotImplementedError`` (no codec libs in this container).
 
-Also decodes the GeoTIFF geotransform when the ModelPixelScale +
-ModelTiepoint tags are present (reference gcore geotransform model).
+Decodes the GeoTIFF geotransform from ModelPixelScale + ModelTiepoint
+(with the PixelIsPoint half-pixel shift) or the full — possibly
+rotated — ModelTransformationTag (reference gcore geotransform model,
+frmts/gtiff geotiff.cpp).
 """
 
 from __future__ import annotations
@@ -37,17 +41,22 @@ _TAG_SAMPLE_FORMAT = 339
 _TAG_PIXEL_SCALE = 33550
 _TAG_GEOKEYS = 34735
 _TAG_TIEPOINT = 33922
+_TAG_TRANSFORM = 34264  # ModelTransformationTag (16 doubles)
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8,
+              16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
-def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
+def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes,
+                     big: bool = False):
     size = _TYPE_SIZE[typ] * cnt
-    if size <= 4:
+    inline = 8 if big else 4
+    if size <= inline:
         buf = raw[:size]
     else:
-        off = struct.unpack(bo + "I", raw)[0]
+        off = struct.unpack(bo + ("Q" if big else "I"), raw)[0]
         buf = data[off:off + size]
     if typ == 5:  # RATIONAL
         vals = struct.unpack(bo + "%dI" % (2 * cnt), buf)
@@ -55,6 +64,46 @@ def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
     if typ == 2:  # ASCII
         return [buf.rstrip(b"\x00").decode("latin-1")]
     return list(struct.unpack(bo + "%d%s" % (cnt, _TYPE_FMT[typ]), buf))
+
+
+def _read_ifd(data: bytes, bo: str) -> dict[int, list]:
+    """First-IFD tag dict for classic (magic 42) AND BigTIFF (43).
+
+    BigTIFF (the reference's >4 GiB path, frmts/gtiff libtiff
+    tif_open.c big-TIFF branch): 8-byte offsets, 8-byte IFD entry
+    counts, 20-byte entries (tag H, type H, count Q, value/offset Q),
+    value types LONG8/SLONG8/IFD8 (16/17/18)."""
+    magic = struct.unpack(bo + "H", data[2:4])[0]
+    if magic == 42:
+        big = False
+        ifd_off = struct.unpack(bo + "I", data[4:8])[0]
+    elif magic == 43:
+        offsize, reserved = struct.unpack(bo + "HH", data[4:8])
+        if offsize != 8 or reserved != 0:
+            raise NotImplementedError(
+                f"BigTIFF offset size {offsize} (only 8 defined)")
+        big = True
+        ifd_off = struct.unpack(bo + "Q", data[8:16])[0]
+    else:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if big:
+        n = struct.unpack(bo + "Q", data[ifd_off:ifd_off + 8])[0]
+        ent0, esz, hdr = ifd_off + 8, 20, 4
+    else:
+        n = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])[0]
+        ent0, esz, hdr = ifd_off + 2, 12, 4
+    tags: dict[int, list] = {}
+    for i in range(n):
+        e = ent0 + esz * i
+        if big:
+            t, typ, cnt = struct.unpack(bo + "HHQ", data[e:e + 12])
+            raw = data[e + 12:e + 20]
+        else:
+            t, typ, cnt = struct.unpack(bo + "HHI", data[e:e + 8])
+            raw = data[e + 8:e + 12]
+        if typ in _TYPE_SIZE:
+            tags[t] = _read_tag_values(data, bo, typ, cnt, raw, big)
+    return tags
 
 
 def _unpackbits(src: bytes, expected: int) -> bytes:
@@ -137,17 +186,7 @@ def decode_tiff(data: bytes):
     if data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF")
     bo = "<" if data[:2] == b"II" else ">"
-    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
-    if magic != 42:
-        raise NotImplementedError("BigTIFF")
-    n = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])[0]
-    tags: dict[int, list] = {}
-    for i in range(n):
-        t, typ, cnt = struct.unpack(bo + "HHI", data[ifd_off + 2 + 12 * i:
-                                                     ifd_off + 10 + 12 * i])
-        raw = data[ifd_off + 10 + 12 * i: ifd_off + 14 + 12 * i]
-        if typ in _TYPE_SIZE:
-            tags[t] = _read_tag_values(data, bo, typ, cnt, raw)
+    tags = _read_ifd(data, bo)
     w = int(tags[_TAG_WIDTH][0])
     h = int(tags[_TAG_HEIGHT][0])
     bits = int(tags.get(_TAG_BITS, [8])[0])
@@ -225,7 +264,12 @@ def decode_tiff(data: bytes):
         px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w)
 
     gt = None
-    if _TAG_PIXEL_SCALE in tags and _TAG_TIEPOINT in tags:
+    if _TAG_TRANSFORM in tags and len(tags[_TAG_TRANSFORM]) >= 16:
+        # ModelTransformationTag: full (possibly rotated) 4x4 affine
+        # (frmts/gtiff geotiff.cpp ModelTransformation read path)
+        t4 = tags[_TAG_TRANSFORM]
+        gt = (t4[3], t4[0], t4[1], t4[7], t4[4], t4[5])
+    elif _TAG_PIXEL_SCALE in tags and _TAG_TIEPOINT in tags:
         sx, sy = tags[_TAG_PIXEL_SCALE][0], tags[_TAG_PIXEL_SCALE][1]
         tp = tags[_TAG_TIEPOINT]
         # tiepoint: (i, j, k, X, Y, Z) — raster point -> model point
@@ -244,12 +288,16 @@ def decode_tiff(data: bytes):
     return px, gt
 
 
-def encode_tiff(px: np.ndarray, gt=None, compression: str = "none") -> bytes:
-    """Minimal classic-TIFF writer (little-endian, single strip,
-    chunky): uint8/16/32, int8/16/32 or float32/64 samples, optional
-    Deflate compression, GeoTIFF ModelPixelScale + ModelTiepoint tags
-    when ``gt`` is given (axis-aligned geotransforms — the writer
-    counterpart of decode_tiff; frmts/gtiff write path analog)."""
+def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
+                bigtiff: bool = False) -> bytes:
+    """Minimal TIFF writer (little-endian, single strip, chunky):
+    uint8/16/32, int8/16/32 or float32/64 samples, optional Deflate
+    compression, GeoTIFF tags when ``gt`` is given — ModelPixelScale +
+    ModelTiepoint for axis-aligned geotransforms, the full
+    ModelTransformationTag for rotated ones (frmts/gtiff geotiff.cpp
+    write path analog). ``bigtiff=True`` writes the 8-byte-offset
+    BigTIFF layout (magic 43, 20-byte IFD entries) — the >4 GiB form
+    a 100-TB raster store actually holds."""
     import zlib
 
     px = np.ascontiguousarray(px)
@@ -274,6 +322,7 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none") -> bytes:
     elif compression != "none":
         raise NotImplementedError(f"tiff write compression {compression}")
 
+    off_typ = 16 if bigtiff else 4  # LONG8 / LONG for offsets+counts
     tags = [
         (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
         (259, 3, 1, comp_tag),
@@ -282,42 +331,58 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none") -> bytes:
         (339, 3, 1, fmt),
     ]
     extra = b""
-    header_len = 8
+    header_len = 16 if bigtiff else 8
+    esz = 20 if bigtiff else 12
+    cnt_sz = 8 if bigtiff else 2
+    next_sz = 8 if bigtiff else 4
     # strip data right after header; IFD after the strip
     strip_off = header_len
     ifd_off = strip_off + len(data)
+
     # out-of-line tag payloads appended after the IFD
     def add_payload(buf: bytes) -> int:
         nonlocal extra
-        off = ifd_off + 2 + 12 * n_entries + 4 + len(extra)
+        off = ifd_off + cnt_sz + esz * n_entries + next_sz + len(extra)
         extra += buf
         return off
 
-    tags.append((273, 4, 1, strip_off))
-    tags.append((279, 4, 1, len(data)))
+    tags.append((273, off_typ, 1, strip_off))
+    tags.append((279, off_typ, 1, len(data)))
+    rotated = gt is not None and (gt[2] != 0.0 or gt[4] != 0.0)
     if gt is not None:
-        if gt[2] != 0.0 or gt[4] != 0.0:
-            raise NotImplementedError("rotated geotransform in TIFF tags")
-        tags.append((33550, 12, 3, None))  # pixel scale (payload below)
-        tags.append((33922, 12, 6, None))  # tiepoint
+        if rotated:
+            tags.append((_TAG_TRANSFORM, 12, 16, None))
+        else:
+            tags.append((33550, 12, 3, None))  # pixel scale
+            tags.append((33922, 12, 6, None))  # tiepoint
     tags.sort(key=lambda t: t[0])
     n_entries = len(tags)
+
+    def pack_entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        if bigtiff:
+            return struct.pack("<HHQQ", tag, typ, cnt, val)
+        return struct.pack("<HHII", tag, typ, cnt, val)
 
     entries = b""
     for tag, typ, cnt, val in tags:
         if tag == 33550:
-            off = add_payload(struct.pack("<3d", abs(gt[1]), abs(gt[5]), 0.0))
-            entries += struct.pack("<HHII", tag, typ, cnt, off)
+            val = add_payload(struct.pack("<3d", abs(gt[1]), abs(gt[5]), 0.0))
         elif tag == 33922:
-            off = add_payload(struct.pack("<6d", 0.0, 0.0, 0.0,
+            val = add_payload(struct.pack("<6d", 0.0, 0.0, 0.0,
                                           gt[0], gt[3], 0.0))
-            entries += struct.pack("<HHII", tag, typ, cnt, off)
-        else:
-            entries += struct.pack("<HHII", tag, typ, cnt, val)
-    out = (b"II" + struct.pack("<HI", 42, ifd_off) + data
-           + struct.pack("<H", n_entries) + entries
-           + struct.pack("<I", 0) + extra)
-    return out
+        elif tag == _TAG_TRANSFORM:
+            val = add_payload(struct.pack(
+                "<16d", gt[1], gt[2], 0.0, gt[0],
+                gt[4], gt[5], 0.0, gt[3],
+                0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+        entries += pack_entry(tag, typ, cnt, val)
+    if bigtiff:
+        head = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+        body = struct.pack("<Q", n_entries) + entries + struct.pack("<Q", 0)
+    else:
+        head = b"II" + struct.pack("<HI", 42, ifd_off)
+        body = struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
+    return head + data + body + extra
 
 
 def tiff_nodata(data: bytes) -> float | None:
@@ -325,25 +390,13 @@ def tiff_nodata(data: bytes) -> float | None:
     if data[:2] not in (b"II", b"MM"):
         return None
     bo = "<" if data[:2] == b"II" else ">"
-    _, ifd_off = struct.unpack(bo + "HI", data[2:8])
-    n = struct.unpack(bo + "H", data[ifd_off:ifd_off + 2])[0]
-    for i in range(n):
-        t, typ, cnt = struct.unpack(bo + "HHI", data[ifd_off + 2 + 12 * i:
-                                                     ifd_off + 10 + 12 * i])
-        if t != 42113:
-            continue
-        raw = data[ifd_off + 10 + 12 * i: ifd_off + 14 + 12 * i]
-        if cnt <= 4:
-            buf = raw[:cnt]
-        else:
-            off = struct.unpack(bo + "I", raw)[0]
-            buf = data[off:off + cnt]
-        s = buf.rstrip(b"\x00").decode("latin-1").strip()
-        try:
-            return float(s)
-        except ValueError:
-            return None
-    return None
+    vals = _read_ifd(data, bo).get(42113)
+    if not vals:
+        return None
+    try:
+        return float(str(vals[0]).strip())
+    except ValueError:
+        return None
 
 
 def read_tiff_dataset(paths: list[str]):

@@ -233,3 +233,51 @@ def test_tiff_tiled_read():
         out, _ = decode_tiff(blob)
         assert np.array_equal(out, src), (tw, th, deflate)
         assert checksum_image(out) == 50054
+
+
+def test_bigtiff_roundtrip_all_dtypes():
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte IFD entries —
+    libtiff tif_open.c big-TIFF branch): write -> reread bit-exact,
+    geotransform preserved, deflate path included."""
+    import numpy as np
+
+    from gdal_ray.sources.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(5)
+    gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    for dt in (np.uint8, np.uint16, np.int16, np.int32, np.float32,
+               np.float64):
+        px = (rng.uniform(0, 255, (37, 53)) if np.dtype(dt).kind == "f"
+              else rng.integers(0, 250, (37, 53))).astype(dt)
+        b = encode_tiff(px, gt=gt, bigtiff=True)
+        assert b[2] == 43
+        p2, g2 = decode_tiff(b)
+        assert np.array_equal(p2, px)
+        assert np.allclose(g2, gt)
+    px3 = rng.integers(0, 255, (40, 31, 3)).astype(np.uint8)
+    b = encode_tiff(px3, gt=gt, compression="deflate", bigtiff=True)
+    p2, g2 = decode_tiff(b)
+    assert np.array_equal(p2, px3) and np.allclose(g2, gt)
+
+
+def test_rotated_geotransform_modeltransformation():
+    """Rotated geotransforms round-trip through ModelTransformationTag
+    (frmts/gtiff geotiff.cpp), classic and BigTIFF, and the warp
+    stage consumes them (GenImgProj affine link handles rotation)."""
+    import numpy as np
+
+    from gdal_ray.sources.tiff import decode_tiff, encode_tiff
+    from gdal_ray.stages.warp import warp_image_to_tiles
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 255, (48, 48)).astype(np.uint8)
+    gtrot = (440720.0, 58.0, 7.5, 3751320.0, -6.0, -59.0)
+    for big in (False, True):
+        b = encode_tiff(px, gt=gtrot, bigtiff=big)
+        p2, g2 = decode_tiff(b)
+        assert np.array_equal(p2, px)
+        assert np.allclose(g2, gtrot)
+    rgb = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+    frags = warp_image_to_tiles(
+        rgb, (500_000.0, 28.0, 9.0, 4_200_000.0, -8.5, -27.0), 32618, "rot")
+    assert frags and sum(f["n_valid"] for f in frags) > 0
