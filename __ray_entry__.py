@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
               "q_pyramid", "q_footprint"):
         tier[k] = 2
     for k in ("q_sql_left_join", "q_sql_count_distinct", "q_sql_multi_join",
-              "q_sql_subquery", "q_geoloc_warp",
+              "q_sql_subquery", "q_geoloc_warp", "q_zfield_precision",
               "q_gpkg_layer", "q_geojson_layer", "q_fgb_layer"):
         tier[k] = 3                           # new this round, never rowed
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))

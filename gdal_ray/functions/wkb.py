@@ -40,6 +40,10 @@ class Geom:
     kind: int
     rings: list[np.ndarray] = field(default_factory=list)
     poly_ring_counts: list[int] = field(default_factory=list)
+    # Z values per ring, parallel to ``rings`` (None = 2-D) — the
+    # 2.5-D OGR wkbPoint25D family (ogr/ogr_core.h wkb25DBit / ISO
+    # 1000+k types; ogr2ogr -zfield sets these from an attribute)
+    zs: list[np.ndarray] | None = None
 
     @property
     def name(self) -> str:
@@ -74,54 +78,123 @@ def wkb_to_points(col) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+def points_to_wkb_z(x: np.ndarray, y: np.ndarray,
+                    z: np.ndarray) -> list[bytes]:
+    """Vectorized little-endian ISO POINT Z column (type 1001) — the
+    bulk form of the ogr2ogr -zfield promotion."""
+    n = len(x)
+    buf = np.empty((n, 29), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.array([1001], dtype="<u4").view(np.uint8)
+    buf[:, 5:13] = np.ascontiguousarray(x, dtype="<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = np.ascontiguousarray(y, dtype="<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 21:29] = np.ascontiguousarray(z, dtype="<f8").view(np.uint8).reshape(n, 8)
+    return [b.tobytes() for b in buf]
+
+
+def wkb_to_points_z(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized decode of a column of ISO WKB POINT Z (29-byte LE)."""
+    arr = np.frombuffer(b"".join(col), dtype=np.uint8).reshape(len(col), 29)
+    if not (arr[:, 0] == 1).all():
+        raise ValueError("big-endian points in fast path")
+    x = arr[:, 5:13].copy().view("<f8")[:, 0]
+    y = arr[:, 13:21].copy().view("<f8")[:, 0]
+    z = arr[:, 21:29].copy().view("<f8")[:, 0]
+    return x, y, z
+
+
+def snap_resolution(v: np.ndarray, res: float) -> np.ndarray:
+    """std::round(v/res)*res — OGRGeomCoordinatePrecision snapping
+    (half away from zero), shared by round_coordinates and the
+    vectorized point path."""
+    t = np.asarray(v, np.float64) / res
+    return np.trunc(t + np.copysign(0.5, t)) * res
+
+
 # ----------------------------------------------------------------- generic codec
 def _rd_uint32(data, pos, little):
     return struct.unpack_from("<I" if little else ">I", data, pos)[0], pos + 4
 
 
-def _rd_coords(data, pos, n, little):
+def _rd_coords(data, pos, n, little, dims: int = 2):
     fmt = "<" if little else ">"
-    arr = np.frombuffer(data, dtype=fmt + "f8", count=2 * n, offset=pos)
-    return arr.reshape(n, 2).astype(np.float64), pos + 16 * n
+    arr = np.frombuffer(data, dtype=fmt + "f8", count=dims * n, offset=pos)
+    arr = arr.reshape(n, dims).astype(np.float64)
+    return arr, pos + 8 * dims * n
+
+
+def _geom_flags(gtype: int) -> tuple[int, bool]:
+    """(base type, has_z) from an ISO (1000+k) or EWKB (0x80000000)
+    geometry type; measured (M/ZM) dimensions raise."""
+    has_z = False
+    if gtype & 0x80000000:  # EWKB Z
+        has_z = True
+        gtype &= 0x7FFFFFFF
+    if gtype & 0x40000000:  # EWKB M
+        raise NotImplementedError("measured (M) WKB coordinates")
+    gtype &= 0x1FFFFFFF  # strip EWKB SRID flag space
+    iso = gtype // 1000
+    if iso == 1:
+        has_z = True
+    elif iso in (2, 3):
+        raise NotImplementedError("measured (M/ZM) WKB coordinates")
+    return gtype % 1000, has_z
 
 
 def _parse(data: bytes, pos: int):
     little = data[pos] == 1
     pos += 1
     gtype, pos = _rd_uint32(data, pos, little)
-    gtype = gtype & 0xFF  # strip 2.5D/SRID flags (1000/2000/0x80000000 handled upstream)
+    gtype, has_z = _geom_flags(gtype)
+    dims = 3 if has_z else 2
+
+    def split(arr):
+        return (arr[:, :2], arr[:, 2]) if has_z else (arr, None)
+
     if gtype == POINT:
-        xy, pos = _rd_coords(data, pos, 1, little)
-        return Geom(POINT, [xy]), pos
+        c, pos = _rd_coords(data, pos, 1, little, dims)
+        xy, z = split(c)
+        return Geom(POINT, [xy], zs=[z] if has_z else None), pos
     if gtype == LINESTRING:
         n, pos = _rd_uint32(data, pos, little)
-        xy, pos = _rd_coords(data, pos, n, little)
-        return Geom(LINESTRING, [xy]), pos
+        c, pos = _rd_coords(data, pos, n, little, dims)
+        xy, z = split(c)
+        return Geom(LINESTRING, [xy], zs=[z] if has_z else None), pos
     if gtype == POLYGON:
         nrings, pos = _rd_uint32(data, pos, little)
         rings = []
+        zs = [] if has_z else None
         for _ in range(nrings):
             n, pos = _rd_uint32(data, pos, little)
-            xy, pos = _rd_coords(data, pos, n, little)
+            c, pos = _rd_coords(data, pos, n, little, dims)
+            xy, z = split(c)
             rings.append(xy)
-        return Geom(POLYGON, rings, [nrings]), pos
+            if has_z:
+                zs.append(z)
+        return Geom(POLYGON, rings, [nrings], zs=zs), pos
     if gtype in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON):
         nparts, pos = _rd_uint32(data, pos, little)
         rings: list[np.ndarray] = []
         counts: list[int] = []
         pts: list[np.ndarray] = []
+        zs: list[np.ndarray] = []
+        any_z = False
         for _ in range(nparts):
             sub, pos = _parse(data, pos)
+            any_z = any_z or sub.zs is not None
             if gtype == MULTIPOINT:
                 pts.append(sub.rings[0])
-            elif gtype == MULTILINESTRING:
-                rings.extend(sub.rings)
+                zs.extend(sub.zs or [np.zeros(len(sub.rings[0]))])
             else:
                 rings.extend(sub.rings)
-                counts.extend(sub.poly_ring_counts)
+                zs.extend(sub.zs or [np.zeros(len(r)) for r in sub.rings])
+                if gtype == MULTIPOLYGON:
+                    counts.extend(sub.poly_ring_counts)
         if gtype == MULTIPOINT:
-            return Geom(MULTIPOINT, [np.concatenate(pts) if pts else np.empty((0, 2))]), pos
-        return Geom(gtype, rings, counts), pos
+            return Geom(MULTIPOINT,
+                        [np.concatenate(pts) if pts else np.empty((0, 2))],
+                        zs=[np.concatenate(zs)] if any_z else None), pos
+        return Geom(gtype, rings, counts, zs=zs if any_z else None), pos
     raise NotImplementedError(f"WKB geometry type {gtype}")
 
 
@@ -133,67 +206,119 @@ def _w_coords(xy: np.ndarray) -> bytes:
     return np.ascontiguousarray(xy, dtype="<f8").tobytes()
 
 
+def _w3(xy: np.ndarray, z: np.ndarray) -> bytes:
+    c = np.empty((len(xy), 3))
+    c[:, :2] = xy
+    c[:, 2] = z
+    return np.ascontiguousarray(c, dtype="<f8").tobytes()
+
+
 def geom_to_wkb(g: Geom) -> bytes:
-    h = lambda t: b"\x01" + struct.pack("<I", t)
+    """ISO WKB writer; 2.5-D geometries (``zs`` set) emit the ISO
+    1000+k Z types (OGRGeometry::exportToWkb wkbVariantIso)."""
+    zv = g.zs
+    zoff = 1000 if zv is not None else 0
+    h = lambda t: b"\x01" + struct.pack("<I", t + zoff)
+
+    def coords(i: int, sl=None) -> bytes:
+        r = g.rings[i] if sl is None else g.rings[i][sl]
+        if zv is None:
+            return _w_coords(r)
+        z = zv[i] if sl is None else zv[i][sl]
+        return _w3(r, z)
+
     if g.kind == POINT:
-        return h(POINT) + _w_coords(g.rings[0][:1])
+        return h(POINT) + coords(0, slice(0, 1))
     if g.kind == LINESTRING:
-        return h(LINESTRING) + struct.pack("<I", len(g.rings[0])) + _w_coords(g.rings[0])
+        return h(LINESTRING) + struct.pack("<I", len(g.rings[0])) + coords(0)
     if g.kind == POLYGON:
         out = h(POLYGON) + struct.pack("<I", len(g.rings))
-        for r in g.rings:
-            out += struct.pack("<I", len(r)) + _w_coords(r)
+        for i, r in enumerate(g.rings):
+            out += struct.pack("<I", len(r)) + coords(i)
         return out
     if g.kind == MULTIPOINT:
         pts = g.rings[0]
         out = h(MULTIPOINT) + struct.pack("<I", len(pts))
-        for p in pts:
-            out += h(POINT) + _w_coords(p.reshape(1, 2))
+        for j in range(len(pts)):
+            out += h(POINT) + coords(0, slice(j, j + 1))
         return out
     if g.kind == MULTILINESTRING:
         out = h(MULTILINESTRING) + struct.pack("<I", len(g.rings))
-        for r in g.rings:
-            out += h(LINESTRING) + struct.pack("<I", len(r)) + _w_coords(r)
+        for i, r in enumerate(g.rings):
+            out += h(LINESTRING) + struct.pack("<I", len(r)) + coords(i)
         return out
     if g.kind == MULTIPOLYGON:
         out = h(MULTIPOLYGON) + struct.pack("<I", len(g.poly_ring_counts))
         i = 0
         for cnt in g.poly_ring_counts:
             out += h(POLYGON) + struct.pack("<I", cnt)
-            for r in g.rings[i : i + cnt]:
-                out += struct.pack("<I", len(r)) + _w_coords(r)
+            for k in range(i, i + cnt):
+                out += struct.pack("<I", len(g.rings[k])) + coords(k)
             i += cnt
         return out
     raise NotImplementedError(g.kind)
 
 
+def set_z(g: Geom, z) -> Geom:
+    """Constant-Z promotion — the ogr2ogr ``-zfield`` semantic: every
+    vertex gets the feature's attribute value
+    (apps/ogr2ogr_lib.cpp zField -> set3D + setZ)."""
+    zf = float(z)
+    return Geom(g.kind, g.rings, g.poly_ring_counts,
+                zs=[np.full(len(r), zf) for r in g.rings])
+
+
+def round_coordinates(g: Geom, xy_res: float, z_res: float | None = None) -> Geom:
+    """OGRGeomCoordinatePrecision rounding (ogr2ogr -xyRes/-zRes;
+    OGRGeometry::roundCoordinates, ogr/ogrgeometry.cpp): each
+    coordinate snaps to the nearest multiple of the resolution with
+    std::round (half away from zero) semantics."""
+    rings = [snap_resolution(r, xy_res) for r in g.rings]
+    zs = g.zs
+    if zs is not None and z_res is not None:
+        zs = [snap_resolution(z, z_res) for z in zs]
+    return Geom(g.kind, rings, g.poly_ring_counts, zs=zs)
+
+
 # ----------------------------------------------------------------- WKT codec
 def geom_to_wkt(g: Geom, precision: int = 15) -> str:
-    """ISO WKT writer (OGRGeometry::exportToWkt analog)."""
-    def coords(r: np.ndarray) -> str:
+    """ISO WKT writer (OGRGeometry::exportToWkt analog); 2.5-D
+    geometries emit the ``<TYPE> Z (x y z)`` ISO form."""
+    zv = g.zs
+
+    def coords(r: np.ndarray, ri: int = 0, sl=None) -> str:
+        if zv is not None:
+            z = zv[ri] if sl is None else zv[ri][sl]
+            return ", ".join(
+                f"{x:.{precision}g} {y:.{precision}g} {zz:.{precision}g}"
+                for (x, y), zz in zip(r, z))
         return ", ".join(f"{x:.{precision}g} {y:.{precision}g}" for x, y in r)
 
+    zt = " Z" if zv is not None else ""
     if g.kind == POINT:
-        return f"POINT ({coords(g.rings[0][:1])})"
+        return f"POINT{zt} ({coords(g.rings[0][:1], 0, slice(0, 1))})"
     if g.kind == LINESTRING:
-        return f"LINESTRING ({coords(g.rings[0])})"
+        return f"LINESTRING{zt} ({coords(g.rings[0])})"
     if g.kind == POLYGON:
-        rings = ", ".join(f"({coords(r)})" for r in g.rings)
-        return f"POLYGON ({rings})"
+        rings = ", ".join(f"({coords(r, i)})" for i, r in enumerate(g.rings))
+        return f"POLYGON{zt} ({rings})"
     if g.kind == MULTIPOINT:
-        pts = ", ".join(f"({coords(p.reshape(1, 2))})" for p in g.rings[0])
-        return f"MULTIPOINT ({pts})"
+        pts = ", ".join(
+            f"({coords(g.rings[0][j:j + 1], 0, slice(j, j + 1))})"
+            for j in range(len(g.rings[0])))
+        return f"MULTIPOINT{zt} ({pts})"
     if g.kind == MULTILINESTRING:
-        parts = ", ".join(f"({coords(r)})" for r in g.rings)
-        return f"MULTILINESTRING ({parts})"
+        parts = ", ".join(f"({coords(r, i)})" for i, r in enumerate(g.rings))
+        return f"MULTILINESTRING{zt} ({parts})"
     if g.kind == MULTIPOLYGON:
         out = []
         i = 0
         for cnt in g.poly_ring_counts:
-            rings = ", ".join(f"({coords(r)})" for r in g.rings[i:i + cnt])
+            rings = ", ".join(f"({coords(g.rings[k], k)})"
+                              for k in range(i, i + cnt))
             out.append(f"({rings})")
             i += cnt
-        return f"MULTIPOLYGON ({', '.join(out)})"
+        return f"MULTIPOLYGON{zt} ({', '.join(out)})"
     raise NotImplementedError(g.kind)
 
 

@@ -396,7 +396,54 @@ def q_fgb_layer(sf_dir: str):
     })
 
 
+def q_zfield_precision(sf_dir: str):
+    """ogr2ogr -zfield + -xyRes/-zRes coordinate precision
+    (apps/ogr2ogr_lib.cpp zField -> setZ; OGRGeomCoordinatePrecision,
+    OGRGeometry::roundCoordinates): events become POINT Z features
+    whose Z comes from the value field, coordinates snapped to
+    xy_res=0.01 / z_res=0.1 with std::round (half away from zero)
+    semantics, written and re-read through the vectorized ISO
+    POINT Z WKB codec. Streams as map_batches; the oracle recomputes
+    the snapping arithmetic in SQL."""
+    from ..functions.wkb import (points_to_wkb_z, snap_resolution,
+                                 wkb_to_points_z)
+    from .common import read_table
+    from .spatial_sql import derive_lonlat
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(
+            pa.compute.bit_wise_and(t["event_id"], 15), 3))
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64()),
+                             "z": pa.array([], pa.float64())})
+        lon, lat = derive_lonlat(t["value"].to_numpy())
+        z = t["value"].to_numpy()
+        wkbz = points_to_wkb_z(snap_resolution(lon, 0.01),
+                               snap_resolution(lat, 0.01),
+                               snap_resolution(z, 0.1))
+        x2, y2, z2 = wkb_to_points_z(wkbz)  # real codec round-trip
+        return pa.table({"event_id": t["event_id"],
+                         "x": pa.array(x2), "y": pa.array(y2),
+                         "z": pa.array(z2)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SNAP = ("trunc({v} / {r} + CASE WHEN {v} < 0 THEN -0.5 ELSE 0.5 END)"
+         " * {r}")
+
 ORACLE: dict[str, str] = {
+    "q_zfield_precision": f"""
+        SELECT event_id,
+               {_SNAP.format(v='(fmod(value * 7.0, 360.0) - 180.0)', r='0.01')} AS x,
+               {_SNAP.format(v='(fmod(value * 3.0, 170.0) - 85.0)', r='0.01')} AS y,
+               {_SNAP.format(v='value', r='0.1')} AS z
+        FROM events WHERE event_id % 16 = 3
+    """,
     "q_constructive": """
         SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey,
                CAST(round(195.0 + 2.0 * (13.0 + 15.0) * 1.5
@@ -514,4 +561,5 @@ QUERIES = {
     "q_gpkg_layer": q_gpkg_layer,
     "q_geojson_layer": q_geojson_layer,
     "q_fgb_layer": q_fgb_layer,
+    "q_zfield_precision": q_zfield_precision,
 }

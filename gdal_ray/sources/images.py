@@ -187,7 +187,7 @@ def cached_corpus_parquet(n: int, root: str = "/tmp/gdal_ray_fixtures") -> str:
     the stand-in for the stored Lance table in tests/benches."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(root, f"images_n{n}.parquet")
+    path = os.path.join(root, f"images_n{n}_v{CORPUS_VERSION}.parquet")
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
         tmp = path + ".tmp"

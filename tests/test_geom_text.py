@@ -228,3 +228,60 @@ def test_simhash_hamming():
 def test_langid():
     assert langid(["the cat and the dog went to the park"])[0] == "en"
     assert langid([""])[0] == "und"
+
+
+def test_wkb_z_roundtrip_and_precision():
+    """2.5-D WKB (ISO 1000+k and EWKB 0x80000000), -zfield promotion,
+    and OGRGeomCoordinatePrecision snapping (std::round semantics)."""
+    import struct
+
+    import numpy as np
+
+    from gdal_ray.functions.wkb import (Geom, LINESTRING, MULTIPOLYGON,
+                                        POINT, POLYGON, geom_to_wkb,
+                                        geom_to_wkt, points_to_wkb_z,
+                                        round_coordinates, set_z,
+                                        snap_resolution, wkb_to_geom,
+                                        wkb_to_points_z)
+
+    g = Geom(POLYGON, [np.array([[0., 0.], [4., 0.], [4., 3.], [0., 0.]])],
+             [1])
+    gz = set_z(g, 7.25)
+    b = geom_to_wkb(gz)
+    assert struct.unpack("<I", b[1:5])[0] == 1003  # ISO PolygonZ
+    g2 = wkb_to_geom(b)
+    assert g2.zs is not None and np.allclose(g2.zs[0], 7.25)
+    assert geom_to_wkt(g2, 6).startswith("POLYGON Z ((0 0 7.25")
+    # EWKB Z flag read
+    ew = b"\x01" + struct.pack("<I", 0x80000001) + struct.pack(
+        "<3d", 1.0, 2.0, 9.0)
+    ge = wkb_to_geom(ew)
+    assert ge.kind == POINT and ge.zs[0][0] == 9.0
+    # multipolygon Z round-trip
+    mp = set_z(Geom(MULTIPOLYGON,
+                    [np.array([[0., 0.], [1., 0.], [1., 1.], [0., 0.]]),
+                     np.array([[5., 5.], [6., 5.], [6., 6.], [5., 5.]])],
+                    [1, 1]), 2.0)
+    m2 = wkb_to_geom(geom_to_wkb(mp))
+    assert m2.zs is not None and all(np.allclose(z, 2.0) for z in m2.zs)
+    # precision snapping: half away from zero, negatives included
+    rr = round_coordinates(
+        Geom(LINESTRING, [np.array([[1.234, -5.678], [0.005, -0.005]])]),
+        0.01)
+    assert np.allclose(rr.rings[0], [[1.23, -5.68], [0.01, -0.01]])
+    # exactly-representable half: snaps away from zero (std::round);
+    # -0.15/0.1 would be -1.4999…98 in float64 and snaps to -0.1,
+    # identically to the reference's C++ double arithmetic
+    assert snap_resolution(np.array([-1.5]), 1.0)[0] == -2.0
+    assert snap_resolution(np.array([1.5]), 1.0)[0] == 2.0
+    # vectorized POINT Z column round-trip
+    x = np.array([1.5, -3.25])
+    y = np.array([2.5, 4.0])
+    z = np.array([10.0, -1.5])
+    col = points_to_wkb_z(x, y, z)
+    x2, y2, z2 = wkb_to_points_z(col)
+    assert np.array_equal(x, x2) and np.array_equal(y, y2) \
+        and np.array_equal(z, z2)
+    # the generic parser agrees with the fast column codec
+    gg = wkb_to_geom(col[1])
+    assert gg.zs[0][0] == -1.5 and gg.rings[0][0, 0] == -3.25
