@@ -154,7 +154,12 @@ def q_crs_transform(sf_dir: str):
             err = float(np.hypot(x2 - x, y2 - y).max())
             rows["epsg"].append(epsg)
             rows["n"].append(len(lon))
-            rows["max_err"].append(round(err, 9))
+            # 2 significant figures, not absolute decimals: the datum
+            # Helmert inverse is iterative and vectorized per batch, so
+            # batch boundaries shift the last ~nm of the round-trip;
+            # nanometer-absolute rounding would make the value depend
+            # on the run's block layout
+            rows["max_err"].append(float(f"{err:.1e}") if err else 0.0)
             rows["cksum"].append(int(np.round(np.abs(x) + np.abs(y)).sum()
                                      % 4294967291))
         return pa.table({"epsg": pa.array(rows["epsg"], pa.int32()),
