@@ -253,14 +253,57 @@ def quadtree_leaves(fp, base_zoom: int = 10, max_images_per_part: int = 64,
         z += 1
 
 
+def pack_buckets(leaf_map: dict[int, int], max_images_per_part: int,
+                 num_buckets: int) -> dict[tuple[int, int], int]:
+    """Greedy weighted bin-packing of (leaf, salt) work items into
+    ``num_buckets`` compose buckets, weight = image count (decode +
+    warp dominate). Driver-side over O(leaves) metadata — the same
+    state quadtree_leaves already holds. Replaces hash bucketing,
+    whose unweighted collisions produced 5x straggler buckets."""
+    import heapq
+
+    plain, salted = [], []
+    for k, cnt in leaf_map.items():
+        ns = max(1, -(-cnt // max_images_per_part))
+        base, extra = divmod(cnt, ns)
+        for s in range(ns):
+            w = base + (1 if s < extra else 0)
+            (salted if ns > 1 else plain).append((w, int(k), s))
+    # salted and plain leaves run in separate pools (the salted path
+    # adds a merge shuffle), so pack them into DISJOINT bucket ranges
+    # sized by work share — a shared bucket would split at the filter
+    # and unbalance both pools
+    tot = sum(w for w, _, _ in plain) + sum(w for w, _, _ in salted) or 1
+    nb_salted = 0
+    if salted:
+        frac = sum(w for w, _, _ in salted) / tot
+        nb_salted = min(max(1, round(num_buckets * frac)),
+                        num_buckets - (1 if plain else 0))
+    out: dict[tuple[int, int], int] = {}
+    for items, b0, nb in ((plain, 0, num_buckets - nb_salted),
+                          (salted, num_buckets - nb_salted, nb_salted)):
+        if not items:
+            continue
+        items.sort(reverse=True)
+        heap = [(0, b0 + b) for b in range(nb)]
+        for w, k, s in items:
+            load, b = heapq.heappop(heap)
+            out[(k, s)] = b
+            heapq.heappush(heap, (load + w, b))
+    return out
+
+
 def assignment_dataset(fp, leaf_map: dict[int, int], base_zoom: int,
-                       max_images_per_part: int, num_buckets: int):
+                       max_images_per_part: int, num_buckets: int,
+                       bucket_of: dict[tuple[int, int], int] | None = None):
     """(part_key, salt, image_idx, n_salt, __bucket__) rows, computed
     distributed: each footprint row walks the broadcast leaf-key set
     down from its base cells (map_batches), then a groupby(part_key)
     over the METADATA rows ranks images within each leaf to assign
     balanced salt groups — same salt semantics as the driver-side
-    reference implementation."""
+    reference implementation. ``bucket_of`` ({(leaf, salt): bucket},
+    see pack_buckets) overrides the default hash bucketing; it is
+    O(leaf-partitions) metadata shipped once per task via closure."""
     leaf_keys = frozenset(leaf_map)
 
     def walk(t: pa.Table) -> pa.Table:
@@ -292,8 +335,12 @@ def assignment_dataset(fp, leaf_map: dict[int, int], base_zoom: int,
         # shuffle is unnecessary — compute salt/bucket inline
         def plain(t: pa.Table) -> pa.Table:
             pk = t["part_key"].to_numpy()
-            b = (pd.util.hash_array(pk * np.int64(1000003))
-                 % np.uint64(num_buckets)).astype(np.int64)
+            if bucket_of is not None:
+                b = np.fromiter((bucket_of[(int(k), 0)] for k in pk),
+                                np.int64, len(pk))
+            else:
+                b = (pd.util.hash_array(pk * np.int64(1000003))
+                     % np.uint64(num_buckets)).astype(np.int64)
             return pa.table({
                 "part_key": t["part_key"], "image_idx": t["image_idx"],
                 "salt": pa.array(np.zeros(t.num_rows, np.int32)),
@@ -308,9 +355,14 @@ def assignment_dataset(fp, leaf_map: dict[int, int], base_zoom: int,
         n_salt = max(1, -(-len(g) // max_images_per_part))
         g["salt"] = (np.arange(len(g)) % n_salt).astype(np.int32)
         g["n_salt"] = np.int32(n_salt)
-        g["__bucket__"] = (pd.util.hash_array(
-            g["part_key"].to_numpy() * np.int64(1000003)
-            + g["salt"].to_numpy()) % np.uint64(num_buckets)).astype(np.int64)
+        if bucket_of is not None:
+            pk = int(g["part_key"].iloc[0])
+            g["__bucket__"] = np.fromiter(
+                (bucket_of[(pk, int(s))] for s in g["salt"]), np.int64, len(g))
+        else:
+            g["__bucket__"] = (pd.util.hash_array(
+                g["part_key"].to_numpy() * np.int64(1000003)
+                + g["salt"].to_numpy()) % np.uint64(num_buckets)).astype(np.int64)
         return g
 
     return walked.groupby("part_key").map_groups(salt_group,
@@ -368,23 +420,14 @@ class ComposePartition:
             pixs = self._decode_batch(batch["bytes"].to_pylist())
             for i, px in enumerate(pixs):
                 gt, epsg = self._georef(int(idxs[i]))
+                # owner clip: warp only the sub-rect of the scene that
+                # falls inside this leaf (an image spanning k leaves
+                # costs one warp per OWNED region, not k full warps)
                 for fr in warp_image_to_tiles(
                         px, gt, epsg, ids[i], self.zoom,
                         resampling=self.resampling, tile_size=self.tile_size,
-                        frag_codec="raw0"):  # consumed in-task: skip zlib
-                    # keep only tiles owned by this leaf
-                    if fr["z"] < pz:
-                        # a fragment coarser than the leaf zoom has no
-                        # owning leaf; silently dropping it would break
-                        # bit-identity with the fragment-shuffle path
-                        raise ValueError(
-                            f"image {ids[i]} warps at z{fr['z']}, coarser than "
-                            f"the leaf zoom z{pz}: the partitioned path needs "
-                            "auto zoom >= base_zoom — lower base_zoom or use "
-                            "the fragment-shuffle path (tiling.compose_tiles)")
-                    if (fr["tx"] >> (fr["z"] - pz)) != ptx or \
-                       (fr["ty"] >> (fr["z"] - pz)) != pty:
-                        continue
+                        frag_codec="raw0",  # consumed in-task: skip zlib
+                        owner=(pz, ptx, pty)):
                     fr["__sort__"] = int(idxs[i])
                     frags_by_tile.setdefault(fr["tile_key"], []).append(fr)
             for tk in sorted(frags_by_tile):
@@ -462,18 +505,29 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
     if leaf_map is None:  # footprints too large for the one-pass plan
         leaf_map = quadtree_leaves(fp, base_zoom, max_images_per_part,
                                    max_part_zoom)
-    nb = num_buckets or max(64, concurrency * 4)
+    # bucket granularity: >= 6 tasks per actor for pipeline smoothing,
+    # and no bucket much heavier than ~32 images so the last wave's
+    # straggler is bounded — but never more buckets than work items
+    n_items = sum(max(1, -(-c // max_images_per_part)) for c in leaf_map.values())
+    total_w = sum(leaf_map.values())
+    nb = num_buckets or max(1, min(n_items,
+                                   max(concurrency * 6, total_w // 32)))
+    bucket_of = pack_buckets(leaf_map, max_images_per_part, nb)
     assign = assignment_dataset(fp, leaf_map, base_zoom,
-                                max_images_per_part, nb).materialize()
+                                max_images_per_part, nb,
+                                bucket_of=bucket_of).materialize()
 
     final_cols = ["tile_key", "z", "tx", "ty", "pixels", "alpha",
                   "n_src", "n_valid", "checksum"]
     kwargs = dict(zoom=zoom, resampling=resampling, loader=loader)
 
     def compose_of(ds, conc: int):
+        # (conc, conc): pre-start the whole pool — autoscaling from 1
+        # ramps over ~10s and leaves the cluster idle after the cheap
+        # metadata assignment phase
         return ds.groupby("__bucket__").map_groups(
             ComposePartition, fn_constructor_kwargs=kwargs,
-            batch_format="pyarrow", concurrency=conc, num_cpus=1)
+            batch_format="pyarrow", concurrency=(conc, conc), num_cpus=1)
 
     a_plain = assign.map_batches(
         lambda t: t.filter(pc.less_equal(t["n_salt"], 1)),

@@ -165,7 +165,8 @@ def warp_image_to_tiles(pixels: np.ndarray, gt, epsg: int, image_id: str,
                         tile_size: int = DEFAULT_TILE_SIZE,
                         max_tiles: int = 256, approx_grid: int = 8,
                         exact_transform: bool = False,
-                        frag_codec: str = "raw", src_georef=None):
+                        frag_codec: str = "raw", src_georef=None,
+                        owner=None):
     """Warp one georeferenced image into WebMercatorQuad tile fragments.
 
     Returns a list of fragment dicts (FRAGMENT_SCHEMA fields).
@@ -173,6 +174,10 @@ def warp_image_to_tiles(pixels: np.ndarray, gt, epsg: int, image_id: str,
     fragments are consumed inside the same task (partitioned compose).
     ``src_georef`` (functions/gcp.py transformer) georeferences the
     scene by GCPs instead of the affine ``gt``.
+    ``owner`` = (z, tx, ty) of an owning leaf tile: only fragments
+    whose tile lies inside that leaf are computed — the partitioned
+    compose path warps each image once PER OWNED REGION instead of
+    warping the whole scene and discarding the other leaves' tiles.
     """
     h, w = pixels.shape[:2]
     xmin, ymin, xmax, ymax = src_bounds_3857(gt, epsg, w, h,
@@ -196,6 +201,22 @@ def warp_image_to_tiles(pixels: np.ndarray, gt, epsg: int, image_id: str,
         res_3857 = res_ground * float(mercator_scale(lat))
         zoom = auto_zoom(res_3857, tile_size)
     tx0, tx1, ty0, ty1 = tiles_overlapping_bounds(xmin, ymin, xmax, ymax, zoom)
+    if owner is not None:
+        pz, ptx, pty = (int(v) for v in owner)
+        if zoom < pz:
+            # a fragment coarser than the leaf zoom has no owning
+            # leaf; silently dropping it would break bit-identity
+            # with the fragment-shuffle path
+            raise ValueError(
+                f"image {image_id} warps at z{zoom}, coarser than the "
+                f"leaf zoom z{pz}: the partitioned path needs auto zoom "
+                ">= base_zoom — lower base_zoom or use the "
+                "fragment-shuffle path (tiling.compose_tiles)")
+        s = zoom - pz
+        tx0, tx1 = max(tx0, ptx << s), min(tx1, ((ptx + 1) << s) - 1)
+        ty0, ty1 = max(ty0, pty << s), min(ty1, ((pty + 1) << s) - 1)
+        if tx0 > tx1 or ty0 > ty1:
+            return []
     n_tiles = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     if n_tiles > max_tiles:
         raise ValueError(
