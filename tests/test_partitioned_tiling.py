@@ -94,3 +94,63 @@ def test_fast_leaves_match_iterative(ray_session):
     b = quadtree_leaves_fast(fp, base_zoom=10, max_images_per_part=4,
                              max_part_zoom=14)
     assert b is not None and a == b
+
+
+def test_pack_buckets_balances_and_separates():
+    """Weighted bin-packing: every (leaf, salt) item gets a bucket,
+    plain/salted land in disjoint ranges, and no bucket holds more
+    than ~(max item + fair share) weight."""
+    from gdal_ray.stages.partitioned_tiling import pack_buckets
+
+    leaf_map = {100 + i: c for i, c in enumerate(
+        [1, 2, 3, 5, 8, 8, 8, 30, 31, 32, 33, 70, 129])}
+    out = pack_buckets(leaf_map, max_images_per_part=32, num_buckets=8)
+    # coverage: one entry per (leaf, salt)
+    for k, cnt in leaf_map.items():
+        ns = max(1, -(-cnt // 32))
+        for s in range(ns):
+            assert (k, s) in out
+        assert (k, ns) not in out
+    # plain (n_salt==1) and salted leaves use disjoint bucket sets
+    plain_b = {b for (k, s), b in out.items()
+               if leaf_map[k] <= 32}
+    salted_b = {b for (k, s), b in out.items() if leaf_map[k] > 32}
+    assert not (plain_b & salted_b)
+    # balance: max bucket load <= fair share + max single item
+    loads = {}
+    for (k, s), b in out.items():
+        ns = max(1, -(-leaf_map[k] // 32))
+        base, extra = divmod(leaf_map[k], ns)
+        loads[b] = loads.get(b, 0) + base + (1 if s < extra else 0)
+    plain_w = sum(c for c in leaf_map.values() if c <= 32)
+    fair = plain_w / max(1, len(plain_b))
+    assert max(loads[b] for b in plain_b) <= fair + 32
+
+
+def test_owner_clip_matches_posthoc_filter():
+    """warp_image_to_tiles(owner=...) must produce exactly the
+    fragments the unclipped warp produces for tiles inside the owner
+    leaf — same keys, same bytes."""
+    import numpy as np
+
+    from gdal_ray.sources.images import georef, image_pixels
+    from gdal_ray.stages.warp import warp_image_to_tiles
+
+    px = image_pixels(7)
+    gt, epsg = georef(7)
+    full = warp_image_to_tiles(px, gt, epsg, "img7", None)
+    assert full, "fixture image must produce fragments"
+    # pick the leaf (parent at z-1) of the first fragment as owner
+    z0 = full[0]["z"]
+    pz, ptx, pty = z0 - 1, full[0]["tx"] >> 1, full[0]["ty"] >> 1
+    want = {f["tile_key"]: f for f in full
+            if (f["tx"] >> (f["z"] - pz)) == ptx
+            and (f["ty"] >> (f["z"] - pz)) == pty}
+    got = {f["tile_key"]: f for f in warp_image_to_tiles(
+        px, gt, epsg, "img7", None, owner=(pz, ptx, pty))}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k]["pixels"] == want[k]["pixels"]
+        assert got[k]["mask"] == want[k]["mask"]
+        assert (got[k]["x0"], got[k]["y0"], got[k]["fw"], got[k]["fh"]) == \
+               (want[k]["x0"], want[k]["y0"], want[k]["fw"], want[k]["fh"])
