@@ -522,9 +522,14 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
     kwargs = dict(zoom=zoom, resampling=resampling, loader=loader)
 
     def compose_of(ds, conc: int):
-        # (conc, conc): pre-start the whole pool — autoscaling from 1
-        # ramps over ~10s and leaves the cluster idle after the cheap
-        # metadata assignment phase
+        # (conc, conc): pre-start the whole pool. Autoscaling from 1
+        # ramps over ~10s after the cheap metadata assignment phase,
+        # and Ray Data's per-operator reservation caps pool growth
+        # near the floor anyway, so the floor must BE the target
+        # size. Measured alternatives both lost: floor+shared-ceiling
+        # pools stall at the floor (reservation), and a task-based
+        # salted branch runs as a sequential phase after the plain
+        # pool because the pool's reservation starves it.
         return ds.groupby("__bucket__").map_groups(
             ComposePartition, fn_constructor_kwargs=kwargs,
             batch_format="pyarrow", concurrency=(conc, conc), num_cpus=1)
@@ -537,18 +542,22 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
         batch_format="pyarrow")
 
     # size the two concurrent pools by their share of the work (from
-    # the leaf counts — O(leaves) driver state) so the union's branches
-    # never oversubscribe the cluster
+    # the leaf counts — O(leaves) driver state) so the union's
+    # branches never oversubscribe the cluster; the salted pool gets
+    # a floor of 2 so its (small) branch never serializes through a
+    # single actor
     total = max(1, sum(leaf_map.values()))
     salted_n = sum(n for n in leaf_map.values() if n > max_images_per_part)
+    if salted_n == 0:
+        return compose_of(a_plain, concurrency).map_batches(
+            lambda t: t.select(final_cols), batch_format="pyarrow")
     frac = salted_n / total
-    conc_salted = max(1, min(int(concurrency * frac) + 1, concurrency // 2))
+    conc_salted = min(max(2, int(concurrency * frac) + 1),
+                      max(1, concurrency // 2))
     conc_plain = max(2, concurrency - conc_salted)
 
     finals = compose_of(a_plain, conc_plain).map_batches(
         lambda t: t.select(final_cols), batch_format="pyarrow")
-    if salted_n == 0:
-        return finals
     # exchange #2: partial tiles of the salted hot leaves (small)
     merged = compose_of(a_salted, conc_salted).groupby("tile_key").map_groups(
         merge_partials, batch_format="pyarrow")
