@@ -154,7 +154,6 @@ def q_window_hopping(sf_dir: str):
         et = t["event_type"].to_numpy(zero_copy_only=False)
         val = t["value"].to_numpy()
         n_win = SIZE // HOP
-        reps = np.repeat(np.arange(n_win), 1)
         base = (ts_us // HOP) * HOP
         wins = np.concatenate([(base - k * HOP) for k in range(n_win)])
         return pa.table({

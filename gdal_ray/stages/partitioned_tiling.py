@@ -534,12 +534,27 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
             ComposePartition, fn_constructor_kwargs=kwargs,
             batch_format="pyarrow", concurrency=(conc, conc), num_cpus=1)
 
+    # map_groups dispatches ONE TASK PER SORTED BLOCK (batch_size=None
+    # over the sort output), and the sort's partition count follows
+    # the input block count — a filtered branch whose rows concentrate
+    # in few blocks collapses into one giant compose task (measured:
+    # the salted branch of the 12288-image job ran 37% of all work in
+    # a single actor). Repartition each branch to ~its bucket count so
+    # every compose task holds ~one bin-packed bucket.
+    # capped at 4 tasks/actor: buckets are weight-uniform (bin-packed)
+    # so multi-bucket tasks stay balanced, and a repartition into
+    # hundreds of metadata blocks crawls on the few CPUs the
+    # pre-started pools leave unreserved
+    nb_salted = len({b for (k, s), b in bucket_of.items()
+                     if leaf_map[k] > max_images_per_part})
+    nb_plain = max(1, nb - nb_salted)
     a_plain = assign.map_batches(
         lambda t: t.filter(pc.less_equal(t["n_salt"], 1)),
-        batch_format="pyarrow")
+        batch_format="pyarrow").repartition(min(nb_plain, concurrency * 4))
     a_salted = assign.map_batches(
         lambda t: t.filter(pc.greater(t["n_salt"], 1)),
-        batch_format="pyarrow")
+        batch_format="pyarrow").repartition(
+            max(1, min(nb_salted, concurrency * 4)))
 
     # size the two concurrent pools by their share of the work (from
     # the leaf counts — O(leaves) driver state) so the union's
