@@ -154,3 +154,31 @@ def test_owner_clip_matches_posthoc_filter():
         assert got[k]["mask"] == want[k]["mask"]
         assert (got[k]["x0"], got[k]["y0"], got[k]["fw"], got[k]["fh"]) == \
                (want[k]["x0"], want[k]["y0"], want[k]["fw"], want[k]["fh"])
+
+
+def test_vectorized_cell_expansion_matches_scalar():
+    """_cell_range_vec + _expand_ranges must reproduce _cells_touched
+    for every bbox, including edge-clipped and degenerate ones."""
+    import numpy as np
+
+    from gdal_ray.functions.crs import WEB_MERCATOR_EXTENT as E
+    from gdal_ray.stages.partitioned_tiling import (_cell_range_vec,
+                                                    _cells_touched,
+                                                    _expand_ranges)
+
+    rng = np.random.default_rng(7)
+    boxes = []
+    for _ in range(200):
+        x0, y0 = rng.uniform(-E, E, 2)
+        w, h = rng.uniform(0, E / 4, 2)
+        boxes.append((x0, y0, min(x0 + w, E), min(y0 + h, E)))
+    boxes += [(-E, -E, E, E), (0.0, 0.0, 0.0, 0.0), (E - 1, E - 1, E, E)]
+    xmin, ymin, xmax, ymax = (np.array(v) for v in zip(*boxes))
+    for z in (0, 1, 5, 10):
+        row, tx, ty = _expand_ranges(
+            *_cell_range_vec(xmin, ymin, xmax, ymax, z))
+        got = {}
+        for r, a, b in zip(row, tx, ty):
+            got.setdefault(int(r), set()).add((int(a), int(b)))
+        for i, bb in enumerate(boxes):
+            assert got.get(i, set()) == set(_cells_touched(bb, z)), (i, z)
