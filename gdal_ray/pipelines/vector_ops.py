@@ -396,6 +396,47 @@ def q_fgb_layer(sf_dir: str):
     })
 
 
+_SHP_FIXTURE = "/tmp/gdal_ray_fixtures/vector_fixture_v1"
+
+
+def q_shp_layer(sf_dir: str):
+    """Fourth real vector file format: the canonical polygon fixture
+    written as an ESRI Shapefile (sources/shapefile.py — .shp/.shx
+    record framing per the published ESRI whitepaper and the
+    reference's shpopen.c/dbfopen.c, ring winding per shape2ogr.cpp),
+    read back through the .shx-index-sharded Ray reader, per-category
+    aggregate over the decoded dBase attributes. Deterministic
+    (corpus-only) — oracle is a pinned literal VALUES table. The
+    geometry column round-trips bit-exactly (float64 coordinates);
+    the numeric dBase attributes are fixed-width decimal, so the
+    aggregate uses the integer column only."""
+    import os
+
+    from ..sources.shapefile import shapefile_dataset, write_shapefile
+    from ..sources.vector import polygons_table
+    from .common import partial_groupby_agg
+
+    if not os.path.exists(_SHP_FIXTURE + ".shp"):
+        os.makedirs(os.path.dirname(_SHP_FIXTURE), exist_ok=True)
+        tmp = _SHP_FIXTURE + f".tmp{os.getpid()}"
+        write_shapefile(tmp, polygons_table(64))
+        for ext in (".shp", ".shx", ".dbf"):
+            os.replace(tmp + ext, _SHP_FIXTURE + ext)
+
+    ds = shapefile_dataset(_SHP_FIXTURE, columns=["category", "pop"],
+                           num_shards=4)
+    agg = partial_groupby_agg(ds, ["category"], [
+        ("n", "fid", "count"),
+        ("pop_sum", "pop", "sum"),
+    ])
+    agg = agg.sort_by("category")
+    return pa.table({
+        "category": agg["category"],
+        "n": agg["n"].cast(pa.int64()),
+        "pop_sum": agg["pop_sum"].cast(pa.int64()),
+    })
+
+
 def q_zfield_precision(sf_dir: str):
     """ogr2ogr -zfield + -xyRes/-zRes coordinate precision
     (apps/ogr2ogr_lib.cpp zField -> setZ; OGRGeomCoordinatePrecision,
@@ -561,5 +602,6 @@ QUERIES = {
     "q_gpkg_layer": q_gpkg_layer,
     "q_geojson_layer": q_geojson_layer,
     "q_fgb_layer": q_fgb_layer,
+    "q_shp_layer": q_shp_layer,
     "q_zfield_precision": q_zfield_precision,
 }
