@@ -488,6 +488,13 @@ def execute(sql: str, sf_dir: str):
         proj = ds.map_batches(project, batch_format="pyarrow")
         if not distinct and order and limit is not None and len(order) == 1:
             return topk(proj, order[0][0], limit, descending=order[0][1])
+        if order and not distinct:
+            # distributed range sort; iter_batches preserves the order
+            # so the driver only concatenates (the fold to a pyarrow
+            # Table is the API contract, not a compute step)
+            proj = proj.sort([c for c, _ in order],
+                             descending=[d for _, d in order])
+            order = []
         tabs = list(proj.iter_batches(batch_size=None, batch_format="pyarrow"))
         result = pa.concat_tables(tabs, promote_options="default") if tabs \
             else pa.table({})
