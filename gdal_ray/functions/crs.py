@@ -265,6 +265,11 @@ class AlbersEqualArea:
     def inverse(self, x, y):
         dx = np.asarray(x, np.float64) - self.fe
         dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        if self.n < 0:
+            # southern standard parallels: reverse the signs of x and
+            # rho0 - y before taking theta (Snyder p. 101, after
+            # eq. 14-11) — rho's sign cancels in the squared q term
+            dx, dy = -dx, -dy
         rho = np.hypot(dx, dy)
         q = (self.C - (rho * self.n / self.a) ** 2) / self.n
         th = np.arctan2(dx, dy)

@@ -37,6 +37,8 @@ from __future__ import annotations
 import numpy as np
 
 from .crs import (
+    AlbersEqualArea,
+    LambertConformalConic2SP,
     PolarStereographic,
     _ellipsoid,
     _inv_iso_t,
@@ -323,6 +325,12 @@ def datum_shift(name: str | None):
         elif name == "DHDN":
             _DATUMS[name] = Helmert7(598.1, 73.7, 418.2,
                                      0.202, 0.045, -2.455, 6.7, "bessel")
+        elif name == "NAD27":
+            # EPSG 1173 (CONUS 3-param geocentric translation, ~5-10 m
+            # — the reference uses NADCON grids through PROJ when
+            # installed; documented deviation like OSGB's OSTN15)
+            _DATUMS[name] = Helmert7(-8.0, 160.0, 176.0,
+                                     0.0, 0.0, 0.0, 0.0, "clarke1866")
         else:
             raise NotImplementedError(f"datum {name}")
     return _DATUMS[name]
@@ -358,6 +366,28 @@ def _entry(epsg: int):
         z = epsg - 26900
         return (lambda z=z: TransverseMercator(
             0.0, -183.0 + 6.0 * z, 0.9996, 500_000.0, 0.0, "GRS80")), None
+    if epsg == 4267:  # NAD27 geographic
+        return (lambda: Geographic()), "NAD27"
+    if 26703 <= epsg <= 26722:  # NAD27 / UTM zones 3-22
+        z = epsg - 26700
+        return (lambda z=z: TransverseMercator(
+            0.0, -183.0 + 6.0 * z, 0.9996, 500_000.0, 0.0,
+            "clarke1866")), "NAD27"
+    if 28348 <= epsg <= 28358:  # GDA94 / MGA zones 48-58 (southern fn)
+        z = epsg - 28300
+        return (lambda z=z: TransverseMercator(
+            0.0, -183.0 + 6.0 * z, 0.9996, 500_000.0, 10_000_000.0,
+            "GRS80")), None
+    if epsg == 2180:  # ETRS89 / Poland CS92
+        return (lambda: TransverseMercator(0.0, 19.0, 0.9993,
+                                           500_000.0, -5_300_000.0,
+                                           "GRS80")), None
+    if epsg == 3034:  # ETRS89-extended / LCC Europe
+        return (lambda: LambertConformalConic2SP(
+            35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0)), None
+    if epsg == 3577:  # GDA94 / Australian Albers
+        return (lambda: AlbersEqualArea(
+            -18.0, -36.0, 0.0, 132.0, 0.0, 0.0)), None
     if epsg == 3395:  # WGS 84 / World Mercator
         return (lambda: Mercator1SP(0.0, 1.0, 0.0, 0.0, "WGS84")), None
     if epsg == 3035:  # ETRS89-extended / LAEA Europe

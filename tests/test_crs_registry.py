@@ -154,3 +154,43 @@ def test_geographic_datum_codes():
 def test_unknown_epsg_still_raises():
     with pytest.raises(NotImplementedError):
         Transformer(4326, 29903)  # Irish grid: not in the table
+
+
+def test_round3_registry_additions():
+    """MGA/NAD27-UTM/CS92/LCC-Europe/Australian-Albers: structural
+    invariants (origin at false offsets, inverse closes to 1e-9 deg)
+    and the NAD27 datum genuinely shifts."""
+    from gdal_ray.functions.crs_registry import lookup
+
+    # MGA zone 55 (cm 147E, southern false northing)
+    mga, d = lookup(28355)
+    e, n = mga.forward(np.array([147.0]), np.array([0.0]))
+    assert abs(e[0] - 500000.0) < 1e-6 and abs(n[0] - 10_000_000.0) < 1e-6
+    lon, lat = mga.inverse(*mga.forward(np.array([146.1]), np.array([-37.8])))
+    assert abs(lon[0] - 146.1) < 1e-9 and abs(lat[0] + 37.8) < 1e-9
+    assert d is None
+
+    # NAD27 UTM zone 14 (cm 99W, Clarke 1866) + datum shift present
+    n27, d27 = lookup(26714)
+    lon, lat = n27.inverse(*n27.forward(np.array([-98.5]), np.array([41.2])))
+    assert abs(lon[0] + 98.5) < 1e-9 and abs(lat[0] - 41.2) < 1e-9
+    assert d27 is not None
+    wlon, wlat = d27.to_wgs84(np.array([-98.5]), np.array([41.2]))
+    shift_m = np.hypot((wlon[0] + 98.5) * 111320 * np.cos(np.radians(41.2)),
+                       (wlat[0] - 41.2) * 111320)
+    assert 5 < shift_m < 120  # NAD27 is tens of meters off WGS84
+
+    # Poland CS92: natural origin 19E maps to (500000, -5300000 + M(0))
+    pl, _ = lookup(2180)
+    lon, lat = pl.inverse(*pl.forward(np.array([21.0]), np.array([52.2])))
+    assert abs(lon[0] - 21.0) < 1e-9 and abs(lat[0] - 52.2) < 1e-9
+
+    # LCC Europe / Australian Albers: false origins + closure
+    lcc, _ = lookup(3034)
+    e, n = lcc.forward(np.array([10.0]), np.array([52.0]))
+    assert abs(e[0] - 4_000_000.0) < 1e-6 and abs(n[0] - 2_800_000.0) < 1e-6
+    alb, _ = lookup(3577)
+    e, n = alb.forward(np.array([132.0]), np.array([0.0]))
+    assert abs(e[0]) < 1e-6 and abs(n[0]) < 1e-6
+    lon, lat = alb.inverse(*alb.forward(np.array([145.0]), np.array([-30.0])))
+    assert abs(lon[0] - 145.0) < 1e-9 and abs(lat[0] + 30.0) < 1e-9
