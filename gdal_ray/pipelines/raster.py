@@ -1306,7 +1306,78 @@ def q_geoloc_warp(sf_dir: str):
         f, batch_format="pyarrow", batch_size=2)
 
 
+def q_raster_open(sf_dir: str):
+    """GDALOpen parity surface: corpus-derived rasters written in each
+    container the engine codecs (GeoTIFF with GeoKey EPSG, PNG + world
+    file + .prj, JPEG + .wld), re-opened through the unified
+    sources/raster_open.open_raster probe; emits (case, driver, epsg,
+    gt checksum, pixel checksum) rows. Deterministic — literal oracle.
+    Reference: gcore/gdal_misc.cpp GDALReadWorldFile,
+    frmts/gtiff/gt_wkt_srs.cpp GeoKey EPSG."""
+    import ray.data
+
+    from ..sources.images import image_pixels
+
+    def build_and_open(t: pa.Table) -> pa.Table:
+        import os
+        import tempfile
+
+        from ..functions.checksum import checksum_image
+        from ..functions.codecs import encode_image
+        from ..sources.raster_open import gt_to_worldfile, open_raster
+        from ..sources.tiff import encode_tiff
+
+        rows = {"case": [], "driver": [], "epsg": [], "gt_cksum": [],
+                "px_cksum": []}
+        for case in t["case"].to_pylist():
+            idx = {"gtiff": 0, "png_wf": 1, "jpeg_wld": 2}[case]
+            px = image_pixels(idx)[:64, :64]
+            gt = (10.0 + idx, 0.5, 0.0, 20.0 - idx, 0.0, -0.5)
+            with tempfile.TemporaryDirectory() as d:
+                if case == "gtiff":
+                    path = os.path.join(d, "a.tif")
+                    open(path, "wb").write(
+                        encode_tiff(px[:, :, 0], gt=gt, epsg=32633))
+                elif case == "png_wf":
+                    path = os.path.join(d, "a.png")
+                    open(path, "wb").write(encode_image(px, "png"))
+                    open(os.path.join(d, "a.pgw"), "w").write(
+                        gt_to_worldfile(gt))
+                    open(os.path.join(d, "a.prj"), "w").write(
+                        'PROJCS["m",AUTHORITY["EPSG","3857"]]')
+                else:
+                    path = os.path.join(d, "a.jpg")
+                    open(path, "wb").write(encode_image(px, "jpeg"))
+                    open(os.path.join(d, "a.wld"), "w").write(
+                        gt_to_worldfile(gt))
+                got = open_raster(path)
+            rows["case"].append(case)
+            rows["driver"].append(got["driver"])
+            rows["epsg"].append(got["epsg"] or 0)
+            rows["gt_cksum"].append(
+                int(np.round(np.abs(np.array(got["gt"])).sum() * 1000)))
+            band = got["pixels"] if got["pixels"].ndim == 2 \
+                else got["pixels"][:, :, 0]
+            rows["px_cksum"].append(checksum_image(band))
+        return pa.table({
+            "case": pa.array(rows["case"]),
+            "driver": pa.array(rows["driver"]),
+            "epsg": pa.array(rows["epsg"], pa.int64()),
+            "gt_cksum": pa.array(rows["gt_cksum"], pa.int64()),
+            "px_cksum": pa.array(rows["px_cksum"], pa.int64()),
+        })
+
+    ds = ray.data.from_arrow(pa.table(
+        {"case": ["gtiff", "png_wf", "jpeg_wld"]})).repartition(3)
+    out = pa.concat_tables(ds.map_batches(
+        build_and_open, batch_format="pyarrow",
+        batch_size=None).iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+    return out.sort_by("case")
+
+
 QUERIES = {
+    "q_raster_open": q_raster_open,
     "q_gcp_warp": q_gcp_warp,
     "q_geoloc_warp": q_geoloc_warp,
     "q_grid_idw": q_grid_idw,

@@ -1,0 +1,107 @@
+"""GDALOpen-style unified raster open: magic-probe the payload, then
+assemble georeferencing from in-file tags or sidecar files.
+
+Mirrors the reference's open path for the formats this engine codecs:
+
+- GeoTIFF: geotransform from ModelTransformation / PixelScale+Tiepoint
+  tags, EPSG from the GeoKey directory (sources/tiff.py).
+- PNG / JPEG: pixels from the pure-python codecs, geotransform from an
+  ESRI world file, CRS from a sidecar ``.prj``. World-file lookup
+  follows GDALReadWorldFile (gcore/gdal_misc.cpp): first the
+  "first+last letter of the extension + w" form (.pgw/.jgw), then
+  ``.wld``; the six lines are (A, D, B, E, C, F) with C/F at the
+  CENTER of the top-left pixel, shifted half a pixel to GDAL's
+  corner-origin convention.
+- ``.prj`` WKT: EPSG from the outermost AUTHORITY["EPSG", n] node
+  (last in WKT1 text); bare "EPSG:n" accepted.
+
+All paths go through VSI (vsi_open_bytes), so /vsimem/ and /vsizip/
+sources work like plain files.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+from ..functions.codecs import decode_image
+from .tiff import decode_tiff, tiff_epsg
+from .vsi import vsi_open_bytes
+
+
+def worldfile_to_gt(text: str) -> tuple:
+    """Six world-file lines (A, D, B, E, C, F) -> GDAL geotransform
+    (corner-origin; C/F name the top-left pixel CENTER)."""
+    a, d, b, e, c, f = (float(v) for v in text.split()[:6])
+    return (c - a * 0.5 - b * 0.5, a, b, f - d * 0.5 - e * 0.5, d, e)
+
+
+def gt_to_worldfile(gt) -> str:
+    """Inverse of worldfile_to_gt (GDALWriteWorldFile layout)."""
+    c = gt[0] + gt[1] * 0.5 + gt[2] * 0.5
+    f = gt[3] + gt[4] * 0.5 + gt[5] * 0.5
+    return "\n".join(repr(float(v)) for v in
+                     (gt[1], gt[4], gt[2], gt[5], c, f)) + "\n"
+
+
+def epsg_from_wkt(wkt: str) -> int | None:
+    """Outermost AUTHORITY["EPSG", n] (the last one in WKT1 text), or
+    a bare EPSG:n string."""
+    m = re.match(r"\s*EPSG:(\d+)\s*$", wkt, re.I)
+    if m:
+        return int(m.group(1))
+    hits = re.findall(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]',
+                      wkt, re.I)
+    hits += re.findall(r'ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]', wkt, re.I)
+    return int(hits[-1]) if hits else None
+
+
+def _sidecar(path: str, ext: str) -> str | None:
+    for cand in (os.path.splitext(path)[0] + ext, path + ext):
+        try:
+            return vsi_open_bytes(cand).decode("ascii", "replace")
+        except (FileNotFoundError, KeyError, IsADirectoryError):
+            continue
+    return None
+
+
+def _worldfile(path: str) -> str | None:
+    root, ext = os.path.splitext(path)
+    cands = []
+    if len(ext) >= 3:  # .png -> .pgw (first + last letter + 'w')
+        cands.append(root + "." + ext[1] + ext[-1] + "w")
+    cands.append(root + ".wld")
+    for cand in cands:
+        try:
+            return vsi_open_bytes(cand).decode("ascii", "replace")
+        except (FileNotFoundError, KeyError, IsADirectoryError):
+            continue
+    return None
+
+
+def open_raster(path: str) -> dict:
+    """-> {"pixels": ndarray, "gt": tuple | None, "epsg": int | None,
+    "driver": str}. The GDALOpen analog for the engine's codecs."""
+    data = vsi_open_bytes(path)
+    if data[:2] in (b"II", b"MM"):
+        px, gt = decode_tiff(data)
+        epsg = tiff_epsg(data)
+        driver = "GTiff"
+        if gt is None:
+            wf = _worldfile(path)
+            if wf:
+                gt = worldfile_to_gt(wf)
+    else:
+        px = decode_image(data)
+        driver = "PNG" if data[:8] == b"\x89PNG\r\n\x1a\n" else "JPEG"
+        wf = _worldfile(path)
+        gt = worldfile_to_gt(wf) if wf else None
+        epsg = None
+    if epsg is None:
+        prj = _sidecar(path, ".prj")
+        if prj:
+            epsg = epsg_from_wkt(prj)
+    return {"pixels": np.asarray(px), "gt": gt, "epsg": epsg,
+            "driver": driver}

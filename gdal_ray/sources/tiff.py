@@ -289,7 +289,7 @@ def decode_tiff(data: bytes):
 
 
 def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
-                bigtiff: bool = False) -> bytes:
+                bigtiff: bool = False, epsg: int | None = None) -> bytes:
     """Minimal TIFF writer (little-endian, single strip, chunky):
     uint8/16/32, int8/16/32 or float32/64 samples, optional Deflate
     compression, GeoTIFF tags when ``gt`` is given — ModelPixelScale +
@@ -355,6 +355,10 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
         else:
             tags.append((33550, 12, 3, None))  # pixel scale
             tags.append((33922, 12, 6, None))  # tiepoint
+    if epsg is not None:
+        # GeoKey directory: header + Projected/GeographicTypeGeoKey
+        # (gt_wkt_srs.cpp GTIFSetFromOGISDefn analog; 4xxx = geographic)
+        tags.append((_TAG_GEOKEYS, 3, 8, None))
     tags.sort(key=lambda t: t[0])
     n_entries = len(tags)
 
@@ -375,6 +379,10 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
                 "<16d", gt[1], gt[2], 0.0, gt[0],
                 gt[4], gt[5], 0.0, gt[3],
                 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+        elif tag == _TAG_GEOKEYS:
+            kid = 2048 if 4000 <= int(epsg) < 5000 else 3072
+            val = add_payload(struct.pack(
+                "<8H", 1, 1, 0, 1, kid, 0, 1, int(epsg)))
         entries += pack_entry(tag, typ, cnt, val)
     if bigtiff:
         head = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
@@ -383,6 +391,27 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
         head = b"II" + struct.pack("<HI", 42, ifd_off)
         body = struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
     return head + data + body + extra
+
+
+def tiff_epsg(data: bytes) -> int | None:
+    """EPSG from the GeoKey directory: ProjectedCSTypeGeoKey (3072)
+    wins over GeographicTypeGeoKey (2048) — the same precedence the
+    reference's GTIFGetDefn applies (frmts/gtiff/gt_wkt_srs.cpp)."""
+    bo = "<" if data[:2] == b"II" else ">"
+    tags = _read_ifd(data, bo)
+    gk = tags.get(_TAG_GEOKEYS)
+    if not gk or len(gk) < 4:
+        return None
+    proj = geog = None
+    for k in range(4, len(gk) - 3, 4):
+        kid, loc, cnt, val = (int(v) for v in gk[k:k + 4])
+        if loc != 0:
+            continue  # value lives in another tag (citation strings)
+        if kid == 3072 and val not in (0, 32767):
+            proj = val
+        elif kid == 2048 and val not in (0, 32767):
+            geog = val
+    return proj or geog
 
 
 def tiff_nodata(data: bytes) -> float | None:
