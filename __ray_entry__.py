@@ -75,7 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tier[k] = 2
     for k in ("q_sql_left_join", "q_sql_count_distinct", "q_sql_multi_join",
               "q_sql_subquery", "q_geoloc_warp", "q_zfield_precision",
-              "q_gpkg_layer", "q_geojson_layer", "q_fgb_layer"):
+              "q_gpkg_layer", "q_geojson_layer", "q_fgb_layer",
+              "q_viewshed", "q_viewshed_cumulative"):
         tier[k] = 3                           # new this round, never rowed
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}

@@ -1,0 +1,284 @@
+"""Viewshed generation (gdal raster viewshed / GDALViewshedGenerate).
+
+Re-derivation of the reference's line-of-sight algorithm
+(/root/reference/alg/viewshed/viewshed_executor.cpp — Wang, Robinson &
+White style wavefront): the DEM is scanned outward from the observer;
+each cell's minimum observable height dfZ is interpolated from the
+already-computed observable heights of its neighbors toward the
+observer, then the cell's own (curvature- and observer-adjusted)
+height is folded in with max() before the wavefront moves on.
+
+Height interpolation per alg/viewshed/viewshed_executor.cpp:50-108:
+  on-axis / exact diagonal:  CalcHeightLine  Z(d) = Z(d-1) * d/(d-1)
+  edge mode (default):       CalcHeightEdge  plane through origin and
+                             the two previous-line cells
+  diagonal mode:             CalcHeightDiagonal
+  min/max:                   min/max of the two
+Output per setOutput (viewshed_executor.cpp:180-193):
+  normal:  visible iff adjusted_height + target_height >= dfZ
+  dem:     max(0, raw + dfZ - adjusted)   (= observable absolute height)
+  ground:  max(0, dfZ - adjusted)         (= required height above ground)
+Curvature adjustment (viewshed_executor.cpp:150-173,239-330):
+  adjusted = raw - curve_coeff/(2*semimajor) * R2 - z_observer,
+with R2 the georeferenced squared distance via the geotransform.
+Max-distance output cropping transcribes Viewshed::calcExtents
+(alg/viewshed/viewshed.cpp:291-345) including its asymmetric-epsilon
+row behavior. Cumulative mode (alg/viewshed/cumulative.cpp): observers
+on a `spacing` grid, visible=1 rasters summed, scaled to 0..255 by
+floor(255/max * v).
+
+Scope fences (documented, raise): observer outside the raster, angle
+masking (start/end angle), pitch masking (low/high pitch).
+
+Everything is vectorized: axis scans are running maxima of A(d)/d,
+the quadrant interiors advance one anti-diagonal per step (numpy
+gathers), so work is O(cells) with O(width+height) numpy calls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IDENTITY_GT = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def _calc_extents(W: int, H: int, ox: int, oy: int, gt, max_distance: float):
+    """Transcription of Viewshed::calcExtents (viewshed.cpp:291-345):
+    output window from the max-distance box (scaling-only transform
+    assumption, same as the reference), incl. the reference's
+    asymmetric +-1 row adjustment for the inverse-gt sign."""
+    if max_distance <= 0:
+        return 0, W, 0, H
+    eps = 1e-8
+    inv1 = 1.0 / gt[1]
+    inv5 = 1.0 / gt[5]
+    x_start = int(np.floor(ox - abs(inv1) * max_distance + eps))
+    x_stop = int(np.ceil(ox + abs(inv1) * max_distance - eps) + 1)
+    y_start = int(np.floor(oy - abs(inv5) * max_distance + eps)) - (
+        1 if inv5 > 0 else 0)
+    y_stop = int(np.ceil(oy + abs(inv5) * max_distance - eps)) + (
+        1 if inv5 < 0 else 0)
+    x_start = max(0, x_start)
+    y_start = max(0, y_start)
+    x_stop = min(W, x_stop)
+    y_stop = min(H, y_stop)
+    if x_start >= x_stop or y_start >= y_stop:
+        raise ValueError("max_distance window does not intersect the raster")
+    return x_start, x_stop, y_start, y_stop
+
+
+def _axis_scan(a_line: np.ndarray) -> np.ndarray:
+    """Observable-height scan along a ray from the observer.
+
+    a_line[k] is the adjusted height at distance k+1 from the observer.
+    CalcHeightLine's recurrence Z(d) = max(A(d), Z(d-1)*d/(d-1)) with
+    Z(1) = A(1) is, in W(d) = Z(d)/d form, a running maximum of A(d)/d.
+    Returns dfZ (the pre-max minimum observable height) per cell.
+    """
+    n = a_line.size
+    if n == 0:
+        return a_line
+    d = np.arange(1, n + 1, dtype=np.float64)
+    w = np.maximum.accumulate(a_line / d)
+    dfz = np.empty(n, np.float64)
+    dfz[0] = a_line[0]
+    dfz[1:] = w[:-1] * d[1:]
+    return dfz
+
+
+_CELL_MODES = ("edge", "diagonal", "min", "max")
+
+
+def _quadrant(A: np.ndarray, D: np.ndarray, z_axis_x: np.ndarray,
+              z_axis_y: np.ndarray, oy: int, ox: int, sy: int, sx: int,
+              cell_mode: str) -> None:
+    """Fill D (min observable height) for one open quadrant.
+
+    Wavefront over anti-diagonals i+j = d: every cell (i, j) (offsets
+    from the observer, i = x-dominant axis) depends only on
+    (i-1, j), (i, j-1), (i-1, j-1) — all on earlier diagonals — so each
+    step is one vectorized gather (viewshed_executor.cpp processes the
+    same dependencies line-by-line with a sequential inner loop).
+    z_axis_x / z_axis_y are the already-max-folded observable heights
+    along the two bounding half-axes (index = distance, [0] = observer).
+    """
+    H, W = A.shape
+    ni = (W - 1 - ox) if sx > 0 else ox
+    nj = (H - 1 - oy) if sy > 0 else oy
+    if ni < 1 or nj < 1:
+        return
+    xs = ox + sx * np.arange(ni + 1)
+    ys = oy + sy * np.arange(nj + 1)
+    Aq = A[np.ix_(ys, xs)]  # [j, i]
+    Zq = np.empty_like(Aq)
+    Zq[0, :] = z_axis_x[: ni + 1]
+    Zq[:, 0] = z_axis_y[: nj + 1]
+    Dq = np.empty_like(Aq)
+    for d in range(2, ni + nj + 1):
+        i0 = max(1, d - nj)
+        i1 = min(ni, d - 1)
+        if i0 > i1:
+            continue
+        i = np.arange(i0, i1 + 1)
+        j = d - i
+        za = Zq[j - 1, i - 1]  # observable at (i-1, j-1)
+        zt = Zq[j, i - 1]      # observable at (i-1, j)   (dfThisPrev)
+        zl = Zq[j - 1, i]      # observable at (i,   j-1) (dfLast)
+        dfz = np.empty(i.size, np.float64)
+        diag = i == j
+        if diag.any():
+            if d == 2:  # i == j == 1: adjacent diagonal, dfZ = own height
+                dfz[diag] = Aq[1, 1]
+            else:
+                dfz[diag] = za[diag] * (d / 2) / (d / 2 - 1)
+        nd = ~diag
+        if nd.any():
+            iN = i[nd].astype(np.float64)
+            jN = j[nd].astype(np.float64)
+            if cell_mode != "diagonal":
+                xdom = iN > jN
+                edge = np.where(
+                    xdom,
+                    (za[nd] * jN + zt[nd] * (iN - jN)) / np.where(xdom, iN - 1, 1),
+                    (za[nd] * iN + zl[nd] * (jN - iN)) / np.where(xdom, 1, jN - 1),
+                )
+            if cell_mode != "edge":
+                diag_v = (zt[nd] * iN + zl[nd] * jN) / (iN + jN - 1)
+            if cell_mode == "edge":
+                dfz[nd] = edge
+            elif cell_mode == "diagonal":
+                dfz[nd] = diag_v
+            elif cell_mode == "min":
+                dfz[nd] = np.minimum(edge, diag_v)
+            else:
+                dfz[nd] = np.maximum(edge, diag_v)
+        Dq[j, i] = dfz
+        Zq[j, i] = np.maximum(Aq[j, i], dfz)
+    D[np.ix_(ys[1:], xs[1:])] = Dq[1:, 1:]
+
+
+def viewshed(dem: np.ndarray, observer_x: int, observer_y: int, *,
+             observer_z: float = 0.0, target_height: float = 0.0,
+             visible_val: float = 255.0, invisible_val: float = 0.0,
+             out_of_range_val: float = 0.0, min_distance: float = 0.0,
+             max_distance: float = 0.0, curve_coeff: float = 0.85714,
+             semimajor: float = 0.0, gt=IDENTITY_GT, mode: str = "normal",
+             cell_mode: str = "edge",
+             start_angle: float | None = None, end_angle: float | None = None,
+             low_pitch: float | None = None, high_pitch: float | None = None,
+             ) -> tuple[np.ndarray, int, int]:
+    """Single-observer viewshed. Returns (out, x_off, y_off) where out
+    is float64 over the (possibly max-distance-cropped) window and
+    x_off/y_off locate it in the input raster.
+
+    semimajor=0 disables the curvature adjustment (matching the
+    reference when the destination has no SRS, viewshed_executor.cpp
+    calcHeightAdjFactor); pass 6378137.0 for WGS84 ground units.
+    """
+    if start_angle is not None or end_angle is not None:
+        raise NotImplementedError("viewshed angle masking not implemented")
+    if low_pitch is not None or high_pitch is not None:
+        raise NotImplementedError("viewshed pitch masking not implemented")
+    if mode not in ("normal", "dem", "ground"):
+        raise ValueError(f"unknown viewshed mode {mode!r}")
+    if cell_mode not in _CELL_MODES:
+        raise ValueError(f"unknown cell mode {cell_mode!r}")
+    dem = np.asarray(dem, np.float64)
+    H, W = dem.shape
+    if not (0 <= observer_x < W and 0 <= observer_y < H):
+        raise NotImplementedError(
+            "observer outside the raster is not supported")
+
+    x0, x1, y0, y1 = _calc_extents(W, H, observer_x, observer_y, gt,
+                                   max_distance)
+    raw = dem[y0:y1, x0:x1]
+    ox = observer_x - x0
+    oy = observer_y - y0
+    h, w = raw.shape
+
+    # georeferenced squared distance per cell (offsets through the gt)
+    dx = np.arange(w) - ox
+    dy = np.arange(h)[:, None] - oy
+    gx = gt[1] * dx + gt[2] * dy
+    gy = gt[4] * dx + gt[5] * dy
+    r2 = gx * gx + gy * gy
+
+    z_obs = observer_z + dem[observer_y, observer_x]
+    adj = curve_coeff / (2.0 * semimajor) if semimajor else 0.0
+    A = raw - adj * r2 - z_obs
+
+    # minimum observable height per cell (adjusted frame)
+    D = np.empty((h, w), np.float64)
+    D[oy, ox] = A[oy, ox]  # placeholder; the observer cell is set below
+    # half-axes: dfZ via running max, then Z = max(A, dfZ) for reuse
+    z_right = np.concatenate(([A[oy, ox]], np.maximum(
+        A[oy, ox + 1:], d_r := _axis_scan(A[oy, ox + 1:]))))
+    z_left = np.concatenate(([A[oy, ox]], np.maximum(
+        A[oy, :ox][::-1], d_l := _axis_scan(A[oy, :ox][::-1]))))
+    z_down = np.concatenate(([A[oy, ox]], np.maximum(
+        A[oy + 1:, ox], d_d := _axis_scan(A[oy + 1:, ox]))))
+    z_up = np.concatenate(([A[oy, ox]], np.maximum(
+        A[:oy, ox][::-1], d_u := _axis_scan(A[:oy, ox][::-1]))))
+    D[oy, ox + 1:] = d_r
+    D[oy, :ox] = d_l[::-1]
+    D[oy + 1:, ox] = d_d
+    D[:oy, ox] = d_u[::-1]
+    for sy, zy in ((1, z_down), (-1, z_up)):
+        for sx, zx in ((1, z_right), (-1, z_left)):
+            _quadrant(A, D, zx, zy, oy, ox, sy, sx, cell_mode)
+
+    if mode == "normal":
+        out = np.where(A + target_height < D, invisible_val, visible_val)
+        out[oy, ox] = visible_val
+        # the two horizontal observer neighbors are marked visible
+        # unconditionally (processFirstLineLeft/Right)
+        if ox + 1 < w:
+            out[oy, ox + 1] = visible_val
+        if ox >= 1:
+            out[oy, ox - 1] = visible_val
+    elif mode == "dem":
+        out = np.maximum(0.0, raw + (D - A))
+        out[oy, ox] = raw[oy, ox]
+    else:  # ground
+        out = np.maximum(0.0, D - A)
+        out[oy, ox] = 0.0
+
+    if min_distance > 0 or max_distance > 0:
+        oor = np.zeros((h, w), bool)
+        if min_distance > 0:
+            oor |= r2 < min_distance * min_distance
+        if max_distance > 0:
+            oor |= r2 > max_distance * max_distance
+        out[oor] = out_of_range_val
+    return out, x0, y0
+
+
+def cumulative_observers(W: int, H: int, spacing: int) -> list[tuple[int, int]]:
+    """Observer grid of cumulative mode (cumulative.cpp:66-67)."""
+    return [(x, y) for x in range(0, W, spacing) for y in range(0, H, spacing)]
+
+
+def cumulative_scale(acc: np.ndarray) -> np.ndarray:
+    """Spread the observability counts over 8 bits
+    (Cumulative::scaleOutput, cumulative.cpp:200-213)."""
+    m = int(acc.max())
+    if m == 0:
+        return acc.astype(np.uint8)
+    return np.floor((255.0 / m) * acc).astype(np.uint8)
+
+
+def cumulative_viewshed(dem: np.ndarray, spacing: int, *,
+                        observer_z: float = 0.0, gt=IDENTITY_GT,
+                        curve_coeff: float = 0.85714, semimajor: float = 0.0,
+                        ) -> np.ndarray:
+    """Single-process cumulative viewshed (the distributed version fans
+    the observer grid out through map_batches — see
+    pipelines/raster.py:q_viewshed_cumulative)."""
+    H, W = dem.shape
+    acc = np.zeros((H, W), np.uint32)
+    for x, y in cumulative_observers(W, H, spacing):
+        out, _, _ = viewshed(dem, x, y, observer_z=observer_z, gt=gt,
+                             visible_val=1.0, invisible_val=0.0,
+                             curve_coeff=curve_coeff, semimajor=semimajor)
+        acc += out.astype(np.uint32)
+    return cumulative_scale(acc)

@@ -1376,7 +1376,98 @@ def q_raster_open(sf_dir: str):
     return out.sort_by("case")
 
 
+VS_N = 96          # synthetic viewshed DEM edge
+VS_SPACING = 16    # cumulative observer grid spacing (alg default 10-ish)
+
+
+def _viewshed_dem() -> np.ndarray:
+    """Deterministic hilly DEM for the viewshed queries (pure closed
+    form — identical on every worker, no broadcast needed)."""
+    y, x = np.mgrid[0:VS_N, 0:VS_N].astype(np.float64)
+    dem = (40.0 * np.sin(x / 9.0) * np.cos(y / 11.0)
+           + 25.0 * np.sin((x + y) / 13.0)
+           + 0.002 * (x - VS_N / 2) ** 2)
+    return np.round(dem, 3)
+
+
+def q_viewshed(sf_dir: str):
+    """gdal raster viewshed (alg/viewshed/viewshed_executor.cpp): one
+    observer per row fanned out through map_batches over the shared
+    deterministic DEM; per-observer visible-cell count + checksum of
+    the visibility raster. Kernel golden-tested against the
+    reference's own test_viewshed.cpp fixtures."""
+    import ray.data
+
+    from ..functions.viewshed import cumulative_observers, viewshed
+
+    obs = cumulative_observers(VS_N, VS_N, 24)
+    t = pa.table({"obs_x": pa.array([o[0] for o in obs], pa.int32()),
+                  "obs_y": pa.array([o[1] for o in obs], pa.int32())})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    def f(b: pa.Table) -> pa.Table:
+        dem = _viewshed_dem()
+        vis, cks = [], []
+        for ox, oy in zip(b["obs_x"].to_numpy(), b["obs_y"].to_numpy()):
+            out, _, _ = viewshed(dem, int(ox), int(oy), observer_z=3.0,
+                                 curve_coeff=0.0)
+            u8 = out.astype(np.uint8)
+            vis.append(int((u8 == 255).sum()))
+            cks.append(checksum_image(u8))
+        return pa.table({"obs_x": b["obs_x"], "obs_y": b["obs_y"],
+                         "visible": pa.array(vis, pa.int64()),
+                         "checksum": pa.array(cks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_viewshed_cumulative(sf_dir: str):
+    """Cumulative viewshed (alg/viewshed/cumulative.cpp): the observer
+    grid fans out as rows, each batch sums its observers' visible=1
+    rasters into a per-row-vector partial, partials combine via a
+    groupby(y) shuffle (no driver-side raster fold), then the 0..255
+    scaling (floor(255/max * v)) is applied to the tiny combined
+    table. Output: per-raster-row sums of the scaled heat map."""
+    import pandas as pd
+    import ray.data
+
+    from ..functions.viewshed import cumulative_observers, viewshed
+
+    obs = cumulative_observers(VS_N, VS_N, VS_SPACING)
+    t = pa.table({"ox": pa.array([o[0] for o in obs], pa.int32()),
+                  "oy": pa.array([o[1] for o in obs], pa.int32())})
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    def part(b: pa.Table) -> pa.Table:
+        dem = _viewshed_dem()
+        acc = np.zeros((VS_N, VS_N), np.int64)
+        for ox, oy in zip(b["ox"].to_numpy(), b["oy"].to_numpy()):
+            out, _, _ = viewshed(dem, int(ox), int(oy), observer_z=2.0,
+                                 visible_val=1.0, invisible_val=0.0,
+                                 curve_coeff=0.0)
+            acc += out.astype(np.int64)
+        return pa.table({"y": pa.array(np.arange(VS_N), pa.int32()),
+                         "counts": pa.array(list(acc))})
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum(np.stack([np.asarray(c) for c in g["counts"]]), axis=0)
+        return pd.DataFrame({"y": [g["y"].iloc[0]], "counts": [list(s)]})
+
+    combined = (ds.map_batches(part, batch_format="pyarrow")
+                .groupby("y").map_groups(comb))
+    # VS_N rows — bounded driver-side scaling, mirroring scaleOutput
+    df = combined.to_pandas()
+    counts = np.stack([np.asarray(c) for c in df["counts"]])
+    m = int(counts.max())
+    scaled = np.floor((255.0 / m) * counts).astype(np.int64) if m else counts
+    return pa.table({"y": pa.array(df["y"].to_numpy().astype(np.int32),
+                                   pa.int32()),
+                     "vsum": pa.array(scaled.sum(axis=1), pa.int64())})
+
+
 QUERIES = {
+    "q_viewshed": q_viewshed,
+    "q_viewshed_cumulative": q_viewshed_cumulative,
     "q_raster_open": q_raster_open,
     "q_gcp_warp": q_gcp_warp,
     "q_geoloc_warp": q_geoloc_warp,
