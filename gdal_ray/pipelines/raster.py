@@ -1465,8 +1465,44 @@ def q_viewshed_cumulative(sf_dir: str):
                      "vsum": pa.array(scaled.sum(axis=1), pa.int64())})
 
 
+def q_zarr(sf_dir: str):
+    """Zarr v2 store roundtrip (frmts/zarr): the synthetic multidim
+    field is written chunk-per-task to /tmp, re-opened as a lazy
+    MDArray, and read back tile-per-task through the classic bridge;
+    per-tile mean/checksum rows prove chunk-grid bit-identity."""
+    import tempfile
+
+    from ..sources.multidim import synthetic_mdarray
+    from ..sources.zarr import read_zarr_array, write_zarr_from_dataset
+
+    arr = synthetic_mdarray(t=2, y=160, x=160).slice_view("time", 1, 2)
+    field_shape = (160, 160)
+    out_dir = tempfile.mkdtemp(prefix="gdal_ray_zarr_") + "/field.zarr"
+    write_zarr_from_dataset(arr.as_classic_dataset("x", "y", tile=64),
+                            out_dir, shape=field_shape, dtype="<f8",
+                            tile=64, dims=("y", "x"))
+    back = read_zarr_array(out_dir).as_classic_dataset("x", "y", tile=64)
+
+    def f(t: pa.Table) -> pa.Table:
+        ty, tx, mean, cks = [], [], [], []
+        for r in t.to_pylist():
+            px = np.frombuffer(r["pixels"], np.float64).reshape(
+                r["h"], r["w"])
+            ty.append(r["ty"])
+            tx.append(r["tx"])
+            mean.append(float(round_away_np(px.mean(), 6)))
+            cks.append(checksum_image(np.floor(px).astype(np.int32)))
+        return pa.table({"ty": pa.array(ty, pa.int32()),
+                         "tx": pa.array(tx, pa.int32()),
+                         "mean": pa.array(mean, pa.float64()),
+                         "checksum": pa.array(cks, pa.int64())})
+
+    return back.map_batches(f, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_viewshed": q_viewshed,
+    "q_zarr": q_zarr,
     "q_viewshed_cumulative": q_viewshed_cumulative,
     "q_raster_open": q_raster_open,
     "q_gcp_warp": q_gcp_warp,
