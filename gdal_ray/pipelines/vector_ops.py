@@ -437,6 +437,61 @@ def q_shp_layer(sf_dir: str):
     })
 
 
+_CSV_FIXTURE = "/tmp/gdal_ray_fixtures/vector_fixture_v1.csv"
+
+
+def q_csv_layer(sf_dir: str):
+    """Fifth real vector file format: the canonical point fixture as
+    OGR CSV (sources/ogrcsv.py — AS_XY geometry + .csvt type sidecar
+    per ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp), read back through the
+    byte-range-sharded pyarrow.csv reader; the per-bucket coordinate
+    sums are taken from the DECODED WKB geometry column (proving the
+    X/Y possible-name geometry resolution), z from the typed
+    attribute. Deterministic (corpus-only) — pinned literal oracle."""
+    import os
+
+    from ..functions.wkb import wkb_to_points
+    from ..sources.ogrcsv import csv_dataset, write_csv_layer
+    from ..sources.vector import points_table
+    from .common import partial_groupby_agg
+
+    if not os.path.exists(_CSV_FIXTURE):
+        os.makedirs(os.path.dirname(_CSV_FIXTURE), exist_ok=True)
+        tmp = _CSV_FIXTURE + f".tmp{os.getpid()}"
+        write_csv_layer(tmp, points_table(256).drop_columns(
+            ["tags", "t", "x", "y"]), geometry="AS_XY", create_csvt=True)
+        os.replace(tmp, _CSV_FIXTURE)
+        os.replace(os.path.splitext(tmp)[0] + ".csvt",
+                   os.path.splitext(_CSV_FIXTURE)[0] + ".csvt")
+
+    ds = csv_dataset(_CSV_FIXTURE, num_shards=4)
+
+    def derive(t: pa.Table) -> pa.Table:
+        gx, gy = wkb_to_points(t["geometry"].to_pylist())
+        return pa.table({
+            "zband": pa.compute.floor(pa.compute.divide(t["z"], 200.0)),
+            "fid": t["fid"],
+            "gx": pa.array(gx),
+            "gy": pa.array(gy),
+        })
+
+    agg = partial_groupby_agg(ds.map_batches(derive, batch_format="pyarrow"),
+                              ["zband"], [
+        ("n", "fid", "count"),
+        ("gx_sum", "gx", "sum"),
+        ("gy_sum", "gy", "sum"),
+    ])
+    agg = agg.sort_by("zband")
+    return pa.table({
+        "zband": agg["zband"].cast(pa.int64()),
+        "n": agg["n"].cast(pa.int64()),
+        "gx_sum": pa.array(round_away_np(
+            agg["gx_sum"].to_numpy(zero_copy_only=False), 6)),
+        "gy_sum": pa.array(round_away_np(
+            agg["gy_sum"].to_numpy(zero_copy_only=False), 6)),
+    })
+
+
 def q_zfield_precision(sf_dir: str):
     """ogr2ogr -zfield + -xyRes/-zRes coordinate precision
     (apps/ogr2ogr_lib.cpp zField -> setZ; OGRGeomCoordinatePrecision,
@@ -603,5 +658,6 @@ QUERIES = {
     "q_geojson_layer": q_geojson_layer,
     "q_fgb_layer": q_fgb_layer,
     "q_shp_layer": q_shp_layer,
+    "q_csv_layer": q_csv_layer,
     "q_zfield_precision": q_zfield_precision,
 }
