@@ -1465,6 +1465,43 @@ def q_viewshed_cumulative(sf_dir: str):
                      "vsum": pa.array(scaled.sum(axis=1), pa.int64())})
 
 
+def q_nearblack(sf_dir: str):
+    """nearblack / clean-collar (apps/nearblack_lib.cpp, twopasses):
+    corpus images get a deterministic dark collar frame, the collar is
+    cleaned per-image in map_batches, rows report collar size + band-0
+    checksum. Kernel golden-tested against the reference's own
+    rgbsmall/whiteblackred checksums."""
+    from ..functions.nearblack import nearblack
+    from ..sources.images import corpus_dataset
+
+    ds = corpus_dataset(48)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, collar, cks = [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            h, w = px.shape[:2]
+            # deterministic dark collar: 6px ramp frame (values 0..12)
+            fr = np.zeros((h + 12, w + 12, px.shape[2]), np.uint8)
+            fr[6:-6, 6:-6] = px
+            for m in range(6):
+                v = 2 * m
+                fr[m, :, :] = v
+                fr[-1 - m, :, :] = v
+                fr[:, m, :] = v
+                fr[:, -1 - m, :] = v
+            fr[6:-6, 6:-6] = np.maximum(fr[6:-6, 6:-6], 16)
+            out, mask = nearblack(fr, near_dist=15, max_non_black=2)
+            ids.append(rec["image_id"])
+            collar.append(int((mask == 0).sum()))
+            cks.append(checksum_image(out[:, :, 0]))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "collar": pa.array(collar, pa.int64()),
+                         "checksum": pa.array(cks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_zarr(sf_dir: str):
     """Zarr v2 store roundtrip (frmts/zarr): the synthetic multidim
     field is written chunk-per-task to /tmp, re-opened as a lazy
@@ -1503,6 +1540,7 @@ def q_zarr(sf_dir: str):
 QUERIES = {
     "q_viewshed": q_viewshed,
     "q_zarr": q_zarr,
+    "q_nearblack": q_nearblack,
     "q_viewshed_cumulative": q_viewshed_cumulative,
     "q_raster_open": q_raster_open,
     "q_gcp_warp": q_gcp_warp,
