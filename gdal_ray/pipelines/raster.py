@@ -1465,6 +1465,46 @@ def q_viewshed_cumulative(sf_dir: str):
                      "vsum": pa.array(scaled.sum(axis=1), pa.int64())})
 
 
+def q_ascii_raster(sf_dir: str):
+    """AAIGrid + XYZ ASCII raster drivers (frmts/aaigrid, frmts/xyz)
+    through the unified GDALOpen-style probe: per-image grids written
+    to /tmp in both formats by worker tasks, re-opened via
+    open_raster, rows report (case, driver, checksum, gt hash)."""
+    import tempfile
+
+    from ..sources.asciigrid import write_aaigrid, write_xyz
+    from ..sources.images import corpus_dataset
+    from ..sources.raster_open import open_raster
+
+    ds = corpus_dataset(24)
+    out_root = tempfile.mkdtemp(prefix="gdal_ray_ascii_")
+
+    def f(t: pa.Table) -> pa.Table:
+        cases, drivers, cks, gts = [], [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            band = px[::4, ::4, 0].astype(np.int32)  # keep ASCII small
+            gt = (1000.0, 30.0, 0.0, 5000.0, 0.0, -30.0)
+            base = f"{out_root}/{rec['image_id']}"
+            with open(base + ".asc", "w") as fh:
+                fh.write(write_aaigrid(band, gt, nodata=-9999))
+            with open(base + ".xyz", "w") as fh:
+                fh.write(write_xyz(band.astype(np.float64), gt))
+            for ext, drv in ((".asc", "AAIGrid"), (".xyz", "XYZ")):
+                r = open_raster(base + ext)
+                cases.append(rec["image_id"] + ext)
+                drivers.append(r["driver"])
+                cks.append(checksum_image(
+                    np.asarray(r["pixels"], np.float64).astype(np.int32)))
+                gts.append(int(np.round(np.dot(r["gt"], [1, 3, 5, 7, 11, 13]))))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "driver": pa.array(drivers, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "gt_dot": pa.array(gts, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_nearblack(sf_dir: str):
     """nearblack / clean-collar (apps/nearblack_lib.cpp, twopasses):
     corpus images get a deterministic dark collar frame, the collar is
@@ -1541,6 +1581,7 @@ QUERIES = {
     "q_viewshed": q_viewshed,
     "q_zarr": q_zarr,
     "q_nearblack": q_nearblack,
+    "q_ascii_raster": q_ascii_raster,
     "q_viewshed_cumulative": q_viewshed_cumulative,
     "q_raster_open": q_raster_open,
     "q_gcp_warp": q_gcp_warp,

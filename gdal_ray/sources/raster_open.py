@@ -84,7 +84,23 @@ def _worldfile(path: str) -> str | None:
 def open_raster(path: str) -> dict:
     """-> {"pixels": ndarray, "gt": tuple | None, "epsg": int | None,
     "driver": str}. The GDALOpen analog for the engine's codecs."""
+    from .asciigrid import read_aaigrid, read_xyz, sniff_aaigrid
+
     data = vsi_open_bytes(path)
+    if sniff_aaigrid(data):
+        px, gt, _nodata = read_aaigrid(data)
+        epsg = None
+        prj = _sidecar(path, ".prj")
+        if prj:
+            epsg = epsg_from_wkt(prj)
+        return {"pixels": np.asarray(px), "gt": gt, "epsg": epsg,
+                "driver": "AAIGrid"}
+    if path.lower().endswith(".xyz"):
+        px, gt = read_xyz(data)
+        prj = _sidecar(path, ".prj")
+        return {"pixels": np.asarray(px), "gt": gt,
+                "epsg": epsg_from_wkt(prj) if prj else None,
+                "driver": "XYZ"}
     if data[:2] in (b"II", b"MM"):
         px, gt = decode_tiff(data)
         epsg = tiff_epsg(data)
