@@ -492,6 +492,84 @@ def q_csv_layer(sf_dir: str):
     })
 
 
+_XML_FIXDIR = "/tmp/gdal_ray_fixtures"
+
+
+def q_kml_gml_layer(sf_dir: str):
+    """Sixth + seventh real vector formats: the polygon fixture written
+    as KML (Folder of Placemarks + ExtendedData, sources/kml.py) and
+    OGR-style GML3 (featureMember / gml:posList, sources/gml.py), each
+    parsed back in a worker task (single-XML-document formats ride the
+    per-file task path), per-(fmt, category) aggregates from the
+    decoded attributes AND ring vertex counts from the decoded WKB —
+    both formats must agree exactly. Deterministic — pinned literal
+    oracle. Parsers golden-tested against the reference's own
+    samples.kml / expected_gml_gml3.gml expectations."""
+    import os
+
+    import ray.data
+
+    from ..functions.wkb import wkb_to_geom
+    from ..sources.gml import read_gml, write_gml
+    from ..sources.kml import read_kml, write_kml
+    from ..sources.vector import polygons_table
+    from .common import partial_groupby_agg
+
+    kml_path = os.path.join(_XML_FIXDIR, "vector_fixture_v1.kml")
+    gml_path = os.path.join(_XML_FIXDIR, "vector_fixture_v1.gml")
+    if not (os.path.exists(kml_path) and os.path.exists(gml_path)):
+        os.makedirs(_XML_FIXDIR, exist_ok=True)
+        zones = polygons_table(64)
+        tmp = kml_path + f".tmp{os.getpid()}"
+        write_kml(tmp, zones.drop_columns(["area_expected"]),
+                  layer_name="zones", name_col=None, desc_col=None)
+        os.replace(tmp, kml_path)
+        tmp = gml_path + f".tmp{os.getpid()}"
+        write_gml(tmp, zones.drop_columns(["area_expected"]),
+                  layer_name="zones")
+        os.replace(tmp, gml_path)
+
+    items = [{"fmt": "kml", "path": kml_path},
+             {"fmt": "gml", "path": gml_path}]
+
+    def load(b: pa.Table) -> pa.Table:
+        out = []
+        for row in b.to_pylist():
+            if row["fmt"] == "kml":
+                lyr = read_kml(row["path"])["zones"]
+                cats = lyr["category"].to_pylist()          # ExtendedData
+                pops = [int(p) for p in lyr["pop"].to_pylist()]
+            else:
+                lyr = read_gml(row["path"])["zones"]
+                cats = lyr["category"].to_pylist()
+                pops = lyr["pop"].to_pylist()
+            verts = [len(wkb_to_geom(g).rings[0])
+                     for g in lyr["geometry"].to_pylist()]
+            out.append(pa.table({
+                "fmt": pa.array([row["fmt"]] * lyr.num_rows, pa.string()),
+                "category": pa.array([str(c) for c in cats], pa.string()),
+                "pop": pa.array(pops, pa.int64()),
+                "verts": pa.array(verts, pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    ds = ray.data.from_items(items, override_num_blocks=2).map_batches(
+        load, batch_format="pyarrow", batch_size=1)
+    agg = partial_groupby_agg(ds, ["fmt", "category"], [
+        ("n", "pop", "count"),
+        ("pop_sum", "pop", "sum"),
+        ("verts_sum", "verts", "sum"),
+    ])
+    agg = agg.sort_by([("fmt", "ascending"), ("category", "ascending")])
+    return pa.table({
+        "fmt": agg["fmt"],
+        "category": agg["category"],
+        "n": agg["n"].cast(pa.int64()),
+        "pop_sum": agg["pop_sum"].cast(pa.int64()),
+        "verts_sum": agg["verts_sum"].cast(pa.int64()),
+    })
+
+
 def q_zfield_precision(sf_dir: str):
     """ogr2ogr -zfield + -xyRes/-zRes coordinate precision
     (apps/ogr2ogr_lib.cpp zField -> setZ; OGRGeomCoordinatePrecision,
@@ -659,5 +737,6 @@ QUERIES = {
     "q_fgb_layer": q_fgb_layer,
     "q_shp_layer": q_shp_layer,
     "q_csv_layer": q_csv_layer,
+    "q_kml_gml_layer": q_kml_gml_layer,
     "q_zfield_precision": q_zfield_precision,
 }

@@ -1,0 +1,255 @@
+"""KML vector driver (reference ogr/ogrsf_frmts/kml/: each Folder of
+Placemarks is a layer; fields are Name, description plus
+ExtendedData Data/SimpleData entries; geometries are Point/
+LineString/Polygon/MultiGeometry with lon,lat[,alt] coordinate
+tuples — altitude makes features 2.5-D, matching the reference's
+``POINT (x y z)`` expectations in autotest/ogr/ogr_kml.py).
+
+Namespace-agnostic stdlib ElementTree parse (KML files ship under
+several xmlns variants). Placemarks outside any Folder form a layer
+named after the Document. MultiGeometry of mixed member types is a
+documented fence (the Geom model has no GeometryCollection).
+
+Reading one KML file is a single-XML-document parse — at engine
+scale files ride the per-file map_batches path (one task per file),
+like the other single-document formats.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.wkb import Geom, geom_to_wkb, wkb_to_geom
+
+_MULTI = {1: 4, 2: 5, 3: 6}
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _find(el, name):
+    for c in el:
+        if _local(c.tag) == name:
+            return c
+    return None
+
+
+def _findall(el, name):
+    return [c for c in el if _local(c.tag) == name]
+
+
+def _text(el, name, default=""):
+    c = _find(el, name)
+    return (c.text or "").strip() if c is not None and c.text else default
+
+
+def _coords(el) -> tuple[np.ndarray, np.ndarray]:
+    """<coordinates> 'lon,lat[,alt]' tuples -> ((n,2) xy, (n,) z)."""
+    txt = (el.text or "").strip()
+    xy, z = [], []
+    for tup in txt.split():
+        parts = tup.split(",")
+        xy.append((float(parts[0]), float(parts[1])))
+        z.append(float(parts[2]) if len(parts) > 2 else 0.0)
+    return np.array(xy, np.float64).reshape(-1, 2), np.array(z, np.float64)
+
+
+def _parse_geom(el) -> Geom | None:
+    name = _local(el.tag)
+    if name == "Point":
+        c = _find(el, "coordinates")
+        xy, z = _coords(c)
+        return Geom(1, [xy], zs=[z])
+    if name == "LineString" or name == "LinearRing":
+        c = _find(el, "coordinates")
+        xy, z = _coords(c)
+        return Geom(2, [xy], zs=[z])
+    if name == "Polygon":
+        rings, zs = [], []
+        outer = _find(el, "outerBoundaryIs")
+        if outer is not None:
+            lr = _find(outer, "LinearRing")
+            xy, z = _coords(_find(lr, "coordinates"))
+            rings.append(xy)
+            zs.append(z)
+        for inner in _findall(el, "innerBoundaryIs"):
+            lr = _find(inner, "LinearRing")
+            xy, z = _coords(_find(lr, "coordinates"))
+            rings.append(xy)
+            zs.append(z)
+        return Geom(3, rings, poly_ring_counts=[len(rings)], zs=zs)
+    if name == "MultiGeometry":
+        members = [_parse_geom(c) for c in el]
+        members = [m for m in members if m is not None]
+        if not members:
+            return None
+        kinds = {m.kind for m in members}
+        if len(kinds) != 1 or members[0].kind not in _MULTI:
+            raise NotImplementedError(
+                "mixed-type KML MultiGeometry (GeometryCollection) "
+                "is not modeled")
+        base = members[0].kind
+        rings = [r for m in members for r in m.rings]
+        zs = [z for m in members for z in (m.zs or [])]
+        prc = ([c for m in members for c in m.poly_ring_counts]
+               if base == 3 else [])
+        return Geom(_MULTI[base], rings, poly_ring_counts=prc,
+                    zs=zs or None)
+    return None
+
+
+def _placemark_row(pm) -> tuple[str, str, dict, bytes | None]:
+    name = _text(pm, "name")
+    desc = _text(pm, "description")
+    extra: dict[str, str] = {}
+    ext = _find(pm, "ExtendedData")
+    if ext is not None:
+        for d in _findall(ext, "Data"):
+            extra[d.attrib.get("name", "")] = _text(d, "value")
+        for sd in _findall(ext, "SchemaData"):
+            for s in _findall(sd, "SimpleData"):
+                extra[s.attrib.get("name", "")] = (s.text or "").strip()
+    geom = None
+    for c in pm:
+        g = _parse_geom(c)
+        if g is not None:
+            geom = g
+            break
+    return name, desc, extra, geom_to_wkb(geom) if geom else None
+
+
+def read_kml(path_or_bytes) -> dict[str, pa.Table]:
+    """-> {layer_name: Arrow table (Name, description, [extras...],
+    geometry WKB)} — one layer per Folder, plus the Document layer
+    for loose placemarks (the reference's layer model)."""
+    if isinstance(path_or_bytes, bytes):
+        root = ET.fromstring(path_or_bytes)
+    else:
+        root = ET.parse(path_or_bytes).getroot()
+    doc = _find(root, "Document")
+    if doc is None:
+        doc = root
+    doc_name = _text(doc, "name", "doc") or "doc"
+
+    layers: dict[str, list] = {}
+
+    def collect(container, layer_name):
+        rows = layers.setdefault(layer_name, [])
+        for c in container:
+            t = _local(c.tag)
+            if t == "Placemark":
+                rows.append(_placemark_row(c))
+            elif t == "Folder":
+                collect(c, _text(c, "name", layer_name) or layer_name)
+            elif t == "Document":
+                collect(c, _text(c, "name", layer_name) or layer_name)
+
+    collect(doc, doc_name)
+
+    out: dict[str, pa.Table] = {}
+    for lname, rows in layers.items():
+        if not rows:
+            continue
+        extra_keys: list[str] = []
+        for _, _, ex, _ in rows:
+            for k in ex:
+                if k not in extra_keys:
+                    extra_keys.append(k)
+        cols = {
+            "Name": pa.array([r[0] for r in rows], pa.string()),
+            "description": pa.array([r[1] for r in rows], pa.string()),
+        }
+        for k in extra_keys:
+            cols[k] = pa.array([r[2].get(k) for r in rows], pa.string())
+        cols["geometry"] = pa.array([r[3] for r in rows], pa.binary())
+        out[lname] = pa.table(cols)
+    return out
+
+
+def _coord_str(xy: np.ndarray, z: np.ndarray | None, precision: int) -> str:
+    zz = z if z is not None else np.zeros(len(xy))
+    return " ".join(f"{x:.{precision}g},{y:.{precision}g},{v:.{precision}g}"
+                    for (x, y), v in zip(xy, zz))
+
+
+def _geom_xml(g: Geom, precision: int) -> str:
+    zs = g.zs or [None] * len(g.rings)
+    if g.kind == 1:
+        return (f"<Point><coordinates>{_coord_str(g.rings[0], zs[0], precision)}"
+                "</coordinates></Point>")
+    if g.kind == 2:
+        return ("<LineString><coordinates>"
+                f"{_coord_str(g.rings[0], zs[0], precision)}"
+                "</coordinates></LineString>")
+    if g.kind == 3:
+        parts = ["<Polygon>"]
+        for i, r in enumerate(g.rings):
+            tag = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+            parts.append(f"<{tag}><LinearRing><coordinates>"
+                         f"{_coord_str(r, zs[i], precision)}"
+                         f"</coordinates></LinearRing></{tag}>")
+        parts.append("</Polygon>")
+        return "".join(parts)
+    # multi kinds -> MultiGeometry of members
+    inv = {v: k for k, v in _MULTI.items()}
+    if g.kind in inv:
+        base = inv[g.kind]
+        parts = ["<MultiGeometry>"]
+        if base == 3:
+            at = 0
+            for cnt in g.poly_ring_counts:
+                sub = Geom(3, g.rings[at:at + cnt], [cnt],
+                           zs=(g.zs[at:at + cnt] if g.zs else None))
+                parts.append(_geom_xml(sub, precision))
+                at += cnt
+        else:
+            for i, r in enumerate(g.rings):
+                parts.append(_geom_xml(
+                    Geom(base, [r], zs=([zs[i]] if g.zs else None)),
+                    precision))
+        parts.append("</MultiGeometry>")
+        return "".join(parts)
+    raise NotImplementedError(f"KML write for geometry kind {g.kind}")
+
+
+def _esc(s: str) -> str:
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def write_kml(path: str, table: pa.Table, *, layer_name: str = "layer",
+              name_col: str | None = "Name",
+              desc_col: str | None = "description",
+              precision: int = 15) -> None:
+    """Arrow layer (WKB geometry) -> KML Folder of Placemarks with
+    ExtendedData for the remaining columns."""
+    cols = [c for c in table.column_names
+            if c not in ("geometry", name_col, desc_col)]
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<kml xmlns="http://www.opengis.net/kml/2.2">',
+             "<Document>", f"<Folder><name>{_esc(layer_name)}</name>"]
+    data = {c: table[c].to_pylist() for c in table.column_names}
+    for i in range(table.num_rows):
+        parts.append("<Placemark>")
+        if name_col and name_col in data:
+            parts.append(f"<name>{_esc(data[name_col][i])}</name>")
+        if desc_col and desc_col in data:
+            parts.append(
+                f"<description>{_esc(data[desc_col][i])}</description>")
+        if cols:
+            parts.append("<ExtendedData>")
+            for c in cols:
+                parts.append(f'<Data name="{_esc(c)}"><value>'
+                             f"{_esc(data[c][i])}</value></Data>")
+            parts.append("</ExtendedData>")
+        if "geometry" in data and data["geometry"][i] is not None:
+            parts.append(_geom_xml(wkb_to_geom(data["geometry"][i]),
+                                   precision))
+        parts.append("</Placemark>")
+    parts += ["</Folder>", "</Document>", "</kml>"]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
