@@ -1465,6 +1465,137 @@ def q_viewshed_cumulative(sf_dir: str):
                      "vsum": pa.array(scaled.sum(axis=1), pa.int64())})
 
 
+def gdaltindex(paths, num_shards: int = 8):
+    """gdaltindex (apps/gdaltindex_lib.cpp): build a tile-index layer
+    from raster files — one polygon per raster (the geotransformed
+    extent corners), 'location' attribute holding the path (the
+    default field name, gdaltindex_lib.cpp:62). Files are probed
+    task-side through open_raster; returns a Dataset of
+    (location, geometry WKB, epsg, w, h) rows ready for any vector
+    sink (GPKG/FGB/SHP/...) and for the GTI mosaic lookup."""
+    import ray.data
+
+    from ..functions.wkb import Geom, geom_to_wkb
+    from ..sources.raster_open import open_raster
+
+    def probe(b: pa.Table) -> pa.Table:
+        locs, wkbs, epsgs, ws, hs = [], [], [], [], []
+        for row in b.to_pylist():
+            p = row["path"]
+            r = open_raster(p)
+            px = r["pixels"]
+            h, w = px.shape[:2]
+            gt = r["gt"] or (0.0, 1.0, 0.0, float(h), 0.0, -1.0)
+            corners = [(0, 0), (w, 0), (w, h), (0, h), (0, 0)]
+            ring = np.array(
+                [(gt[0] + gt[1] * cx + gt[2] * cy,
+                  gt[3] + gt[4] * cx + gt[5] * cy) for cx, cy in corners])
+            locs.append(p)
+            wkbs.append(geom_to_wkb(Geom(3, [ring], [1])))
+            epsgs.append(r["epsg"] if r["epsg"] is not None else 0)
+            ws.append(w)
+            hs.append(h)
+        return pa.table({
+            "location": pa.array(locs, pa.string()),
+            "geometry": pa.array(wkbs, pa.binary()),
+            "epsg": pa.array(epsgs, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+        })
+
+    items = [{"path": p} for p in paths]
+    return (ray.data.from_items(items,
+                                override_num_blocks=min(num_shards,
+                                                        max(1, len(items))))
+            .map_batches(probe, batch_format="pyarrow"))
+
+
+def q_gdaltindex(sf_dir: str):
+    """gdaltindex end-to-end: corpus-derived rasters written task-side
+    in three formats (GTiff strips, AAIGrid, XYZ), indexed distributed
+    via open_raster probes, the index persisted as GeoPackage and read
+    back through the fid-sharded GPKG reader; rows summarize per-driver
+    counts and footprint-area sums."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    from ..functions.geom import geom_area
+    from ..functions.wkb import wkb_to_geom
+    from ..sources.asciigrid import write_aaigrid, write_xyz
+    from ..sources.gpkg import gpkg_dataset, write_gpkg
+    from ..sources.images import corpus_dataset
+    from ..sources.tiff import encode_tiff
+
+    out_root = tempfile.mkdtemp(prefix="gdal_ray_tindex_")
+    ds = corpus_dataset(18)
+
+    def materialize(t: pa.Table) -> pa.Table:
+        paths = []
+        for i, rec in enumerate(t.to_pylist()):
+            px = decode_image(rec["bytes"])
+            band = px[::4, ::4, 0]
+            k = int(rec["image_id"].split("img")[-1]) \
+                if "img" in rec["image_id"] else i
+            gt = (1000.0 + 40.0 * k, 2.0, 0.0, 900.0 - 10.0 * k, 0.0, -2.0)
+            base = os.path.join(out_root, rec["image_id"])
+            if k % 3 == 0:
+                p = base + ".tif"
+                with open(p, "wb") as f:
+                    f.write(encode_tiff(px, gt=gt))
+            elif k % 3 == 1:
+                p = base + ".asc"
+                with open(p, "w") as f:
+                    f.write(write_aaigrid(band.astype(np.int32), gt))
+            else:
+                p = base + ".xyz"
+                with open(p, "w") as f:
+                    f.write(write_xyz(band.astype(np.float64), gt))
+            paths.append(p)
+        return pa.table({"path": pa.array(paths, pa.string())})
+
+    paths = []
+    for b in ds.map_batches(materialize, batch_format="pyarrow") \
+              .iter_batches(batch_size=None, batch_format="pyarrow"):
+        paths.extend(b["path"].to_pylist())
+    paths.sort()
+
+    index = gdaltindex(paths, num_shards=6)
+    tab = pa.concat_tables(list(index.iter_batches(batch_size=None,
+                                                   batch_format="pyarrow")))
+    gpkg_path = os.path.join(out_root, "index.gpkg")
+    write_gpkg(gpkg_path, {"tindex": tab})
+    back = gpkg_dataset(gpkg_path, "tindex",
+                        columns=["location", "geometry", "w", "h"],
+                        num_shards=3)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        ext, areas, ncells = [], [], []
+        for row in t.to_pylist():
+            ext.append(os.path.splitext(row["location"])[1])
+            areas.append(geom_area(wkb_to_geom(row["geometry"])))
+            ncells.append(row["w"] * row["h"])
+        return pa.table({"ext": pa.array(ext, pa.string()),
+                         "area": pa.array(areas, pa.float64()),
+                         "cells": pa.array(ncells, pa.int64())})
+
+    agg = partial_groupby_agg(
+        back.map_batches(summarize, batch_format="pyarrow"), ["ext"], [
+            ("n", "cells", "count"),
+            ("area_sum", "area", "sum"),
+            ("cells_sum", "cells", "sum"),
+        ])
+    agg = agg.sort_by("ext")
+    return pa.table({
+        "ext": agg["ext"],
+        "n": agg["n"].cast(pa.int64()),
+        "area_sum": pa.array(round_away_np(
+            agg["area_sum"].to_numpy(zero_copy_only=False), 3)),
+        "cells_sum": agg["cells_sum"].cast(pa.int64()),
+    })
+
+
 def q_ascii_raster(sf_dir: str):
     """AAIGrid + XYZ ASCII raster drivers (frmts/aaigrid, frmts/xyz)
     through the unified GDALOpen-style probe: per-image grids written
@@ -1582,6 +1713,7 @@ QUERIES = {
     "q_zarr": q_zarr,
     "q_nearblack": q_nearblack,
     "q_ascii_raster": q_ascii_raster,
+    "q_gdaltindex": q_gdaltindex,
     "q_viewshed_cumulative": q_viewshed_cumulative,
     "q_raster_open": q_raster_open,
     "q_gcp_warp": q_gcp_warp,
