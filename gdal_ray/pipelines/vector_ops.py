@@ -492,6 +492,92 @@ def q_csv_layer(sf_dir: str):
     })
 
 
+class ReprojectGeoms:
+    """ogr2ogr -t_srs as a stateful actor stage: the coordinate
+    transformer is built once per actor (the OGRProjCT cache pattern,
+    reference ogr/ogrct.cpp:1654 + apps/ogr2ogr_lib.cpp:474-478
+    per-layer CT reuse) and applied vectorized per batch. Point
+    columns take the fully-vectorized WKB fast path; general
+    geometries transform ring-by-ring."""
+
+    def __init__(self, src: int | str, dst: int | str,
+                 geometry_col: str = "geometry"):
+        from ..functions.crs import Transformer
+
+        self.tr = Transformer(src, dst)
+        self.col = geometry_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.wkb import (points_to_wkb, wkb_to_geom,
+                                     wkb_to_points)
+
+        blobs = t[self.col].to_pylist()
+        if blobs and all(b is not None and len(b) == 21 for b in blobs):
+            x, y = wkb_to_points(blobs)           # vectorized points path
+            nx, ny = self.tr.transform(x, y)
+            out = points_to_wkb(nx, ny)
+        else:
+            out = []
+            for b in blobs:
+                if b is None:
+                    out.append(None)
+                    continue
+                g = wkb_to_geom(b)
+                g2 = Geom(g.kind,
+                          [np.column_stack(self.tr.transform(r[:, 0],
+                                                             r[:, 1]))
+                           for r in g.rings],
+                          list(g.poly_ring_counts), zs=g.zs)
+                out.append(geom_to_wkb(g2))
+        i = t.column_names.index(self.col)
+        return t.set_column(i, self.col, pa.array(out, pa.binary()))
+
+
+def q_vector_reproject(sf_dir: str):
+    """ogr2ogr -t_srs EPSG:3857 over the events-derived point layer:
+    WKB points reprojected 4326 -> 3857 in an actor pool (transformer
+    cached per actor), coordinates re-read from the produced WKB. The
+    DuckDB oracle recomputes the spherical-mercator closed form —
+    a full computed-oracle check of the CRS engine through the vector
+    path."""
+    from ..functions.wkb import points_to_wkb, wkb_to_points
+    from .common import read_table
+    from .spatial_sql import derive_lonlat
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(
+            pa.compute.bit_wise_and(t["event_id"], 7), 2))
+        lon, lat = derive_lonlat(t["value"].to_numpy())
+        return pa.table({"event_id": t["event_id"],
+                         "geometry": pa.array(points_to_wkb(lon, lat),
+                                              pa.binary())})
+
+    proj = ds.map_batches(mk, batch_format="pyarrow").map_batches(
+        ReprojectGeoms, fn_constructor_args=(4326, 3857),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        x, y = wkb_to_points(t["geometry"].to_pylist())
+        return pa.table({"event_id": t["event_id"],
+                         "mx": pa.array(round_away_np(x, 3)),
+                         "my": pa.array(round_away_np(y, 3))})
+
+    return proj.map_batches(unpack, batch_format="pyarrow")
+
+
+_REPROJ_SQL = """
+SELECT event_id,
+       ROUND(6378137.0 * RADIANS(fmod(value * 7.0, 360.0) - 180.0), 3) AS mx,
+       ROUND(6378137.0 * LN(TAN(PI()/4.0 +
+             RADIANS(GREATEST(LEAST(fmod(value * 3.0, 170.0) - 85.0,
+                                    85.0511287798066),
+                              -85.0511287798066)) / 2.0)), 3) AS my
+FROM events WHERE (event_id & 7) = 2
+"""
+
+
 _XML_FIXDIR = "/tmp/gdal_ray_fixtures"
 
 
@@ -611,6 +697,7 @@ _SNAP = ("trunc({v} / {r} + CASE WHEN {v} < 0 THEN -0.5 ELSE 0.5 END)"
          " * {r}")
 
 ORACLE: dict[str, str] = {
+    "q_vector_reproject": _REPROJ_SQL,
     "q_zfield_precision": f"""
         SELECT event_id,
                {_SNAP.format(v='(fmod(value * 7.0, 360.0) - 180.0)', r='0.01')} AS x,
@@ -723,6 +810,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_vector_reproject": q_vector_reproject,
     "q_geom_simplify": q_geom_simplify,
     "q_geom_segmentize": q_geom_segmentize,
     "q_clip_zones": q_clip_zones,
