@@ -27,8 +27,13 @@ row behavior. Cumulative mode (alg/viewshed/cumulative.cpp): observers
 on a `spacing` grid, visible=1 rasters summed, scaled to 0..255 by
 floor(255/max * v).
 
-Scope fences (documented, raise): observer outside the raster, angle
-masking (start/end angle), pitch masking (low/high pitch).
+Angle masking (start/end compass angles, normalizeAngle + the
+maskAngleLeft/Right/maskInitial fills and the shrinkWindowForAngles
+output crop, alg/viewshed/util.cpp:25-183, viewshed.cpp:228-280) and
+pitch masking (low pitch raises the observable plane inside the
+wavefront, high pitch marks cells above the plane out-of-range,
+viewshed_executor.cpp:989-1024) are implemented; the one remaining
+fence is an observer outside the raster (raises).
 
 Everything is vectorized: axis scans are running maxima of A(d)/d,
 the quadrant interiors advance one anti-diagonal per step (numpy
@@ -67,31 +72,222 @@ def _calc_extents(W: int, H: int, ox: int, oy: int, gt, max_distance: float):
     return x_start, x_stop, y_start, y_stop
 
 
-def _axis_scan(a_line: np.ndarray) -> np.ndarray:
+def _axis_scan(a_line: np.ndarray, low_c: float = -np.inf,
+               raise_first: bool = True) -> np.ndarray:
     """Observable-height scan along a ray from the observer.
 
     a_line[k] is the adjusted height at distance k+1 from the observer.
     CalcHeightLine's recurrence Z(d) = max(A(d), Z(d-1)*d/(d-1)) with
     Z(1) = A(1) is, in W(d) = Z(d)/d form, a running maximum of A(d)/d.
-    Returns dfZ (the pre-max minimum observable height) per cell.
+    ``low_c`` is the low-pitch plane slope per unit step
+    (step_dist * tan(low_pitch)); maskLowPitch raises dfZ to
+    d*low_c before the max fold, which in W form is a floor at low_c.
+    Returns dfZ (the raised, pre-max minimum observable height).
     """
     n = a_line.size
     if n == 0:
         return a_line
     d = np.arange(1, n + 1, dtype=np.float64)
-    w = np.maximum.accumulate(a_line / d)
+    f = np.maximum(a_line / d, low_c)
+    if not raise_first:
+        # normal mode skips maskLowPitch on the observer-adjacent scan
+        # cell (viewshed_executor.cpp:434-445 Normal branch)
+        f[0] = a_line[0]
+    w = np.maximum.accumulate(f)
     dfz = np.empty(n, np.float64)
-    dfz[0] = a_line[0]
-    dfz[1:] = w[:-1] * d[1:]
+    dfz[0] = a_line[0] if not raise_first else max(a_line[0], low_c)
+    dfz[1:] = np.maximum(w[:-1], low_c) * d[1:]
     return dfz
 
 
 _CELL_MODES = ("edge", "diagonal", "min", "max")
 
+_PI = np.pi
+
+
+def _eq(a: float, b: float) -> bool:
+    return abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b))
+
+
+def normalize_angle(deg: float) -> float:
+    """Compass degrees (clockwise, 0 = north) -> math radians
+    (counterclockwise, 0 = east); util.cpp:25-31."""
+    a = 90.0 - deg
+    if a < 0:
+        a += 360.0
+    return a * (_PI / 180.0)
+
+
+def _ray_between(start: float, end: float, test: float) -> bool:
+    """Is `test` in the clockwise slice [start, end]? util.cpp:174-183."""
+    start, end = end, start
+    if start < end:
+        return start <= test <= end
+    if start > end:
+        return test >= start or test <= end
+    return False
+
+
+def _h_float(angle, nX, nY, y):
+    """horizontalIntersect (util.cpp:40-61): X where the ray crosses
+    line Y=y, or None."""
+    if nY == y:
+        return float(nX)
+    if nY > y:
+        if _eq(angle, _PI / 2):
+            return float(nX)
+        if 0 < angle < _PI:
+            return nX + (nY - y) / np.tan(angle)
+        return None
+    if _eq(angle, 3 * _PI / 2):
+        return float(nX)
+    if angle > _PI:
+        return nX - (y - nY) / np.tan(angle)
+    return None
+
+
+def _v_float(angle, nX, nY, x):
+    """verticalIntersect (util.cpp:108-130)."""
+    if nX == x:
+        return float(nY)
+    if nX < x:
+        if _eq(angle, 0):
+            return float(nY)
+        if angle < _PI / 2 or angle > 3 * _PI / 2:
+            return nY + (nX - x) * np.tan(angle)
+        return None
+    if _eq(angle, _PI):
+        return float(nY)
+    if _PI / 2 < angle < 3 * _PI / 2:
+        return nY - (x - nX) * np.tan(angle)
+    return None
+
+
+def _h_isect(angle, nX, nY, y):
+    x = _h_float(angle, nX, nY, y)
+    return None if x is None else int(np.round(x))
+
+
+def _v_isect(angle, nX, nY, x):
+    y = _v_float(angle, nX, nY, x)
+    return None if y is None else int(np.round(y))
+
+
+def _h_isect_win(angle, nX, nY, x0, x1, y0, y1):
+    """hIntersect window variant (util.cpp:88-98)."""
+    if _eq(angle, _PI):
+        return x0
+    if _eq(angle, 0):
+        return x1
+    x = _h_float(angle, nX, nY, y0)
+    if x is None:
+        x = _h_float(angle, nX, nY, y1)
+    return int(np.clip(int(np.round(x)), x0, x1))
+
+
+def _v_isect_win(angle, nX, nY, x0, x1, y0, y1):
+    """vIntersect window variant (util.cpp:156-166)."""
+    if _eq(angle, _PI / 2):
+        return y0
+    if _eq(angle, 3 * _PI / 2):
+        return y1
+    y = _v_float(angle, nX, nY, x0)
+    if y is None:
+        y = _v_float(angle, nX, nY, x1)
+    return int(np.clip(int(np.round(y)), y0, y1))
+
+
+def _shrink_window_for_angles(x0, x1, y0, y1, nX, nY, start, end):
+    """shrinkWindowForAngles (viewshed.cpp:228-280)."""
+    sX = _h_isect_win(start, nX, nY, x0, x1, y0, y1)
+    eX = _h_isect_win(end, nX, nY, x0, x1, y0, y1)
+    if not _ray_between(start, end, 0):
+        x1 = min(x1, max(nX, sX, eX) + 1)
+    if not _ray_between(start, end, _PI):
+        x0 = max(x0, min(nX, sX, eX))
+    sY = _v_isect_win(start, nX, nY, x0, x1, y0, y1)
+    eY = _v_isect_win(end, nX, nY, x0, x1, y0, y1)
+    if not _ray_between(start, end, _PI / 2):
+        y0 = max(y0, min(nY, sY, eY))
+    if not _ray_between(start, end, 3 * _PI / 2):
+        y1 = min(y1, max(nY, sY, eY) + 1)
+    if x0 >= x1 or y0 >= y1:
+        raise ValueError("angle window does not intersect the raster")
+    return x0, x1, y0, y1
+
+
+def _test_angles(w, h, ox, oy):
+    """calcTestAngles (viewshed_executor.cpp:897-931): one ray inside
+    each quadrant for the all-outside-the-slice test."""
+    t = {}
+    t[1] = np.arctan2(oy + 1, (w - ox) / 2.0)
+    t[2] = np.arctan2(oy + 1, -(ox + 1) / 2.0)
+    t[3] = np.arctan2(-(h - oy), -(ox + 1) / 2.0)
+    t[4] = np.arctan2(-(h - oy), (w - ox) / 2.0)
+    return {k: (v + 2 * _PI if v < 0 else v) for k, v in t.items()}
+
+
+def _apply_angle_masks(out, ox, oy, start, end, oor) -> None:
+    """maskAngleLeft/Right + maskInitial per line
+    (viewshed_executor.cpp:468-575,815-840)."""
+    h, w = out.shape
+    ta = _test_angles(w, h, ox, oy)
+    for line in range(h):
+        row = out[line]
+        # ---- left of the observer
+        def clamp_l(x):
+            return None if (x is None or x < 0 or x >= ox) else x
+        if line != oy:
+            sX = clamp_l(_h_isect(start, ox, oy, line))
+            eX = clamp_l(_h_isect(end, ox, oy, line))
+            if sX is None and eX is None:
+                test = ta[2] if line < oy else ta[3]
+                if not _ray_between(start, end, test):
+                    row[:ox] = oor
+            else:
+                if line > oy:
+                    sX, eX = eX, sX
+                sX = 0 if sX is None else sX
+                eX = ox - 1 if eX is None else eX
+                if sX <= eX:
+                    row[:sX] = oor
+                    row[eX + 1:ox] = oor
+                else:
+                    row[eX + 1:sX] = oor
+        elif not _ray_between(start, end, _PI):
+            row[:ox] = oor
+        # ---- right of the observer
+        def clamp_r(x):
+            return None if (x is None or x <= ox or x >= w) else x
+        if line != oy:
+            sX = clamp_r(_h_isect(start, ox, oy, line))
+            eX = clamp_r(_h_isect(end, ox, oy, line))
+            if sX is None and eX is None:
+                test = ta[1] if line < oy else ta[4]
+                if not _ray_between(start, end, test):
+                    row[ox + 1:] = oor
+            else:
+                if line > oy:
+                    sX, eX = eX, sX
+                eX = w - 1 if eX is None else eX
+                sX = ox + 1 if sX is None else sX
+                if sX <= eX:
+                    row[ox + 1:sX] = oor
+                    row[eX + 1:] = oor
+                else:
+                    row[eX + 1:sX] = oor
+        elif not _ray_between(start, end, 0):
+            row[ox + 1:] = oor
+        # ---- the observer column (maskInitial)
+        if line < oy and not _ray_between(start, end, _PI / 2):
+            row[ox] = oor
+        elif line > oy and not _ray_between(start, end, 3 * _PI / 2):
+            row[ox] = oor
+
 
 def _quadrant(A: np.ndarray, D: np.ndarray, z_axis_x: np.ndarray,
               z_axis_y: np.ndarray, oy: int, ox: int, sy: int, sx: int,
-              cell_mode: str) -> None:
+              cell_mode: str, Zmask: np.ndarray | None = None) -> None:
     """Fill D (min observable height) for one open quadrant.
 
     Wavefront over anti-diagonals i+j = d: every cell (i, j) (offsets
@@ -110,6 +306,7 @@ def _quadrant(A: np.ndarray, D: np.ndarray, z_axis_x: np.ndarray,
     xs = ox + sx * np.arange(ni + 1)
     ys = oy + sy * np.arange(nj + 1)
     Aq = A[np.ix_(ys, xs)]  # [j, i]
+    Mq = Zmask[np.ix_(ys, xs)] if Zmask is not None else None
     Zq = np.empty_like(Aq)
     Zq[0, :] = z_axis_x[: ni + 1]
     Zq[:, 0] = z_axis_y[: nj + 1]
@@ -152,6 +349,8 @@ def _quadrant(A: np.ndarray, D: np.ndarray, z_axis_x: np.ndarray,
                 dfz[nd] = np.minimum(edge, diag_v)
             else:
                 dfz[nd] = np.maximum(edge, diag_v)
+        if Mq is not None:  # maskLowPitch before setOutput
+            dfz = np.maximum(dfz, Mq[j, i])
         Dq[j, i] = dfz
         Zq[j, i] = np.maximum(Aq[j, i], dfz)
     D[np.ix_(ys[1:], xs[1:])] = Dq[1:, 1:]
@@ -175,10 +374,11 @@ def viewshed(dem: np.ndarray, observer_x: int, observer_y: int, *,
     reference when the destination has no SRS, viewshed_executor.cpp
     calcHeightAdjFactor); pass 6378137.0 for WGS84 ground units.
     """
-    if start_angle is not None or end_angle is not None:
-        raise NotImplementedError("viewshed angle masking not implemented")
-    if low_pitch is not None or high_pitch is not None:
-        raise NotImplementedError("viewshed pitch masking not implemented")
+    if (start_angle is None) != (end_angle is None):
+        raise ValueError("start_angle and end_angle go together")
+    angles = None
+    if start_angle is not None and start_angle != end_angle:
+        angles = (normalize_angle(start_angle), normalize_angle(end_angle))
     if mode not in ("normal", "dem", "ground"):
         raise ValueError(f"unknown viewshed mode {mode!r}")
     if cell_mode not in _CELL_MODES:
@@ -191,6 +391,9 @@ def viewshed(dem: np.ndarray, observer_x: int, observer_y: int, *,
 
     x0, x1, y0, y1 = _calc_extents(W, H, observer_x, observer_y, gt,
                                    max_distance)
+    if angles is not None:
+        x0, x1, y0, y1 = _shrink_window_for_angles(
+            x0, x1, y0, y1, observer_x, observer_y, *angles)
     raw = dem[y0:y1, x0:x1]
     ox = observer_x - x0
     oy = observer_y - y0
@@ -207,25 +410,43 @@ def viewshed(dem: np.ndarray, observer_x: int, observer_y: int, *,
     adj = curve_coeff / (2.0 * semimajor) if semimajor else 0.0
     A = raw - adj * r2 - z_obs
 
+    # pitch planes (viewshed_executor.cpp:140-143,989-1024)
+    tan_low = np.tan(np.radians(low_pitch)) if (
+        low_pitch is not None and low_pitch != -90.0) else None
+    tan_high = np.tan(np.radians(high_pitch)) if (
+        high_pitch is not None and high_pitch != 90.0) else None
+    dist = np.sqrt(r2) if (tan_low is not None or tan_high is not None) \
+        else None
+    Zmask = dist * tan_low if tan_low is not None else None
+    x_step = float(np.hypot(gt[1], gt[4]))
+    y_step = float(np.hypot(gt[2], gt[5]))
+    low_cx = x_step * tan_low if tan_low is not None else -np.inf
+    low_cy = y_step * tan_low if tan_low is not None else -np.inf
+    # normal mode skips the low raise on the two observer-adjacent
+    # horizontal cells (they're force-marked visible)
+    raise_first = mode != "normal"
+
     # minimum observable height per cell (adjusted frame)
     D = np.empty((h, w), np.float64)
     D[oy, ox] = A[oy, ox]  # placeholder; the observer cell is set below
     # half-axes: dfZ via running max, then Z = max(A, dfZ) for reuse
     z_right = np.concatenate(([A[oy, ox]], np.maximum(
-        A[oy, ox + 1:], d_r := _axis_scan(A[oy, ox + 1:]))))
+        A[oy, ox + 1:], d_r := _axis_scan(A[oy, ox + 1:], low_cx,
+                                          raise_first))))
     z_left = np.concatenate(([A[oy, ox]], np.maximum(
-        A[oy, :ox][::-1], d_l := _axis_scan(A[oy, :ox][::-1]))))
+        A[oy, :ox][::-1], d_l := _axis_scan(A[oy, :ox][::-1], low_cx,
+                                            raise_first))))
     z_down = np.concatenate(([A[oy, ox]], np.maximum(
-        A[oy + 1:, ox], d_d := _axis_scan(A[oy + 1:, ox]))))
+        A[oy + 1:, ox], d_d := _axis_scan(A[oy + 1:, ox], low_cy))))
     z_up = np.concatenate(([A[oy, ox]], np.maximum(
-        A[:oy, ox][::-1], d_u := _axis_scan(A[:oy, ox][::-1]))))
+        A[:oy, ox][::-1], d_u := _axis_scan(A[:oy, ox][::-1], low_cy))))
     D[oy, ox + 1:] = d_r
     D[oy, :ox] = d_l[::-1]
     D[oy + 1:, ox] = d_d
     D[:oy, ox] = d_u[::-1]
     for sy, zy in ((1, z_down), (-1, z_up)):
         for sx, zx in ((1, z_right), (-1, z_left)):
-            _quadrant(A, D, zx, zy, oy, ox, sy, sx, cell_mode)
+            _quadrant(A, D, zx, zy, oy, ox, sy, sx, cell_mode, Zmask)
 
     if mode == "normal":
         out = np.where(A + target_height < D, invisible_val, visible_val)
@@ -243,6 +464,13 @@ def viewshed(dem: np.ndarray, observer_x: int, observer_y: int, *,
         out = np.maximum(0.0, D - A)
         out[oy, ox] = 0.0
 
+    if tan_high is not None:
+        # maskHighPitch: cells whose observable height exceeds the
+        # high-pitch plane go out of range (the observer cell exempt)
+        hp = dist * tan_high < D
+        hp[oy, ox] = False
+        out[hp] = out_of_range_val
+
     if min_distance > 0 or max_distance > 0:
         oor = np.zeros((h, w), bool)
         if min_distance > 0:
@@ -250,6 +478,10 @@ def viewshed(dem: np.ndarray, observer_x: int, observer_y: int, *,
         if max_distance > 0:
             oor |= r2 > max_distance * max_distance
         out[oor] = out_of_range_val
+
+    if angles is not None:
+        _apply_angle_masks(out, ox, oy, angles[0], angles[1],
+                           out_of_range_val)
     return out, x0, y0
 
 

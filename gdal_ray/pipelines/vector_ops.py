@@ -578,6 +578,59 @@ FROM events WHERE (event_id & 7) = 2
 """
 
 
+def q_layer_info(sf_dir: str):
+    """ogrinfo -so layer summary (OGRLayer::GetFeatureCount +
+    GetExtent, reference ogr/ogrsf_frmts/ogrsf_frmts.h:260): feature
+    count and layer extent computed FROM the WKB geometry column via
+    distributed min/max partials; the oracle recomputes the extent
+    arithmetically."""
+    from ..functions.wkb import points_to_wkb, wkb_to_points
+    from .common import read_table
+    from .spatial_sql import derive_lonlat
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        lon, lat = derive_lonlat(t["value"].to_numpy())
+        wkb = points_to_wkb(lon, lat)
+        x, y = wkb_to_points(wkb)  # extent read back from real WKB
+        return pa.table({"layer": pa.array(["events_pts"] * len(x)),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    from .common import partial_groupby_agg
+
+    agg = partial_groupby_agg(ds.map_batches(mk, batch_format="pyarrow"),
+                              ["layer"], [
+        ("n", "x", "count"),
+        ("minx", "x", "min"),
+        ("maxx", "x", "max"),
+        ("miny", "y", "min"),
+        ("maxy", "y", "max"),
+    ])
+    return pa.table({
+        "layer": agg["layer"],
+        "n": agg["n"].cast(pa.int64()),
+        "minx": pa.array(round_away_np(
+            agg["minx"].to_numpy(zero_copy_only=False), 6)),
+        "maxx": pa.array(round_away_np(
+            agg["maxx"].to_numpy(zero_copy_only=False), 6)),
+        "miny": pa.array(round_away_np(
+            agg["miny"].to_numpy(zero_copy_only=False), 6)),
+        "maxy": pa.array(round_away_np(
+            agg["maxy"].to_numpy(zero_copy_only=False), 6)),
+    })
+
+
+_LAYER_INFO_SQL = """
+SELECT 'events_pts' AS layer, COUNT(*) AS n,
+       ROUND(MIN(fmod(value * 7.0, 360.0) - 180.0), 6) AS minx,
+       ROUND(MAX(fmod(value * 7.0, 360.0) - 180.0), 6) AS maxx,
+       ROUND(MIN(fmod(value * 3.0, 170.0) - 85.0), 6) AS miny,
+       ROUND(MAX(fmod(value * 3.0, 170.0) - 85.0), 6) AS maxy
+FROM events
+"""
+
+
 _XML_FIXDIR = "/tmp/gdal_ray_fixtures"
 
 
@@ -698,6 +751,7 @@ _SNAP = ("trunc({v} / {r} + CASE WHEN {v} < 0 THEN -0.5 ELSE 0.5 END)"
 
 ORACLE: dict[str, str] = {
     "q_vector_reproject": _REPROJ_SQL,
+    "q_layer_info": _LAYER_INFO_SQL,
     "q_zfield_precision": f"""
         SELECT event_id,
                {_SNAP.format(v='(fmod(value * 7.0, 360.0) - 180.0)', r='0.01')} AS x,
@@ -811,6 +865,7 @@ ORACLE: dict[str, str] = {
 
 QUERIES = {
     "q_vector_reproject": q_vector_reproject,
+    "q_layer_info": q_layer_info,
     "q_geom_simplify": q_geom_simplify,
     "q_geom_segmentize": q_geom_segmentize,
     "q_clip_zones": q_clip_zones,

@@ -92,6 +92,79 @@ def test_min_max_mask():
     np.testing.assert_array_equal(out, expected)
 
 
+def test_angle_mask_golden():
+    # test_viewshed.cpp TEST(Viewshed, angle): flat 17x17, observer
+    # (8,8), compass start 0 / end 30 -> cropped 6x9 wedge
+    dem = np.zeros((17, 17))
+    out, x0, y0 = viewshed(dem, 8, 8, start_angle=0, end_angle=30, **V)
+    assert out.shape == (9, 6)
+    assert (x0, y0) == (8, 0)
+    expected = np.array([
+        127, 127, 127, 127, 127, 127,
+        127, 127, 127, 127, 127, 0,
+        127, 127, 127, 127, 0, 0,
+        127, 127, 127, 127, 0, 0,
+        127, 127, 127, 0, 0, 0,
+        127, 127, 127, 0, 0, 0,
+        127, 127, 0, 0, 0, 0,
+        127, 127, 0, 0, 0, 0,
+        127, 0, 0, 0, 0, 0], float).reshape(9, 6)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_angle2_mask_golden():
+    # test_viewshed.cpp TEST(Viewshed, angle2): 0..300 slice keeps the
+    # full 11x11 window, masking only the north-by-northwest wedge
+    dem = np.zeros((11, 11))
+    out, x0, y0 = viewshed(dem, 5, 5, start_angle=0, end_angle=300, **V)
+    assert out.shape == (11, 11)
+    expected = np.full(121, 127.0)
+    expected[[0, 1, 2, 3, 4, 11, 12, 13, 14, 15, 23, 24, 25, 26,
+              36, 37, 48]] = 0
+    np.testing.assert_array_equal(out, expected.reshape(11, 11))
+
+
+def test_high_pitch_mask_golden():
+    # test_viewshed.cpp TEST(Viewshed, high_mask): ramp at row 7,
+    # observer (3,7), highPitch 58 degrees
+    dem = np.zeros((15, 15))
+    dem[7, 5:15] = [1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+    out, _, _ = viewshed(dem, 3, 7, high_pitch=58, **V)
+    expected = np.array([
+        [127]*12 + [0]*3,
+        [127]*11 + [0]*4,
+        [127]*10 + [0]*5,
+        [127]*9 + [0]*6,
+        [127]*8 + [0]*7,
+        [127]*7 + [0]*8,
+        [127]*6 + [0]*9,
+        [127]*12 + [0]*3,
+        [127]*6 + [0]*9,
+        [127]*7 + [0]*8,
+        [127]*8 + [0]*7,
+        [127]*9 + [0]*6,
+        [127]*10 + [0]*5,
+        [127]*11 + [0]*4,
+        [127]*12 + [0]*3], float)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_low_pitch_dem_golden():
+    # test_viewshed.cpp TEST(Viewshed, low_mask): lowPitch -45 in DEM
+    # mode raises the observable plane to the -45-degree cone
+    dem = np.zeros((5, 5))
+    dem[2, 2] = 5
+    out, _, _ = viewshed(dem, 2, 2, low_pitch=-45, mode="dem",
+                         curve_coeff=0.0)
+    expected = np.array([
+        [2.17157, 2.76393, 3, 2.76393, 2.17157],
+        [2.76393, 3.58579, 4, 3.58579, 2.76393],
+        [3, 4, 5, 4, 3],
+        [2.76393, 3.58579, 4, 3.58579, 2.76393],
+        [2.17157, 2.76393, 3, 2.76393, 2.17157]])
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
 def test_target_height_and_values():
     # a 1-high wall at x=3 hides the ground behind it, but a 2-high
     # target behind the wall is visible
