@@ -170,14 +170,129 @@ class TPSTransform:
         return self._inv(x, y)
 
 
+def apply_homography(h, x, y):
+    """GDALApplyHomography (alg/gdal_homography.cpp:545-561):
+    geoX = (h0 + P*h1 + L*h2)/w, geoY = (h3 + P*h4 + L*h5)/w,
+    w = h6 + P*h7 + L*h8. Affine gt == h with (h6,h7,h8) = (1,0,0)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    w = h[6] + x * h[7] + y * h[8]
+    return ((h[0] + x * h[1] + y * h[2]) / w,
+            (h[3] + x * h[4] + y * h[5]) / w)
+
+
+def _h_matrix(h):
+    return np.array([[h[0], h[1], h[2]],
+                     [h[3], h[4], h[5]],
+                     [h[6], h[7], h[8]]], np.float64)
+
+
+_PERM = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+
+def compose_homographies(a, b):
+    """h = apply `a` then `b` (GDALComposeHomographies semantics)."""
+    m = _h_matrix(b) @ _PERM @ _h_matrix(a)
+    return m.reshape(-1)
+
+
+def invert_homography(h):
+    """GDALInvHomography (gdal_homography.cpp:565-640). The standard
+    homogeneous matrix is S = M @ P where M is the layout matrix
+    ((1,x,y) -> (wx,wy,w)) and P converts (x,y,1) -> (1,x,y); the
+    inverse in the same layout is inv(S) @ P.T (projective scale is
+    irrelevant under the w division)."""
+    m = _h_matrix(h)
+    s = m @ _PERM
+    det = np.linalg.det(s)
+    mag = max(abs(h[1]), abs(h[2]), abs(h[4]), abs(h[5]))
+    if abs(det) <= 1e-10 * mag * mag:
+        raise ValueError("homography not invertible (null determinant)")
+    return (np.linalg.inv(s) @ _PERM.T).reshape(-1)
+
+
+def fit_homography(pixel, line, geo_x, geo_y):
+    """GDALGCPsToHomography (gdal_homography.cpp:150-330): normalize
+    both point sets to unit boxes, DLT least squares with the
+    h_norm[6] = 1 gauge equation, convexity check of the mapped unit
+    square, denormalize by composition."""
+    px = np.asarray(pixel, np.float64)
+    ln = np.asarray(line, np.float64)
+    gx = np.asarray(geo_x, np.float64)
+    gy = np.asarray(geo_y, np.float64)
+    if px.size < 4:
+        raise ValueError("homography needs >= 4 GCPs")
+    eps = 1e-12
+    if (px.ptp() < eps or ln.ptp() < eps or gx.ptp() < eps
+            or gy.ptp() < eps):
+        raise ValueError("GCPs degenerate in at least one dimension")
+    pl_norm = np.array([-px.min() / px.ptp(), 1.0 / px.ptp(), 0.0,
+                        -ln.min() / ln.ptp(), 0.0, 1.0 / ln.ptp(),
+                        1.0, 0.0, 0.0])
+    geo_norm = np.array([-gx.min() / gx.ptp(), 1.0 / gx.ptp(), 0.0,
+                         -gy.min() / gy.ptp(), 0.0, 1.0 / gy.ptp(),
+                         1.0, 0.0, 0.0])
+    p, l_ = apply_homography(pl_norm, px, ln)
+    X, Y = apply_homography(geo_norm, gx, gy)
+
+    # DLT rows (gdal_homography.cpp:249-253)
+    z = np.zeros_like(p)
+    o = np.ones_like(p)
+    Ax = np.stack([o, p, l_, z, z, z, -X, -X * p, -X * l_], axis=1)
+    Ay = np.stack([z, z, z, o, p, l_, -Y, -Y * p, -Y * l_], axis=1)
+    AtA = Ax.T @ Ax + Ay.T @ Ay
+    rhs = np.zeros(9)
+    rhs[6] = 1.0
+    AtA[6, 6] += 1.0
+    hn = np.linalg.solve(AtA, rhs)
+    if abs(hn[6]) < 1e-15:
+        raise ValueError("homography fit failed (w gauge vanished)")
+
+    # unit-square convexity check (gdal_homography.cpp:286-320)
+    cx, cy = apply_homography(hn, np.array([0.0, 1, 1, 0]),
+                              np.array([0.0, 0, 1, 1]))
+    vx, vy = cx - cx[0], cy - cy[0]
+    cross12 = vx[1] * vy[2] - vx[2] * vy[1]
+    cross23 = vx[2] * vy[3] - vx[3] * vy[2]
+    if cross12 * cross23 <= 0:
+        raise ValueError("homography maps the unit square non-convexly")
+
+    inv_geo = invert_homography(geo_norm)
+    return compose_homographies(compose_homographies(pl_norm, hn), inv_geo)
+
+
+class HomographyTransform:
+    """GDALHomographyTransformer analog (alg/gdal_homography.cpp):
+    projective plane transform fitted from >= 4 GCPs, exact closed
+    inverse — the link between GCP order-1 (affine) and the
+    rational-polynomial family."""
+
+    def __init__(self, pixel, line, geo_x, geo_y):
+        self.h = fit_homography(pixel, line, geo_x, geo_y)
+        self.h_inv = invert_homography(self.h)
+
+    def pixel_to_geo(self, px, ln):
+        return apply_homography(self.h, px, ln)
+
+    def geo_to_pixel(self, x, y):
+        return apply_homography(self.h_inv, x, y)
+
+    def rms_residual(self, pixel, line, geo_x, geo_y) -> float:
+        fx, fy = self.pixel_to_geo(pixel, line)
+        return float(np.sqrt(np.mean((fx - geo_x) ** 2 + (fy - geo_y) ** 2)))
+
+
 def georef_from_gcps(pixel, line, geo_x, geo_y, order: int | None = None,
-                     tps: bool = False):
+                     tps: bool = False, homography: bool = False):
     """gdalwarp's GCP selection rule (apps/gdalwarp_lib.cpp -order /
-    -tps): explicit TPS wins; else explicit order; else the highest
-    order the GCP count supports, capped at 2 like
-    GDALCreateGCPTransformer's auto pick (order 3 only on request)."""
+    -tps): explicit TPS wins; else homography on request; else
+    explicit order; else the highest order the GCP count supports,
+    capped at 2 like GDALCreateGCPTransformer's auto pick (order 3
+    only on request)."""
     if tps:
         return TPSTransform(pixel, line, geo_x, geo_y)
+    if homography:
+        return HomographyTransform(pixel, line, geo_x, geo_y)
     if order is None:
         n = len(np.asarray(pixel))
         order = 2 if n >= _MIN_GCPS[2] else 1
