@@ -1510,6 +1510,40 @@ def gdaltindex(paths, num_shards: int = 8):
             .map_batches(probe, batch_format="pyarrow"))
 
 
+def q_cog(sf_dir: str):
+    """Cloud-Optimized GeoTIFF (frmts/gtiff/cogdriver.cpp): per-image
+    COG encode (ghost area, IFDs-before-data, overview chain,
+    leader/trailer blocks) and decode of every level, rows report
+    per-level checksums; level 0 is also re-read through the plain
+    tiled-TIFF reader to cross-check the two readers bit-exactly."""
+    from ..sources.cog import cog_level_count, decode_cog, encode_cog
+    from ..sources.images import corpus_dataset
+    from ..sources.tiff import decode_tiff
+
+    ds = corpus_dataset(24)
+
+    def f(t: pa.Table) -> pa.Table:
+        case, lvl, cks = [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            blob = encode_cog(px, gt=(0.0, 1.0, 0.0, float(px.shape[0]),
+                                      0.0, -1.0), tile=64)
+            plain, _ = decode_tiff(blob)
+            for li in range(cog_level_count(blob)):
+                got, _ = decode_cog(blob, li)
+                if li == 0 and not np.array_equal(got, plain):
+                    raise AssertionError("COG/plain reader mismatch")
+                case.append(rec["image_id"])
+                lvl.append(li)
+                cks.append(checksum_image(got[:, :, 0]
+                                          if got.ndim == 3 else got))
+        return pa.table({"image_id": pa.array(case, pa.string()),
+                         "level": pa.array(lvl, pa.int32()),
+                         "checksum": pa.array(cks, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_gdaltindex(sf_dir: str):
     """gdaltindex end-to-end: corpus-derived rasters written task-side
     in three formats (GTiff strips, AAIGrid, XYZ), indexed distributed
@@ -1714,6 +1748,7 @@ QUERIES = {
     "q_nearblack": q_nearblack,
     "q_ascii_raster": q_ascii_raster,
     "q_gdaltindex": q_gdaltindex,
+    "q_cog": q_cog,
     "q_viewshed_cumulative": q_viewshed_cumulative,
     "q_raster_open": q_raster_open,
     "q_gcp_warp": q_gcp_warp,
