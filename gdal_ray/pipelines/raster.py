@@ -1510,6 +1510,44 @@ def gdaltindex(paths, num_shards: int = 8):
             .map_batches(probe, batch_format="pyarrow"))
 
 
+def q_vrt(sf_dir: str):
+    """VRT XML reader (frmts/vrt): the reference's own warped-VRT
+    fixtures rendered through the engine's warp kernels, one task per
+    file; rows report (case, checksum, maxdiff vs the golden tiff
+    sitting next to each vrt). maxdiff <= 1 is the reference's own
+    comparator bar."""
+    import os
+
+    import ray.data
+
+    from ..sources.tiff import decode_tiff
+    from ..sources.vrt import open_vrt
+
+    alg = "/root/reference/autotest/alg/data"
+    cases = [("utmsmall_near.vrt", "utmsmall_near.tiff"),
+             ("utmsmall_blinear.vrt", "utmsmall_blinear.tiff"),
+             ("utmsmall_cubic.vrt", "utmsmall_cubic.tiff"),
+             ("utmsmall_cubicspline.vrt", "utmsmall_cubicspline.tiff")]
+
+    def f(b: pa.Table) -> pa.Table:
+        names, cks, diffs = [], [], []
+        for row in b.to_pylist():
+            r = open_vrt(os.path.join(alg, row["vrt"]))
+            with open(os.path.join(alg, row["golden"]), "rb") as fh:
+                ref, _ = decode_tiff(fh.read())
+            names.append(row["vrt"])
+            cks.append(checksum_image(r["pixels"]))
+            diffs.append(int(np.abs(r["pixels"].astype(np.int64)
+                                    - ref.astype(np.int64)).max()))
+        return pa.table({"case": pa.array(names, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "maxdiff": pa.array(diffs, pa.int64())})
+
+    items = [{"vrt": v, "golden": g} for v, g in cases]
+    return (ray.data.from_items(items, override_num_blocks=4)
+            .map_batches(f, batch_format="pyarrow", batch_size=1))
+
+
 def q_cog(sf_dir: str):
     """Cloud-Optimized GeoTIFF (frmts/gtiff/cogdriver.cpp): per-image
     COG encode (ghost area, IFDs-before-data, overview chain,
@@ -1749,6 +1787,7 @@ QUERIES = {
     "q_ascii_raster": q_ascii_raster,
     "q_gdaltindex": q_gdaltindex,
     "q_cog": q_cog,
+    "q_vrt": q_vrt,
     "q_viewshed_cumulative": q_viewshed_cumulative,
     "q_raster_open": q_raster_open,
     "q_gcp_warp": q_gcp_warp,
