@@ -289,7 +289,8 @@ def decode_tiff(data: bytes):
 
 
 def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
-                bigtiff: bool = False, epsg: int | None = None) -> bytes:
+                bigtiff: bool = False, epsg: int | None = None,
+                palette: np.ndarray | None = None) -> bytes:
     """Minimal TIFF writer (little-endian, single strip, chunky):
     uint8/16/32, int8/16/32 or float32/64 samples, optional Deflate
     compression, GeoTIFF tags when ``gt`` is given — ModelPixelScale +
@@ -359,6 +360,13 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
         # GeoKey directory: header + Projected/GeographicTypeGeoKey
         # (gt_wkt_srs.cpp GTIFSetFromOGISDefn analog; 4xxx = geographic)
         tags.append((_TAG_GEOKEYS, 3, 8, None))
+    if palette is not None:
+        if spp != 1 or bits != 8:
+            raise ValueError("palette requires a single 8-bit band")
+        # ColorMap: 3 * 2^bits SHORTs, 8-bit components scaled by 257
+        # (the reference's GTiffDataset::SetColorTable rule)
+        tags = [(262, 3, 1, 3) if t[0] == 262 else t for t in tags]
+        tags.append((320, 3, 3 * 256, None))
     tags.sort(key=lambda t: t[0])
     n_entries = len(tags)
 
@@ -383,6 +391,12 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
             kid = 2048 if 4000 <= int(epsg) < 5000 else 3072
             val = add_payload(struct.pack(
                 "<8H", 1, 1, 0, 1, kid, 0, 1, int(epsg)))
+        elif tag == 320:
+            pal = np.zeros((256, 3), np.uint16)
+            p8 = np.asarray(palette, np.uint16)
+            pal[:len(p8)] = p8 * 257
+            val = add_payload(
+                np.ascontiguousarray(pal.T.astype("<u2")).tobytes())
         entries += pack_entry(tag, typ, cnt, val)
     if bigtiff:
         head = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
@@ -391,6 +405,28 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
         head = b"II" + struct.pack("<HI", 42, ifd_off)
         body = struct.pack("<H", n_entries) + entries + struct.pack("<I", 0)
     return head + data + body + extra
+
+
+def tiff_colormap(data: bytes) -> np.ndarray | None:
+    """ColorMap tag (320, photometric palette) -> (n, 3) uint8 table.
+
+    TIFF stores 16-bit components r..r g..g b..b; the reference maps
+    them to 8-bit color-table entries by /257 (gcore GTiffDataset
+    color-table read; 8-bit entries were written as v*257)."""
+    bo = "<" if data[:2] == b"II" else ">"
+    tags = _read_ifd(data, bo)
+    if 320 not in tags:
+        return None
+    vals = np.asarray(tags[320], np.uint32)
+    n = vals.size // 3
+    rgb16 = vals.reshape(3, n).T
+    return np.floor(rgb16 / 257.0 + 0.5).astype(np.uint8)
+
+
+def pct2rgb(band: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """pct2rgb utility semantics (gdal-utils pct2rgb.py: LUT expand of
+    a paletted band to RGB)."""
+    return np.asarray(table, np.uint8)[np.asarray(band, np.intp)]
 
 
 def tiff_epsg(data: bytes) -> int | None:
