@@ -631,6 +631,59 @@ FROM events
 """
 
 
+_ARROW_FIXTURE = "/tmp/gdal_ray_fixtures/vector_fixture_v1.feather"
+
+
+def q_arrow_layer(sf_dir: str):
+    """Eighth real vector format: Arrow IPC / Feather V2 with OGR's
+    'geo' WKB metadata (ogr/ogrsf_frmts/arrow), read back through the
+    footer-addressed batch-sharded Ray reader; aggregate coordinates
+    come from the decoded WKB geometry. Deterministic — pinned literal
+    oracle (same expected values as q_csv_layer's geometry sums: the
+    two formats carry identical features)."""
+    import os
+
+    from ..functions.wkb import wkb_to_points
+    from ..sources.arrowipc import feather_dataset, write_feather
+    from ..sources.vector import points_table
+    from .common import partial_groupby_agg
+
+    if not os.path.exists(_ARROW_FIXTURE):
+        os.makedirs(os.path.dirname(_ARROW_FIXTURE), exist_ok=True)
+        tmp = _ARROW_FIXTURE + f".tmp{os.getpid()}"
+        write_feather(tmp, points_table(256).drop_columns(["tags", "t"]),
+                      crs_epsg=4326, batch_rows=32)
+        os.replace(tmp, _ARROW_FIXTURE)
+
+    ds = feather_dataset(_ARROW_FIXTURE, columns=["fid", "z", "geometry"],
+                         num_shards=4)
+
+    def derive(t: pa.Table) -> pa.Table:
+        gx, gy = wkb_to_points(t["geometry"].to_pylist())
+        return pa.table({
+            "zband": pa.compute.floor(pa.compute.divide(t["z"], 200.0)),
+            "fid": t["fid"],
+            "gx": pa.array(gx),
+            "gy": pa.array(gy),
+        })
+
+    agg = partial_groupby_agg(ds.map_batches(derive, batch_format="pyarrow"),
+                              ["zband"], [
+        ("n", "fid", "count"),
+        ("gx_sum", "gx", "sum"),
+        ("gy_sum", "gy", "sum"),
+    ])
+    agg = agg.sort_by("zband")
+    return pa.table({
+        "zband": agg["zband"].cast(pa.int64()),
+        "n": agg["n"].cast(pa.int64()),
+        "gx_sum": pa.array(round_away_np(
+            agg["gx_sum"].to_numpy(zero_copy_only=False), 6)),
+        "gy_sum": pa.array(round_away_np(
+            agg["gy_sum"].to_numpy(zero_copy_only=False), 6)),
+    })
+
+
 _XML_FIXDIR = "/tmp/gdal_ray_fixtures"
 
 
@@ -881,5 +934,6 @@ QUERIES = {
     "q_shp_layer": q_shp_layer,
     "q_csv_layer": q_csv_layer,
     "q_kml_gml_layer": q_kml_gml_layer,
+    "q_arrow_layer": q_arrow_layer,
     "q_zfield_precision": q_zfield_precision,
 }
