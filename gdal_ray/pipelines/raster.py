@@ -1708,6 +1708,66 @@ def q_ascii_raster(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_netcdf(sf_dir: str):
+    """Classic netCDF driver (frmts/netcdf, CDF-1/2/5 binary format):
+    corpus bands written as bottom-up CDF-1 files by worker tasks and
+    re-opened through the unified open probe, plus the reference's own
+    fixture goldens (byte.nc checksum 4672, bug636.nc:tas 31621,
+    trmm-2x2.nc geotransform) decoded task-side."""
+    import tempfile
+
+    from ..sources.images import corpus_dataset
+    from ..sources.netcdf import raster_from_nc, write_nc_classic
+    from ..sources.raster_open import open_raster
+
+    ds = corpus_dataset(16)
+    out_root = tempfile.mkdtemp(prefix="gdal_ray_nc_")
+    fixtures = "/root/reference/autotest/gdrivers/data/netcdf"
+
+    def f(t: pa.Table) -> pa.Table:
+        cases, cks, gts = [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            band = px[::2, ::2, 0]
+            h, w = band.shape
+            gt = (500.0, 10.0, 0.0, 8000.0, 0.0, -10.0)
+            x = gt[0] + gt[1] * (np.arange(w) + 0.5)
+            y = (gt[3] + gt[5] * (np.arange(h) + 0.5))[::-1]  # ascending
+            path = f"{out_root}/{rec['image_id']}.nc"
+            with open(path, "wb") as fh:
+                fh.write(write_nc_classic(
+                    {"x": (("x",), x), "y": (("y",), y),
+                     "Band1": (("y", "x"), band[::-1])},
+                    attrs={"Conventions": "CF-1.5"}))
+            r = open_raster(path)
+            cases.append(rec["image_id"] + ".nc")
+            cks.append(checksum_image(
+                np.asarray(r["pixels"], np.float64).astype(np.int32)))
+            gts.append(int(np.round(np.dot(r["gt"], [1, 3, 5, 7, 11, 13]))))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "gt_dot": pa.array(gts, pa.int64())})
+
+    def goldens(t: pa.Table) -> pa.Table:
+        cases, cks, gts = [], [], []
+        for name, var in t.to_pylist()[0]["spec"]:
+            with open(f"{fixtures}/{name}", "rb") as fh:
+                arr, gt = raster_from_nc(fh.read(), var or None)
+            cases.append(name + (f":{var}" if var else ""))
+            cks.append(checksum_image(arr.astype(np.float64)))
+            gts.append(int(np.round(np.dot(gt, [1, 3, 5, 7, 11, 13]))))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "gt_dot": pa.array(gts, pa.int64())})
+
+    spec = [("byte.nc", ""), ("bug636.nc", "tas"), ("trmm-2x2.nc", ""),
+            ("trmm.nc", ""), ("trmm-nc2.nc", "")]
+    import ray.data as rd
+    gold = rd.from_items([{"spec": spec}]).map_batches(
+        goldens, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow").union(gold)
+
+
 def q_nearblack(sf_dir: str):
     """nearblack / clean-collar (apps/nearblack_lib.cpp, twopasses):
     corpus images get a deterministic dark collar frame, the collar is
@@ -1785,6 +1845,7 @@ QUERIES = {
     "q_zarr": q_zarr,
     "q_nearblack": q_nearblack,
     "q_ascii_raster": q_ascii_raster,
+    "q_netcdf": q_netcdf,
     "q_gdaltindex": q_gdaltindex,
     "q_cog": q_cog,
     "q_vrt": q_vrt,

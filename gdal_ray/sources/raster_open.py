@@ -87,6 +87,14 @@ def open_raster(path: str) -> dict:
     from .asciigrid import read_aaigrid, read_xyz, sniff_aaigrid
 
     data = vsi_open_bytes(path)
+    if data[:3] == b"CDF" and data[3:4] in (b"\x01", b"\x02", b"\x05"):
+        from .netcdf import raster_from_nc
+
+        px, gt = raster_from_nc(data)
+        prj = _sidecar(path, ".prj")
+        return {"pixels": np.asarray(px), "gt": gt,
+                "epsg": epsg_from_wkt(prj) if prj else None,
+                "driver": "netCDF"}
     if sniff_aaigrid(data):
         px, gt, _nodata = read_aaigrid(data)
         epsg = None
