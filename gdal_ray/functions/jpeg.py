@@ -570,6 +570,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return _decode_entropy(**_parse_jpeg(data))
 
 
+def decode_jpeg_tiff(stream: bytes, tables: bytes | None = None,
+                     color: str = "auto") -> np.ndarray:
+    """Decode one JPEG-in-TIFF strip/tile (Compression=7, TIFF
+    TechNote2): ``tables`` is the JPEGTables tag payload (an
+    abbreviated tables-only stream SOI+DQT/DHT+EOI) whose tables
+    preload before the strip's own markers; ``color`` overrides the
+    JFIF/Adobe colorspace heuristic from the TIFF PhotometricInterp
+    tag — 'rgb' stacks the decoded planes directly (photometric=2,
+    any component count), 'ycbcr' forces the YCbCr->RGB transform
+    (photometric=6), 'auto' keeps the JFIF heuristics."""
+    if tables and len(tables) > 4 and tables[:2] == b"\xff\xd8":
+        body = tables[:-2] if tables[-2:] == b"\xff\xd9" else tables
+        stream = body + stream[2:]
+    parsed = _parse_jpeg(stream)
+    if color == "rgb":
+        parsed["rgb_direct"] = True
+    elif color == "ycbcr":
+        parsed["rgb_direct"] = False
+    return _decode_entropy(**parsed)
+
+
 def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
                     h, w, restart_interval, rgb_direct=False):
     hmax = max(c.hsamp for c in comps)
@@ -972,47 +993,144 @@ def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
     return outs
 
 
+def _islow_pass(d: np.ndarray, axis: int, descale: int) -> np.ndarray:
+    """One 1-D pass of the Loeffler-Ligtenberg-Moshovitz integer IDCT
+    with libjpeg's jidctint.c fixed-point plan (CONST_BITS=13): the
+    even/odd butterfly with the published FIX() multipliers, then
+    DESCALE (round-half-up arithmetic shift) by ``descale`` bits.
+    ``d`` is (N, 8, 8) int64; elements are taken along ``axis``."""
+    sl = [slice(None)] * d.ndim
+
+    def g(k):
+        s = list(sl)
+        s[axis] = k
+        return d[tuple(s)]
+
+    d0, d1, d2, d3, d4, d5, d6, d7 = (g(k) for k in range(8))
+    # even part
+    z1 = (d2 + d6) * 4433                 # FIX_0_541196100
+    t2 = z1 - d6 * 15137                  # -FIX_1_847759065
+    t3 = z1 + d2 * 6270                   # FIX_0_765366865
+    t0 = (d0 + d4) << 13
+    t1 = (d0 - d4) << 13
+    t10, t13 = t0 + t3, t0 - t3
+    t11, t12 = t1 + t2, t1 - t2
+    # odd part
+    z1 = d7 + d1
+    z2 = d5 + d3
+    z3 = d7 + d3
+    z4 = d5 + d1
+    z5 = (z3 + z4) * 9633                 # FIX_1_175875602
+    o0 = d7 * 2446                        # FIX_0_298631336
+    o1 = d5 * 16819                       # FIX_2_053119869
+    o2 = d3 * 25172                       # FIX_3_072711026
+    o3 = d1 * 12299                       # FIX_1_501321110
+    z1 = z1 * -7373                       # -FIX_0_899976223
+    z2 = z2 * -20995                      # -FIX_2_562915447
+    z3 = z3 * -16069 + z5                 # -FIX_1_961570560
+    z4 = z4 * -3196 + z5                  # -FIX_0_390180644
+    o0 += z1 + z3
+    o1 += z2 + z4
+    o2 += z2 + z3
+    o3 += z1 + z4
+    r = 1 << (descale - 1)
+    out = np.empty_like(d)
+    pairs = ((t10, o3), (t11, o2), (t12, o1), (t13, o0))
+    for k, (te, to) in enumerate(pairs):
+        s = list(sl)
+        s[axis] = k
+        out[tuple(s)] = (te + to + r) >> descale
+        s[axis] = 7 - k
+        out[tuple(s)] = (te - to + r) >> descale
+    return out
+
+
+def _idct_islow(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """jpeg_idct_islow for (N, 64) coefficient blocks -> (N, 8, 8)
+    uint8 samples, bit-exact with libjpeg (jidctint.c: pass 1 over
+    columns DESCALEd by CONST_BITS-PASS1_BITS, pass 2 over rows by
+    CONST_BITS+PASS1_BITS+3, then +128 centering with clamp)."""
+    d = (coefs.astype(np.int64) * quant.astype(np.int64)[None, :]) \
+        .reshape(-1, 8, 8)
+    ws = _islow_pass(d, axis=1, descale=11)
+    sp = _islow_pass(ws, axis=2, descale=18)
+    sp += 128
+    np.clip(sp, 0, 255, out=sp)
+    return sp.astype(np.uint8)
+
+
+def _fancy_upsample(plane: np.ndarray, hf: int, vf: int) -> np.ndarray:
+    """libjpeg 'fancy' (triangle-filter) chroma upsampling, bit-exact
+    with jdsample.c h2v1_fancy_upsample / h2v2_fancy_upsample; other
+    factors fall back to pixel replication."""
+    p = plane.astype(np.int32)
+    if vf == 2:
+        up = np.empty((2 * p.shape[0], p.shape[1]), np.int32)
+        prev = np.vstack([p[:1], p[:-1]])
+        nxt = np.vstack([p[1:], p[-1:]])
+        up[0::2] = 3 * p + prev   # column sums (x16 scale handled below)
+        up[1::2] = 3 * p + nxt
+        p, bias_scale = up, 4     # values are 4x; horizontal >> 4
+    else:
+        bias_scale = 2 if vf == 1 else None
+    if vf not in (1, 2) or hf not in (1, 2):
+        rep = np.repeat(np.repeat(plane, vf, axis=0), hf, axis=1)
+        return rep
+    if hf == 1:
+        if vf == 2:  # v-only: jdsample uses replication for h1v2
+            return np.repeat(plane, 2, axis=0)
+        return plane
+    w = p.shape[1]
+    out = np.empty((p.shape[0], 2 * w), np.int32)
+    left = np.hstack([p[:, :1], p[:, :-1]])
+    right = np.hstack([p[:, 1:], p[:, -1:]])
+    if vf == 2:  # h2v2: (3*colsum + neighbor + 8|7) >> 4
+        out[:, 0::2] = (3 * p + left + 8) >> 4
+        out[:, 1::2] = (3 * p + right + 7) >> 4
+        out[:, 0] = (4 * p[:, 0] + 8) >> 4
+        out[:, -1] = (4 * p[:, -1] + 7) >> 4
+    else:        # h2v1: (3*s + neighbor + 1|2) >> 2
+        out[:, 0::2] = (3 * p + left + 1) >> 2
+        out[:, 1::2] = (3 * p + right + 2) >> 2
+        out[:, 0] = p[:, 0]
+        out[:, -1] = p[:, -1]
+    return out.astype(np.uint8) if bias_scale else out
+
+
+# fixed-point YCbCr->RGB per libjpeg jdcolor.c (SCALEBITS=16):
+# FIX(1.40200)=91881 FIX(1.77200)=116130 FIX(0.34414)=22554
+# FIX(0.71414)=46802; Cr/Cb tables indexed by the raw sample value
+_X128 = np.arange(256, dtype=np.int64) - 128
+_CR_R_TAB = ((91881 * _X128 + (1 << 15)) >> 16).astype(np.int32)
+_CB_B_TAB = ((116130 * _X128 + (1 << 15)) >> 16).astype(np.int32)
+_CR_G_TAB = (-46802 * _X128 + (1 << 15)).astype(np.int64)
+_CB_G_TAB = (-22554 * _X128).astype(np.int64)
+
+
 def _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct):
-    # vectorized dequant + IDCT per component (batched matmul + in-place
-    # round/clip: these post passes cost as much as the symbol loop if
-    # done with temporaries)
+    # dequant + libjpeg-exact integer IDCT per component
     planes = []
     for c in comps:
-        q = qtabs[c.tq].astype(np.float64)
-        coef = c.coefs.astype(np.float64)
-        coef *= q[None, :]
-        blocks = coef.reshape(-1, 8, 8)
-        # IDCT: x = C^T X C
-        sp = DCT_M.T @ blocks @ DCT_M
-        sp += 128.0
-        np.rint(sp, out=sp)
-        np.clip(sp, 0, 255, out=sp)
-        sp = sp.astype(np.uint8)
+        sp = _idct_islow(c.coefs, qtabs[c.tq])
         plane = sp.reshape(c.blocks_h, c.blocks_w, 8, 8) \
             .transpose(0, 2, 1, 3).reshape(c.blocks_h * 8, c.blocks_w * 8)
-        # upsample to full resolution if subsampled
-        if c.hsamp != hmax or c.vsamp != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // c.vsamp, axis=0),
-                              hmax // c.hsamp, axis=1)
+        hf, vf = hmax // c.hsamp, vmax // c.vsamp
+        if hf != 1 or vf != 1:
+            # crop to the downsampled image size first (jdsample
+            # operates on downsampled_width), then triangle-upsample
+            ch, cw = -(-h // vf), -(-w // hf)
+            plane = _fancy_upsample(plane[:ch, :cw], hf, vf)
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
         return planes[0]
     if rgb_direct:
         return np.stack(planes, axis=2)
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64)
-    cb -= 128.0
-    cr = planes[2].astype(np.float64)
-    cr -= 128.0
-    rgb = np.empty(y.shape + (3,), np.float64)
-    np.multiply(cr, 1.402, out=rgb[..., 0])
-    rgb[..., 0] += y
-    np.multiply(cb, -0.344136286, out=rgb[..., 1])
-    rgb[..., 1] -= 0.714136286 * cr
-    rgb[..., 1] += y
-    np.multiply(cb, 1.772, out=rgb[..., 2])
-    rgb[..., 2] += y
-    np.rint(rgb, out=rgb)
+    y = planes[0].astype(np.int32)
+    cb, cr = planes[1], planes[2]
+    rgb = np.empty(y.shape + (3,), np.int32)
+    rgb[..., 0] = y + _CR_R_TAB[cr]
+    rgb[..., 1] = y + ((_CB_G_TAB[cb] + _CR_G_TAB[cr]) >> 16).astype(np.int32)
+    rgb[..., 2] = y + _CB_B_TAB[cb]
     np.clip(rgb, 0, 255, out=rgb)
     return rgb.astype(np.uint8)

@@ -43,8 +43,8 @@ _TAG_GEOKEYS = 34735
 _TAG_TIEPOINT = 33922
 _TAG_TRANSFORM = 34264  # ModelTransformationTag (16 doubles)
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 11: 4, 12: 8,
-              16: 8, 17: 8, 18: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 11: 4,
+              12: 8, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
              12: "d", 16: "Q", 17: "q", 18: "Q"}
 
@@ -63,6 +63,8 @@ def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes,
         return [vals[i] / vals[i + 1] for i in range(0, 2 * cnt, 2)]
     if typ == 2:  # ASCII
         return [buf.rstrip(b"\x00").decode("latin-1")]
+    if typ == 7:  # UNDEFINED: raw bytes (JPEGTables et al.)
+        return [bytes(buf)]
     return list(struct.unpack(bo + "%d%s" % (cnt, _TYPE_FMT[typ]), buf))
 
 
@@ -194,10 +196,15 @@ def decode_tiff(data: bytes):
     spp = int(tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0])
     fmt = int(tags.get(_TAG_SAMPLE_FORMAT, [1])[0])
     rows_per_strip = int(tags.get(_TAG_ROWS_PER_STRIP, [h])[0])
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} (no codec library in this container)")
     predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
+    photometric = int(tags.get(262, [1])[0])
+    jpeg_tables = tags.get(347, [None])[0]  # TIFF TechNote2 tables stream
+    # photometric drives the colorspace (libtiff tif_jpeg.c): 6=YCbCr
+    # transforms to RGB on read (what GDAL exposes), 2=RGB planes direct
+    jpeg_color = {6: "ycbcr", 2: "rgb"}.get(photometric, "auto")
     if fmt == 3:
         dt = {32: "f4", 64: "f8"}[bits]
     elif fmt == 2:
@@ -210,6 +217,17 @@ def decode_tiff(data: bytes):
     def decomp(chunk: bytes, nrows: int, ncols: int, nspp: int = None) -> bytes:
         nspp = spp if nspp is None else nspp
         nbytes = nrows * ncols * nspp * dtype.itemsize
+        if comp == 7:  # new-style JPEG (TechNote2)
+            from ..functions.jpeg import decode_jpeg_tiff
+
+            arr = decode_jpeg_tiff(bytes(chunk), jpeg_tables,
+                                   jpeg_color if nspp > 1 else "auto")
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            out = np.zeros((nrows, ncols, nspp), np.uint8)
+            sh, sw = min(nrows, arr.shape[0]), min(ncols, arr.shape[1])
+            out[:sh, :sw] = arr[:sh, :sw, :nspp]
+            return out.astype(dtype).tobytes()
         if comp == 32773:
             chunk = _unpackbits(chunk, nbytes)
         elif comp in (8, 32946):

@@ -69,13 +69,16 @@ def test_interop_rgbsmall_rgb_jpeg_vs_lossless_tiff():
     assert psnr(px.astype(np.uint8), out) > 30
 
 
-def test_interop_albania_420_subsampled():
-    """4:2:0 YCbCr decode of the reference's albania.jpg fixture."""
+def test_interop_albania_420_subsampled_bit_exact():
+    """4:2:0 YCbCr decode of the reference's albania.jpg fixture is
+    BIT-EXACT with libjpeg 6b: autotest/gdrivers/jpeg.py test_jpeg_1
+    pins band-2 checksum 17016 for the non-9b/8 libjpeg (the islow
+    IDCT + fancy upsampling + fixed-point YCbCr this codec ports)."""
+    from gdal_ray.functions.checksum import checksum_image
+
     out = decode_jpeg(open(f"{JDATA}/albania.jpg", "rb").read())
     assert out.shape == (260, 361, 3)
-    # plausible natural-image stats, not garbage
-    assert 60 < out.mean() < 120
-    assert out.std() > 20
+    assert checksum_image(out[:, :, 1].astype(np.float64)) == 17016
 
 
 def test_non_baseline_raises():
