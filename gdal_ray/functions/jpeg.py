@@ -993,29 +993,19 @@ def decode_jpeg_batch(datas: list[bytes]) -> list[np.ndarray]:
     return outs
 
 
-def _islow_pass(d: np.ndarray, axis: int, descale: int) -> np.ndarray:
-    """One 1-D pass of the Loeffler-Ligtenberg-Moshovitz integer IDCT
-    with libjpeg's jidctint.c fixed-point plan (CONST_BITS=13): the
-    even/odd butterfly with the published FIX() multipliers, then
-    DESCALE (round-half-up arithmetic shift) by ``descale`` bits.
-    ``d`` is (N, 8, 8) int64; elements are taken along ``axis``."""
-    sl = [slice(None)] * d.ndim
-
-    def g(k):
-        s = list(sl)
-        s[axis] = k
-        return d[tuple(s)]
-
-    d0, d1, d2, d3, d4, d5, d6, d7 = (g(k) for k in range(8))
-    # even part
+def _islow_butterfly(d0, d1, d2, d3, d4, d5, d6, d7):
+    """Pre-DESCALE outputs of one 1-D pass of the Loeffler-Ligtenberg-
+    Moshovitz integer IDCT with libjpeg's jidctint.c fixed-point plan
+    (CONST_BITS=13) — the even/odd butterfly with the published FIX()
+    multipliers. Every step is an exact integer linear combination of
+    the inputs, which is what lets _ISLOW_C below exist."""
     z1 = (d2 + d6) * 4433                 # FIX_0_541196100
     t2 = z1 - d6 * 15137                  # -FIX_1_847759065
     t3 = z1 + d2 * 6270                   # FIX_0_765366865
-    t0 = (d0 + d4) << 13
-    t1 = (d0 - d4) << 13
+    t0 = (d0 + d4) * 8192                 # << CONST_BITS
+    t1 = (d0 - d4) * 8192
     t10, t13 = t0 + t3, t0 - t3
     t11, t12 = t1 + t2, t1 - t2
-    # odd part
     z1 = d7 + d1
     z2 = d5 + d3
     z3 = d7 + d3
@@ -1033,28 +1023,41 @@ def _islow_pass(d: np.ndarray, axis: int, descale: int) -> np.ndarray:
     o1 += z2 + z4
     o2 += z2 + z3
     o3 += z1 + z4
-    r = 1 << (descale - 1)
-    out = np.empty_like(d)
-    pairs = ((t10, o3), (t11, o2), (t12, o1), (t13, o0))
-    for k, (te, to) in enumerate(pairs):
-        s = list(sl)
-        s[axis] = k
-        out[tuple(s)] = (te + to + r) >> descale
-        s[axis] = 7 - k
-        out[tuple(s)] = (te - to + r) >> descale
-    return out
+    return (t10 + o3, t11 + o2, t12 + o1, t13 + o0,
+            t13 - o0, t12 - o1, t11 - o2, t10 - o3)
+
+
+# the butterfly is linear with a single final DESCALE, so one pass is
+# exactly `(C @ d + round) >> bits`; derive the integer matrix by
+# feeding the identity through the butterfly
+_ISLOW_C = np.stack(_islow_butterfly(*np.eye(8, dtype=np.int64)))
+
+
+_ISLOW_CF = _ISLOW_C.astype(np.float64)
 
 
 def _idct_islow(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
     """jpeg_idct_islow for (N, 64) coefficient blocks -> (N, 8, 8)
     uint8 samples, bit-exact with libjpeg (jidctint.c: pass 1 over
-    columns DESCALEd by CONST_BITS-PASS1_BITS, pass 2 over rows by
-    CONST_BITS+PASS1_BITS+3, then +128 centering with clamp)."""
-    d = (coefs.astype(np.int64) * quant.astype(np.int64)[None, :]) \
-        .reshape(-1, 8, 8)
-    ws = _islow_pass(d, axis=1, descale=11)
-    sp = _islow_pass(ws, axis=2, descale=18)
-    sp += 128
+    columns DESCALEd by CONST_BITS-PASS1_BITS=11, pass 2 over rows by
+    CONST_BITS+PASS1_BITS+3=18, then +128 centering with clamp).
+
+    Runs in float64 through BLAS: |dequantized| < 2^20 and |C| < 2^15,
+    so every 8-term product-sum is < 2^44 — exact in float64 — and
+    floor((x + 2^(b-1)) / 2^b) is exactly the arithmetic-shift
+    DESCALE."""
+    d = (coefs.astype(np.float64) *
+         quant.astype(np.float64)[None, :]).reshape(-1, 8, 8)
+    n = d.shape[0]
+    # pass 1 (columns): ws = C @ block, run as ONE dgemm over all
+    # blocks: rows (n, j) x features m
+    a = np.ascontiguousarray(d.transpose(0, 2, 1)).reshape(-1, 8)
+    ws = np.floor((a @ _ISLOW_CF.T + 1024.0) * (1.0 / 2048.0))
+    ws = ws.reshape(n, 8, 8).transpose(0, 2, 1)  # back to [n, k, j]
+    # pass 2 (rows): out = block @ C^T, contraction already on axis -1
+    sp = np.floor((ws.reshape(-1, 8) @ _ISLOW_CF.T + 131072.0)
+                  * (1.0 / 262144.0)).reshape(n, 8, 8)
+    sp += 128.0
     np.clip(sp, 0, 255, out=sp)
     return sp.astype(np.uint8)
 
