@@ -308,7 +308,8 @@ def decode_tiff(data: bytes):
 
 def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
                 bigtiff: bool = False, epsg: int | None = None,
-                palette: np.ndarray | None = None) -> bytes:
+                palette: np.ndarray | None = None,
+                jpeg_quality: int = 92) -> bytes:
     """Minimal TIFF writer (little-endian, single strip, chunky):
     uint8/16/32, int8/16/32 or float32/64 samples, optional Deflate
     compression, GeoTIFF tags when ``gt`` is given — ModelPixelScale +
@@ -335,9 +336,24 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
     bits = dt.itemsize * 8
     data = px.astype(dt.newbyteorder("<")).tobytes()
     comp_tag = 1
+    photometric = 1 if spp == 1 else 2
     if compression == "deflate":
         data = zlib.compress(data, 6)
         comp_tag = 8
+    elif compression == "jpeg":
+        # Compression=7 (TechNote2), self-contained per-strip stream
+        # (tables inline — spec-valid without a JPEGTables tag);
+        # 3-band data goes through the encoder's YCbCr path, so the
+        # photometric tag must say 6 (frmts/gtiff JPEG write analog)
+        if dt != np.uint8 or spp not in (1, 3):
+            raise NotImplementedError(
+                "JPEG-in-TIFF write needs uint8 gray or 3-band")
+        from ..functions.jpeg import encode_jpeg
+
+        data = encode_jpeg(px, quality=jpeg_quality)
+        comp_tag = 7
+        if spp == 3:
+            photometric = 6
     elif compression != "none":
         raise NotImplementedError(f"tiff write compression {compression}")
 
@@ -345,7 +361,7 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
     tags = [
         (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
         (259, 3, 1, comp_tag),
-        (262, 3, 1, 1 if spp == 1 else 2),  # photometric: gray / RGB
+        (262, 3, 1, photometric),
         (277, 3, 1, spp), (278, 3, 1, h),
         (339, 3, 1, fmt),
     ]

@@ -73,6 +73,36 @@ def test_abbreviated_stream_merging():
     assert np.array_equal(out, decode_jpeg_tiff(full, None))
 
 
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255 ** 2 / mse) if mse else 99.0
+
+
+def test_write_jpeg_tiff_gray_roundtrip():
+    from gdal_ray.sources.tiff import encode_tiff
+
+    src, gt = decode_tiff(
+        open("/root/reference/autotest/gcore/data/byte.tif", "rb").read())
+    out = encode_tiff(src.astype(np.uint8), gt=gt, compression="jpeg",
+                      jpeg_quality=95)
+    back, gt2 = decode_tiff(out)
+    assert gt2 == gt and back.shape == src.shape
+    assert _psnr(src, back) >= 40
+
+
+def test_write_jpeg_tiff_rgb_roundtrip():
+    from gdal_ray.sources.tiff import encode_tiff
+
+    src, _ = decode_tiff(
+        open("/root/reference/autotest/gcore/data/rgbsmall.tif", "rb").read())
+    out = encode_tiff(src.astype(np.uint8), compression="jpeg",
+                      jpeg_quality=95)
+    back, _ = decode_tiff(out)
+    assert back.shape == src.shape
+    assert _psnr(src, back) >= 40
+    assert len(out) < src.nbytes // 2  # actually compressed
+
+
 def test_ycbcr_photometric_forces_transform():
     # color='ycbcr' must convert even without JFIF/Adobe markers;
     # color='rgb' must stack planes directly
