@@ -1768,6 +1768,90 @@ def q_netcdf(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").union(gold)
 
 
+def q_envi_ehdr(sf_dir: str):
+    """ENVI + ESRI EHdr raw-binary drivers (frmts/raw) through the
+    unified open probe: corpus bands written by worker tasks in all
+    three ENVI interleaves (one gzip-compressed) plus EHdr BIL, then
+    re-opened; fixture-golden rows (aea 14823, rgbsmall band-1 20718,
+    float32.bil 27, ehdr10/11 8202) decode the reference's own files
+    task-side."""
+    import tempfile
+
+    from ..sources.envihdr import read_ehdr, read_envi, write_ehdr, write_envi
+    from ..sources.images import corpus_dataset
+    from ..sources.raster_open import open_raster
+
+    ds = corpus_dataset(12)
+    out_root = tempfile.mkdtemp(prefix="gdal_ray_envi_")
+    gt = (500.0, 10.0, 0.0, 8000.0, 0.0, -10.0)
+
+    def f(t: pa.Table) -> pa.Table:
+        cases, drivers, cks = [], [], []
+        for i, rec in enumerate(t.to_pylist()):
+            px = decode_image(rec["bytes"])
+            band = px[::2, ::2, 0]
+            il = ("bsq", "bil", "bip")[i % 3]
+            base = f"{out_root}/{rec['image_id']}"
+            hdr, data = write_envi(band, gt=gt, interleave=il,
+                                   compress=(i % 2 == 0))
+            with open(base + ".img", "wb") as fh:
+                fh.write(data)
+            with open(base + ".hdr", "w") as fh:
+                fh.write(hdr)
+            hdr2, data2 = write_ehdr(band.astype(np.int16), gt=gt,
+                                     nodata=-9999)
+            with open(base + "_e.bil", "wb") as fh:
+                fh.write(data2)
+            with open(base + "_e.hdr", "w") as fh:
+                fh.write(hdr2)
+            for suffix, tag in ((".img", il), ("_e.bil", "bil16")):
+                r = open_raster(base + suffix)
+                assert r["gt"] == gt
+                cases.append(rec["image_id"] + ":" + tag)
+                drivers.append(r["driver"])
+                cks.append(checksum_image(
+                    np.asarray(r["pixels"], np.float64).astype(np.int32)))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "driver": pa.array(drivers, pa.string()),
+                         "checksum": pa.array(cks, pa.int64())})
+
+    def goldens(t: pa.Table) -> pa.Table:
+        E = "/root/reference/autotest/gdrivers/data/envi"
+        H = "/root/reference/autotest/gdrivers/data/ehdr"
+        rows = []
+        for case, kind, hp, dp, ext in [
+                ("aea", "envi", f"{E}/aea.hdr", f"{E}/aea.dat", ""),
+                ("rgbsmall_bil", "envi", f"{E}/envi_rgbsmall_bil.hdr",
+                 f"{E}/envi_rgbsmall_bil.img", ""),
+                ("float32", "ehdr", f"{H}/float32.hdr",
+                 f"{H}/float32.bil", ".bil"),
+                ("ehdr10", "ehdr", f"{H}/ehdr10.hdr",
+                 f"{H}/ehdr10.bil", ".bil"),
+                ("ehdr11", "ehdr", f"{H}/ehdr11.hdr",
+                 f"{H}/ehdr11.flt", ".flt")]:
+            with open(hp) as fh:
+                hdr = fh.read()
+            with open(dp, "rb") as fh:
+                data = fh.read()
+            if kind == "envi":
+                px, _gt, _m = read_envi(hdr, data)
+            else:
+                px, _gt, _nd = read_ehdr(hdr, data, ext)
+            if px.ndim == 3:
+                px = px[:, :, 0]
+            rows.append((case, kind.upper(),
+                         checksum_image(px.astype(np.float64))))
+        return pa.table({"case": pa.array([r[0] for r in rows]),
+                         "driver": pa.array([r[1] for r in rows]),
+                         "checksum": pa.array([r[2] for r in rows],
+                                              pa.int64())})
+
+    import ray.data as rd
+    gold = rd.from_items([{"go": 1}]).map_batches(
+        goldens, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow").union(gold)
+
+
 def q_nearblack(sf_dir: str):
     """nearblack / clean-collar (apps/nearblack_lib.cpp, twopasses):
     corpus images get a deterministic dark collar frame, the collar is
@@ -1846,6 +1930,7 @@ QUERIES = {
     "q_nearblack": q_nearblack,
     "q_ascii_raster": q_ascii_raster,
     "q_netcdf": q_netcdf,
+    "q_envi_ehdr": q_envi_ehdr,
     "q_gdaltindex": q_gdaltindex,
     "q_cog": q_cog,
     "q_vrt": q_vrt,

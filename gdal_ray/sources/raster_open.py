@@ -117,11 +117,27 @@ def open_raster(path: str) -> dict:
             wf = _worldfile(path)
             if wf:
                 gt = worldfile_to_gt(wf)
-    else:
+    elif data[:8] == b"\x89PNG\r\n\x1a\n" or data[:2] == b"\xff\xd8":
         px = decode_image(data)
         driver = "PNG" if data[:8] == b"\x89PNG\r\n\x1a\n" else "JPEG"
         wf = _worldfile(path)
         gt = worldfile_to_gt(wf) if wf else None
+        epsg = None
+    else:
+        # raw-binary payloads identified by the .hdr sidecar
+        # (frmts/raw envidataset.cpp / ehdrdataset.cpp)
+        from .envihdr import read_ehdr, read_envi
+
+        hdr = _sidecar(path, ".hdr")
+        if hdr is None:
+            raise ValueError(f"unrecognized raster format: {path}")
+        if hdr.lstrip().upper().startswith("ENVI"):
+            px, gt, _meta = read_envi(hdr, data)
+            driver = "ENVI"
+        else:
+            px, gt, _nodata = read_ehdr(hdr, data,
+                                        os.path.splitext(path)[1])
+            driver = "EHdr"
         epsg = None
     if epsg is None:
         prj = _sidecar(path, ".prj")
