@@ -1852,6 +1852,84 @@ def q_envi_ehdr(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").union(gold)
 
 
+def q_terrain(sf_dir: str):
+    """DTED / SRTMHGT / SAGA terrain drivers (frmts/dted, srtmhgt,
+    saga) through the unified open probe: the reference's own n43.dt0
+    golden (checksum 49187) decoded task-side, the same posts pushed
+    through SRTMHGT and SAGA write->reopen, plus synthetic corpus
+    tiles written in all three formats by worker tasks."""
+    import tempfile
+
+    from ..sources.images import corpus_dataset
+    from ..sources.raster_open import open_raster
+    from ..sources.terrain import (srtmhgt_name, write_dted, write_saga,
+                                   write_srtmhgt)
+
+    ds = corpus_dataset(12)
+    out_root = tempfile.mkdtemp(prefix="gdal_ray_terrain_")
+
+    def f(t: pa.Table) -> pa.Table:
+        cases, drivers, cks, gts = [], [], [], []
+        for i, rec in enumerate(t.to_pylist()):
+            px = decode_image(rec["bytes"])
+            elev = (px[::2, ::2, 0].astype(np.int16) * 4 - 120)
+            n = min(elev.shape)
+            elev = np.ascontiguousarray(elev[:n, :n])
+            lat, lon = 40 + (i % 5), -100 + (i % 7)
+            base = f"{out_root}/{rec['image_id']}"
+            paths = []
+            with open(base + ".dt0", "wb") as fh:
+                fh.write(write_dted(elev, float(lon), float(lat)))
+            paths.append((base + ".dt0", "dted"))
+            # one subdir per image: the hgt NAME encodes the georef
+            # and must stay collision-free across parallel tasks
+            import os
+            os.makedirs(base, exist_ok=True)
+            hgt = f"{base}/{srtmhgt_name(lat, lon)}"
+            with open(hgt, "wb") as fh:
+                fh.write(write_srtmhgt(elev))
+            paths.append((hgt, "hgt"))
+            step = 1.0 / (n - 1)
+            gt = (lon - step / 2, step, 0.0, lat + 1 + step / 2, 0.0, -step)
+            hdr, sdat = write_saga(elev.astype(np.float32), gt)
+            with open(base + ".sdat", "wb") as fh:
+                fh.write(sdat)
+            with open(base + ".sgrd", "w") as fh:
+                fh.write(hdr)
+            paths.append((base + ".sdat", "saga"))
+            for p, tag in paths:
+                r = open_raster(p)
+                cases.append(rec["image_id"] + ":" + tag)
+                drivers.append(r["driver"])
+                cks.append(checksum_image(
+                    np.asarray(r["pixels"], np.float64).astype(np.int32)))
+                gts.append(int(np.round(np.dot(r["gt"],
+                                               [1, 3, 5, 7, 11, 13]) * 64)))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "driver": pa.array(drivers, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "gt_dot": pa.array(gts, pa.int64())})
+
+    def golden(t: pa.Table) -> pa.Table:
+        from ..sources.terrain import read_dted
+
+        with open("/root/reference/autotest/gdrivers/data/n43.dt0",
+                  "rb") as fh:
+            px, gt = read_dted(fh.read())
+        return pa.table({
+            "case": pa.array(["n43.dt0"]), "driver": pa.array(["DTED"]),
+            "checksum": pa.array(
+                [checksum_image(px.astype(np.float64))], pa.int64()),
+            "gt_dot": pa.array(
+                [int(np.round(np.dot(gt, [1, 3, 5, 7, 11, 13]) * 64))],
+                pa.int64())})
+
+    import ray.data as rd
+    gold = rd.from_items([{"go": 1}]).map_batches(
+        golden, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow").union(gold)
+
+
 def q_nearblack(sf_dir: str):
     """nearblack / clean-collar (apps/nearblack_lib.cpp, twopasses):
     corpus images get a deterministic dark collar frame, the collar is
@@ -1931,6 +2009,7 @@ QUERIES = {
     "q_ascii_raster": q_ascii_raster,
     "q_netcdf": q_netcdf,
     "q_envi_ehdr": q_envi_ehdr,
+    "q_terrain": q_terrain,
     "q_gdaltindex": q_gdaltindex,
     "q_cog": q_cog,
     "q_vrt": q_vrt,

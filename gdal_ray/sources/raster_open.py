@@ -95,6 +95,24 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "netCDF"}
+    if data[:3] == b"UHL":
+        from .terrain import read_dted
+
+        px, gt = read_dted(data)
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "DTED"}
+    if path.lower().endswith(".hgt"):
+        from .terrain import read_srtmhgt
+
+        px, gt = read_srtmhgt(data, os.path.basename(path))
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "SRTMHGT"}
+    if path.lower().endswith(".sdat"):
+        from .terrain import read_saga
+
+        sgrd = _sidecar(path, ".sgrd")
+        if sgrd is None:
+            raise FileNotFoundError(f"{path}: no .sgrd header")
+        px, gt, _nodata = read_saga(sgrd, data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "SAGA"}
     if sniff_aaigrid(data):
         px, gt, _nodata = read_aaigrid(data)
         epsg = None
