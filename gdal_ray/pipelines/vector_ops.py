@@ -762,6 +762,80 @@ def q_kml_gml_layer(sf_dir: str):
     })
 
 
+def q_gpx_layer(sf_dir: str):
+    """GPX vector driver (ogr/ogrsf_frmts/gpx): a deterministic
+    waypoints+tracks GPX written through the driver's writer, parsed
+    back in a worker task into the five OGR layers, per-layer
+    aggregates from the decoded WKB; plus structural golden rows from
+    the reference's own test.gpx (waypoint ele/link fields, empty
+    LINESTRING/MULTILINESTRING handling, route/track point
+    back-references — the ogr_gpx.py expectations)."""
+    import os
+
+    import ray.data
+
+    from ..functions.wkb import wkb_to_geom
+    from ..sources.gpx import read_gpx, write_gpx
+
+    path = os.path.join(_XML_FIXDIR, "vector_fixture_v1.gpx")
+    if not os.path.exists(path):
+        os.makedirs(_XML_FIXDIR, exist_ok=True)
+        from ..functions.wkb import Geom, geom_to_wkb
+
+        ids = np.arange(40)
+        lon = -120.0 + (ids * 7 % 40) * 0.25
+        lat = 30.0 + (ids * 11 % 30) * 0.125
+        wpts = pa.table({
+            "geometry": pa.array(
+                [geom_to_wkb(Geom(1, [np.array([[x, y]])]))
+                 for x, y in zip(lon, lat)], pa.binary()),
+            "ele": pa.array((ids % 17).astype(np.float64)),
+            "name": pa.array([f"wp{i:02d}" for i in ids], pa.string()),
+        })
+        trks = []
+        for t in range(8):
+            parts = []
+            for s in range(2):
+                k = np.arange(5)
+                parts.append(np.stack([
+                    -100.0 + t + 0.1 * k + 0.5 * s,
+                    40.0 + 0.05 * k * (s + 1)], axis=1))
+            trks.append(geom_to_wkb(Geom(5, parts)))
+        trk_t = pa.table({
+            "geometry": pa.array(trks, pa.binary()),
+            "name": pa.array([f"trk{t}" for t in range(8)], pa.string()),
+        })
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(write_gpx(waypoints=wpts, tracks=trk_t))
+        os.replace(tmp, path)
+
+    def load(b: pa.Table) -> pa.Table:
+        rows = []
+        for row in b.to_pylist():
+            layers = read_gpx(row["path"])
+            for lname, t in sorted(layers.items()):
+                verts = sum(sum(len(r) for r in wkb_to_geom(g).rings)
+                            for g in t["geometry"].to_pylist())
+                ele = 0.0
+                if "ele" in t.column_names:
+                    ele = sum(v for v in t["ele"].to_pylist()
+                              if v is not None)
+                rows.append((row["case"] + ":" + lname, t.num_rows,
+                             verts, int(round(ele * 100))))
+        return pa.table({
+            "case": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "verts": pa.array([r[2] for r in rows], pa.int64()),
+            "ele_x100": pa.array([r[3] for r in rows], pa.int64())})
+
+    items = [{"case": "fixture", "path": path},
+             {"case": "test.gpx",
+              "path": "/root/reference/autotest/ogr/data/gpx/test.gpx"}]
+    return ray.data.from_items(items, override_num_blocks=2).map_batches(
+        load, batch_format="pyarrow", batch_size=1)
+
+
 def q_zfield_precision(sf_dir: str):
     """ogr2ogr -zfield + -xyRes/-zRes coordinate precision
     (apps/ogr2ogr_lib.cpp zField -> setZ; OGRGeomCoordinatePrecision,
@@ -934,6 +1008,7 @@ QUERIES = {
     "q_shp_layer": q_shp_layer,
     "q_csv_layer": q_csv_layer,
     "q_kml_gml_layer": q_kml_gml_layer,
+    "q_gpx_layer": q_gpx_layer,
     "q_arrow_layer": q_arrow_layer,
     "q_zfield_precision": q_zfield_precision,
 }
