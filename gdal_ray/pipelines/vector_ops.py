@@ -836,6 +836,73 @@ def q_gpx_layer(sf_dir: str):
         load, batch_format="pyarrow", batch_size=1)
 
 
+_SL_FIXTURE = "/tmp/gdal_ray_fixtures/vector_fixture_v1.sqlite"
+
+
+def q_sqlite_layer(sf_dir: str):
+    """SQLite / SpatiaLite vector driver (ogr/ogrsf_frmts/sqlite):
+    the polygon fixture written as a SpatiaLite DB (stdlib sqlite3 +
+    SpatiaLite geometry blobs), read back through the rowid-sharded
+    Ray reader, per-category aggregates; plus golden rows from the
+    reference's own poly_spatialite.sqlite (COMPRESSED-geometry
+    decode: the stored area field vs the shoelace area of the
+    decoded rings must agree to float32-delta precision)."""
+    import os
+
+    import ray.data
+
+    from ..functions.wkb import wkb_to_geom
+    from ..sources.spatialite import (read_sqlite_layer, sqlite_dataset,
+                                      write_sqlite)
+    from ..sources.vector import polygons_table
+    from .common import partial_groupby_agg
+
+    if not os.path.exists(_SL_FIXTURE):
+        os.makedirs(os.path.dirname(_SL_FIXTURE), exist_ok=True)
+        tmp = _SL_FIXTURE + f".tmp{os.getpid()}"
+        write_sqlite(tmp, {"zones": polygons_table(64)})
+        os.replace(tmp, _SL_FIXTURE)
+
+    ds = sqlite_dataset(_SL_FIXTURE, "zones", shard_rows=16)
+    agg = partial_groupby_agg(ds, ["category"], [
+        ("n", "fid", "count"),
+        ("pop_sum", "pop", "sum"),
+    ])
+    agg = agg.sort_by("category")
+    fixture = pa.table({
+        "category": agg["category"],
+        "n": agg["n"].cast(pa.int64()),
+        "pop_sum": agg["pop_sum"].cast(pa.int64()),
+    })
+
+    def golden(b: pa.Table) -> pa.Table:
+        t = read_sqlite_layer(
+            "/root/reference/autotest/ogr/data/sqlite/poly_spatialite.sqlite",
+            "poly")
+        areas = np.asarray(t["area"].to_pylist())
+
+        def shoelace(r):
+            x, y = r[:, 0], r[:, 1]
+            return 0.5 * abs(np.dot(x, np.roll(y, -1))
+                             - np.dot(y, np.roll(x, -1)))
+
+        calc = np.array([
+            sum(shoelace(r) * (1 if i == 0 else -1)
+                for i, r in enumerate(wkb_to_geom(g).rings))
+            for g in t["geometry"].to_pylist()])
+        ok = int(np.all(np.abs(calc - areas) / areas < 1e-6))
+        return pa.table({
+            "category": pa.array(["__golden_poly__"]),
+            "n": pa.array([t.num_rows], pa.int64()),
+            "pop_sum": pa.array(
+                [int(round(float(t["eas_id"].to_numpy().sum()))) * ok],
+                pa.int64())})
+
+    gold = ray.data.from_items([{"go": 1}]).map_batches(
+        golden, batch_format="pyarrow")
+    return ray.data.from_arrow(fixture).union(gold)
+
+
 def q_zfield_precision(sf_dir: str):
     """ogr2ogr -zfield + -xyRes/-zRes coordinate precision
     (apps/ogr2ogr_lib.cpp zField -> setZ; OGRGeomCoordinatePrecision,
@@ -1009,6 +1076,7 @@ QUERIES = {
     "q_csv_layer": q_csv_layer,
     "q_kml_gml_layer": q_kml_gml_layer,
     "q_gpx_layer": q_gpx_layer,
+    "q_sqlite_layer": q_sqlite_layer,
     "q_arrow_layer": q_arrow_layer,
     "q_zfield_precision": q_zfield_precision,
 }
