@@ -1930,6 +1930,37 @@ def q_terrain(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").union(gold)
 
 
+def q_grib(sf_dir: str):
+    """GRIB edition-1 reader (frmts/grib degrib1 path): the
+    reference's own fixtures decoded task-side — per-band checksums
+    with the degrib missing-value rules (QuikSCAT band 4 = 50714,
+    bug3246 mixed-size messages band 4 = 4081)."""
+    import ray.data as rd
+
+    from ..sources.grib1 import read_grib1
+
+    G = "/root/reference/autotest/gdrivers/data/grib"
+    items = [{"name": "Sample_QuikSCAT.grb"}, {"name": "bug3246.grb"}]
+
+    def f(t: pa.Table) -> pa.Table:
+        cases, cks, nds = [], [], []
+        for row in t.to_pylist():
+            with open(f"{G}/{row['name']}", "rb") as fh:
+                bands, gt, metas = read_grib1(fh.read())
+            for i, b in enumerate(bands):
+                cases.append(f"{row['name']}:{i + 1}")
+                cks.append(checksum_image(b))
+                nd = metas[i]["nodata"]
+                nds.append("none" if nd is None else
+                           ("9999" if nd == 9999.0 else "undef"))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "nodata": pa.array(nds, pa.string())})
+
+    return rd.from_items(items, override_num_blocks=2).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 def q_nearblack(sf_dir: str):
     """nearblack / clean-collar (apps/nearblack_lib.cpp, twopasses):
     corpus images get a deterministic dark collar frame, the collar is
@@ -2010,6 +2041,7 @@ QUERIES = {
     "q_netcdf": q_netcdf,
     "q_envi_ehdr": q_envi_ehdr,
     "q_terrain": q_terrain,
+    "q_grib": q_grib,
     "q_gdaltindex": q_gdaltindex,
     "q_cog": q_cog,
     "q_vrt": q_vrt,

@@ -95,6 +95,13 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "netCDF"}
+    if data[:4] == b"GRIB":
+        from .grib1 import read_grib1
+
+        bands, gt, metas = read_grib1(data)
+        px = bands[0] if len(bands) == 1 else np.stack(bands, axis=2)
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "GRIB",
+                "band_meta": metas}
     if data[:3] == b"UHL":
         from .terrain import read_dted
 
