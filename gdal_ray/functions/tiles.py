@@ -121,6 +121,80 @@ def tile_neighbors(tx: int, ty: int, z: int, k: int = 1):
     return out
 
 
+class TileScheme:
+    """OGC TileMatrixSet geometry (gcore/tilematrixset.cpp registry,
+    apps/gdalalg_raster_tile.cpp:65-88 aliases): an extent in scheme
+    CRS units and the zoom-0 matrix size. WebMercatorQuad is 1x1 over
+    the EPSG:3857 square; WorldCRS84Quad ('geodetic') is 2x1 over
+    [-180,180]x[-90,90] degrees."""
+
+    def __init__(self, name: str, extent: tuple, cols0: int, rows0: int,
+                 epsg: int):
+        self.name = name
+        self.xmin, self.ymin, self.xmax, self.ymax = extent
+        self.cols0 = cols0
+        self.rows0 = rows0
+        self.epsg = epsg
+
+    def matrix(self, z: int) -> tuple[int, int]:
+        return self.cols0 << z, self.rows0 << z
+
+    def tile_size_units(self, z: int) -> float:
+        return (self.xmax - self.xmin) / (self.cols0 << z)
+
+    def coords_to_tile(self, x, y, z: int, convention: str = "xyz"):
+        """Scheme-CRS coords -> tile indices (edge points clamp into
+        the last tile, like mercator_to_tile)."""
+        nc, nr = self.matrix(z)
+        fx = (np.asarray(x, np.float64) - self.xmin) \
+            / (self.xmax - self.xmin) * nc
+        tx = np.clip(np.floor(fx), 0, nc - 1).astype(np.int64)
+        if convention == "xyz":
+            fy = (self.ymax - np.asarray(y, np.float64)) \
+                / (self.ymax - self.ymin) * nr
+        else:
+            fy = (np.asarray(y, np.float64) - self.ymin) \
+                / (self.ymax - self.ymin) * nr
+        ty = np.clip(np.floor(fy), 0, nr - 1).astype(np.int64)
+        return tx, ty
+
+    def tile_bounds(self, tx, ty, z: int, convention: str = "xyz"):
+        nc, nr = self.matrix(z)
+        size = (self.xmax - self.xmin) / nc
+        tx = np.asarray(tx, np.float64)
+        ty = np.asarray(ty, np.float64)
+        xmin = self.xmin + tx * size
+        if convention == "xyz":
+            ymax = self.ymax - ty * size
+            ymin = ymax - size
+        else:
+            ymin = self.ymin + ty * size
+            ymax = ymin + size
+        return xmin, ymin, xmin + size, ymax
+
+    def tile_geotransform(self, tx: int, ty: int, z: int,
+                          tile_size: int = DEFAULT_TILE_SIZE,
+                          convention: str = "xyz") -> GeoTransform:
+        xmin, ymin, xmax, ymax = self.tile_bounds(int(tx), int(ty), z,
+                                                  convention)
+        res = (float(xmax) - float(xmin)) / tile_size
+        return (float(xmin), res, 0.0, float(ymax), 0.0, -res)
+
+
+SCHEMES = {
+    "WebMercatorQuad": TileScheme(
+        "WebMercatorQuad",
+        (-WEB_MERCATOR_EXTENT, -WEB_MERCATOR_EXTENT,
+         WEB_MERCATOR_EXTENT, WEB_MERCATOR_EXTENT), 1, 1, 3857),
+    "WorldCRS84Quad": TileScheme(
+        "WorldCRS84Quad", (-180.0, -90.0, 180.0, 90.0), 2, 1, 4326),
+}
+# reference aliases (apps/gdalalg_raster_tile.cpp:2280-2287)
+SCHEMES["mercator"] = SCHEMES["GoogleMapsCompatible"] = \
+    SCHEMES["WebMercatorQuad"]
+SCHEMES["geodetic"] = SCHEMES["WorldCRS84Quad"]
+
+
 def tiles_overlapping_bounds(xmin, ymin, xmax, ymax, z: int, convention: str = "xyz"):
     """Integer ranges of tiles intersecting a 3857 bbox:
     (tx0, tx1, ty0, ty1) inclusive. Mirrors GetTileIndices

@@ -1961,6 +1961,45 @@ def q_grib(sf_dir: str):
         f, batch_format="pyarrow", batch_size=1)
 
 
+def q_tile_geodetic(sf_dir: str):
+    """Geodetic (WorldCRS84Quad) tiling scheme end-to-end: the
+    reference's own small_world.tif rendered into both z0 geodetic
+    tiles with the default cubic resampler, per-band checksums within
+    the reference's own abs=1 comparator (the row reports our exact
+    value AND a 0/1 within-tolerance flag vs the pinned expectation:
+    test_gdalalg_raster_tile_small_world_geodetic)."""
+    import ray.data as rd
+
+    from ..functions.tiles import SCHEMES
+    from ..functions.warpkernels import warp_affine
+    from ..sources.tiff import decode_tiff
+
+    exp = {(0, 0): [1315, 63955, 5106], (1, 0): [24456, 25846, 15674]}
+    items = [{"tx": 0, "ty": 0}, {"tx": 1, "ty": 0}]
+
+    def f(t: pa.Table) -> pa.Table:
+        with open("/root/reference/autotest/gdrivers/data/small_world.tif",
+                  "rb") as fh:
+            px, gt = decode_tiff(fh.read())
+        sch = SCHEMES["geodetic"]
+        cases, bands_, ok = [], [], []
+        for row in t.to_pylist():
+            tx, ty = row["tx"], row["ty"]
+            dst_gt = sch.tile_geotransform(tx, ty, 0)
+            for b in range(3):
+                cs = checksum_image(
+                    warp_affine(px[:, :, b], gt, dst_gt, 256, 256, "cubic"))
+                cases.append(f"0/{tx}/{ty}:b{b + 1}")
+                bands_.append(cs)
+                ok.append(int(abs(cs - exp[(tx, ty)][b]) <= 1))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "checksum": pa.array(bands_, pa.int64()),
+                         "within_ref_tolerance": pa.array(ok, pa.int64())})
+
+    return rd.from_items(items, override_num_blocks=2).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 def q_nearblack(sf_dir: str):
     """nearblack / clean-collar (apps/nearblack_lib.cpp, twopasses):
     corpus images get a deterministic dark collar frame, the collar is
@@ -2042,6 +2081,7 @@ QUERIES = {
     "q_envi_ehdr": q_envi_ehdr,
     "q_terrain": q_terrain,
     "q_grib": q_grib,
+    "q_tile_geodetic": q_tile_geodetic,
     "q_gdaltindex": q_gdaltindex,
     "q_cog": q_cog,
     "q_vrt": q_vrt,
