@@ -1693,7 +1693,14 @@ def q_ascii_raster(sf_dir: str):
                 fh.write(write_aaigrid(band, gt, nodata=-9999))
             with open(base + ".xyz", "w") as fh:
                 fh.write(write_xyz(band.astype(np.float64), gt))
-            for ext, drv in ((".asc", "AAIGrid"), (".xyz", "XYZ")):
+            from ..sources.pnm import encode_pnm
+            from ..sources.raster_open import gt_to_worldfile
+            with open(base + ".pgm", "wb") as fh:
+                fh.write(encode_pnm(band.astype(np.uint8)))
+            with open(base + ".wld", "w") as fh:
+                fh.write(gt_to_worldfile(gt))
+            for ext, drv in ((".asc", "AAIGrid"), (".xyz", "XYZ"),
+                             (".pgm", "PNM")):
                 r = open_raster(base + ext)
                 cases.append(rec["image_id"] + ext)
                 drivers.append(r["driver"])

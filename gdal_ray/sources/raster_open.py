@@ -95,6 +95,13 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "netCDF"}
+    if data[:1] == b"P" and data[1:2] in b"23456" and data[2:3].isspace():
+        from .pnm import decode_pnm
+
+        px = decode_pnm(data)
+        wf = _worldfile(path)
+        return {"pixels": px, "gt": worldfile_to_gt(wf) if wf else None,
+                "epsg": None, "driver": "PNM"}
     if data[:4] == b"GRIB":
         from .grib1 import read_grib1
 
