@@ -45,6 +45,86 @@ def _ellipse_mask(dxs, dys, radius1, radius2, angle_deg):
     return (xr / r1) ** 2 + (yr / r2) ** 2 <= 1.0
 
 
+def build_tin(px, py):
+    """Delaunay TIN of the scatter points -> (T, 3) CCW triangles
+    (the once-per-actor state of the distributed linear gridder)."""
+    from .delaunay import Triangulation
+
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    if len(px) >= 3:
+        return Triangulation(np.c_[px, py]).triangles_ccw()
+    return np.empty((0, 3), np.int64)
+
+
+def linear_eval(tri, px, py, pz, cx, cy, radius, nodata) -> np.ndarray:
+    """Evaluate GGA_Linear on the regular node grid (cx, cy) given a
+    prebuilt TIN: barycentric interpolation inside the hull; outside,
+    nearest point if within ``radius`` (radius < 0 = unlimited — the
+    gdal_grid_lib default -1), else nodata. The triangle scan is
+    vectorized per triangle over the grid nodes its bbox covers;
+    triangles whose y-span misses every row are skipped up front, so
+    a row-block evaluation only pays for its own triangles."""
+    nx, ny = len(cx), len(cy)
+    gx, gy = np.meshgrid(cx, cy)
+    out = np.full(gx.size, np.nan, np.float64)
+    dx = cx[1] - cx[0] if nx > 1 else 1.0
+    dy = cy[1] - cy[0] if ny > 1 else 1.0
+    if len(tri):
+        ty0 = np.minimum.reduce([py[tri[:, 0]], py[tri[:, 1]], py[tri[:, 2]]])
+        ty1 = np.maximum.reduce([py[tri[:, 0]], py[tri[:, 1]], py[tri[:, 2]]])
+        ylo, yhi = (cy.min(), cy.max())
+        tri = tri[(ty1 >= ylo) & (ty0 <= yhi)]
+    for a, b, c in tri:
+        ax, ay, bx, by, cx2, cy2 = px[a], py[a], px[b], py[b], px[c], py[c]
+        x0, x1 = min(ax, bx, cx2), max(ax, bx, cx2)
+        y0, y1 = min(ay, by, cy2), max(ay, by, cy2)
+        i0 = max(0, int(np.ceil((x0 - cx[0]) / dx - 1e-9)) if dx > 0
+                 else int(np.ceil((x1 - cx[0]) / dx - 1e-9)))
+        i1 = min(nx - 1, int(np.floor((x1 - cx[0]) / dx + 1e-9)) if dx > 0
+                 else int(np.floor((x0 - cx[0]) / dx + 1e-9)))
+        j0 = max(0, int(np.ceil((y0 - cy[0]) / dy - 1e-9)) if dy > 0
+                 else int(np.ceil((y1 - cy[0]) / dy - 1e-9)))
+        j1 = min(ny - 1, int(np.floor((y1 - cy[0]) / dy + 1e-9)) if dy > 0
+                 else int(np.floor((y0 - cy[0]) / dy + 1e-9)))
+        if i1 < i0 or j1 < j0:
+            continue
+        nxs = cx[i0:i1 + 1][None, :]
+        nys = cy[j0:j1 + 1][:, None]
+        det = (by - ay) * (cx2 - ax) - (bx - ax) * (cy2 - ay)
+        if det == 0:
+            continue
+        l1 = ((by - cy2) * (nxs - cx2) + (cx2 - bx) * (nys - cy2)) / -det
+        l2 = ((cy2 - ay) * (nxs - cx2) + (ax - cx2) * (nys - cy2)) / -det
+        l3 = 1.0 - l1 - l2
+        eps = -1e-10
+        m = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+        if not m.any():
+            continue
+        vals = l1 * pz[a] + l2 * pz[b] + l3 * pz[c]
+        jj, ii = np.nonzero(m)
+        out[(jj + j0) * nx + (ii + i0)] = vals[m]
+    # outside the hull
+    miss = np.isnan(out)
+    if miss.any():
+        if radius == 0.0:
+            out[miss] = nodata
+        else:
+            mx = gx.ravel()[miss]
+            my = gy.ravel()[miss]
+            fill = np.full(mx.shape, nodata, np.float64)
+            if len(px):
+                d2 = ((px[None, :] - mx[:, None]) ** 2
+                      + (py[None, :] - my[:, None]) ** 2)
+                k = np.argmin(d2, axis=1)
+                best = d2[np.arange(len(mx)), k]
+                ok = (np.ones(len(mx), bool) if radius < 0
+                      else best <= radius * radius)
+                fill[ok] = pz[k[ok]]
+            out[miss] = fill
+    return out.reshape(ny, nx)
+
+
 def grid_points(px, py, pz, algo: str, *, xmin, xmax, ymin, ymax,
                 nx: int, ny: int, power: float = 2.0,
                 smoothing: float = 0.0, radius1: float = 0.0,
@@ -56,6 +136,9 @@ def grid_points(px, py, pz, algo: str, *, xmin, xmax, ymin, ymax,
     py = np.asarray(py, np.float64)
     pz = np.asarray(pz, np.float64)
     gx, gy = _node_coords(xmin, xmax, ymin, ymax, nx, ny)
+    if algo == "linear":
+        return linear_eval(build_tin(px, py), px, py, pz,
+                           gx[0, :], gy[:, 0], radius, nodata)
     # (nodes, points) deltas
     dxs = px[None, :] - gx.ravel()[:, None]
     dys = py[None, :] - gy.ravel()[:, None]

@@ -34,7 +34,7 @@ from ..functions.checksum import checksum_image
 from ..functions.codecs import decode_image
 from ..functions.dem import hillshade
 from ..functions.resample import resize
-from .common import partial_groupby_agg, read_table, round_away_np
+from .common import arrow_table, partial_groupby_agg, read_table, round_away_np
 from .spatial_sql import _DERIVE_SQL, derive_lonlat
 
 GRID_N = 8  # q_grid_* output grid (coarse: the SQL side is O(cells x points))
@@ -99,6 +99,59 @@ def q_grid_nn_count(sf_dir: str):
     out = partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
                               ["cell_id"], [("n", "n", "sum")])
     return pa.table({"cell_id": out["cell_id"], "n": out["n"]})
+
+
+LIN_GRID_N = 48   # q_grid_linear output nodes per axis
+LIN_MOD = 8       # event_id % LIN_MOD == 0 -> TIN vertex sample
+
+
+def q_grid_linear(sf_dir: str):
+    """GGA_Linear TIN gridding (alg/gdalgrid.cpp:2459 GDALGridLinear;
+    exact n43 golden in tests/test_grid_linear.py) distributed the
+    broadcast-side-input way: the TIN vertices are a deterministic
+    1/LIN_MOD sample of the events scatter (bounded by construction —
+    the same contract as the packed-STRtree and IVF-centroid side
+    inputs), ``ray.put`` once; each actor triangulates ONCE in
+    __init__; the output grid partitions across tasks as row blocks,
+    each evaluating only the triangles its rows intersect. At full
+    density the scale path buckets points by cell with a one-cell halo
+    and triangulates per bucket."""
+    import ray
+
+    from ..functions.gdalgrid import build_tin, linear_eval
+
+    pts = arrow_table(sf_dir, "events", ["event_id", "value"])
+    eid = pts["event_id"].to_numpy()
+    v = pts["value"].to_numpy()[eid % LIN_MOD == 0]
+    lon, lat = derive_lonlat(v)
+    side = ray.put((lon, lat, v))
+
+    cx = -180.0 + 360.0 * (np.arange(LIN_GRID_N) + 0.5) / LIN_GRID_N
+    cy = -85.0 + 170.0 * (np.arange(LIN_GRID_N) + 0.5) / LIN_GRID_N
+
+    class LinearGridder:
+        def __init__(self):
+            self.px, self.py, self.pz = ray.get(side)
+            self.tin = build_tin(self.px, self.py)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows = t["id"].to_numpy()
+            out_id, out_v = [], []
+            for j in rows:
+                vals = linear_eval(self.tin, self.px, self.py, self.pz,
+                                   cx, cy[j:j + 1], radius=-1.0, nodata=0.0)
+                out_id.append(j * LIN_GRID_N + np.arange(LIN_GRID_N))
+                out_v.append(vals[0])
+            return pa.table({
+                "cell_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+                "lin": pa.array(round_away_np(np.concatenate(out_v), 4)),
+            })
+
+    out_ds = ray.data.range(LIN_GRID_N).map_batches(
+        LinearGridder, concurrency=4, batch_size=6, batch_format="pyarrow")
+    tab = pa.concat_tables(
+        b for b in out_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return tab.take(pc.sort_indices(tab, sort_keys=[("cell_id", "ascending")]))
 
 
 def q_grid_metrics(sf_dir: str):
@@ -2097,6 +2150,7 @@ QUERIES = {
     "q_gcp_warp": q_gcp_warp,
     "q_geoloc_warp": q_geoloc_warp,
     "q_grid_idw": q_grid_idw,
+    "q_grid_linear": q_grid_linear,
     "q_grid_nn_count": q_grid_nn_count,
     "q_grid_metrics": q_grid_metrics,
     "q_geom_zone_metrics": q_geom_zone_metrics,

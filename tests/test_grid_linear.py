@@ -1,0 +1,95 @@
+"""GGA_Linear (TIN) gridding conformance.
+
+Reference: alg/gdalgrid.cpp:2459 (GDALGridLinear — Delaunay +
+barycentric, nearest within radius outside the hull, nodata when
+radius == 0) and autotest/utilities/test_gdal_grid.py::test_gdal_grid_18
+(linear-gridding the pixel centers of n43.tif back onto the same grid
+must reproduce n43.tif exactly — checksum equality is the reference's
+own assertion)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_ray.functions.checksum import checksum_image
+from gdal_ray.functions.delaunay import Triangulation, delaunay_triangles
+from gdal_ray.functions.gdalgrid import grid_points
+from gdal_ray.sources.tiff import decode_tiff
+
+N43 = "/root/reference/autotest/gdrivers/data/n43.tif"
+
+
+def test_planar_field_exact_inside_hull():
+    # a linear field is reproduced exactly by TIN interpolation
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0, 10, 200)
+    py = rng.uniform(0, 10, 200)
+    pz = 3.0 * px - 2.0 * py + 7.0
+    out = grid_points(px, py, pz, "linear", xmin=2, xmax=8, ymin=2, ymax=8,
+                      nx=15, ny=15, radius=0.0, nodata=-1.0)
+    gxc = 2 + (np.arange(15) + 0.5) * (6 / 15)
+    gyc = 2 + (np.arange(15) + 0.5) * (6 / 15)
+    exp = 3.0 * gxc[None, :] - 2.0 * gyc[:, None] + 7.0
+    assert np.abs(out - exp).max() < 1e-9
+
+
+def test_outside_hull_nodata_vs_nearest():
+    px = np.array([0.0, 1.0, 0.0])
+    py = np.array([0.0, 0.0, 1.0])
+    pz = np.array([5.0, 6.0, 7.0])
+    # node at (2.5, 2.5): outside hull
+    kw = dict(xmin=2.0, xmax=3.0, ymin=2.0, ymax=3.0, nx=1, ny=1)
+    out0 = grid_points(px, py, pz, "linear", radius=0.0, nodata=-9.0, **kw)
+    assert out0[0, 0] == -9.0
+    # radius < 0 => unlimited nearest (gdal_grid -a linear default -1);
+    # distances: (0,0)->sqrt(12.5); (1,0) and (0,1) tie at sqrt(8.5);
+    # argmin tie -> first (index 1) = 6.0
+    outn = grid_points(px, py, pz, "linear", radius=-1.0, nodata=-9.0, **kw)
+    assert outn[0, 0] == 6.0
+    # small bounded radius excludes everything
+    outr = grid_points(px, py, pz, "linear", radius=1.0, nodata=-9.0, **kw)
+    assert outr[0, 0] == -9.0
+
+
+def test_outside_hull_nearest_tie_is_first_index():
+    px = np.array([0.0, 1.0, 0.0])
+    py = np.array([0.0, 0.0, 1.0])
+    pz = np.array([5.0, 6.0, 7.0])
+    out = grid_points(px, py, pz, "linear", radius=-1.0, nodata=-9.0,
+                      xmin=2.0, xmax=3.0, ymin=2.0, ymax=3.0, nx=1, ny=1)
+    assert out[0, 0] == 6.0
+
+
+def test_delaunay_fast_matches_bowyer_watson():
+    from gdal_ray.functions.constructive import delaunay as slow
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-5, 5, (150, 2))
+    assert (delaunay_triangles(pts) == slow(pts)).all()
+
+
+def test_delaunay_grid_euler_count():
+    g = 17
+    xs, ys = np.meshgrid(np.arange(g, dtype=float), np.arange(g, dtype=float))
+    tr = Triangulation(np.c_[xs.ravel(), ys.ravel()])
+    n, h = g * g, 4 * (g - 1)
+    assert len(tr.triangles_ccw()) == 2 * n - h - 2
+
+
+@pytest.mark.skipif(not os.path.exists(N43), reason="reference absent")
+def test_linear_n43_golden():
+    px_img, gt = decode_tiff(open(N43, "rb").read())
+    h, w = px_img.shape[:2]
+    band = px_img.reshape(h, w).astype(np.float64)
+    # point per pixel center (PixelIsPoint: gt already centers row 0/col 0
+    # handled by the source; reconstruct centers from the geotransform)
+    cols, rows = np.meshgrid(np.arange(w), np.arange(h))
+    xs = gt[0] + (cols.ravel() + 0.5) * gt[1]
+    ys = gt[3] + (rows.ravel() + 0.5) * gt[5]
+    out = grid_points(xs, ys, band.ravel(), "linear",
+                      xmin=-80.0041667, xmax=-78.9958333,
+                      ymin=42.9958333, ymax=44.0041667,
+                      nx=121, ny=121, radius=-1.0, nodata=0.0)
+    got = np.floor(np.flipud(out) + 0.5).astype(np.int64)
+    assert (got == band.astype(np.int64)).all()
+    assert checksum_image(got) == checksum_image(band)
