@@ -613,6 +613,64 @@ def q_dither_palette(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_rgb_to_palette(sf_dir: str):
+    """gdal raster rgb-to-palette (apps/gdalalg_raster_rgb_to_palette
+    + alg/gdalmediancut.cpp + alg/gdaldither.cpp, both bit-exact vs
+    the reference's dither.py golden — tests/test_mediancut.py):
+    ONE global palette for the whole corpus, the rgb2pct way.
+    Distributed shape: pass 1 = per-batch sparse 5-bit histogram
+    partials -> combiner sum (<= 32768 rows ever reach the driver —
+    bounded by the cube, not the data); driver runs the median cut on
+    the merged table; pass 2 = broadcast palette, per-image GDAL
+    dither -> checksum rows."""
+    import ray
+
+    from ..functions.mediancut import (build_color_cube, dither_rgb2pct,
+                                       median_cut_pct, rgb_histogram_5bit)
+    from ..sources.images import corpus_dataset
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        h = np.zeros((32, 32, 32), np.int64)
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            thumb = resize(px, 64, 64, "bilinear")
+            h += rgb_histogram_5bit(thumb[:, :, 0], thumb[:, :, 1],
+                                    thumb[:, :, 2])
+        code = np.nonzero(h.ravel())[0]
+        return pa.table({"code": pa.array(code.astype(np.int64)),
+                         "n": pa.array(h.ravel()[code])})
+
+    merged = partial_groupby_agg(
+        corpus_dataset(24).map_batches(hist_partial, batch_format="pyarrow"),
+        ["code"], [("n", "n", "sum")])
+    hist = np.zeros(32 * 32 * 32, np.int64)
+    hist[merged["code"].to_numpy()] = merged["n"].to_numpy()
+    pal = median_cut_pct(hist.reshape(32, 32, 32), 16)
+    side = ray.put((pal, build_color_cube(pal)))
+
+    def dither_one(t: pa.Table) -> pa.Table:
+        p, cube = ray.get(side)
+        ids, cks = [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            thumb = resize(px, 64, 64, "bilinear")
+            ids.append(rec["image_id"])
+            cks.append(checksum_image(dither_rgb2pct(thumb, p, cube)))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "cksum_dither": pa.array(cks, pa.int64())})
+
+    out = corpus_dataset(24).map_batches(dither_one, batch_format="pyarrow")
+    tab = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    tab = tab.take(pc.sort_indices(tab, sort_keys=[("image_id", "ascending")]))
+    import hashlib
+
+    ph = int.from_bytes(hashlib.blake2b(pal.tobytes(), digest_size=8).digest(),
+                        "big", signed=True)
+    return tab.append_column(
+        "palette_hash", pa.array([ph] * tab.num_rows, pa.int64()))
+
+
 def q_footprint(sf_dir: str):
     """gdal_footprint (apps/gdal_footprint_lib.cpp): validity mask
     (band0 > 60) -> connected regions -> EXACT boundary polygon of the
@@ -2151,6 +2209,7 @@ QUERIES = {
     "q_geoloc_warp": q_geoloc_warp,
     "q_grid_idw": q_grid_idw,
     "q_grid_linear": q_grid_linear,
+    "q_rgb_to_palette": q_rgb_to_palette,
     "q_grid_nn_count": q_grid_nn_count,
     "q_grid_metrics": q_grid_metrics,
     "q_geom_zone_metrics": q_geom_zone_metrics,
