@@ -671,6 +671,43 @@ def q_rgb_to_palette(sf_dir: str):
         "palette_hash", pa.array([ph] * tab.num_rows, pa.int64()))
 
 
+def q_color_merge(sf_dir: str):
+    """gdal raster color-merge (apps/gdalalg_raster_color_merge.cpp;
+    full-lattice round-trip conformance in tests/test_hsvmerge.py):
+    hillshade-colorize each corpus image — gray = Horn hillshade of
+    band 0 as a DEM, V channel replaced per pixel. Stateless
+    map_batches; per-image merged-band checksums + the identity
+    check (merge with max(r,g,b) == input)."""
+    from ..functions.hsvmerge import color_merge
+    from ..sources.images import corpus_dataset
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, cr, cg, cb, ident = [], [], [], [], []
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            thumb = resize(px, 64, 64, "bilinear")
+            hs = hillshade(thumb[:, :, 0].astype(np.float64), 1.0, 1.0)
+            gray = np.where(np.isnan(hs), 0, hs).astype(np.uint8)
+            out = color_merge(thumb, gray)
+            vmax = np.maximum(np.maximum(thumb[..., 0], thumb[..., 1]),
+                              thumb[..., 2])
+            ids.append(rec["image_id"])
+            cr.append(checksum_image(out[:, :, 0]))
+            cg.append(checksum_image(out[:, :, 1]))
+            cb.append(checksum_image(out[:, :, 2]))
+            ident.append(int((color_merge(thumb, vmax) == thumb).all()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "cksum_r": pa.array(cr, pa.int64()),
+                         "cksum_g": pa.array(cg, pa.int64()),
+                         "cksum_b": pa.array(cb, pa.int64()),
+                         "round_trip": pa.array(ident, pa.int64())})
+
+    out = corpus_dataset(24).map_batches(f, batch_format="pyarrow")
+    tab = pa.concat_tables(
+        b for b in out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return tab.take(pc.sort_indices(tab, sort_keys=[("image_id", "ascending")]))
+
+
 def q_footprint(sf_dir: str):
     """gdal_footprint (apps/gdal_footprint_lib.cpp): validity mask
     (band0 > 60) -> connected regions -> EXACT boundary polygon of the
@@ -2210,6 +2247,7 @@ QUERIES = {
     "q_grid_idw": q_grid_idw,
     "q_grid_linear": q_grid_linear,
     "q_rgb_to_palette": q_rgb_to_palette,
+    "q_color_merge": q_color_merge,
     "q_grid_nn_count": q_grid_nn_count,
     "q_grid_metrics": q_grid_metrics,
     "q_geom_zone_metrics": q_geom_zone_metrics,
