@@ -81,7 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
               "q_kml_gml_layer", "q_gdaltindex", "q_vector_reproject",
               "q_layer_info", "q_cog", "q_vrt", "q_arrow_layer",
               "q_netcdf", "q_envi_ehdr", "q_terrain", "q_gpx_layer",
-              "q_sqlite_layer", "q_grib", "q_tile_geodetic"):
+              "q_sqlite_layer", "q_grib", "q_tile_geodetic",
+              "q_rgb_to_palette", "q_color_merge", "q_grid_linear",
+              "q_raster_open", "q_gcp_warp", "q_binary_raster",
+              "q_shp_layer"):
         tier[k] = 3                           # new this round, never rowed
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}

@@ -25,6 +25,8 @@ real image-corpus machinery:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1816,6 +1818,56 @@ def q_gdaltindex(sf_dir: str):
     })
 
 
+def q_binary_raster(sf_dir: str):
+    """BMP + GIF binary raster drivers (frmts/bmp frmts/gif, both
+    conformed against the reference's own checksum goldens —
+    tests/test_bmp.py, tests/test_gif.py) through the unified open
+    probe: per-image 8-bit BMP, 24-bit BMP, and GIF (LZW) written by
+    worker tasks, re-opened via open_raster with a world file, rows
+    report (case, driver, checksum, gt hash)."""
+    import tempfile
+
+    from ..sources.bmp import encode_bmp
+    from ..sources.gif import encode_gif
+    from ..sources.images import corpus_dataset
+    from ..sources.raster_open import gt_to_worldfile, open_raster
+
+    ds = corpus_dataset(24)
+    out_root = tempfile.mkdtemp(prefix="gdal_ray_bin_")
+    gray_pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+
+    def f(t: pa.Table) -> pa.Table:
+        cases, drivers, cks, gts = [], [], [], []
+        gt = (1000.0, 30.0, 0.0, 5000.0, 0.0, -30.0)
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])
+            band = px[::4, ::4, 0]
+            rgb = px[::4, ::4, :3]
+            base = f"{out_root}/{rec['image_id']}"
+            with open(base + ".bmp", "wb") as fh:
+                fh.write(encode_bmp(band))
+            with open(base + "_rgb.bmp", "wb") as fh:
+                fh.write(encode_bmp(rgb))
+            with open(base + ".gif", "wb") as fh:
+                fh.write(encode_gif(band, gray_pal))
+            for stem in (base + ".bmp", base + "_rgb.bmp", base + ".gif"):
+                with open(os.path.splitext(stem)[0] + ".wld", "w") as fh:
+                    fh.write(gt_to_worldfile(gt))
+                r = open_raster(stem)
+                p = np.asarray(r["pixels"])
+                cases.append(os.path.basename(stem))
+                drivers.append(r["driver"])
+                cks.append(checksum_image(p if p.ndim == 2 else p[:, :, 0]))
+                gts.append(int(np.round(np.dot(r["gt"],
+                                               [1, 3, 5, 7, 11, 13]))))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "driver": pa.array(drivers, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "gt_dot": pa.array(gts, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_ascii_raster(sf_dir: str):
     """AAIGrid + XYZ ASCII raster drivers (frmts/aaigrid, frmts/xyz)
     through the unified GDALOpen-style probe: per-image grids written
@@ -2232,6 +2284,7 @@ QUERIES = {
     "q_zarr": q_zarr,
     "q_nearblack": q_nearblack,
     "q_ascii_raster": q_ascii_raster,
+    "q_binary_raster": q_binary_raster,
     "q_netcdf": q_netcdf,
     "q_envi_ehdr": q_envi_ehdr,
     "q_terrain": q_terrain,

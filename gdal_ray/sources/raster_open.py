@@ -155,6 +155,33 @@ def open_raster(path: str) -> dict:
         wf = _worldfile(path)
         gt = worldfile_to_gt(wf) if wf else None
         epsg = None
+    elif data[:2] == b"BM":
+        from .bmp import decode_bmp
+
+        px, palette = decode_bmp(data)
+        driver = "BMP"
+        wf = _worldfile(path)
+        gt = worldfile_to_gt(wf) if wf else None
+        epsg = None
+        if palette is not None:
+            out = {"pixels": np.asarray(px), "gt": gt, "epsg": None,
+                   "driver": driver, "palette": palette}
+            prj = _sidecar(path, ".prj")
+            if prj:
+                out["epsg"] = epsg_from_wkt(prj)
+            return out
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        px, palette, meta = decode_gif(data)
+        wf = _worldfile(path)
+        gt = worldfile_to_gt(wf) if wf else None
+        out = {"pixels": np.asarray(px), "gt": gt, "epsg": None,
+               "driver": "GIF", "palette": palette, "gif_meta": meta}
+        prj = _sidecar(path, ".prj")
+        if prj:
+            out["epsg"] = epsg_from_wkt(prj)
+        return out
     else:
         # raw-binary payloads identified by the .hdr sidecar
         # (frmts/raw envidataset.cpp / ehdrdataset.cpp)
