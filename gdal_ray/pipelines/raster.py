@@ -1868,6 +1868,52 @@ def q_binary_raster(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_hfa(sf_dir: str):
+    """HFA (Erdas Imagine) conformance: one task per reference .img
+    fixture (autotest/gcore/hfa_read.py init_list + gdrivers/hfa.py
+    int/float reads), emitting OUR checksum next to the reference's
+    published expectation — all equal. Reader: sources/hfa.py (entry
+    tree + data dictionary + RasterDMS RLE per frmts/hfa)."""
+    import os
+
+    import ray.data
+
+    gcore = "/root/reference/autotest/gcore/data"
+    gdrv = "/root/reference/autotest/gdrivers/data/hfa"
+    cases = [
+        (f"{gcore}/byte.img", 4672), (f"{gcore}/int16.img", 4672),
+        (f"{gcore}/uint16.img", 4672), (f"{gcore}/int32.img", 4672),
+        (f"{gcore}/uint32.img", 4672), (f"{gcore}/float32.img", 4672),
+        (f"{gcore}/float64.img", 4672), (f"{gcore}/utmsmall.img", 50054),
+        (f"{gcore}/2bit_compressed.img", 11918),
+        (f"{gdrv}/int.img", 6691), (f"{gdrv}/float.img", 23529),
+    ]
+    if not os.path.exists(cases[0][0]):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "checksum": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.hfa import decode_hfa
+
+        names, cks, exps = [], [], []
+        for r in t.to_pylist():
+            with open(r["path"], "rb") as fh:
+                px, _gt, _meta = decode_hfa(fh.read())
+            if px.ndim == 3:
+                px = px[:, :, 0]
+            names.append(os.path.basename(r["path"]))
+            cks.append(checksum_image(px))
+            exps.append(r["expected"])
+        return pa.table({"case": pa.array(names, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    ds = ray.data.from_items(
+        [{"path": p, "expected": e} for p, e in cases])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
+
+
 def q_ascii_raster(sf_dir: str):
     """AAIGrid + XYZ ASCII raster drivers (frmts/aaigrid, frmts/xyz)
     through the unified GDALOpen-style probe: per-image grids written
@@ -2285,6 +2331,7 @@ QUERIES = {
     "q_nearblack": q_nearblack,
     "q_ascii_raster": q_ascii_raster,
     "q_binary_raster": q_binary_raster,
+    "q_hfa": q_hfa,
     "q_netcdf": q_netcdf,
     "q_envi_ehdr": q_envi_ehdr,
     "q_terrain": q_terrain,

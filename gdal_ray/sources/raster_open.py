@@ -102,6 +102,17 @@ def open_raster(path: str) -> dict:
         wf = _worldfile(path)
         return {"pixels": px, "gt": worldfile_to_gt(wf) if wf else None,
                 "epsg": None, "driver": "PNM"}
+    if data[:15] == b"EHFA_HEADER_TAG":
+        from .hfa import decode_hfa
+
+        px, gt, meta = decode_hfa(data)
+        if gt is None:
+            wf = _worldfile(path)
+            gt = worldfile_to_gt(wf) if wf else None
+        prj = _sidecar(path, ".prj")
+        return {"pixels": px, "gt": gt,
+                "epsg": epsg_from_wkt(prj) if prj else None,
+                "driver": "HFA", "hfa_meta": meta}
     if data[:4] == b"GRIB":
         from .grib1 import read_grib1
 
