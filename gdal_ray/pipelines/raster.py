@@ -1914,6 +1914,49 @@ def q_hfa(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_nitf(sf_dir: str):
+    """NITF conformance + writer round trip: fixture rows check the
+    reference's published checksums (autotest/gdrivers/nitf.py: rgb
+    21349 band 3, the three 1-bit bilevel files 170); corpus rows
+    write each decoded image as NITF02.10 (IMODE B/P) from worker
+    tasks and re-open through the probe. Driver: sources/nitf.py."""
+    import os
+
+    from ..sources.images import corpus_dataset
+    from ..sources.nitf import decode_nitf, encode_nitf
+
+    fixt = "/root/reference/autotest/gdrivers/data/nitf"
+    fixture_cases = [("rgb.ntf", 2, 21349), ("i_3034c.ntf", 0, 170),
+                     ("i_3034f.ntf", 0, 170), ("ns3034d.nsf", 0, 170)]
+    have_fixtures = os.path.exists(f"{fixt}/rgb.ntf")
+
+    ds = corpus_dataset(16)
+
+    def f(t: pa.Table) -> pa.Table:
+        cases, cks, exps = [], [], []
+        ids = set(t["image_id"].to_pylist())
+        if have_fixtures and "img00000000" in ids:
+            for fn, band, exp in fixture_cases:
+                with open(f"{fixt}/{fn}", "rb") as fh:
+                    px, _gt, _m = decode_nitf(fh.read())
+                b = px if px.ndim == 2 else px[:, :, band]
+                cases.append(fn)
+                cks.append(checksum_image(b))
+                exps.append(exp)
+        for rec in t.to_pylist():
+            px = decode_image(rec["bytes"])[::4, ::4, :3]
+            back, _gt, _m = decode_nitf(encode_nitf(px))
+            cases.append(rec["image_id"])
+            ck = checksum_image(back[:, :, 0])
+            cks.append(ck)
+            exps.append(checksum_image(px[:, :, 0]))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_ascii_raster(sf_dir: str):
     """AAIGrid + XYZ ASCII raster drivers (frmts/aaigrid, frmts/xyz)
     through the unified GDALOpen-style probe: per-image grids written
@@ -2332,6 +2375,7 @@ QUERIES = {
     "q_ascii_raster": q_ascii_raster,
     "q_binary_raster": q_binary_raster,
     "q_hfa": q_hfa,
+    "q_nitf": q_nitf,
     "q_netcdf": q_netcdf,
     "q_envi_ehdr": q_envi_ehdr,
     "q_terrain": q_terrain,

@@ -102,6 +102,18 @@ def open_raster(path: str) -> dict:
         wf = _worldfile(path)
         return {"pixels": px, "gt": worldfile_to_gt(wf) if wf else None,
                 "epsg": None, "driver": "PNM"}
+    if data[:4] in (b"NITF", b"NSIF"):
+        from .nitf import decode_nitf
+
+        px, gt, meta = decode_nitf(data)
+        if gt is None:
+            wf = _worldfile(path)
+            gt = worldfile_to_gt(wf) if wf else None
+        prj = _sidecar(path, ".prj")
+        epsg = epsg_from_wkt(prj) if prj else (
+            4326 if meta.get("icords") == "G" else None)
+        return {"pixels": px, "gt": gt, "epsg": epsg,
+                "driver": "NITF", "nitf_meta": meta}
     if data[:15] == b"EHFA_HEADER_TAG":
         from .hfa import decode_hfa
 
