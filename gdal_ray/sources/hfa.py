@@ -290,8 +290,12 @@ def _unpack_subbyte(raw: bytes, n_pixels: int, bits: int) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 
-def decode_hfa(data: bytes):
-    """-> (pixels (h, w) or (h, w, n), gt | None, meta dict)."""
+def decode_hfa(data: bytes, ige: bytes | None = None):
+    """-> (pixels (h, w) or (h, w, n), gt | None, meta dict).
+    `ige`: the external spill file's bytes for layers that store their
+    blocks in an ERDAS_IMG_EXTERNAL_RASTER file (hfaband.cpp
+    LoadExternalBlockInfo: uniform uncompressed blocks at
+    layerStackDataOffset with a 20-byte-prefixed validity bitmap)."""
     if not sniff_hfa(data):
         raise ValueError("not an HFA file")
     header_pos = struct.unpack_from("<I", data, 16)[0]
@@ -316,20 +320,55 @@ def decode_hfa(data: bytes):
         w, h = layer["width"], layer["height"]
         bw, bh = layer["blockWidth"], layer["blockHeight"]
         ept = layer["pixelType"]
-        if node.find(name="ExternalRasterDMS") is not None:
-            raise NotImplementedError("HFA spill (.ige) files")
-        dms = node.find(type_="Edms_State")
-        if dms is None:
-            raise NotImplementedError("HFA layer without RasterDMS")
-        st, _ = _decode_instance(data[dms.data_pos:
-                                      dms.data_pos + dms.data_size],
-                                 0, types["Edms_State"], types)
-        infos = st["blockinfo"]
-        if isinstance(infos, dict):
-            infos = [infos]
         nbx = (w + bw - 1) // bw
         nby = (h + bh - 1) // bh
         npx_blk = bw * bh
+        ext = node.find(name="ExternalRasterDMS")
+        infos = None
+        if ext is not None:
+            if ige is None:
+                raise NotImplementedError(
+                    "HFA spill (.ige) layer: pass the external file's "
+                    "bytes as decode_hfa(..., ige=...)")
+            er, _ = _decode_instance(data[ext.data_pos:
+                                          ext.data_pos + ext.data_size],
+                                     0, types["ImgExternalRaster"], types)
+            if ige[:25] != b"ERDAS_IMG_EXTERNAL_RASTER":
+                raise ValueError("HFA spill file header mismatch")
+
+            def big(v):  # 2:L pairs -> 64-bit (GetBigIntField)
+                return v[0] + (v[1] << 32) if isinstance(v, list) else v
+
+            valid_off = big(er["layerStackValidFlagsOffset"])
+            data_off = big(er["layerStackDataOffset"])
+            stack_count = er["layerStackCount"]
+            stack_index = er["layerStackIndex"]
+            blk_bytes = (bw * bh * _EPT_BITS[ept] + 7) // 8
+            bytes_per_row = (nbx + 7) // 8
+            vmap = np.frombuffer(ige, np.uint8,
+                                 count=bytes_per_row * nby + 20,
+                                 offset=valid_off)
+            infos = []
+            for ib in range(nbx * nby):
+                row, col = divmod(ib, nbx)
+                bit = row * bytes_per_row * 8 + col + 160
+                infos.append({
+                    "logvalid": (vmap[bit >> 3] >> (bit & 7)) & 1,
+                    "offset": data_off + blk_bytes * ib * stack_count
+                    + stack_index * blk_bytes,
+                    "size": blk_bytes, "compressionType": 0})
+            src = ige
+        else:
+            dms = node.find(type_="Edms_State")
+            if dms is None:
+                raise NotImplementedError("HFA layer without RasterDMS")
+            st, _ = _decode_instance(data[dms.data_pos:
+                                          dms.data_pos + dms.data_size],
+                                     0, types["Edms_State"], types)
+            infos = st["blockinfo"]
+            if isinstance(infos, dict):
+                infos = [infos]
+            src = data
         if ept <= 2:
             full = np.zeros((nby * bh, nbx * bw), np.uint8)
         else:
@@ -339,7 +378,7 @@ def decode_hfa(data: bytes):
             if not bi["logvalid"]:
                 continue
             boff, bsize = bi["offset"], bi["size"]
-            raw = data[boff:boff + bsize]
+            raw = src[boff:boff + bsize]
             if bi["compressionType"]:
                 blk = _uncompress_block(raw, npx_blk, ept)
             elif ept <= 2:

@@ -117,7 +117,12 @@ def open_raster(path: str) -> dict:
     if data[:15] == b"EHFA_HEADER_TAG":
         from .hfa import decode_hfa
 
-        px, gt, meta = decode_hfa(data)
+        ige_path = os.path.splitext(path)[0] + ".ige"
+        ige = None
+        if os.path.exists(ige_path):
+            with open(ige_path, "rb") as fh:
+                ige = fh.read()
+        px, gt, meta = decode_hfa(data, ige=ige)
         if gt is None:
             wf = _worldfile(path)
             gt = worldfile_to_gt(wf) if wf else None

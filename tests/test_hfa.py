@@ -64,9 +64,15 @@ def test_hfa_1bit():
     assert set(np.unique(px)) <= {0, 1}
 
 
-def test_spill_raises():
+def test_spill_golden():
+    # gdrivers/hfa.py test_hfa_rde_overviews: spill.img checksum 1631
     with open(f"{GDRV}/spill.img", "rb") as fh:
         data = fh.read()
+    with open(f"{GDRV}/spill.ige", "rb") as fh:
+        ige = fh.read()
+    px, _gt, _ = decode_hfa(data, ige=ige)
+    assert checksum_image(px if px.ndim == 2 else px[:, :, 0]) == 1631
+    # without the spill bytes the layer is unreadable -> raise
     with pytest.raises(NotImplementedError):
         decode_hfa(data)
 
