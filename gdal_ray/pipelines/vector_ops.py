@@ -1057,7 +1057,57 @@ ORACLE: dict[str, str] = {
     """,
 }
 
+def q_mif_layer(sf_dir: str):
+    """MapInfo MIF/MID driver (ogr/ogrsf_frmts/mitab): one task per
+    reference fixture, emitting (layer, n_rows, n_cols, wkt_crc) —
+    wkt_crc is crc32 of the newline-joined WKTs, pinning the geometry
+    text bit-exactly (core rows equal all_geoms.mif.golden.csv; see
+    tests/test_mif.py)."""
+    import os
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/mitab"
+    names = ["all_geoms", "small", "single_field", "nomid",
+             "multilinemid", "all_possible_fields",
+             "empty_first_field_with_tab_delimiter"]
+    if not os.path.exists(f"{fixdir}/small.mif"):
+        return pa.table({"layer": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "n_cols": pa.array([], pa.int64()),
+                         "wkt_crc": pa.array([], pa.int64())})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.mif import read_mif
+
+        layers, nr, nc, crc = [], [], [], []
+        for rec in t.to_pylist():
+            name = rec["name"]
+            with open(f"{fixdir}/{name}.mif") as fh:
+                mif = fh.read()
+            mid = None
+            midp = f"{fixdir}/{name}.mid"
+            if os.path.exists(midp):
+                with open(midp) as fh:
+                    mid = fh.read()
+            tab = read_mif(mif, mid)
+            layers.append(name)
+            nr.append(tab.num_rows)
+            nc.append(tab.num_columns)
+            crc.append(zlib.crc32(
+                "\n".join(tab["wkt"].to_pylist()).encode()))
+        return pa.table({"layer": pa.array(layers, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "n_cols": pa.array(nc, pa.int64()),
+                         "wkt_crc": pa.array(crc, pa.int64())})
+
+    ds = ray.data.from_items([{"name": n} for n in names])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
+
+
 QUERIES = {
+    "q_mif_layer": q_mif_layer,
     "q_vector_reproject": q_vector_reproject,
     "q_layer_info": q_layer_info,
     "q_geom_simplify": q_geom_simplify,
