@@ -2368,7 +2368,122 @@ def q_zarr(sf_dir: str):
     return back.map_batches(f, batch_format="pyarrow")
 
 
+def q_tile_db(sf_dir: str):
+    """MBTiles + GeoPackage raster-tile pyramids (sources/mbtiles.py;
+    reference frmts/mbtiles/mbtilesdataset.cpp + the GPKG raster side
+    of ogr/ogrsf_frmts/gpkg/gdalgpkgmbtilescommon.cpp), conformed
+    against the reference's OWN fixtures: world_l1.mbtiles hits the
+    libjpeg-6b checksum column exactly (bands + zoom-0 overview +
+    exact EPSG:3857 geotransform, autotest/gdrivers/mbtiles.py
+    test_mbtiles_2/4), byte.mbtiles bounds-clips to checksum 4118,
+    byte.gpkg windows to its gpkg_contents extent at 4672/EPSG:26711
+    — plus an engine roundtrip: a deterministic TILE_SCHEMA pyramid
+    sunk to BOTH formats by the distributed per-tile encoder and
+    re-read bit-equal through tiles_dataset."""
+    import tempfile
+
+    import ray.data
+
+    from ..functions.codecs import encode_image
+
+    from ..functions.tiles import tile_key
+    from ..sources.mbtiles import (read_gpkg_tiles, read_mbtiles,
+                                   tiles_dataset, write_gpkg_tiles,
+                                   write_mbtiles)
+    from ..stages.tiling import TILE_SCHEMA, _rows_table
+
+    mb_dir = "/root/reference/autotest/gdrivers/data/mbtiles"
+    gp_dir = "/root/reference/autotest/gdrivers/data/gpkg"
+
+    def gt_dot(gt) -> int:
+        return int(np.round(np.dot(gt, [1, 3, 5, 7, 11, 13])))
+
+    def fixture_rows(t: pa.Table) -> pa.Table:
+        cases, values = [], []
+        for rec in t.to_pylist():
+            which = rec["which"]
+            if which == "world_l1":
+                r = read_mbtiles(f"{mb_dir}/world_l1.mbtiles",
+                                 use_bounds=False)
+                for i in range(3):
+                    cases.append(f"world_l1_b{i + 1}")
+                    values.append(checksum_image(r["pixels"][:, :, i]))
+                cases.append("world_l1_gt_dot")
+                values.append(gt_dot(r["gt"]))
+                ov = read_mbtiles(f"{mb_dir}/world_l1.mbtiles", zoom=0,
+                                  use_bounds=False)
+                for i in range(3):
+                    cases.append(f"world_l1_ov_b{i + 1}")
+                    values.append(checksum_image(ov["pixels"][:, :, i]))
+                rb = read_mbtiles(f"{mb_dir}/world_l1.mbtiles")
+                cases += ["world_l1_bounds_w", "world_l1_bounds_h",
+                          "world_l1_bounds_ymax"]
+                values += [rb["pixels"].shape[1], rb["pixels"].shape[0],
+                           int(np.round(rb["gt"][3]))]
+            elif which == "byte_mbtiles":
+                r = read_mbtiles(f"{mb_dir}/byte.mbtiles")
+                cases.append("byte_mbtiles_cs")
+                values.append(checksum_image(r["pixels"][:, :, 0]))
+            else:
+                r = read_gpkg_tiles(f"{gp_dir}/byte.gpkg")
+                cases += ["byte_gpkg_cs", "byte_gpkg_epsg",
+                          "byte_gpkg_gt_dot"]
+                values += [checksum_image(r["pixels"][:, :, 0]),
+                           r["epsg"], gt_dot(r["gt"])]
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    fixtures = ray.data.from_items(
+        [{"which": w} for w in ("world_l1", "byte_mbtiles", "byte_gpkg")]
+    ).map_batches(fixture_rows, batch_format="pyarrow", batch_size=1)
+
+    # deterministic pyramid -> both sinks -> tiles_dataset re-read
+    rng = np.random.default_rng(42)
+    rows = []
+    for tx in range(2, 5):
+        for ty in range(1, 3):
+            canvas = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+            valid = np.ones((256, 256), bool)
+            if (tx + ty) % 2:
+                valid[200:, :] = False
+                canvas[~valid] = 0
+            rows.append({
+                "tile_key": int(tile_key(tx, ty, 3)),
+                "z": 3, "tx": tx, "ty": ty,
+                "pixels": encode_image(canvas, "raw"),
+                "alpha": np.packbits(valid.astype(np.uint8)).tobytes(),
+                "n_src": 1, "n_valid": int(valid.sum()),
+                "checksum": checksum_image(
+                    np.where(valid, canvas[:, :, 0], 0)),
+            })
+    src = _rows_table(rows, TILE_SCHEMA)
+    want = dict(zip(src["tile_key"].to_pylist(),
+                    src["checksum"].to_pylist()))
+    out_root = tempfile.mkdtemp(prefix="gdal_ray_tiledb_")
+    rt_cases, rt_values = [], []
+    for fmt_name, writer, reader in (
+            ("mbtiles", write_mbtiles, None),
+            ("gpkg", write_gpkg_tiles, None)):
+        path = f"{out_root}/rt.{fmt_name}"
+        stats = writer(ray.data.from_arrow(src), path)
+        rt_cases.append(f"rt_{fmt_name}_tiles")
+        rt_values.append(stats["n_tiles"])
+        back = tiles_dataset(path)
+        n_match = 0
+        for b in back.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for k, c in zip(b["tile_key"].to_pylist(),
+                            b["checksum"].to_pylist()):
+                n_match += int(want.get(k) == c)
+        rt_cases.append(f"rt_{fmt_name}_cs_match")
+        rt_values.append(n_match)
+    rt = ray.data.from_arrow(pa.table({
+        "case": pa.array(rt_cases, pa.string()),
+        "value": pa.array(rt_values, pa.int64())}))
+    return fixtures.union(rt)
+
+
 QUERIES = {
+    "q_tile_db": q_tile_db,
     "q_viewshed": q_viewshed,
     "q_zarr": q_zarr,
     "q_nearblack": q_nearblack,

@@ -169,6 +169,20 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "XYZ"}
+    if data[:16] == b"SQLite format 3\x00":
+        # raster pyramids in SQLite: MBTiles or GeoPackage tiles
+        # (sqlite3 wants a real file path, so this branch dispatches
+        # on the path rather than the buffered bytes)
+        from .mbtiles import gpkg_tile_tables, is_mbtiles, \
+            read_gpkg_tiles, read_mbtiles
+
+        if is_mbtiles(path):
+            return read_mbtiles(path)
+        if gpkg_tile_tables(path):
+            return read_gpkg_tiles(path)
+        raise ValueError(
+            f"{path}: SQLite file without a tile pyramid — open vector "
+            "layers via sources.gpkg / sources.spatialite instead")
     if data[:2] in (b"II", b"MM"):
         px, gt = decode_tiff(data)
         epsg = tiff_epsg(data)
