@@ -1,0 +1,352 @@
+"""NASA PDS3 + ISIS2 planetary raster readers (reference
+frmts/pds/pdsdataset.cpp, frmts/pds/isis2dataset.cpp). Both formats
+are an ODL label (attached or detached) describing a raw binary
+IMAGE/QUBE payload:
+
+- ODL: KEY = VALUE cards with /* comments */, quoted strings,
+  ("file", n <BYTES>) pointer tuples, 16#...# radix literals,
+  <UNIT> annotations, OBJECT/GROUP nesting, multi-line values.
+- ^IMAGE pointer forms: record number (1-based, x RECORD_BYTES),
+  byte offset (n <BYTES>), detached filename, or (filename, n) tuple
+  — filenames matched case-insensitively like VSI on the PDS volumes.
+- SAMPLE_TYPE MSB/LSB/PC/SUN/UNSIGNED integer + IEEE/PC real;
+  BAND_SEQUENTIAL / LINE_INTERLEAVED / SAMPLE_INTERLEAVED storage;
+  LINE_PREFIX/SUFFIX_BYTES stripped per record.
+- Geotransform from IMAGE_MAP_PROJECTION (MAP_SCALE <KM> default x1000,
+  <METERS> as-is) with the -0.5 projection-offset shift the reference's
+  own conformance tests pin (autotest/gdrivers/pds.py
+  PDS_SampleProjOffset_Shift=-0.5).
+- COMPRESSED_FILE delegation: when only a compressed companion exists,
+  open it through the engine's unified probe (the reference reopens it
+  with the matching driver).
+- ISIS2 ^QUBE with (SAMPLE, LINE, BAND) axes and SUN_REAL cores.
+
+Conformed against the reference's own fixtures and published
+checksums/geotransforms (tests/test_pds.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+_SAMPLE_DTYPES = {
+    ("MSB_INTEGER", 2): ">i2", ("MSB_INTEGER", 4): ">i4",
+    ("MSB_UNSIGNED_INTEGER", 1): "u1", ("MSB_UNSIGNED_INTEGER", 2): ">u2",
+    ("MSB_UNSIGNED_INTEGER", 4): ">u4",
+    ("LSB_INTEGER", 2): "<i2", ("LSB_INTEGER", 4): "<i4",
+    ("LSB_UNSIGNED_INTEGER", 1): "u1", ("LSB_UNSIGNED_INTEGER", 2): "<u2",
+    ("LSB_UNSIGNED_INTEGER", 4): "<u4",
+    ("UNSIGNED_INTEGER", 1): "u1", ("UNSIGNED_INTEGER", 2): ">u2",
+    ("INTEGER", 2): ">i2", ("INTEGER", 4): ">i4",
+    ("IEEE_REAL", 4): ">f4", ("IEEE_REAL", 8): ">f8",
+    ("SUN_REAL", 4): ">f4", ("SUN_REAL", 8): ">f8",
+    ("PC_REAL", 4): "<f4", ("PC_REAL", 8): "<f8",
+    ("FLOAT", 4): ">f4", ("REAL", 4): ">f4",
+    ("MSB_BIT_STRING", 1): "u1",
+}
+
+
+def parse_odl(text: str) -> dict:
+    """Flatten an ODL label to dotted lower-case keys (first value
+    wins). Values keep their raw string form (quotes stripped)."""
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    out: dict[str, str] = {}
+    stack: list[str] = []
+    pend_key = None
+    pend_val: list[str] = []
+
+    def balanced(s: str) -> bool:
+        if s.count('"') % 2:
+            return False
+        return s.count("(") <= s.count(")") and s.count("{") <= s.count("}")
+
+    def commit(key: str, val: str):
+        val = val.strip()
+        kl = key.strip().lower()
+        if kl in ("object", "group"):
+            stack.append(val.strip('"').lower())
+            return
+        if kl in ("end_object", "end_group"):
+            if stack:
+                stack.pop()
+            return
+        full = ".".join(stack + [kl])
+        if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+            val = val[1:-1]
+        out.setdefault(full, " ".join(val.split()))
+
+    for raw in text.splitlines():
+        line = raw.rstrip("\r\n")
+        if pend_key is not None:
+            pend_val.append(line.strip())
+            joined = " ".join(pend_val)
+            if balanced(joined):
+                commit(pend_key, joined)
+                pend_key, pend_val = None, []
+            continue
+        s = line.strip()
+        if not s or s == "END":
+            continue
+        m = re.match(r"^(\^?[\w:]+)\s*=\s*(.*)$", s)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip()
+        if balanced(val):
+            commit(key, val)
+        else:
+            pend_key, pend_val = key, [val]
+    return out
+
+
+def _num(v: str | None, default=0.0) -> float:
+    if v is None:
+        return default
+    v = v.split("<")[0].strip().strip('"')
+    m = re.match(r"^(\d+)#([0-9A-Fa-f]+)#$", v)
+    if m:
+        return float(int(m.group(2), int(m.group(1))))
+    try:
+        return float(v)
+    except ValueError:
+        return default
+
+
+def _find_file(directory: str, name: str) -> str | None:
+    cand = os.path.join(directory, name)
+    if os.path.exists(cand):
+        return cand
+    low = name.lower()
+    for f in os.listdir(directory or "."):
+        if f.lower() == low:
+            return os.path.join(directory, f)
+    return None
+
+
+def _resolve_pointer(ptr: str, label_path: str, record_bytes: int):
+    """^IMAGE value -> (data_path, byte_offset)."""
+    ptr = ptr.strip()
+    fname = None
+    num = None
+    in_bytes = False
+    m = re.match(r'^\(\s*"?([^",]+?)"?\s*(?:,\s*(\d+)\s*'
+                 r"(<BYTES>)?\s*)?\)$", ptr, re.I)
+    if m:
+        fname = m.group(1).strip()
+        if m.group(2):
+            num = int(m.group(2))
+        in_bytes = bool(m.group(3))
+    elif re.match(r"^\d+\s*<BYTES>$", ptr, re.I):
+        num = int(ptr.split("<")[0])
+        in_bytes = True
+    elif re.match(r"^\d+$", ptr):
+        num = int(ptr)
+    else:
+        fname = ptr.strip('"').strip()
+    if fname is not None:
+        path = _find_file(os.path.dirname(label_path), fname)
+        if path is None:
+            raise FileNotFoundError(f"PDS data file {fname!r} not found "
+                                    f"next to {label_path}")
+    else:
+        path = label_path
+    off = 0
+    if num is not None:
+        off = (num - 1) if in_bytes else (num - 1) * record_bytes
+    return path, off
+
+
+def _pds_geotransform(lbl: dict) -> tuple | None:
+    proj = None
+    for k in lbl:
+        if k.endswith("image_map_projection.map_projection_type"):
+            proj = k.rsplit(".", 1)[0] + "."
+            break
+    if proj is None:
+        return None
+    raw_scale = None
+    for key in ("map_scale",):
+        if proj + key in lbl:
+            raw_scale = lbl[proj + key]
+    if raw_scale is None:
+        return None
+    # the reference parses MAP_SCALE through a float (its pinned gts
+    # carry the float32 rounding, e.g. 0.9261153 -> 926.115274429321)
+    scale = float(np.float32(_num(raw_scale)))
+    unit = raw_scale.upper()
+    if "METER" not in unit:  # PDS MAP_SCALE default unit is km
+        scale *= 1000.0
+    # the reference's conformance tests pin the -0.5 offset shift
+    so = _num(lbl.get(proj + "sample_projection_offset")) - 0.5
+    lo = _num(lbl.get(proj + "line_projection_offset")) - 0.5
+    rot = _num(lbl.get(proj + "map_projection_rotation"), 0.0)
+    if rot != 0.0:
+        raise NotImplementedError("rotated PDS map projection")
+    return (-so * scale, scale, 0.0, lo * scale, 0.0, -scale)
+
+
+def _read_payload(path: str, off: int, w: int, h: int, nb: int,
+                  dt: np.dtype, storage: str, prefix: int, suffix: int):
+    isz = dt.itemsize
+    if storage == "LINE_INTERLEAVED":
+        rec = prefix + w * isz * nb + suffix
+        rows_b = nb
+    elif storage == "SAMPLE_INTERLEAVED":
+        rec = prefix + w * isz * nb + suffix
+        rows_b = 1
+    else:  # BAND_SEQUENTIAL
+        rec = prefix + w * isz + suffix
+        rows_b = 1
+    nrec = h * (nb if storage == "BAND_SEQUENTIAL" and rows_b == 1 else 1)
+    if storage == "BAND_SEQUENTIAL":
+        nrec = h * nb
+    need = off + rec * nrec
+    with open(path, "rb") as fh:
+        fh.seek(off)
+        buf = fh.read(rec * nrec)
+    buf = buf + b"\x00" * (need - off - len(buf))
+    recs = np.frombuffer(buf, np.uint8).reshape(nrec, rec)
+    body = recs[:, prefix:rec - suffix if suffix else rec]
+    vals = np.ascontiguousarray(body).view(dt)
+    if storage == "BAND_SEQUENTIAL":
+        px = vals.reshape(nb, h, w)
+        px = np.transpose(px, (1, 2, 0))
+    elif storage == "LINE_INTERLEAVED":
+        px = vals.reshape(h, nb, w)
+        px = np.transpose(px, (0, 2, 1))
+    else:  # SAMPLE_INTERLEAVED
+        px = vals.reshape(h, w, nb)
+    if nb == 1:
+        px = px[:, :, 0]
+    return np.ascontiguousarray(px)
+
+
+def sniff_pds(data: bytes) -> bool:
+    head = data[:1024].lstrip()
+    return head.startswith(b"PDS_VERSION_ID") or \
+        b"PDS_VERSION_ID" in data[:512]
+
+
+def read_pds(path: str):
+    """-> (pixels, gt | None, info). ``path`` is an attached .img or a
+    detached .lbl."""
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)
+    if not sniff_pds(head):
+        raise ValueError(f"{path}: no PDS_VERSION_ID")
+    lbl = parse_odl(head.decode("latin-1", "replace"))
+
+    # COMPRESSED_FILE delegation (ESP_013951_1955_RED.LBL -> byte.tif)
+    comp = lbl.get("compressed_file.file_name")
+    if comp is not None:
+        unc = lbl.get("uncompressed_file.^image") or \
+            lbl.get("uncompressed_file.file_name")
+        unc_exists = unc is not None and _find_file(
+            os.path.dirname(path), unc.strip('"').strip("()").split(",")[0]
+            .strip().strip('"')) is not None
+        delegate = None if unc_exists else _find_file(
+            os.path.dirname(path), comp)
+        if delegate:
+            from .raster_open import open_raster
+
+            r = open_raster(delegate)
+            return r["pixels"], r.get("gt"), {"delegated": comp,
+                                              "driver": r["driver"]}
+
+    record_bytes = int(_num(lbl.get("record_bytes"), 0))
+    ptr = None
+    for k in ("^image", "uncompressed_file.^image"):
+        if k in lbl:
+            ptr = lbl[k]
+            break
+    if ptr is None:
+        for k, v in lbl.items():
+            if k.endswith("^image"):
+                ptr = v
+                break
+    if ptr is None:
+        raise ValueError(f"{path}: no ^IMAGE pointer")
+    dpath, off = _resolve_pointer(ptr, path, record_bytes)
+
+    img = ""
+    for k in lbl:
+        if k.endswith("image.lines") or k == "image.lines":
+            img = k[:-len("lines")]
+            break
+    h = int(_num(lbl.get(img + "lines")))
+    w = int(_num(lbl.get(img + "line_samples")))
+    nb = int(_num(lbl.get(img + "bands"), 1))
+    bits = int(_num(lbl.get(img + "sample_bits"), 8))
+    stype = lbl.get(img + "sample_type", "UNSIGNED_INTEGER").upper()
+    key = (stype, bits // 8)
+    if key not in _SAMPLE_DTYPES:
+        raise NotImplementedError(f"PDS SAMPLE_TYPE {stype}/{bits}")
+    dt = np.dtype(_SAMPLE_DTYPES[key])
+    storage = lbl.get(img + "band_storage_type",
+                      "BAND_SEQUENTIAL").upper().replace(" ", "_")
+    prefix = int(_num(lbl.get(img + "line_prefix_bytes"), 0))
+    suffix = int(_num(lbl.get(img + "line_suffix_bytes"), 0))
+    if h <= 0 or w <= 0:
+        raise ValueError(f"{path}: bad IMAGE dimensions {w}x{h}")
+    px = _read_payload(dpath, off, w, h, nb, dt, storage, prefix, suffix)
+
+    info = {"scale": _num(lbl.get(img + "scaling_factor"), 1.0),
+            "offset": _num(lbl.get(img + "offset"), 0.0)}
+    for nd in (img + "missing", img + "missing_constant", "missing",
+               "missing_constant"):
+        if nd in lbl:
+            info["nodata"] = _num(lbl[nd])
+            break
+    else:
+        if stype.endswith("UNSIGNED_INTEGER") or stype == \
+                "UNSIGNED_INTEGER":
+            info["nodata"] = 0.0
+    gt = _pds_geotransform(lbl)
+    return px, gt, info
+
+
+def sniff_isis2(data: bytes) -> bool:
+    head = data[:1024]
+    return b"^QUBE" in head
+
+
+def read_isis2(path: str):
+    """-> (pixels, gt | None, info) for an ISIS2 .cub."""
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)
+    if not sniff_isis2(head):
+        raise ValueError(f"{path}: no ^QUBE pointer")
+    lbl = parse_odl(head.decode("latin-1", "replace"))
+    record_bytes = int(_num(lbl.get("record_bytes"), 512))
+    dpath, off = _resolve_pointer(lbl["^qube"], path, record_bytes)
+    axes = [a.strip().strip('"').upper() for a in
+            lbl.get("qube.axis_name", "(SAMPLE,LINE,BAND)")
+            .strip("()").split(",")]
+    items = [int(_num(v)) for v in
+             lbl["qube.core_items"].strip("()").split(",")]
+    dims = dict(zip(axes, items))
+    w, h, nb = dims.get("SAMPLE", 1), dims.get("LINE", 1), \
+        dims.get("BAND", 1)
+    isz = int(_num(lbl.get("qube.core_item_bytes"), 4))
+    ctype = lbl.get("qube.core_item_type", "SUN_REAL").upper()
+    key = (ctype, isz)
+    if key not in _SAMPLE_DTYPES:
+        raise NotImplementedError(f"ISIS2 CORE_ITEM_TYPE {ctype}/{isz}")
+    dt = np.dtype(_SAMPLE_DTYPES[key])
+    if axes != ["SAMPLE", "LINE", "BAND"]:
+        raise NotImplementedError(f"ISIS2 axis order {axes}")
+    px = _read_payload(dpath, off, w, h, nb, dt, "BAND_SEQUENTIAL", 0, 0)
+    info = {"scale": _num(lbl.get("qube.core_multiplier"), 1.0),
+            "offset": _num(lbl.get("qube.core_base"), 0.0)}
+    if "qube.core_null" in lbl:
+        raw = _num(lbl["qube.core_null"])
+        if dt.kind == "f" and isz == 4:
+            info["nodata"] = float(
+                np.frombuffer(np.uint32(int(raw)).tobytes(),
+                              np.float32)[0])
+        else:
+            info["nodata"] = raw
+    gt = _pds_geotransform(lbl)
+    return px, gt, info

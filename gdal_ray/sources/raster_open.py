@@ -155,6 +155,35 @@ def open_raster(path: str) -> dict:
             raise FileNotFoundError(f"{path}: no .sgrd header")
         px, gt, _nodata = read_saga(sgrd, data)
         return {"pixels": px, "gt": gt, "epsg": None, "driver": "SAGA"}
+    if data[:1] == b"#":
+        from .heightfield import read_gxf, sniff_gxf
+
+        if sniff_gxf(data):
+            px, gt, nodata = read_gxf(data)
+            prj = _sidecar(path, ".prj")
+            return {"pixels": px, "gt": gt,
+                    "epsg": epsg_from_wkt(prj) if prj else None,
+                    "driver": "GXF", "nodata": nodata}
+    from .heightfield import sniff_jdem
+
+    if sniff_jdem(data):
+        from .heightfield import read_jdem
+
+        px, gt = read_jdem(data)
+        return {"pixels": px, "gt": gt, "epsg": 4301, "driver": "JDEM"}
+    from .usgsdem import sniff_usgsdem
+
+    if path.lower().endswith(".dem") or sniff_usgsdem(data):
+        from .usgsdem import read_usgsdem
+
+        try:
+            px, gt, info = read_usgsdem(data)
+            return {"pixels": px, "gt": gt,
+                    "epsg": None, "driver": "USGSDEM",
+                    "usgsdem_info": info}
+        except ValueError:
+            if path.lower().endswith(".dem"):
+                raise
     if sniff_aaigrid(data):
         px, gt, _nodata = read_aaigrid(data)
         epsg = None
@@ -169,6 +198,58 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "XYZ"}
+    if data[:16] == b"TERRAGENTERRAIN ":
+        from .heightfield import read_terragen
+
+        px, gt, scale, offset = read_terragen(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "Terragen",
+                "scale": scale, "offset": offset}
+    if data[:4] == b"trrn":
+        from .heightfield import read_leveller
+
+        px, scale, offset = read_leveller(data)
+        return {"pixels": px, "gt": None, "epsg": None, "driver": "Leveller",
+                "scale": scale, "offset": offset}
+    if data[:6] in (b"HEADER", b"HEAD74") and data[16:24] != b"S LAT   ":
+        from .rawlegacy import read_lan
+
+        px, gt, coordsys = read_lan(data)
+        prj = _sidecar(path, ".prj")
+        return {"pixels": px, "gt": gt,
+                "epsg": epsg_from_wkt(prj) if prj else None,
+                "driver": "LAN", "lan_coordsys": coordsys}
+    if data.lstrip()[:21] == b"BEGIN_USGS_DOQ_HEADER":
+        from .rawlegacy import read_doq2
+
+        px, gt, meta = read_doq2(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "DOQ2",
+                "doq_meta": meta}
+    if data[:9] == b"SIMPLE  =":
+        from .fits import read_fits
+
+        px, gt, cards = read_fits(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "FITS",
+                "fits_cards": cards}
+    if path.lower().endswith(".ers"):
+        from .ers import read_ers
+
+        px, gt, meta = read_ers(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "ERS",
+                "ers_meta": meta}
+    if b"PDS_VERSION_ID" in data[:512]:
+        from .pdslabel import read_pds
+
+        px, gt, info = read_pds(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "PDS",
+                **{k: v for k, v in info.items()
+                   if k in ("scale", "offset", "nodata")}}
+    if b"^QUBE" in data[:1024]:
+        from .pdslabel import read_isis2
+
+        px, gt, info = read_isis2(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "ISIS2",
+                **{k: v for k, v in info.items()
+                   if k in ("scale", "offset", "nodata")}}
     if data[:16] == b"SQLite format 3\x00":
         # raster pyramids in SQLite: MBTiles or GeoPackage tiles
         # (sqlite3 wants a real file path, so this branch dispatches
