@@ -2578,8 +2578,62 @@ def q_classic_formats(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_planetary_grids(sf_dir: str):
+    """Second classic-format batch: Surfer GSBG/GS7BG, Idrisi RST,
+    CTG, BYN, ISIS3 (BandSequential + Tile), VICAR (all 13 reference
+    read-datatype fixtures incl. VAX floats), PCIDSK — rows are the
+    reference's own checksum goldens (tests/test_planetary2.py),
+    probed distributed through open_raster."""
+    import ray.data
+
+    from ..sources.raster_open import open_raster
+
+    D = "/root/reference/autotest/gdrivers/data"
+
+    def b1(px):
+        return px if px.ndim == 2 else px[:, :, 0]
+
+    def run(t: pa.Table) -> pa.Table:
+        cases, values = [], []
+
+        def add(case, path, window=None):
+            r = open_raster(path)
+            px = b1(r["pixels"])
+            if window:
+                px = px[:window[0], :window[1]]
+            cases.append(case)
+            values.append(int(checksum_image(px)))
+
+        for rec in t.to_pylist():
+            fam = rec["family"]
+            if fam == "grids":
+                add("gsbg", f"{D}/gsg/gsg_binary.grd")
+                add("gs7bg", f"{D}/gsg/gsg_7binary.grd")
+                add("rst_byte", f"{D}/rst/byte.rst")
+                add("rst_real", f"{D}/rst/real.rst")
+                add("ctg", f"{D}/ctg/fake_grid_cell")
+                add("byn", f"{D}/byn/cgg2013ai08_reduced.byn")
+                add("pcidsk", f"{D}/pcidsk/utm.pix")
+            elif fam == "isis3":
+                add("isis3_detached", f"{D}/isis3/isis3_detached.lbl")
+                add("isis3_tiled", f"{D}/isis3/isis3_unit_test.cub")
+            else:
+                for f in ("byte", "int16", "bigendian_int16", "int32",
+                          "float32_bsq", "float32_bil", "float32_bip",
+                          "bigendian_float32", "float64", "cfloat32",
+                          "vax_float32", "vax_float64", "vax_cfloat32"):
+                    add(f"vicar_{f}", f"{D}/vicar/vicar_{f}.vic")
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"family": f} for f in ("grids", "isis3", "vicar")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_classic_formats": q_classic_formats,
+    "q_planetary_grids": q_planetary_grids,
     "q_tile_db": q_tile_db,
     "q_viewshed": q_viewshed,
     "q_zarr": q_zarr,

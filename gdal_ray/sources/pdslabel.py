@@ -88,7 +88,11 @@ def parse_odl(text: str) -> dict:
                 pend_key, pend_val = None, []
             continue
         s = line.strip()
-        if not s or s == "END":
+        if not s or s.lower() == "end":
+            continue
+        if s.lower() in ("end_object", "end_group"):  # bare PVL form
+            if stack:
+                stack.pop()
             continue
         m = re.match(r"^(\^?[\w:]+)\s*=\s*(.*)$", s)
         if not m:

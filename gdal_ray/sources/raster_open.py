@@ -198,6 +198,55 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "XYZ"}
+    if data[:4] in (b"DSAA", b"DSBB", b"DSRB"):
+        from .surfer import read_surfer
+
+        px, gt, nodata = read_surfer(data)
+        prj = _sidecar(path, ".prj")
+        return {"pixels": px, "gt": gt,
+                "epsg": epsg_from_wkt(prj) if prj else None,
+                "driver": {b"DSAA": "GSAG", b"DSBB": "GSBG",
+                           b"DSRB": "GS7BG"}[data[:4]], "nodata": nodata}
+    if data[:8] == b"PCIDSK  ":
+        from .pcidsk import read_pcidsk
+
+        px, gt, info = read_pcidsk(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "PCIDSK",
+                "pcidsk_info": info}
+    if data[:8].replace(b" ", b"").startswith(b"LBLSIZE="):
+        from .vicar import read_vicar
+
+        px, gt, lbl = read_vicar(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "VICAR",
+                "vicar_label": lbl}
+    if data[:256].lstrip().startswith(b"Object") and \
+            b"IsisCube" in data[:256]:
+        from .isis3 import read_isis3
+
+        px, gt, info = read_isis3(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "ISIS3",
+                **{k: v for k, v in info.items()
+                   if k in ("scale", "offset", "nodata")}}
+    if path.lower().endswith(".rst"):
+        from .rawlegacy import read_rst
+
+        px, gt, rdc = read_rst(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "RST",
+                "rdc": rdc}
+    if path.lower().endswith(".byn"):
+        from .rawlegacy import read_byn
+
+        px, gt, info = read_byn(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "BYN",
+                **info}
+    from .rawlegacy import sniff_ctg
+
+    if sniff_ctg(data):
+        from .rawlegacy import read_ctg
+
+        px, gt, zone = read_ctg(data)
+        return {"pixels": px, "gt": gt, "epsg": 32600 + zone,
+                "driver": "CTG"}
     if data[:16] == b"TERRAGENTERRAIN ":
         from .heightfield import read_terragen
 
