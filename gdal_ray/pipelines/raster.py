@@ -2631,9 +2631,72 @@ def q_planetary_grids(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_raw_formats(sf_dir: str):
+    """Third classic-format batch: RRASTER, GTX, NTv2 (LE+BE), SNODAS,
+    MFF (flat + tiled), PAux, GSC, GenBin, ISCE, ROI_PAC, LCP (all 8
+    bands) — reference checksum goldens (tests/test_rawmore.py) probed
+    distributed through open_raster."""
+    import ray.data
+
+    from ..sources.raster_open import open_raster
+
+    D = "/root/reference/autotest/gdrivers/data"
+
+    def b1(px):
+        return px if px.ndim == 2 else px[:, :, 0]
+
+    def run(t: pa.Table) -> pa.Table:
+        cases, values = [], []
+
+        def add(case, v):
+            cases.append(case)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            fam = rec["family"]
+            if fam == "grids":
+                add("rraster", checksum_image(b1(open_raster(
+                    f"{D}/rraster/byte_rraster.grd")["pixels"])))
+                add("gtx", checksum_image(b1(open_raster(
+                    f"{D}/gtx/hydroc1.gtx")["pixels"])))
+                for tag in ("le", "be"):
+                    add(f"ntv2_{tag}_b2", checksum_image(open_raster(
+                        f"{D}/ntv2/test_ntv2_{tag}.gsb")
+                        ["pixels"][:, :, 1]))
+                add("snodas", checksum_image(b1(open_raster(
+                    f"{D}/snodas/fake_snodas.hdr")["pixels"])))
+            elif fam == "raw":
+                add("mff", checksum_image(b1(open_raster(
+                    f"{D}/mff/bytemff.hdr")["pixels"])))
+                add("mff_tiled", checksum_image(b1(open_raster(
+                    f"{D}/mff/fakemfftiled.hdr")["pixels"])))
+                add("paux_b2", checksum_image(open_raster(
+                    f"{D}/paux/small16.raw")["pixels"][:, :, 1]))
+                add("gsc", checksum_image(b1(open_raster(
+                    f"{D}/gsc/fakegsc.gsc")["pixels"])))
+                add("genbin_w", checksum_image(open_raster(
+                    f"{D}/genbin/tm4628_96.bil")["pixels"][:1, :500, 0]))
+                add("isce", checksum_image(b1(open_raster(
+                    f"{D}/isce/isce.slc")["pixels"])))
+                add("roipac", checksum_image(b1(open_raster(
+                    f"{D}/roipac/srtm.dem")["pixels"])))
+            else:
+                px = open_raster(
+                    f"{D}/lcp/test_FARSITE_UTM12.LCP")["pixels"]
+                for i in range(px.shape[2]):
+                    add(f"lcp_b{i + 1}", checksum_image(px[:, :, i]))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"family": f} for f in ("grids", "raw", "lcp")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_classic_formats": q_classic_formats,
     "q_planetary_grids": q_planetary_grids,
+    "q_raw_formats": q_raw_formats,
     "q_tile_db": q_tile_db,
     "q_viewshed": q_viewshed,
     "q_zarr": q_zarr,

@@ -173,7 +173,8 @@ def open_raster(path: str) -> dict:
         return {"pixels": px, "gt": gt, "epsg": 4301, "driver": "JDEM"}
     from .usgsdem import sniff_usgsdem
 
-    if path.lower().endswith(".dem") or sniff_usgsdem(data):
+    if (path.lower().endswith(".dem") or sniff_usgsdem(data)) \
+            and not os.path.exists(path + ".rsc"):
         from .usgsdem import read_usgsdem
 
         try:
@@ -198,6 +199,72 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "XYZ"}
+    if data[:8] == b"NUM_OREC":
+        from .rawmore import read_ntv2
+
+        px, gt, names = read_ntv2(data)
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "NTv2",
+                "subgrids": names}
+    if data[:15] == b"Format version:" and b"NOHRSC" in data[:60]:
+        from .rawmore import read_snodas
+
+        px, gt, info = read_snodas(path)
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "SNODAS",
+                **info}
+    if b"IMAGE_FILE_FORMAT" in data[:256] and b"MFF" in data[:256] \
+            and path.lower().endswith(".hdr"):
+        from .rawmore import read_mff
+
+        px, gt, kv = read_mff(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "MFF",
+                "mff_header": kv}
+    if path.lower().endswith(".gtx"):
+        from .rawmore import read_gtx
+
+        px, gt, info = read_gtx(data)
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "GTX",
+                **info}
+    if path.lower().endswith(".grd") and (b"[georeference]" in data[:512]
+                                          or b"[general]" in data[:512]):
+        from .rawmore import read_rraster
+
+        px, gt, info = read_rraster(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "RRASTER",
+                **info}
+    from .rawmore import sniff_gsc, sniff_lcp
+
+    if sniff_lcp(path, data):
+        from .rawmore import read_lcp
+
+        px, gt, info = read_lcp(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "LCP",
+                **info}
+    if sniff_gsc(data):
+        from .rawmore import read_gsc
+
+        px, gt, info = read_gsc(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "GSC",
+                **info}
+    if os.path.exists(path + ".rsc"):
+        from .rawmore import read_roipac
+
+        px, gt, info = read_roipac(path)
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "ROI_PAC",
+                **info}
+    if os.path.exists(path + ".xml") and \
+            b"<imageFile>" in open(path + ".xml", "rb").read(256):
+        from .rawmore import read_isce
+
+        px, gt, props = read_isce(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "ISCE",
+                "isce_props": props}
+    _aux = _sidecar(path, ".aux")
+    if _aux and _aux.lstrip().startswith("AuxilaryTarget:"):
+        from .rawmore import read_paux
+
+        px, gt, kv = read_paux(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "PAux",
+                "paux_header": kv}
     if data[:4] in (b"DSAA", b"DSBB", b"DSRB"):
         from .surfer import read_surfer
 
@@ -362,6 +429,16 @@ def open_raster(path: str) -> dict:
         hdr = _sidecar(path, ".hdr")
         if hdr is None:
             raise ValueError(f"unrecognized raster format: {path}")
+        if "BANDS:" in hdr[:512] and "COLS:" in hdr[:512] \
+                and "ROWS:" in hdr[:512]:
+            from .rawmore import read_genbin
+
+            base = os.path.splitext(path)[0]
+            hdr_path = base + (".hdr" if os.path.exists(base + ".hdr")
+                               else ".HDR")
+            px, gt, kv = read_genbin(hdr_path)
+            return {"pixels": np.asarray(px), "gt": gt, "epsg": None,
+                    "driver": "GenBin", "genbin_header": kv}
         if hdr.lstrip().upper().startswith("ENVI"):
             px, gt, _meta = read_envi(hdr, data)
             driver = "ENVI"
