@@ -1106,7 +1106,47 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_dxf_layer(sf_dir: str):
+    """AutoCAD DXF driver (sources/dxf.py; reference ogr/ogrsf_frmts/
+    dxf, conformed feature-by-feature against autotest/ogr/ogr_dxf.py
+    in tests/test_dxf.py — assorted.dxf 22-feature walk incl. ellipse/
+    arc tessellation, OCS bulge polylines, dimension fallback
+    rendering, block inlining, exact circle vertices). One task per
+    fixture, rows (layer, n_feats, wkt_crc, style_crc) pin the whole
+    translated output bit-exactly."""
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/dxf"
+    names = ["assorted", "entities_only", "LWPOLYLINE-OCS", "circle",
+             "3dface", "solid", "polyline_smooth",
+             "closed_polyline_with_bulge", "insert_only"]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.dxf import read_dxf
+
+        layers, nf, wcrc, scrc = [], [], [], []
+        for rec in t.to_pylist():
+            name = rec["name"]
+            feats = read_dxf(f"{fixdir}/{name}.dxf")
+            layers.append(name)
+            nf.append(len(feats))
+            wcrc.append(zlib.crc32("\n".join(
+                x["wkt"] or "" for x in feats).encode()))
+            scrc.append(zlib.crc32("\n".join(
+                x["style"] or "" for x in feats).encode()))
+        return pa.table({"layer": pa.array(layers, pa.string()),
+                         "n_feats": pa.array(nf, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "style_crc": pa.array(scrc, pa.int64())})
+
+    ds = ray.data.from_items([{"name": n} for n in names])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
+
+
 QUERIES = {
+    "q_dxf_layer": q_dxf_layer,
     "q_mif_layer": q_mif_layer,
     "q_vector_reproject": q_vector_reproject,
     "q_layer_info": q_layer_info,
