@@ -2693,10 +2693,83 @@ def q_raw_formats(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_regional_formats(sf_dir: str):
+    """Fourth classic-format batch: PCRaster CSF, ILWIS, NOAA_B (both
+    endians), EIR, MFF2/HKV, FAST (L7A + Euromap IRS conventions), BSB
+    nautical RLE, RMF/Panorama (raw + LZW + DEM compression + big
+    endian) — reference checksum goldens (tests/test_rawmisc.py),
+    probed distributed through open_raster."""
+    import ray.data
+
+    from ..sources.raster_open import open_raster
+
+    D = "/root/reference/autotest/gdrivers/data"
+
+    def b1(px):
+        return px if px.ndim == 2 else px[:, :, 0]
+
+    def run(t: pa.Table) -> pa.Table:
+        cases, values = [], []
+
+        def add(case, v):
+            cases.append(case)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            fam = rec["family"]
+            if fam == "grids":
+                add("pcraster", checksum_image(b1(open_raster(
+                    f"{D}/pcraster/ldd.map")["pixels"])))
+                add("ilwis", checksum_image(b1(open_raster(
+                    f"{D}/ilwis/LanduseSmall.mpr")["pixels"])))
+                for tag in ("", "_little_endian"):
+                    add(f"noaab{tag or '_be'}", checksum_image(b1(
+                        open_raster(f"{D}/noaa_b/test{tag}.b")
+                        ["pixels"])))
+                add("eir", checksum_image(b1(open_raster(
+                    f"{D}/eir/fakeeir.hdr")["pixels"])))
+                from ..sources.rawmisc import read_mff2
+
+                add("mff2", checksum_image(b1(read_mff2(
+                    f"{D}/mff2/bytemff2")[0])))
+            elif fam == "fast_bsb":
+                add("fast_hpn", checksum_image(b1(open_raster(
+                    f"{D}/fast/L71118038_03820020111_HPN.FST")
+                    ["pixels"])[:1, :5000]))
+                add("fast_htm_b2", checksum_image(open_raster(
+                    f"{D}/fast/L71230079_07920021111_HTM.FST")
+                    ["pixels"][:1, :7000, 1]))
+                for f in ("rgbsmall", "rgbsmall_index",
+                          "rgbsmall_with_line_break"):
+                    add(f"bsb_{f}", checksum_image(b1(open_raster(
+                        f"{D}/bsb/{f}.kap")["pixels"])))
+            else:  # rmf
+                for f, name in (("byte.rsw", "rmf_byte"),
+                                ("byte-lzw.rsw", "rmf_byte_lzw"),
+                                ("float64.mtw", "rmf_float64"),
+                                ("t100.mtw", "rmf_dem")):
+                    add(name, checksum_image(b1(open_raster(
+                        f"{D}/rmf/{f}")["pixels"])))
+                for f, name in (("rgbsmall.rsw", "rmf_rgb"),
+                                ("rgbsmall-lzw.rsw", "rmf_rgb_lzw"),
+                                ("big-endian.rsw", "rmf_be")):
+                    px = open_raster(f"{D}/rmf/{f}")["pixels"]
+                    for i in range(3):
+                        add(f"{name}_b{i + 1}",
+                            checksum_image(px[:, :, i]))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"family": f} for f in ("grids", "fast_bsb", "rmf")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_classic_formats": q_classic_formats,
     "q_planetary_grids": q_planetary_grids,
     "q_raw_formats": q_raw_formats,
+    "q_regional_formats": q_regional_formats,
     "q_tile_db": q_tile_db,
     "q_viewshed": q_viewshed,
     "q_zarr": q_zarr,

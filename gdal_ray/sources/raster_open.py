@@ -199,6 +199,64 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "XYZ"}
+    if data[:27] == b"RUU CROSS SYSTEM MAP FORMAT":
+        from .rawmisc import read_pcraster
+
+        px, gt, info = read_pcraster(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "PCRaster",
+                **info}
+    if data[:4] in (b"RSW\x00", b"MTW\x00", b"\x00WSR", b"\x00WTM"):
+        from .rmf import read_rmf
+
+        px, gt, info, palette = read_rmf(data)
+        out = {"pixels": px, "gt": gt, "epsg": info.get("epsg"),
+               "driver": "RMF", "rmf_info": info}
+        if palette is not None:
+            out["palette"] = palette
+        return out
+    if data[:4] == b"KRO\x01":
+        from .rawmisc import read_kro
+
+        px, gt, info = read_kro(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "KRO"}
+    if data.lstrip()[:16] == b"IMAGINE_RAW_FILE":
+        from .rawmisc import read_eir
+
+        px, gt, kv = read_eir(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "EIR"}
+    if path.lower().endswith(".mpr") and data[:7] == b"[BaseMa" or \
+            (path.lower().endswith(".mpr") and b"[Ilwis]" in data[:4096]):
+        from .rawmisc import read_ilwis
+
+        px, gt, ini = read_ilwis(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "ILWIS"}
+    if path.upper().endswith(".ACE2"):
+        from .rawmisc import read_ace2
+
+        px, gt, info = read_ace2(path)
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "ACE2"}
+    from .bsb import sniff_bsb
+
+    if sniff_bsb(data):
+        from .bsb import read_bsb
+
+        px, palette, info = read_bsb(data)
+        return {"pixels": px, "gt": None, "epsg": None, "driver": "BSB",
+                "palette": palette, "bsb_info": info}
+    from .rawmisc import sniff_fast, sniff_noaab
+
+    if path.lower().endswith(".b") and sniff_noaab(data):
+        from .rawmisc import read_noaab
+
+        px, gt, info = read_noaab(data)
+        return {"pixels": px, "gt": gt, "epsg": 4326, "driver": "NOAA_B",
+                **info}
+    if sniff_fast(data) and b"PIXELS PER LINE" in data[:4096]:
+        from .rawmisc import read_fast
+
+        px, gt, info = read_fast(path)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "FAST",
+                **info}
     if data[:8] == b"NUM_OREC":
         from .rawmore import read_ntv2
 
