@@ -1106,6 +1106,63 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_spreadsheet(sf_dir: str):
+    """XLSX + ODS spreadsheet drivers (sources/spreadsheet.py;
+    reference ogr/ogrsf_frmts/xlsx + ods, conformed against
+    autotest/ogr/ogr_xlsx.py and ogr_ods.py in
+    tests/test_spreadsheet.py).  One task per fixture file, rows
+    (fmt, layer, n_rows, n_cols, type_sig, value_crc): type_sig is
+    the '/'-joined OGR field types, value_crc the crc32 of the
+    row-major repr of every cell — pinning header detection, type
+    autodetection and date rendering bit-exactly.  A roundtrip row
+    (write_xlsx/write_ods -> reread) per format guards the writers."""
+    import zlib
+
+    import ray.data
+
+    cases = [
+        ("xlsx", "/root/reference/autotest/ogr/data/xlsx/test.xlsx"),
+        ("ods", "/root/reference/autotest/ogr/data/ods/test.ods"),
+    ]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.spreadsheet import (read_ods, read_xlsx, write_ods,
+                                           write_xlsx)
+
+        fmts, layers, nr, nc, sigs, crcs = [], [], [], [], [], []
+
+        def emit(fmt, name, tab):
+            fmts.append(fmt)
+            layers.append(name)
+            nr.append(tab.num_rows)
+            nc.append(tab.num_columns - 1)
+            sigs.append("/".join(
+                f.metadata[b"ogr_type"].decode()
+                for f in tab.schema if f.name != "fid"))
+            payload = repr([[r[k] for k in sorted(r)]
+                            for r in tab.to_pylist()])
+            crcs.append(zlib.crc32(payload.encode()))
+
+        for rec in t.to_pylist():
+            fmt, path = rec["fmt"], rec["path"]
+            reader = read_xlsx if fmt == "xlsx" else read_ods
+            writer = write_xlsx if fmt == "xlsx" else write_ods
+            all_layers = reader(path)
+            for name in ("Feuille1", "Feuille7"):
+                emit(fmt, name, all_layers[name])
+            back = reader(writer({"rt": all_layers["Feuille7"]}))["rt"]
+            emit(fmt + "_roundtrip", "rt", back)
+        return pa.table({"fmt": pa.array(fmts, pa.string()),
+                         "layer": pa.array(layers, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "n_cols": pa.array(nc, pa.int64()),
+                         "type_sig": pa.array(sigs, pa.string()),
+                         "value_crc": pa.array(crcs, pa.int64())})
+
+    ds = ray.data.from_items([{"fmt": f_, "path": p} for f_, p in cases])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_dxf_layer(sf_dir: str):
     """AutoCAD DXF driver (sources/dxf.py; reference ogr/ogrsf_frmts/
     dxf, conformed feature-by-feature against autotest/ogr/ogr_dxf.py
@@ -1146,6 +1203,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_spreadsheet": q_spreadsheet,
     "q_dxf_layer": q_dxf_layer,
     "q_mif_layer": q_mif_layer,
     "q_vector_reproject": q_vector_reproject,
