@@ -1106,6 +1106,83 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_fgdb_layer(sf_dir: str):
+    """ESRI File Geodatabase reader (sources/openfilegdb.py; reference
+    ogr/ogrsf_frmts/openfilegdb/filegdbtable.cpp, conformed against
+    autotest/ogr/ogr_openfilegdb.py in tests/test_openfilegdb.py).
+    One task per layer of the reference's own testopenfilegdb.gdb
+    (v10) + polygon_golden.gdb + arcgis_pro_32_types.gdb (v4 int64/
+    date/time), emitting (gdb, layer, n_rows, wkt_crc, attr_crc):
+    wkt_crc pins the decoded geometry text (coords rounded 1e-7),
+    attr_crc the row-major attribute repr."""
+    import os
+    import zipfile as _zip
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/filegdb"
+    tmp = "/tmp/gdal_ray_fixtures/fgdb"
+    main = os.path.join(tmp, "testopenfilegdb.gdb")
+    if not os.path.exists(main) and os.path.exists(
+            os.path.join(fixdir, "testopenfilegdb.gdb.zip")):
+        os.makedirs(tmp, exist_ok=True)
+        with _zip.ZipFile(os.path.join(fixdir,
+                                       "testopenfilegdb.gdb.zip")) as z:
+            z.extractall(tmp)
+
+    cases = [(main, n) for n in
+             ("point", "multipoint", "linestring",
+              "multilinestring_multipart", "polygon", "multipolygon",
+              "point25D", "polygon25D", "pointzm", "multipointzm",
+              "linestringzm", "polygonzm", "big_layer", "hole",
+              "several_polygons")]
+    cases.append(("/root/reference/autotest/ogr/data/openfilegdb/"
+                  "polygon_golden.gdb", "OGRGeoJSON"))
+    cases.append((os.path.join(fixdir, "arcgis_pro_32_types.gdb"),
+                  "big_int"))
+    cases.append((os.path.join(fixdir, "arcgis_pro_32_types.gdb"),
+                  "date_types"))
+    cases = [c for c in cases if os.path.exists(c[0])]
+
+    def f(t: pa.Table) -> pa.Table:
+        import re
+        import zlib
+
+        from ..sources.openfilegdb import read_gdb_layer
+
+        def round_wkt(w):
+            if w is None:
+                return ""
+            def rep(m):
+                v = round(float(m.group(0)), 7)
+                return str(int(v)) if v == int(v) else repr(v)
+            return re.sub(r"-?\d+\.?\d*(?:[eE][+-]?\d+)?", rep, w)
+
+        gdbs, layers, nr, wcrc, acrc = [], [], [], [], []
+        for rec in t.to_pylist():
+            gdb, name = rec["gdb"], rec["layer"]
+            tab = read_gdb_layer(gdb, name)
+            gdbs.append(os.path.basename(gdb))
+            layers.append(name)
+            nr.append(tab.num_rows)
+            if "wkt" in tab.column_names:
+                wcrc.append(zlib.crc32("\n".join(
+                    round_wkt(w) for w in tab["wkt"].to_pylist()).encode()))
+            else:
+                wcrc.append(0)
+            attrs = tab.drop_columns(
+                [c for c in ("geometry", "wkt") if c in tab.column_names])
+            acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"gdb": pa.array(gdbs, pa.string()),
+                         "layer": pa.array(layers, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"gdb": g, "layer": n} for g, n in cases])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=3)
+
+
 def q_spreadsheet(sf_dir: str):
     """XLSX + ODS spreadsheet drivers (sources/spreadsheet.py;
     reference ogr/ogrsf_frmts/xlsx + ods, conformed against
@@ -1203,6 +1280,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_fgdb_layer": q_fgdb_layer,
     "q_spreadsheet": q_spreadsheet,
     "q_dxf_layer": q_dxf_layer,
     "q_mif_layer": q_mif_layer,
