@@ -1106,6 +1106,53 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_osm_layer(sf_dir: str):
+    """OSM PBF/XML driver (sources/osm.py; reference
+    ogr/ogrsf_frmts/osm + default osmconf.ini, conformed against
+    autotest/ogr/ogr_osm.py in tests/test_osm.py).  One task per
+    (fixture, layer) over test.pbf, its dense=false / uncompressed
+    re-encodings, the XML twin and the real-world base-64 extract;
+    rows (file, layer, n_rows, wkt_crc, tag_crc) pin geometry
+    resolution (node joins, ring assembly, tag inheritance) and the
+    other_tags hstore rendering bit-exactly."""
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/osm"
+    files = ["test.pbf", "test.osm", "test_uncompressed_dense_false.pbf",
+             "base-64.osm.pbf"]
+    layers = ["points", "lines", "multipolygons", "multilinestrings",
+              "other_relations"]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.osm import read_osm_layers
+
+        fs, ls, nr, wcrc, tcrc = [], [], [], [], []
+        for rec in t.to_pylist():
+            fname = rec["file"]
+            L = read_osm_layers(f"{fixdir}/{fname}")
+            for lname in layers:
+                tab = L[lname]
+                fs.append(fname)
+                ls.append(lname)
+                nr.append(tab.num_rows)
+                wcrc.append(zlib.crc32("\n".join(
+                    w or "" for w in tab["wkt"].to_pylist()).encode()))
+                tcrc.append(zlib.crc32("\n".join(
+                    "%s|%s" % (r.get("osm_id") or r.get("osm_way_id") or "",
+                               r.get("other_tags") or "")
+                    for r in tab.to_pylist()).encode()))
+        return pa.table({"file": pa.array(fs, pa.string()),
+                         "layer": pa.array(ls, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "tag_crc": pa.array(tcrc, pa.int64())})
+
+    ds = ray.data.from_items([{"file": fn} for fn in files])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_fgdb_layer(sf_dir: str):
     """ESRI File Geodatabase reader (sources/openfilegdb.py; reference
     ogr/ogrsf_frmts/openfilegdb/filegdbtable.cpp, conformed against
@@ -1280,6 +1327,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_osm_layer": q_osm_layer,
     "q_fgdb_layer": q_fgdb_layer,
     "q_spreadsheet": q_spreadsheet,
     "q_dxf_layer": q_dxf_layer,
