@@ -2765,7 +2765,83 @@ def q_regional_formats(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_grid_formats(sf_dir: str):
+    """Fifth format batch: Arc/Info Binary Grid (hdr/dblbnd/sta/
+    w001001x + all RLE magics, aigrid/gridlib.c), GRASS ASCII, ISG
+    geoid grids (incl. the rounding auto-correction paths), NADCON
+    LOS/LAS, PHOTOMOD PRF/x-dem tile mosaics, NLAPS NDF — reference
+    checksum/gt goldens (tests/test_grid_extras.py).  Rows
+    (case, value) where value is a checksum or a rounded gt
+    component scaled to integer."""
+    import ray.data
+
+    D = "/root/reference/autotest/gdrivers/data"
+
+    def run(t: pa.Table) -> pa.Table:
+        from ..sources.aigrid import read_aigrid
+        from ..sources.asciigrid import (read_grassascii, read_isg,
+                                         read_loslas)
+        from ..sources.prf import read_ndf, read_prf
+
+        cases, values = [], []
+
+        def add(case, v):
+            cases.append(case)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            fam = rec["family"]
+            if fam == "aig":
+                for cover in ("abc3x1", "ABC3X1UC"):
+                    px, gt, meta = read_aigrid(f"{D}/aigrid/{cover}")
+                    add(f"aig_{cover}_cs", checksum_image(px))
+                    add(f"aig_{cover}_nodata", meta["nodata"])
+                px, gt, meta = read_aigrid(
+                    f"{D}/aigrid/aigrid_sta_24bytes/teststa")
+                add("aig_sta24_cs", checksum_image(px))
+                add("aig_sta24_max", meta["max"])
+            elif fam == "ascii":
+                with open(f"{D}/grassasciigrid/grassascii.txt") as f:
+                    px, gt, _ = read_grassascii(f.read())
+                add("grassascii_cs", checksum_image(px))
+                add("grassascii_gt1_x1e6", round(gt[1] * 1e6))
+                with open(f"{D}/isg/test.isg") as f:
+                    px, gt, _, _ = read_isg(f.read())
+                add("isg_cs", checksum_image(px))
+                for fn, tag in (
+                        ("approx_georeferencing_auto_corrected.isg",
+                         "autocorr"),
+                        ("header_dms.isg", "dms")):
+                    with open(f"{D}/isg/{fn}",
+                              errors="surrogateescape") as f:
+                        _, gt, _, _ = read_isg(f.read())
+                    add(f"isg_{tag}_gt0_x1e6", round(gt[0] * 1e6))
+                    add(f"isg_{tag}_gt5_x1e9", round(gt[5] * 1e9))
+            else:  # mosaics
+                with open(f"{D}/loslas/wyhpgn.los", "rb") as f:
+                    px, gt = read_loslas(f.read())
+                add("loslas_cs", checksum_image(px))
+                add("loslas_mean_x1e9", round(float(px.mean()) * 1e9))
+                px, gt, _ = read_prf(f"{D}/PRF/ph.prf")
+                add("prf_cs", checksum_image(px))
+                add("prf_gt3", gt[3])
+                px, gt, meta = read_prf(f"{D}/PRF/dem.x-dem")
+                add("prf_dem_w", px.shape[1])
+                add("prf_dem_nodata", meta["nodata"])
+                px, gt, _ = read_ndf(
+                    f"{D}/ndf/LE7134052000500350.H3")
+                add("ndf_row0_cs", checksum_image(px[:1, :]))
+                add("ndf_gt0_x100", round(gt[0] * 100))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"family": f} for f in ("aig", "ascii", "mosaics")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_grid_formats": q_grid_formats,
     "q_classic_formats": q_classic_formats,
     "q_planetary_grids": q_planetary_grids,
     "q_raw_formats": q_raw_formats,

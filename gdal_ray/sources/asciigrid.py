@@ -22,6 +22,10 @@ per-file map_batches open path (open_raster), one task per file.
 
 from __future__ import annotations
 
+import math
+import re
+import struct
+
 import numpy as np
 
 _H_KEYS = ("ncols", "nrows", "xllcorner", "xllcenter", "yllcorner",
@@ -179,3 +183,181 @@ def write_xyz(arr: np.ndarray, gt=None, precision: int = 6) -> str:
 def sniff_aaigrid(data: bytes) -> bool:
     head = data[:256].lstrip().lower()
     return head.startswith(b"ncols")
+
+
+# ---------------------------------------------------------------------------
+# GRASS ASCII Grid (frmts/aaigrid GRASSASCIIDataset)
+
+
+def read_grassascii(text: str):
+    """north:/south:/east:/west:/rows:/cols: header then values;
+    gt = (west, (east-west)/cols, 0, north, 0, -(north-south)/rows).
+    Returns (pixels float64, gt, nodata)."""
+    lines = text.splitlines()
+    hdr = {}
+    i = 0
+    for i, line in enumerate(lines):
+        if ":" not in line:
+            break
+        k, _, v = line.partition(":")
+        k = k.strip().lower()
+        if k in ("north", "south", "east", "west", "rows", "cols",
+                 "type", "null"):
+            hdr[k] = v.strip()
+        else:
+            break
+    rows = int(hdr["rows"])
+    cols = int(hdr["cols"])
+    north, south = float(hdr["north"]), float(hdr["south"])
+    east, west = float(hdr["east"]), float(hdr["west"])
+    nodata = float(hdr["null"]) if "null" in hdr else -9999.0
+    vals = np.fromstring(" ".join(lines[i:]), sep=" ") \
+        if False else np.array(" ".join(lines[i:]).split(), np.float64)
+    px = vals[:rows * cols].reshape(rows, cols)
+    gt = (west, (east - west) / cols, 0.0, north, 0.0,
+          -(north - south) / rows)
+    return px, gt, nodata
+
+
+# ---------------------------------------------------------------------------
+# ISG geoid grids (frmts/aaigrid ISGDataset::ParseHeader,
+# aaigriddataset.cpp:775-1033)
+
+
+def _isg_dms(s: str) -> float:
+    m = re.match(r"\s*(-?)(\d+)\xb0(\d+)'(\d+(?:\.\d+)?)\"", s.strip())
+    if not m:
+        return float(s)
+    sign = -1.0 if m.group(1) == "-" else 1.0
+    return sign * (int(m.group(2)) + int(m.group(3)) / 60.0
+                   + float(m.group(4)) / 3600.0)
+
+
+def read_isg(text: str, skip_check: bool = False):
+    """Returns (pixels float64, gt, nodata, approx_warning: bool).
+    Reproduces the reference's rounding auto-correction (TryRoundTo)
+    and the 0.005-relative approx fallback; inconsistent georef
+    raises unless skip_check (ISG_SKIP_GEOREF_CONSISTENCY_CHECK)."""
+    lines = text.splitlines()
+    head = {}
+    data_start = 0
+    in_head = False
+    for i, line in enumerate(lines):
+        if line.startswith("begin_of_head"):
+            in_head = True
+            continue
+        if line.startswith("end_of_head"):
+            data_start = i + 1
+            break
+        if in_head:
+            for sep in (":", "="):
+                if sep in line:
+                    k, _, v = line.partition(sep)
+                    head[k.strip()] = v.strip()
+                    break
+    ver = float(head.get("ISG format", "0") or 0)
+    units = head.get("coord units", "")
+    conv = _isg_dms if units == "dms" else float
+    lat_min = conv(head["lat min"])
+    lat_max = conv(head["lat max"])
+    lon_min = conv(head["lon min"])
+    lon_max = conv(head["lon max"])
+    dlat = conv(head["delta lat"])
+    dlon = conv(head["delta lon"])
+    nrows = int(head["nrows"])
+    ncols = int(head["ncols"])
+    nodata = float(head.get("nodata", "-9999"))
+    if ver >= 2.0:
+        lat_min -= dlat / 2
+        lat_max += dlat / 2
+        lon_min -= dlon / 2
+        lon_max += dlon / 2
+
+    def try_round(delta, rounded, vmin, vmax, nvals, tol):
+        mn, mx, d = vmin, vmax, delta
+        if rounded != delta and \
+           abs(abs(vmin / rounded) - (math.floor(abs(vmin / rounded)) + 0.5)) < tol and \
+           abs(abs(vmax / rounded) - (math.floor(abs(vmax / rounded)) + 0.5)) < tol:
+            v = (math.floor(abs(vmin / rounded)) + 0.5) * rounded
+            mn = -v if vmin < 0 else v
+            v = (math.floor(abs(vmax / rounded)) + 0.5) * rounded
+            mx = -v if vmax < 0 else v
+            d = rounded
+        elif rounded != delta and \
+                abs(abs(vmin / rounded) - math.floor(abs(vmin / rounded) + 0.5)) < tol and \
+                abs(abs(vmax / rounded) - math.floor(abs(vmax / rounded) + 0.5)) < tol:
+            v = math.floor(abs(vmin / rounded) + 0.5) * rounded
+            mn = -v if vmin < 0 else v
+            v = math.floor(abs(vmax / rounded) + 0.5) * rounded
+            mx = -v if vmax < 0 else v
+            d = rounded
+        if abs(mn + d * nvals - mx) < tol * d:
+            return True, d, mn, mx
+        return False, delta, vmin, vmax
+
+    def rounded_of(s, delta):
+        if s == "0.0167" or (delta < 1 and
+                             abs(1. / delta - math.floor(1. / delta + 0.5))
+                             < 0.06):
+            return 1. / math.floor(1. / delta + 0.5)
+        return delta
+
+    r_dlon = rounded_of(head["delta lon"], dlon)
+    r_dlat = rounded_of(head["delta lat"], dlat)
+    ok1, dlon2, lon_min2, lon_max2 = try_round(dlon, r_dlon, lon_min,
+                                               lon_max, ncols, 1e-2)
+    ok2, dlat2, lat_min2, lat_max2 = try_round(dlat, r_dlat, lat_min,
+                                               lat_max, nrows, 1e-2)
+    warn = False
+    if ok1 and ok2:
+        dlon, lon_min, lon_max = dlon2, lon_min2, lon_max2
+        dlat, lat_min, lat_max = dlat2, lat_min2, lat_max2
+    elif head.get("delta lon") == "0.0167" and \
+            head.get("delta lat") == "0.0167" and \
+            (lambda a, b: a[0] and b[0])(
+                try_round(dlon, 0.016667, lon_min, lon_max, ncols, 1e-1),
+                try_round(dlat, 0.016667, lat_min, lat_max, nrows, 1e-1)):
+        _, dlon, lon_min, lon_max = try_round(dlon, 0.016667, lon_min,
+                                              lon_max, ncols, 1e-1)
+        _, dlat, lat_min, lat_max = try_round(dlat, 0.016667, lat_min,
+                                              lat_max, nrows, 1e-1)
+    else:
+        approx = (abs((lon_max - lon_min) / ncols - dlon) < 0.005 * dlon and
+                  abs((lat_max - lat_min) / nrows - dlat) < 0.005 * dlat)
+        if approx or skip_check:
+            warn = True
+            dlon = (lon_max - lon_min) / ncols
+            dlat = (lat_max - lat_min) / nrows
+        else:
+            raise ValueError(
+                "ISG: inconsistent extent/resolution/raster dimension "
+                "(set skip_check=True to mirror "
+                "ISG_SKIP_GEOREF_CONSISTENCY_CHECK)")
+    gt = (lon_min, dlon, 0.0, lat_max, 0.0, -dlat)
+    vals = np.array(" ".join(lines[data_start:]).split(), np.float64)
+    px = vals[:nrows * ncols].reshape(nrows, ncols) \
+        if len(vals) >= nrows * ncols else \
+        np.pad(vals, (0, nrows * ncols - len(vals)),
+               constant_values=nodata).reshape(nrows, ncols)
+    return px, gt, nodata, warn
+
+
+# ---------------------------------------------------------------------------
+# NADCON LOS/LAS grid shift (frmts/raw/loslasdataset.cpp)
+
+
+def read_loslas(data: bytes):
+    """Header: int32 nx/ny at 64, floats min_lon/delta_lon/min_lat/
+    delta_lat at 76; rows stored south-first, record length nx*4+4.
+    Returns (pixels float32 north-up, gt)."""
+    nx, ny = struct.unpack_from("<2i", data, 64)
+    min_lon, delta_lon, min_lat, delta_lat = struct.unpack_from("<4f", data, 76)
+    rec = nx * 4 + 4
+    px = np.empty((ny, nx), np.float32)
+    for i in range(ny):
+        # row i from top reads record ny-i (southernmost record first)
+        off = (ny - i) * rec + 4
+        px[i] = np.frombuffer(data, "<f4", nx, off)
+    gt = (min_lon - delta_lon * 0.5, float(delta_lon), 0.0,
+          min_lat + (ny - 0.5) * delta_lat, 0.0, -1.0 * float(delta_lat))
+    return px, gt
