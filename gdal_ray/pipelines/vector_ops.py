@@ -1106,6 +1106,49 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_s57_layer(sf_dir: str):
+    """S-57 ENC driver on a generic ISO 8211 parser (sources/s57.py;
+    reference frmts/iso8211 + ogr/ogrsf_frmts/s57/s57reader.cpp,
+    conformed against autotest/ogr/ogr_s57.py in tests/test_s57.py).
+    One task per fixture cell; rows (file, layer, n_rows, wkt_crc,
+    lnam_crc) pin edge-chained line/ring geometry, SOUNDG 3-D
+    multipoints (COMF/SOMF scaling) and LNAM feature ids."""
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/s57"
+    files = ["1B5X02NE.000", "bug1526.000", "bug2147_3R7D0889.000"]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.s57 import read_s57
+
+        fs, ls, nr, wcrc, lcrc = [], [], [], [], []
+        for rec in t.to_pylist():
+            fname = rec["file"]
+            L = read_s57(f"{fixdir}/{fname}")
+            for lname in sorted(L):
+                tab = L[lname]
+                fs.append(fname)
+                ls.append(lname)
+                nr.append(tab.num_rows)
+                wkts = (tab["wkt"].to_pylist()
+                        if "wkt" in tab.column_names else [])
+                wcrc.append(zlib.crc32("\n".join(
+                    w or "" for w in wkts).encode()))
+                lnams = (tab["LNAM"].to_pylist()
+                         if "LNAM" in tab.column_names else [])
+                lcrc.append(zlib.crc32("\n".join(lnams).encode()))
+        return pa.table({"file": pa.array(fs, pa.string()),
+                         "layer": pa.array(ls, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "lnam_crc": pa.array(lcrc, pa.int64())})
+
+    ds = ray.data.from_items([{"file": fn} for fn in files])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_osm_layer(sf_dir: str):
     """OSM PBF/XML driver (sources/osm.py; reference
     ogr/ogrsf_frmts/osm + default osmconf.ini, conformed against
@@ -1327,6 +1370,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_s57_layer": q_s57_layer,
     "q_osm_layer": q_osm_layer,
     "q_fgdb_layer": q_fgdb_layer,
     "q_spreadsheet": q_spreadsheet,
