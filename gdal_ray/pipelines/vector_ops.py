@@ -1106,6 +1106,84 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_feed_formats(sf_dir: str):
+    """GTFS (zip-of-CSVs with trips/shapes_geom derived linestrings),
+    DIMAP v1 (XML product + tie-point GCPs), PDS4 (XML label + raw
+    array, 4 cart namespace versions), OpenJUMP JML (column-template
+    XML) — reference autotest goldens (tests/test_feedformats.py).
+    One task per family; rows (case, value)."""
+    import ray.data
+
+    OGR = "/root/reference/autotest/ogr/data"
+    GDR = "/root/reference/autotest/gdrivers/data"
+
+    def run(t: pa.Table) -> pa.Table:
+        import zlib
+
+        from ..functions.checksum import checksum_image
+
+        cases, values = [], []
+
+        def add(case, v):
+            cases.append(case)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            fam = rec["family"]
+            if fam == "gtfs":
+                from ..sources.gtfs import read_gtfs
+
+                L = read_gtfs(f"{OGR}/gtfs/gtfs_extract.zip")
+                add("gtfs_layers", len(L))
+                add("gtfs_routes", L["routes"].num_rows)
+                add("gtfs_stops", L["stops"].num_rows)
+                add("gtfs_trip_wkt_crc", zlib.crc32(
+                    (L["trips"].to_pylist()[0]["wkt"] or "").encode()))
+                add("gtfs_shapes_wkt_crc", zlib.crc32(
+                    (L["shapes_geom"].to_pylist()[0]["wkt"] or "").encode()))
+            elif fam == "dimap_pds4":
+                import os
+                import shutil
+
+                d = "/tmp/gdal_ray_fixtures/dimap"
+                os.makedirs(d, exist_ok=True)
+                for f in ("METADATA.DIM", "IMAGERY.TIF"):
+                    if not os.path.exists(f"{d}/{f}"):
+                        shutil.copy(f"{GDR}/dimap/{f}", d)
+                rgb = "/root/reference/autotest/gcore/data/rgbsmall.tif"
+                if not os.path.exists(f"{d}/rgbsmall.tif"):
+                    shutil.copy(rgb, d)
+                from ..sources.dimap import read_dimap
+
+                px, gcps, meta = read_dimap(f"{d}/METADATA.DIM")
+                add("dimap_cs100", checksum_image(px[:100, :100]))
+                add("dimap_ngcps", len(gcps))
+                add("dimap_gcp0_x_x1e7", round(gcps[0]["x"] * 1e7))
+                from ..sources.pds4 import read_pds4
+
+                for name in ("byte_pds4_cart_1700", "byte_pds4_cart_1b00",
+                             "byte_pds4_cart_1d00_1933",
+                             "byte_pds4_cart_1g00_1950"):
+                    px, gt, _m = read_pds4(f"{GDR}/pds4/{name}.xml")
+                    add(f"{name}_cs", checksum_image(px))
+                    add(f"{name}_gt0", gt[0])
+            else:  # jml
+                from ..sources.jml import read_jml
+
+                tab = read_jml(f"{OGR}/jml/test.jml")
+                add("jml_rows", tab.num_rows)
+                add("jml_cols", tab.num_columns)
+                payload = repr([[r[k] for k in sorted(r)]
+                                for r in tab.to_pylist()])
+                add("jml_crc", zlib.crc32(payload.encode()))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"family": f} for f in ("gtfs", "dimap_pds4", "jml")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 def q_s57_layer(sf_dir: str):
     """S-57 ENC driver on a generic ISO 8211 parser (sources/s57.py;
     reference frmts/iso8211 + ogr/ogrsf_frmts/s57/s57reader.cpp,
@@ -1370,6 +1448,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_feed_formats": q_feed_formats,
     "q_s57_layer": q_s57_layer,
     "q_osm_layer": q_osm_layer,
     "q_fgdb_layer": q_fgdb_layer,

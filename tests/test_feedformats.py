@@ -1,0 +1,129 @@
+"""GTFS, DIMAP, PDS4, JML drivers vs the reference's autotest
+expectations."""
+
+import os
+import shutil
+
+import pyarrow.compute as pc
+import pytest
+
+from gdal_ray.functions.checksum import checksum_image
+
+OGR = "/root/reference/autotest/ogr/data/"
+GDR = "/root/reference/autotest/gdrivers/data/"
+
+
+@pytest.fixture(scope="module")
+def gtfs_layers():
+    from gdal_ray.sources.gtfs import read_gtfs
+
+    return read_gtfs(OGR + "gtfs/gtfs_extract.zip")
+
+
+def test_gtfs_layer_set(gtfs_layers):
+    """9 layers; error_warning.txt skipped (no header)."""
+    assert len(gtfs_layers) == 9
+    assert "shapes_geom" in gtfs_layers
+    assert "error_warning" not in gtfs_layers
+
+
+def test_gtfs_values(gtfs_layers):
+    assert gtfs_layers["agency"].num_rows == 1
+    assert gtfs_layers["agency"].to_pylist()[0]["agency_name"] == "SOLEA"
+    assert gtfs_layers["calendar"].to_pylist()[0]["start_date"] == \
+        "2023/01/02"
+    routes = gtfs_layers["routes"]
+    assert len(routes.filter(pc.equal(routes["route_type"], 3))) == 30
+    r = gtfs_layers["stops"].to_pylist()[0]
+    assert r["arrival_time"] == "05:37:00"
+    assert r["wkt"] == "POINT (7.280823 47.763704)"
+
+
+def test_gtfs_trips_and_shapes_geometry(gtfs_layers):
+    t = gtfs_layers["trips"].to_pylist()[0]
+    assert t["wkt"].startswith(
+        "LINESTRING (7.280823 47.763704,7.278051 47.762217,"
+        "7.278683 47.760148,7.284615 47.761364")
+    sg = gtfs_layers["shapes_geom"]
+    assert sg.num_rows == 1
+    g = sg.to_pylist()[0]
+    assert g["shape_id"] == "80013"
+    assert g["wkt"].startswith("LINESTRING (7.28084 47.763684,"
+                               "7.28073 47.76364,")
+
+
+@pytest.fixture(scope="module")
+def dimap_dir():
+    d = "/tmp/gdal_ray_fixtures/dimap"
+    os.makedirs(d, exist_ok=True)
+    for f in ("METADATA.DIM", "IMAGERY.TIF"):
+        shutil.copy(GDR + "dimap/" + f, d)
+    shutil.copy("/root/reference/autotest/gcore/data/rgbsmall.tif", d)
+    return d
+
+
+def test_dimap(dimap_dir):
+    """gdrivers/dimap.py test_dimap_1 goldens."""
+    from gdal_ray.sources.dimap import read_dimap
+
+    px, gcps, meta = read_dimap(dimap_dir + "/METADATA.DIM")
+    assert px.shape == (6000, 6000)
+    assert checksum_image(px[:100, :100]) == 21586
+    assert meta["PROCESSING_LEVEL"] == "1A"
+    assert meta["SPECTRAL_PHYSICAL_BIAS"] == "0.000000"
+    assert len(gcps) == 4
+    assert gcps[0]["pixel"] == 0.5 and gcps[0]["line"] == 0.5
+    assert gcps[0]["x"] == pytest.approx(4.3641728, abs=2e-7)
+    assert gcps[0]["y"] == pytest.approx(44.2082255, abs=2e-7)
+    assert gcps[0]["z"] == pytest.approx(0, abs=2e-7)
+
+
+@pytest.mark.parametrize("name", ["byte_pds4_cart_1700",
+                                  "byte_pds4_cart_1b00",
+                                  "byte_pds4_cart_1d00_1933",
+                                  "byte_pds4_cart_1g00_1950"])
+def test_pds4_cart_versions(name):
+    """gdrivers/pds4.py test_pds4_read_cart_versions: cs 4672 + gt."""
+    from gdal_ray.sources.pds4 import read_pds4
+
+    px, gt, meta = read_pds4(GDR + "pds4/" + name + ".xml")
+    assert checksum_image(px) == 4672
+    assert gt == (-59280.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    assert meta["projection"] == "Transverse Mercator"
+    assert meta["central_meridian"] == -117.0
+
+
+def test_jml():
+    """ogr_jml.py test_ogr_jml_1 field/value/style/geometry goldens."""
+    from gdal_ray.sources.jml import read_jml
+
+    t = read_jml(OGR + "jml/test.jml")
+    names = [c for c in t.column_names if c not in ("style", "wkt")]
+    assert names == ["first_property", "another_property", "objectAttr",
+                     "attr2", "attr3", "int", "double", "date", "datetime",
+                     "R_G_B", "not_ignored"]
+    assert t.num_rows == 3
+    r0, r1, r2 = t.to_pylist()
+    assert r0["first_property"] == "even"
+    assert r0["another_property"] == "rouault"
+    assert r0["objectAttr"] == "foo" and r0["attr2"] == "bar"
+    assert r0["attr3"] == "baz" and r0["int"] == 123
+    assert r0["double"] == 1.23
+    assert r0["date"] == "2014/10/18 00:00:00"
+    assert r0["datetime"] == "2014/10/18 21:36:45"
+    assert r0["R_G_B"] == "0000FF"
+    assert r0["style"] == "BRUSH(fc:#0000FF)"
+    assert r0["wkt"].replace(", ", ",") == \
+        "POLYGON ((0 0,0 10,10 10,10 0,0 0))"
+    assert r1["datetime"] == "2014/10/18 21:36:45+02"
+    assert r1["style"] == "PEN(c:#FF00FF)"
+    assert r1["wkt"] == "POINT (-1 -1)"
+    assert r2["wkt"] is None
+
+
+def test_jml_srid_point():
+    from gdal_ray.sources.jml import read_jml
+
+    t = read_jml(OGR + "jml/one_point_srid_4326.jml")
+    assert t.num_rows == 1
+    assert t.to_pylist()[0]["wkt"].startswith("POINT (26.4696785714")
