@@ -2817,6 +2817,17 @@ def q_grid_formats(sf_dir: str):
                         _, gt, _, _ = read_isg(f.read())
                     add(f"isg_{tag}_gt0_x1e6", round(gt[0] * 1e6))
                     add(f"isg_{tag}_gt5_x1e9", round(gt[5] * 1e9))
+            elif fam == "radar":
+                from ..sources.iris import read_iris
+
+                px, gt, meta = read_iris(f"{D}/iris/fakeiris.dat")
+                add("iris_fake_cs", checksum_image(
+                    px if px.ndim == 2 else px[:, :, 0]))
+                px, gt, meta = read_iris(f"{D}/iris/iristest.dat")
+                add("iris_cs", checksum_image(
+                    px if px.ndim == 2 else px[:, :, 0]))
+                add("iris_gt0_x100", round(gt[0] * 100))
+                add("iris_gt5_x100", round(gt[5] * 100))
             else:  # mosaics
                 with open(f"{D}/loslas/wyhpgn.los", "rb") as f:
                     px, gt = read_loslas(f.read())
@@ -2836,7 +2847,7 @@ def q_grid_formats(sf_dir: str):
                          "value": pa.array(values, pa.int64())})
 
     return ray.data.from_items(
-        [{"family": f} for f in ("aig", "ascii", "mosaics")]
+        [{"family": f} for f in ("aig", "ascii", "radar", "mosaics")]
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 

@@ -115,3 +115,19 @@ def test_ndf():
     assert checksum_image(px[:1, :]) == 6510
     assert gt == (320325.75, 14.25, 0.0, 1383062.25, 0.0, -14.25)
     assert meta["zone"] == "46" and meta["projection"] == "UTM"
+
+
+def test_iris():
+    """gdrivers/iris.py: fakeiris cs 65532; iristest cs 52872 +
+    Mercator geodesic gt within the autotest's 1e-5 rel tolerance."""
+    from gdal_ray.sources.iris import read_iris
+
+    px, gt, meta = read_iris(GD + "iris/fakeiris.dat")
+    assert checksum_image(px if px.ndim == 2 else px[:, :, 0]) == 65532
+    px, gt, meta = read_iris(GD + "iris/iristest.dat")
+    assert checksum_image(px if px.ndim == 2 else px[:, :, 0]) == 52872
+    assert meta["product"] == "CAPPI" and meta["projection"] == "Mercator"
+    exp = [16435.721785269096, 1370.4263720754534, 0.0,
+           5289830.4584420761, 0.0, -1357.6498705837876]
+    for g, e in zip(gt, exp):
+        assert (g == 0.0 if e == 0.0 else abs(g - e) / abs(e) <= 1e-5)
