@@ -86,7 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
               "q_raster_open", "q_gcp_warp", "q_binary_raster",
               "q_shp_layer", "q_hfa", "q_nitf", "q_mif_layer",
               "q_spreadsheet", "q_fgdb_layer", "q_osm_layer",
-              "q_grid_formats", "q_s57_layer", "q_feed_formats"):
+              "q_grid_formats", "q_s57_layer", "q_feed_formats",
+              "q_mvt_layer"):
         tier[k] = 3                           # new this round, never rowed
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}

@@ -1106,6 +1106,47 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_mvt_layer(sf_dir: str):
+    """Mapbox Vector Tiles driver (sources/mvt.py; reference
+    ogr/ogrsf_frmts/mvt, conformed against autotest/ogr/ogr_mvt.py in
+    tests/test_mvt.py).  One task per fixture; rows (file, layer,
+    n_rows, wkt_crc, attr_crc) pin the command-stream decode,
+    tile->EPSG:3857 mapping and typed value decode bit-exactly."""
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/mvt"
+    cases = ["linestring/0/0/0.pbf", "multilinestring/0/0/0.pbf",
+             "datatypes/0/0/0.pbf", "point_polygon/0", "polygon/0/0/0.pbf",
+             "mixed/0/0/0.pbf"]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.mvt import read_mvt
+
+        fs, ls, nr, wcrc, acrc = [], [], [], [], []
+        for rec in t.to_pylist():
+            case = rec["case"]
+            L = read_mvt(f"{fixdir}/{case}")
+            for lname in sorted(L):
+                tab = L[lname]
+                fs.append(case)
+                ls.append(lname)
+                nr.append(tab.num_rows)
+                wcrc.append(zlib.crc32("\n".join(
+                    w or "" for w in tab["wkt"].to_pylist()).encode()))
+                attrs = tab.drop_columns(["wkt"])
+                acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"file": pa.array(fs, pa.string()),
+                         "layer": pa.array(ls, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"case": c} for c in cases])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
+
+
 def q_feed_formats(sf_dir: str):
     """GTFS (zip-of-CSVs with trips/shapes_geom derived linestrings),
     DIMAP v1 (XML product + tie-point GCPs), PDS4 (XML label + raw
@@ -1448,6 +1489,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_mvt_layer": q_mvt_layer,
     "q_feed_formats": q_feed_formats,
     "q_s57_layer": q_s57_layer,
     "q_osm_layer": q_osm_layer,
