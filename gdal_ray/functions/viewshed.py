@@ -514,3 +514,76 @@ def cumulative_viewshed(dem: np.ndarray, spacing: int, *,
                              curve_coeff=curve_coeff, semimajor=semimajor)
         acc += out.astype(np.uint32)
     return cumulative_scale(acc)
+
+
+def line_of_sight(dem, xa, ya, za, xb, yb, zb):
+    """GDALIsLineOfSightVisible (alg/los.cpp): Bresenham walk from
+    (xa,ya) to (xb,yb) over the DEM, z linearly interpolated along
+    the dominant axis; returns (visible, x_intersection,
+    y_intersection) with -1/-1 when clear.  Out-of-bounds endpoints
+    raise (the reference surfaces the RasterIO window error)."""
+    import numpy as np
+
+    dem = np.asarray(dem)
+    h, w = dem.shape
+
+    def above(x, y, z):
+        if not (0 <= x < w and 0 <= y < h):
+            raise IndexError("Access window out of range")
+        return z > dem[y, x]
+
+    if not above(xa, ya, za):
+        return False, xa, ya
+    if not above(xb, yb, zb):
+        return False, xb, yb
+    if xa == xb and ya == yb:
+        return True, -1, -1
+
+    def z_from_x(x):
+        r = (x - xa) / (xb - xa)
+        return za + (zb - za) * r
+
+    def z_from_y(y):
+        r = (y - ya) / (yb - ya)
+        return za + (zb - za) * r
+
+    if xa == xb:
+        step = 1 if yb >= ya else -1
+        for y in range(ya, yb + step, step):
+            if not above(xa, y, z_from_y(y)):
+                return False, xa, y
+        return True, -1, -1
+    if ya == yb:
+        step = 1 if xb >= xa else -1
+        for x in range(xa, xb + step, step):
+            if not above(x, ya, z_from_x(x)):
+                return False, x, ya
+        return True, -1, -1
+
+    # general Bresenham (los.cpp Bresenham2D)
+    dx = abs(xb - xa)
+    incx = 1 if xb >= xa else -1
+    dy = abs(yb - ya)
+    incy = 1 if yb >= ya else -1
+    x, y = xa, ya
+    if dx >= dy:
+        err = dx / 2
+        for _ in range(dx + 1):
+            if not above(x, y, z_from_x(x)):
+                return False, x, y
+            err -= dy
+            if err < 0:
+                y += incy
+                err += dx
+            x += incx
+    else:
+        err = dy / 2
+        for _ in range(dy + 1):
+            if not above(x, y, z_from_y(y)):
+                return False, x, y
+            err -= dx
+            if err < 0:
+                x += incx
+                err += dy
+            y += incy
+    return True, -1, -1

@@ -1106,6 +1106,66 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_pmtiles_layer(sf_dir: str):
+    """PMTiles v3 archive reader (sources/pmtiles.py; reference
+    ogr/ogrsf_frmts/pmtiles, conformed against ogr_pmtiles.py in
+    tests/test_pmtiles_los.py) + IsLineOfSightVisible
+    (functions/viewshed.line_of_sight; alg/los.cpp + alg/los.py).
+    Rows (case, value): PMTiles directory/Hilbert/metadata decode
+    counts + attribute CRCs, and LOS truth cases on synthetic DEMs."""
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/pmtiles"
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.viewshed import line_of_sight
+        from ..sources.pmtiles import PmtilesFile, read_pmtiles
+
+        cases, values = [], []
+
+        def add(case, v):
+            cases.append(case)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            if rec["which"] == "pmtiles":
+                pf = PmtilesFile(f"{fixdir}/poly.pmtiles")
+                add("pm_maxzoom", pf.max_zoom)
+                L = read_pmtiles(f"{fixdir}/poly.pmtiles")
+                add("pm_rows", L["poly"].num_rows)
+                add("pm_attr_crc", zlib.crc32(repr(sorted(
+                    L["poly"]["EAS_ID"].to_pylist())).encode()))
+                Lb = read_pmtiles(f"{fixdir}/poly_with_leaf_dir.pmtiles")
+                add("pm_leaf_rows", Lb["poly"].num_rows)
+                Lf = read_pmtiles(
+                    f"{fixdir}/ne_10m_admin_0_france.pmtiles")
+                add("pm_france_rows",
+                    sum(t2.num_rows for t2 in Lf.values()))
+            else:
+                dem = np.zeros((1, 2))
+                add("los_flat", line_of_sight(dem, 0, 0, 1, 1, 0, 1)[0])
+                add("los_below_a",
+                    line_of_sight(dem, 0, 0, -1, 1, 0, 1)[0])
+                dem2 = np.array([[0, 5, 0]], float)
+                vis, ix, iy = line_of_sight(dem2, 0, 0, 1, 2, 0, 1)
+                add("los_blocked", vis)
+                add("los_block_x", ix)
+                dem3 = np.zeros((8, 8))
+                dem3[4, 4] = 9
+                vis, ix, iy = line_of_sight(dem3, 0, 0, 1, 7, 7, 1)
+                add("los_diag_x", ix)
+                add("los_diag_y", iy)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    ds = ray.data.from_items([{"which": w} for w in ("pmtiles", "los")])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_mvt_layer(sf_dir: str):
     """Mapbox Vector Tiles driver (sources/mvt.py; reference
     ogr/ogrsf_frmts/mvt, conformed against autotest/ogr/ogr_mvt.py in
@@ -1489,6 +1549,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_pmtiles_layer": q_pmtiles_layer,
     "q_mvt_layer": q_mvt_layer,
     "q_feed_formats": q_feed_formats,
     "q_s57_layer": q_s57_layer,
