@@ -1106,6 +1106,35 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_dgn_layer(sf_dir: str):
+    """MicroStation DGN v7 driver (sources/dgn.py; reference
+    ogr/ogrsf_frmts/dgn, conformed against ogr_dgn.py in
+    tests/test_dgn.py — text LABEL style, stroked ellipse envelope,
+    VAX doubles, UOR transform).  Rows (case, value)."""
+    import zlib
+
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.dgn import read_dgn
+
+        tab = read_dgn(
+            "/root/reference/autotest/ogr/data/dgn/smalltest.dgn")
+        rows = tab.to_pylist()
+        cases = ["n_rows", "types_crc", "wkt_crc", "style_crc"]
+        values = [
+            tab.num_rows,
+            zlib.crc32(repr([r["Type"] for r in rows]).encode()),
+            zlib.crc32("\n".join(r["wkt"] or "" for r in rows).encode()),
+            zlib.crc32("\n".join(r["style"] or "" for r in rows).encode()),
+        ]
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items([{"x": 0}]).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 def q_pmtiles_layer(sf_dir: str):
     """PMTiles v3 archive reader (sources/pmtiles.py; reference
     ogr/ogrsf_frmts/pmtiles, conformed against ogr_pmtiles.py in
@@ -1549,6 +1578,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_dgn_layer": q_dgn_layer,
     "q_pmtiles_layer": q_pmtiles_layer,
     "q_mvt_layer": q_mvt_layer,
     "q_feed_formats": q_feed_formats,
