@@ -1106,6 +1106,47 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_avc_layer(sf_dir: str):
+    """Arc/Info E00 driver (sources/avc.py; reference
+    ogr/ogrsf_frmts/avc, conformed against ogr_avc.py in
+    tests/test_avc.py — arc lists, INFO fixed-width tables, PAL ring
+    assembly).  Rows (file, layer, n_rows, wkt_crc, attr_crc)."""
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/avc"
+    files = ["test.e00", "testpoint.e00", "testpoly.e00"]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.avc import read_e00
+
+        fs, ls, nr, wcrc, acrc = [], [], [], [], []
+        for rec in t.to_pylist():
+            fname = rec["file"]
+            L = read_e00(f"{fixdir}/{fname}")
+            for lname in sorted(L):
+                tab = L[lname]
+                fs.append(fname)
+                ls.append(lname)
+                nr.append(tab.num_rows)
+                wcrc.append(zlib.crc32("\n".join(
+                    w or "" for w in (tab["wkt"].to_pylist()
+                                      if "wkt" in tab.column_names
+                                      else [])).encode()))
+                attrs = tab.drop_columns(
+                    [c for c in ("wkt",) if c in tab.column_names])
+                acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"file": pa.array(fs, pa.string()),
+                         "layer": pa.array(ls, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"file": fn} for fn in files])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_dgn_layer(sf_dir: str):
     """MicroStation DGN v7 driver (sources/dgn.py; reference
     ogr/ogrsf_frmts/dgn, conformed against ogr_dgn.py in
@@ -1578,6 +1619,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_avc_layer": q_avc_layer,
     "q_dgn_layer": q_dgn_layer,
     "q_pmtiles_layer": q_pmtiles_layer,
     "q_mvt_layer": q_mvt_layer,
