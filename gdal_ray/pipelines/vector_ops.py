@@ -1106,6 +1106,59 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_json_layer(sf_dir: str):
+    """ESRIJSON + TopoJSON drivers (sources/jsonfmts.py; reference
+    ogr/ogrsf_frmts/geojson OGRESRIJSON/OGRTopoJSON readers,
+    conformed row-for-row against ogr_esrijson.py + ogr_topojson.py
+    in tests/test_jsonfmts.py — incl. the 35-entry TopoJSON
+    edge-case matrix).  Rows (file, layer, n_rows, wkt_crc,
+    attr_crc)."""
+    import zlib
+
+    import ray.data
+
+    E = "/root/reference/autotest/ogr/data/esrijson"
+    T = "/root/reference/autotest/ogr/data/topojson"
+    cases = [("topo", f"{T}/topojson1.topojson"),
+             ("topo", f"{T}/topojson2.topojson"),
+             ("topo", f"{T}/topojson3.topojson"),
+             ("esri", f"{E}/esripoint.json"),
+             ("esri", f"{E}/esripolygon.json"),
+             ("esri", f"{E}/esrizmmultipoint.json"),
+             ("esri", f"{E}/esrilinestring.json")]
+
+    def f(t: pa.Table) -> pa.Table:
+        import os
+
+        from ..sources.jsonfmts import read_esrijson, read_topojson
+
+        fs, ls, nr, wcrc, acrc = [], [], [], [], []
+        for rec in t.to_pylist():
+            kind, path = rec["kind"], rec["path"]
+            base = os.path.basename(path)
+            if kind == "topo":
+                L = read_topojson(path)
+            else:
+                L = {"layer": read_esrijson(path)}
+            for lname in sorted(L):
+                tab = L[lname]
+                fs.append(base)
+                ls.append(lname)
+                nr.append(tab.num_rows)
+                wcrc.append(zlib.crc32("\n".join(
+                    w or "" for w in tab["wkt"].to_pylist()).encode()))
+                attrs = tab.drop_columns(["wkt"])
+                acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"file": pa.array(fs, pa.string()),
+                         "layer": pa.array(ls, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"kind": k, "path": p} for k, p in cases])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=3)
+
+
 def q_avc_layer(sf_dir: str):
     """Arc/Info E00 driver (sources/avc.py; reference
     ogr/ogrsf_frmts/avc, conformed against ogr_avc.py in
@@ -1619,6 +1672,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_json_layer": q_json_layer,
     "q_avc_layer": q_avc_layer,
     "q_dgn_layer": q_dgn_layer,
     "q_pmtiles_layer": q_pmtiles_layer,
