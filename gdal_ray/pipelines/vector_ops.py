@@ -1106,6 +1106,49 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_feed_vector(sf_dir: str):
+    """GeoRSS (simple + GML encodings) and VDV IDF drivers
+    (sources/georss.py, idf.py; reference ogr/ogrsf_frmts/georss +
+    vdv, conformed against ogr_georss.py / ogr_vdv.py in
+    tests/test_georss_idf.py).  Rows (case, value)."""
+    import zlib
+
+    import ray.data
+
+    FIX = "/root/reference/autotest/ogr/data"
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.georss import read_georss
+        from ..sources.idf import read_idf
+
+        cases, values = [], []
+
+        def add(case, v):
+            cases.append(case)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            if rec["which"] == "georss":
+                for fname in ("test_georss_simple.xml",
+                              "test_georss_gml.xml"):
+                    tab = read_georss(f"{FIX}/georss/{fname}")
+                    add(f"{fname}_rows", tab.num_rows)
+                    add(f"{fname}_crc", zlib.crc32("\n".join(
+                        w or "" for w in tab["wkt"].to_pylist()).encode()))
+            else:
+                L = read_idf(f"{FIX}/vdv/test.idf")
+                for lname in sorted(L):
+                    tab = L[lname]
+                    add(f"idf_{lname}_rows", tab.num_rows)
+                    add(f"idf_{lname}_crc",
+                        zlib.crc32(repr(tab.to_pylist()).encode()))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    ds = ray.data.from_items([{"which": w} for w in ("georss", "idf")])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_json_layer(sf_dir: str):
     """ESRIJSON + TopoJSON drivers (sources/jsonfmts.py; reference
     ogr/ogrsf_frmts/geojson OGRESRIJSON/OGRTopoJSON readers,
@@ -1672,6 +1715,7 @@ def q_dxf_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
     "q_avc_layer": q_avc_layer,
     "q_dgn_layer": q_dgn_layer,
