@@ -1168,7 +1168,11 @@ def q_json_layer(sf_dir: str):
              ("esri", f"{E}/esripoint.json"),
              ("esri", f"{E}/esripolygon.json"),
              ("esri", f"{E}/esrizmmultipoint.json"),
-             ("esri", f"{E}/esrilinestring.json")]
+             ("esri", f"{E}/esrilinestring.json"),
+             ("jsonfg", "/root/reference/autotest/ogr/data/jsonfg/"
+              "crs_32631_fc_only.json"),
+             ("jsonfg", "/root/reference/autotest/ogr/data/jsonfg/"
+              "two_feature_types.json")]
 
     def f(t: pa.Table) -> pa.Table:
         import os
@@ -1181,6 +1185,10 @@ def q_json_layer(sf_dir: str):
             base = os.path.basename(path)
             if kind == "topo":
                 L = read_topojson(path)
+            elif kind == "jsonfg":
+                from ..sources.jsonfg import read_jsonfg
+
+                L = read_jsonfg(path)
             else:
                 L = {"layer": read_esrijson(path)}
             for lname in sorted(L):

@@ -92,3 +92,30 @@ def test_esrijson_point():
 def test_esrijson_geometries(name, expected):
     t = read_esrijson(EFX + name + ".json")
     assert t.to_pylist()[0]["wkt"] == expected
+
+
+def test_jsonfg_place_crs():
+    """ogr_jsonfg.py crs matrix: place in declared CRS wins over the
+    4326 fallback geometry."""
+    from gdal_ray.sources.jsonfg import read_jsonfg
+
+    FIX = "/root/reference/autotest/ogr/data/jsonfg/"
+    for f in ("crs_32631_fc_only", "crs_32631_feat",
+              "crs_32631_fc_and_feat"):
+        L = read_jsonfg(FIX + f + ".json")
+        r = L["features"].to_pylist()[0]
+        assert r["epsg"] == 32631
+        assert r["wkt"] == "POINT (500000 4500000)"
+    # place null -> geometry (4326) used
+    L = read_jsonfg(FIX + "crs_32631_fc_place_null.json")
+    r = L["features"].to_pylist()[0]
+    assert r["epsg"] == 4326
+
+
+def test_jsonfg_feature_types_split():
+    from gdal_ray.sources.jsonfg import read_jsonfg
+
+    L = read_jsonfg("/root/reference/autotest/ogr/data/jsonfg/"
+                    "two_feature_types.json")
+    assert set(L) == {"type1", "type2"}
+    assert L["type1"].num_rows == 2 and L["type2"].num_rows == 1
