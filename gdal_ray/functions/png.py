@@ -23,7 +23,7 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLOR_TYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -78,6 +78,7 @@ def decode_png(data: bytes) -> np.ndarray:
     pos = 8
     width = height = depth = color_type = None
     idat = bytearray()
+    plte = trns = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -89,8 +90,16 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG variant (compression/filter)")
-            if depth not in (8, 16) or color_type not in _COLOR_TYPE_CHANNELS:
+            if color_type == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(f"unsupported palette depth {depth}")
+            elif depth not in (8, 16) or \
+                    color_type not in _COLOR_TYPE_CHANNELS:
                 raise ValueError(f"unsupported depth/color {depth}/{color_type}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, np.uint8)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -98,8 +107,31 @@ def decode_png(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("missing IHDR")
     channels = _COLOR_TYPE_CHANNELS[color_type]
-    bpp = channels * depth // 8  # filter step in bytes
+    bpp = max(1, channels * depth // 8)  # filter step in bytes
     raw = zlib.decompress(bytes(idat))
+    if color_type == 3:
+        # paletted: unfilter sub-byte-packed index rows, expand via
+        # PLTE (+ tRNS alpha) like the reference's color-table path
+        stride = (width * depth + 7) // 8
+        out = _unfilter(raw, height, stride, 1)
+        if depth == 8:
+            idxs = out
+        else:
+            bits = np.unpackbits(out.reshape(height, stride), axis=1)
+            grouped = bits.reshape(height, -1, depth)[:, :width, :]
+            idxs = np.zeros((height, width), np.uint8)
+            for b in range(depth):
+                idxs = (idxs << 1) | grouped[:, :, b]
+        idxs = idxs.reshape(height, width)
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[:len(trns)] = trns
+            table = np.concatenate([plte, alpha[:, None]], axis=1)
+        else:
+            table = plte
+        return table[idxs]
     if interlace == 0:
         stride = width * bpp
         if len(raw) != height * (stride + 1):

@@ -2851,7 +2851,54 @@ def q_grid_formats(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_esric(sf_dir: str):
+    """Esri Compact Cache V2 + tpkx reader (sources/esric.py;
+    reference frmts/esric/esric_dataset.cpp, conformed against
+    gdrivers/esric.py in tests/test_esric.py — bundle 40/24-bit tile
+    index, LOD numbering, paletted-PNG tile expansion).  Rows
+    (case, value); the tpkx render runs task-side per level."""
+    import ray.data
+
+    FIX = "/root/reference/autotest/gdrivers/data/esric"
+
+    def run(t: pa.Table) -> pa.Table:
+        import os
+        import tarfile
+
+        from ..sources.esric import read_esric_level, read_tpkx_level
+
+        cases, values = [], []
+
+        def add(case, v):
+            cases.append(case)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            if rec["which"] == "layers":
+                tmp = "/tmp/gdal_ray_fixtures/esric"
+                conf = os.path.join(tmp, "Layers/conf.xml")
+                if not os.path.exists(conf):
+                    os.makedirs(tmp, exist_ok=True)
+                    with tarfile.open(f"{FIX}/Layers.tar") as tf:
+                        tf.extractall(tmp)
+                base = read_esric_level(conf, 0)
+                add("esric_base_cs", checksum_image(base[:, :, 0]))
+                lvl = read_esric_level(conf, 2)
+                add("esric_512_b2_cs", checksum_image(lvl[:, :, 1]))
+            else:
+                ov = read_tpkx_level(f"{FIX}/Usa.tpkx", 2)
+                add("tpkx_ov1_b2_cs", checksum_image(ov[:, :, 1]))
+                add("tpkx_ov1_b4_cs", checksum_image(ov[:, :, 3]))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("layers", "tpkx")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_esric": q_esric,
     "q_grid_formats": q_grid_formats,
     "q_classic_formats": q_classic_formats,
     "q_planetary_grids": q_planetary_grids,
