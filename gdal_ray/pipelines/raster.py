@@ -2897,7 +2897,38 @@ def q_esric(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_mrf(sf_dir: str):
+    """Meta Raster Format reader + pure-Python LERC V1/V2 decoders
+    (sources/mrf.py, functions/lerc.py; reference frmts/mrf +
+    third_party/LercLib + frmts/mrf/LERCV1, conformed against
+    gdrivers/mrf.py fixtures in tests/test_mrf.py).  Rows
+    (case, value): one checksum per compression flavor."""
+    import ray.data
+
+    FIX = "/root/reference/autotest/gdrivers/data/mrf"
+
+    def run(t: pa.Table) -> pa.Table:
+        from ..sources.mrf import read_mrf
+
+        cases, values = [], []
+        for rec in t.to_pylist():
+            sub = rec["sub"]
+            px, gt, meta = read_mrf(f"{FIX}/{sub}/byte.mrf")
+            cases.append(f"mrf_{sub}_cs")
+            values.append(checksum_image(px))
+            cases.append(f"mrf_{sub}_gt0")
+            values.append(int(gt[0]))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"sub": s} for s in ("none", "deflate", "png", "jpeg", "tif",
+                              "lerc", "lerc_v1")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=2)
+
+
 QUERIES = {
+    "q_mrf": q_mrf,
     "q_esric": q_esric,
     "q_grid_formats": q_grid_formats,
     "q_classic_formats": q_classic_formats,
