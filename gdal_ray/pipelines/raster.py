@@ -2927,7 +2927,48 @@ def q_mrf(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=2)
 
 
+def q_military_formats(sf_dir: str):
+    """ADRG (ISO 8211 GEN + tiled IMG, polar ARC-zone gts) and CEOS
+    SAR imagery (BIL records, truncation zero-fill) — reference
+    goldens in tests/test_adrg_ceos.py.  Rows (case, value)."""
+    import ray.data
+
+    GD = "/root/reference/autotest/gdrivers/data"
+
+    def run(t: pa.Table) -> pa.Table:
+        from ..sources.adrg import read_adrg
+        from ..sources.ceos import read_ceos
+
+        cases, values = [], []
+
+        def add(case, v):
+            cases.append(case)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            if rec["which"] == "adrg":
+                for sub, tag in (("SMALL_ADRG", "geo"),
+                                 ("SMALL_ADRG_ZNA9", "zna9"),
+                                 ("SMALL_ADRG_ZNA18", "zna18")):
+                    px, gt, meta = read_adrg(
+                        f"{GD}/adrg/{sub}/ABCDEF01.GEN")
+                    add(f"adrg_{tag}_cs", checksum_image(px[:, :, 0]))
+                    add(f"adrg_{tag}_gt3_x100", round(gt[3] * 100))
+            else:
+                px, meta = read_ceos(f"{GD}/ceos/IMAGERY-75K.L-3")
+                add("ceos_b4_cs", checksum_image(px[0:3, 0:5932, 3]))
+                add("ceos_bands", meta["bands"])
+                add("ceos_pixels", meta["pixels"])
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("adrg", "ceos")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_military_formats": q_military_formats,
     "q_mrf": q_mrf,
     "q_esric": q_esric,
     "q_grid_formats": q_grid_formats,

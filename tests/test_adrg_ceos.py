@@ -1,0 +1,38 @@
+"""ADRG + CEOS readers vs gdrivers autotest goldens."""
+
+import pytest
+
+from gdal_ray.functions.checksum import checksum_image
+from gdal_ray.sources.adrg import read_adrg
+from gdal_ray.sources.ceos import read_ceos
+
+GD = "/root/reference/autotest/gdrivers/data/"
+
+
+def test_adrg_small():
+    """adrg.py: cs 62833 on band 1, geographic gt."""
+    px, gt, meta = read_adrg(GD + "adrg/SMALL_ADRG/ABCDEF01.GEN")
+    assert px.shape == (128, 128, 3)
+    assert checksum_image(px[:, :, 0]) == 62833
+    assert meta["zna"] == 1
+    assert gt[0] == pytest.approx(-0.000138888888, abs=1e-9)
+    assert gt[1] == pytest.approx(360.0 / meta["arv"])
+
+
+def test_adrg_polar_zones():
+    """adrg.py zna_9/zna_18 gt goldens (azimuthal equidistant)."""
+    px, gt, _ = read_adrg(GD + "adrg/SMALL_ADRG_ZNA9/ABCDEF01.GEN")
+    exp = (-307675.73602473765, 100.09145391818853, 0.0,
+           -179477.5051066006, 0.0, -100.09145391818853)
+    for g, e in zip(gt, exp):
+        assert abs(g - e) <= 1e-5
+    assert checksum_image(px[:, :, 0]) == 62833
+    px, gt, _ = read_adrg(GD + "adrg/SMALL_ADRG_ZNA18/ABCDEF01.GEN")
+    assert gt[3] == pytest.approx(179477.5051066006, abs=1e-5)
+
+
+def test_ceos_imagery():
+    """ceos.py test_ceos_1: band 4 window (0,0,5932,3) cs 9956."""
+    px, meta = read_ceos(GD + "ceos/IMAGERY-75K.L-3")
+    assert meta == {"bands": 4, "lines": 5936, "pixels": 5932, "bits": 8}
+    assert checksum_image(px[0:3, 0:5932, 3]) == 9956
