@@ -1135,17 +1135,24 @@ def q_feed_vector(sf_dir: str):
                     add(f"{fname}_rows", tab.num_rows)
                     add(f"{fname}_crc", zlib.crc32("\n".join(
                         w or "" for w in tab["wkt"].to_pylist()).encode()))
-            else:
+            elif rec["which"] == "idf":
                 L = read_idf(f"{FIX}/vdv/test.idf")
                 for lname in sorted(L):
                     tab = L[lname]
                     add(f"idf_{lname}_rows", tab.num_rows)
                     add(f"idf_{lname}_crc",
                         zlib.crc32(repr(tab.to_pylist()).encode()))
+            else:
+                from ..sources.gmtvec import read_gmt
+
+                tab = read_gmt(f"{FIX}/gmt/test_multi.gmt")
+                add("gmt_rows", tab.num_rows)
+                add("gmt_crc", zlib.crc32(repr(tab.to_pylist()).encode()))
         return pa.table({"case": pa.array(cases, pa.string()),
                          "value": pa.array(values, pa.int64())})
 
-    ds = ray.data.from_items([{"which": w} for w in ("georss", "idf")])
+    ds = ray.data.from_items(
+        [{"which": w} for w in ("georss", "idf", "gmt")])
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 

@@ -41,3 +41,37 @@ def test_idf():
     lc = L["LinkCoordinate"].to_pylist()[0]
     assert lc["wkt"] == "POINT (2.5 49.5)"
     assert L["Other"].to_pylist()[0]["FOO"] == 1
+
+
+def test_gmt_multilinestring():
+    """ogr_gmt.py test_multi goldens."""
+    from gdal_ray.sources.gmtvec import read_gmt
+
+    t = read_gmt("/root/reference/autotest/ogr/data/gmt/test_multi.gmt")
+    rows = t.to_pylist()
+    assert rows[0]["name"] == "feature 1" and rows[0]["id"] == 1
+    assert rows[0]["wkt"] == \
+        "MULTILINESTRING ((175 -45,176 -45),(180 -45.3,179 -45.4))"
+    assert rows[1]["wkt"] == \
+        "MULTILINESTRING ((175.1 -45,175.2 -45.1),(180.1 -45.3,180 -45.2))"
+
+
+def test_gmt_roundtrip_poly():
+    """ogr_gmt_2 semantics: poly.shp written to .gmt reads back
+    identically (attrs + exact WKTs)."""
+    import pyarrow as pa
+
+    from gdal_ray.functions.wkb import geom_to_wkt, wkb_to_geom
+    from gdal_ray.sources.gmtvec import read_gmt, write_gmt
+    from gdal_ray.sources.shapefile import read_shapefile
+
+    tab = read_shapefile("/root/reference/autotest/ogr/data/poly.shp")
+    wkts = [geom_to_wkt(wkb_to_geom(b), precision=12).replace(", ", ",")
+            for b in tab["geometry"].to_pylist()]
+    t2 = pa.table({"AREA": tab["AREA"], "EAS_ID": tab["EAS_ID"],
+                   "PRFEDEA": tab["PRFEDEA"], "wkt": pa.array(wkts)})
+    write_gmt("/tmp/gdal_ray_fixtures/tpoly.gmt", t2, geom_type="POLYGON")
+    back = read_gmt("/tmp/gdal_ray_fixtures/tpoly.gmt")
+    assert back["wkt"].to_pylist() == wkts
+    assert back["EAS_ID"].to_pylist() == tab["EAS_ID"].to_pylist()
+    assert back["AREA"].to_pylist() == tab["AREA"].to_pylist()
