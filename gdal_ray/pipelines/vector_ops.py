@@ -1650,6 +1650,7 @@ def q_spreadsheet(sf_dir: str):
     cases = [
         ("xlsx", "/root/reference/autotest/ogr/data/xlsx/test.xlsx"),
         ("ods", "/root/reference/autotest/ogr/data/ods/test.ods"),
+        ("xls", "/root/reference/autotest/ogr/data/xls/test972000xp.xls"),
     ]
 
     def f(t: pa.Table) -> pa.Table:
@@ -1672,6 +1673,11 @@ def q_spreadsheet(sf_dir: str):
 
         for rec in t.to_pylist():
             fmt, path = rec["fmt"], rec["path"]
+            if fmt == "xls":
+                from ..sources.xls import read_xls
+
+                emit("xls", "Feuille1", read_xls(path)["Feuille1"])
+                continue
             reader = read_xlsx if fmt == "xlsx" else read_ods
             writer = write_xlsx if fmt == "xlsx" else write_ods
             all_layers = reader(path)

@@ -167,3 +167,22 @@ def test_spreadsheet_dataset_sharded(ray_session):
     assert ds.count() == 26
     fids = sorted(r["fid"] for r in ds.take_all())
     assert fids == read_xlsx(XFX + "test.xlsx")["Feuille1"]["fid"].to_pylist()
+
+
+def test_xls_biff8():
+    """ogr_xls.py test_ogr_xls_1: one layer, 5 typed fields, value
+    goldens (BIFF8 in OLE2, incl. mini-stream and SST paths)."""
+    from gdal_ray.sources.xls import read_xls
+
+    L = read_xls("/root/reference/autotest/ogr/data/xls/test972000xp.xls")
+    assert list(L) == ["Feuille1"]
+    t = L["Feuille1"]
+    assert t.num_rows == 3
+    assert _types(t) == ["Integer", "Real", "String", "Date", "DateTime"]
+    r0, r1, r2 = t.to_pylist()
+    assert r0["FirstCol"] == 1 and r0["SecondCol"] == 1.0
+    assert r0["ThirdCol"] is None
+    assert r0["FourthCol"] == "1980/01/01"
+    assert r0["FifthCol"] == "1980/01/01 00:00:00"
+    assert r1["SecondCol"] == 2.5 and r1["ThirdCol"] == "Val2"
+    assert r2["ThirdCol"] == "Val_avec_é"
