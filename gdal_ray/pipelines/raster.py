@@ -2954,16 +2954,30 @@ def q_military_formats(sf_dir: str):
                         f"{GD}/adrg/{sub}/ABCDEF01.GEN")
                     add(f"adrg_{tag}_cs", checksum_image(px[:, :, 0]))
                     add(f"adrg_{tag}_gt3_x100", round(gt[3] * 100))
-            else:
+            elif rec["which"] == "ceos":
                 px, meta = read_ceos(f"{GD}/ceos/IMAGERY-75K.L-3")
                 add("ceos_b4_cs", checksum_image(px[0:3, 0:5932, 3]))
                 add("ceos_bands", meta["bands"])
                 add("ceos_pixels", meta["pixels"])
+            else:  # l1b
+                import os
+                import zipfile
+
+                path = "/tmp/gdal_ray_fixtures/hrpt_little_endian.l1b"
+                if not os.path.exists(path):
+                    with zipfile.ZipFile(
+                            f"{GD}/l1b/hrpt_little_endian.l1b.zip") as z:
+                        z.extractall("/tmp/gdal_ray_fixtures")
+                from ..sources.l1b import read_l1b
+
+                px, mask, meta = read_l1b(path)
+                add("l1b_b1_cs", checksum_image(px[:, :, 0]))
+                add("l1b_mask_cs", checksum_image(mask))
         return pa.table({"case": pa.array(cases, pa.string()),
                          "value": pa.array(values, pa.int64())})
 
     return ray.data.from_items(
-        [{"which": w} for w in ("adrg", "ceos")]
+        [{"which": w} for w in ("adrg", "ceos", "l1b")]
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 

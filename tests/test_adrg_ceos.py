@@ -36,3 +36,21 @@ def test_ceos_imagery():
     px, meta = read_ceos(GD + "ceos/IMAGERY-75K.L-3")
     assert meta == {"bands": 4, "lines": 5936, "pixels": 5932, "bits": 8}
     assert checksum_image(px[0:3, 0:5932, 3]) == 9956
+
+
+def test_l1b_little_endian():
+    """gdrivers/l1b.py test_l1b_little_endian: band cs 14145, fatal-
+    flag mask cs 25115 on the NOAA15 22016-record LE fixture."""
+    import os
+    import zipfile
+
+    path = "/tmp/gdal_ray_fixtures/hrpt_little_endian.l1b"
+    if not os.path.exists(path):
+        with zipfile.ZipFile(GD + "l1b/hrpt_little_endian.l1b.zip") as z:
+            z.extractall("/tmp/gdal_ray_fixtures")
+    from gdal_ray.sources.l1b import read_l1b
+
+    px, mask, meta = read_l1b(path)
+    assert meta["little_endian"] and meta["data_type"] == 3
+    assert checksum_image(px[:, :, 0]) == 14145
+    assert checksum_image(mask) == 25115
