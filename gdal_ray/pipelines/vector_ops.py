@@ -1217,6 +1217,43 @@ def q_json_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=3)
 
 
+def q_miramon_layer(sf_dir: str):
+    """MiraMon vector driver (sources/miramon.py; reference
+    ogr/ogrsf_frmts/miramon, conformed against
+    ogr_miramon_vector.py in tests/test_miramon.py — PNT/ARC/POL
+    binary v1.1, PAL ring assembly, extended-dBase long names).
+    Rows (file, n_rows, wkt_crc, attr_crc)."""
+    import zlib
+
+    import ray.data
+
+    M = "/root/reference/autotest/ogr/data/miramon"
+    files = ["Points/SimplePoints/SimplePointsFile.pnt",
+             "Arcs/SimpleArcs/SimpleArcFile.arc",
+             "Polygons/SimplePolygons/SimplePolFile.pol"]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.miramon import read_miramon
+
+        fs, nr, wcrc, acrc = [], [], [], []
+        for rec in t.to_pylist():
+            fname = rec["file"]
+            tab = read_miramon(f"{M}/{fname}")
+            fs.append(fname.rsplit("/", 1)[-1])
+            nr.append(tab.num_rows)
+            wcrc.append(zlib.crc32("\n".join(
+                tab["wkt"].to_pylist()).encode()))
+            attrs = tab.drop_columns(["wkt"])
+            acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"file": pa.array(fs, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"file": fn} for fn in files])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_avc_layer(sf_dir: str):
     """Arc/Info E00 driver (sources/avc.py; reference
     ogr/ogrsf_frmts/avc, conformed against ogr_avc.py in
@@ -1738,6 +1775,7 @@ def q_dxf_layer(sf_dir: str):
 QUERIES = {
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
+    "q_miramon_layer": q_miramon_layer,
     "q_avc_layer": q_avc_layer,
     "q_dgn_layer": q_dgn_layer,
     "q_pmtiles_layer": q_pmtiles_layer,
