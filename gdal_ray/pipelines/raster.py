@@ -2959,6 +2959,13 @@ def q_military_formats(sf_dir: str):
                 add("ceos_b4_cs", checksum_image(px[0:3, 0:5932, 3]))
                 add("ceos_bands", meta["bands"])
                 add("ceos_pixels", meta["pixels"])
+            elif rec["which"] == "dds":
+                from ..sources.dds import read_dds
+
+                px = read_dds(f"{GD}/dds/"
+                              "stefan_full_rgba_no_compression.dds")
+                for b in range(4):
+                    add(f"dds_b{b + 1}_cs", checksum_image(px[:, :, b]))
             else:  # l1b
                 import os
                 import zipfile
@@ -2977,7 +2984,7 @@ def q_military_formats(sf_dir: str):
                          "value": pa.array(values, pa.int64())})
 
     return ray.data.from_items(
-        [{"which": w} for w in ("adrg", "ceos", "l1b")]
+        [{"which": w} for w in ("adrg", "ceos", "l1b", "dds")]
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 

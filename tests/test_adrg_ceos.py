@@ -54,3 +54,35 @@ def test_l1b_little_endian():
     assert meta["little_endian"] and meta["data_type"] == 3
     assert checksum_image(px[:, :, 0]) == 14145
     assert checksum_image(mask) == 25115
+
+
+def test_dds_uncompressed():
+    """gdrivers/dds.py test_dds_no_compression: equals the
+    stefan_full_rgba.tif band checksums."""
+    from gdal_ray.sources.dds import read_dds
+    from gdal_ray.sources.tiff import decode_tiff
+
+    px = read_dds(GD + "dds/stefan_full_rgba_no_compression.dds")
+    with open("/root/reference/autotest/gcore/data/stefan_full_rgba.tif",
+              "rb") as f:
+        ref = decode_tiff(f.read())[0]
+    for b in range(4):
+        assert checksum_image(px[:, :, b]) == checksum_image(ref[:, :, b])
+
+
+def test_dds_dxt_decoders():
+    """BC1/BC3 block decoders: synthetic solid-color blocks decode to
+    the exact endpoint colors."""
+    import struct
+
+    import numpy as np
+
+    from gdal_ray.sources.dds import _decode_dxt_color
+
+    # c0 > c1 -> 4-color mode, all indexes 0 -> endpoint 0
+    c0 = (31 << 11) | (0 << 5) | 0  # pure red
+    c1 = 0
+    block = struct.pack("<HHI", c0, c1, 0)
+    tile = _decode_dxt_color(block)
+    assert (tile[:, :, 0] == 255).all() and (tile[:, :, 1] == 0).all()
+    assert (tile[:, :, 3] == 255).all()
