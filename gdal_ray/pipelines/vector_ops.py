@@ -1486,6 +1486,18 @@ def q_feed_formats(sf_dir: str):
                     px, gt, _m = read_pds4(f"{GDR}/pds4/{name}.xml")
                     add(f"{name}_cs", checksum_image(px))
                     add(f"{name}_gt0", gt[0])
+                from ..sources.safe import read_safe
+
+                bands, names, fp = read_safe(
+                    f"{GDR}/SAFE_FAKE/test.SAFE/manifest.safe")
+                add("safe_vh_cs", checksum_image(bands[0]))
+                add("safe_vv_cs", checksum_image(bands[1]))
+                add("safe_fp_crc", zlib.crc32((fp or "").encode()))
+                from ..sources.dimap import read_dimap2
+
+                px2, meta2 = read_dimap2(f"{GDR}/dimap2/single_component")
+                add("dimap2_b1_cs", checksum_image(px2[:, :, 0]))
+                add("dimap2_nbands", px2.shape[2])
             else:  # jml
                 from ..sources.jml import read_jml
 

@@ -76,3 +76,73 @@ def read_dimap(path: str):
                 "y": vals.get("TIE_POINT_CRS_Y", 0.0),
                 "z": vals.get("TIE_POINT_CRS_Z", 0.0)})
     return pixels, gcps, meta
+
+
+def read_dimap2(path: str):
+    """DIMAP v2 (PHR/PNEO): DIM_*.XML with Raster_Dimensions
+    (NROWS/NCOLS/NBANDS), tiled Data_Files (tile_R/tile_C grid with
+    NTILES_SIZE) mosaicked from the referenced TIFFs, and flattened
+    metadata from Dataset_Identification / Processing_Information /
+    Platform blocks.  ``path`` may be the directory, the VOL_*.XML
+    or the DIM_*.XML (reference frmts/dimap dimapdataset.cpp
+    DIMAP2 path)."""
+    import glob
+
+    if os.path.isdir(path):
+        cands = sorted(glob.glob(os.path.join(path, "DIM_*.XML")))
+        path = cands[0]
+    elif os.path.basename(path).startswith("VOL_"):
+        cands = sorted(glob.glob(
+            os.path.join(os.path.dirname(path), "DIM_*.XML")))
+        path = cands[0]
+    root = ET.parse(path).getroot()
+    d = os.path.dirname(os.path.abspath(path))
+
+    def ftext(name, default=None):
+        for el in root.iter(name):
+            if el.text:
+                return el.text.strip()
+        return default
+
+    nrows = int(ftext("NROWS"))
+    ncols = int(ftext("NCOLS"))
+    nbands = int(ftext("NBANDS"))
+    tile_h = tile_w = None
+    for el in root.iter("NTILES_SIZE"):
+        tile_h = int(el.get("nrows"))
+        tile_w = int(el.get("ncols"))
+
+    from .tiff import decode_tiff
+
+    out = np.zeros((nrows, ncols, nbands), np.uint16)
+    for df in root.iter("Data_File"):
+        tr = int(df.get("tile_R", "1"))
+        tc = int(df.get("tile_C", "1"))
+        href = None
+        for el in df.iter("DATA_FILE_PATH"):
+            href = el.get("href")
+        if not href:
+            continue
+        with open(os.path.join(d, href), "rb") as f:
+            px = np.asarray(decode_tiff(f.read())[0])
+        if px.ndim == 2:
+            px = px[:, :, None]
+        y0 = (tr - 1) * (tile_h or px.shape[0])
+        x0 = (tc - 1) * (tile_w or px.shape[1])
+        hh = min(px.shape[0], nrows - y0)
+        ww = min(px.shape[1], ncols - x0)
+        out[y0:y0 + hh, x0:x0 + ww] = px[:hh, :ww, :nbands]
+
+    meta = {}
+    pairs = [("MISSION", "MISSION"), ("MISSION_INDEX", "MISSION_INDEX"),
+             ("IMAGING_DATE", "IMAGING_DATE"),
+             ("PROCESSING_LEVEL", "PROCESSING_LEVEL"),
+             ("SPECTRAL_PROCESSING", "SPECTRAL_PROCESSING"),
+             ("DATASET_PRODUCTION_DATE", "DATASET_PRODUCTION_DATE"),
+             ("DATASET_PRODUCER_NAME", "DATASET_PRODUCER_NAME"),
+             ("BAND_MODE", "BAND_MODE")]
+    for key, tag in pairs:
+        v = ftext(tag)
+        if v is not None:
+            meta[key] = v
+    return out, meta

@@ -127,3 +127,36 @@ def test_jml_srid_point():
     t = read_jml(OGR + "jml/one_point_srid_4326.jml")
     assert t.num_rows == 1
     assert t.to_pylist()[0]["wkt"].startswith("POINT (26.4696785714")
+
+
+def test_safe_sentinel1():
+    """gdrivers/safe.py: band checksums 65372 (IW_VH) / 3732 (IW_VV)
+    + manifest footprint."""
+    from gdal_ray.sources.safe import read_safe
+
+    bands, names, fp = read_safe(
+        GDR + "SAFE_FAKE/test.SAFE/manifest.safe")
+    assert names == ["IW_VH", "IW_VV"]
+    assert checksum_image(bands[0]) == 65372
+    assert checksum_image(bands[1]) == 3732
+    assert fp.replace(", ", ",") == (
+        "POLYGON((-8.407759 38.130520,-11.335915 38.535374,"
+        "-11.026125 40.036644,-8.035001 39.633217,"
+        "-8.407759 38.130520))").replace(", ", ",")
+
+
+def test_dimap2_single_component():
+    """gdrivers/dimap.py test_dimap_2_single_component: 4 bands
+    20x30 from the two-tile mosaic, metadata keys."""
+    from gdal_ray.sources.dimap import read_dimap2
+
+    for p in (GDR + "dimap2/single_component",
+              GDR + "dimap2/single_component/VOL_PHR.XML",
+              GDR + "dimap2/single_component/DIM_foo.XML"):
+        px, meta = read_dimap2(p)
+        assert px.shape == (30, 20, 4)
+        assert meta["MISSION"] == "PHR"
+        assert meta["IMAGING_DATE"] == "2016-06-17"
+        assert meta["PROCESSING_LEVEL"] == "SENSOR"
+        assert meta["SPECTRAL_PROCESSING"] == "PMS"
+        assert checksum_image(px[:, :, 0]) == 7024
