@@ -1142,17 +1142,27 @@ def q_feed_vector(sf_dir: str):
                     add(f"idf_{lname}_rows", tab.num_rows)
                     add(f"idf_{lname}_crc",
                         zlib.crc32(repr(tab.to_pylist()).encode()))
-            else:
+            elif rec["which"] == "gmt":
                 from ..sources.gmtvec import read_gmt
 
                 tab = read_gmt(f"{FIX}/gmt/test_multi.gmt")
                 add("gmt_rows", tab.num_rows)
                 add("gmt_crc", zlib.crc32(repr(tab.to_pylist()).encode()))
+            else:  # fgd
+                from ..sources.gml import read_fgd_gml
+
+                for fname, lname in (("ElevPt.xml", "ElevPt"),
+                                     ("BldA.xml", "BldA")):
+                    L = read_fgd_gml(f"{FIX}/gml_jpfgd/{fname}")
+                    tab = L[lname]
+                    add(f"fgd_{lname}_rows", tab.num_rows)
+                    add(f"fgd_{lname}_crc",
+                        zlib.crc32(repr(tab.to_pylist()).encode()))
         return pa.table({"case": pa.array(cases, pa.string()),
                          "value": pa.array(values, pa.int64())})
 
     ds = ray.data.from_items(
-        [{"which": w} for w in ("georss", "idf", "gmt")])
+        [{"which": w} for w in ("georss", "idf", "gmt", "fgd")])
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 

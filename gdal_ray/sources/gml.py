@@ -245,3 +245,103 @@ def write_gml(path: str, table: pa.Table, *, layer_name: str = "layer",
     parts.append("</ogr:FeatureCollection>")
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(parts))
+
+
+def read_fgd_gml(path: str) -> dict[str, pa.Table]:
+    """Japanese GSI FGD GML profile (reference
+    ogr/ogrsf_frmts/gml GFS-less FGD handling; autotest
+    ogr_gml_fgd_read.py): the <Dataset> root holds features
+    directly (ElevPt, BldA, ...); geometry children (pos/area/loc)
+    wrap gml geometries in JGD2011 lat/lon axis order (swapped to
+    x=lon like the reference); scalar children become fields,
+    date-like children flatten their gml:timePosition."""
+    import xml.etree.ElementTree as ET
+
+    from ..functions.wkb import geom_to_wkt
+
+    root = ET.parse(path).getroot()
+    layers: dict[str, list] = {}
+    for feat in root:
+        tag = _local(feat.tag)
+        if tag in ("description", "name") or not list(feat):
+            continue
+        row: dict = {}
+        wkt = None
+        for child in feat:
+            ctag = _local(child.tag)
+            kids = list(child)
+            geom_kid = next((k for k in kids
+                             if _local(k.tag) in (
+                                 "Point", "Curve", "Surface", "Polygon",
+                                 "LineString", "MultiSurface")), None)
+            if geom_kid is not None:
+                wkt = _fgd_geom_wkt(geom_kid)
+                continue
+            tp = next((k for k in kids
+                       if _local(k.tag) == "timePosition"), None)
+            if tp is not None:
+                row[ctag] = (tp.text or "").strip()
+            elif child.text and child.text.strip():
+                row[ctag] = child.text.strip()
+        row["wkt"] = wkt
+        layers.setdefault(tag, []).append(row)
+
+    out = {}
+    for name, rows in layers.items():
+        cols: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in cols:
+                    cols.append(k)
+        arrays = [pa.array([None if r.get(c) is None else str(r.get(c))
+                            for r in rows], pa.string()) for c in cols]
+        out[name] = pa.table(arrays, names=cols)
+    return out
+
+
+def _fgd_geom_wkt(el):
+    """FGD geometries: gml:Point/pos, or gml:Surface with
+    PolygonPatch rings of Curve/LineStringSegment posLists —
+    fguuid:jgd2011.bl is lat/lon order, swapped to x=lon."""
+    import xml.etree.ElementTree as ET
+
+    tag = _local(el.tag)
+
+    def swap_pairs(txt):
+        vals = [float(v) for v in txt.split()]
+        return [(vals[i + 1], vals[i]) for i in range(0, len(vals) - 1, 2)]
+
+    def fmt(p):
+        return "%.15g %.15g" % p
+
+    if tag == "Point":
+        for k in el.iter():
+            if _local(k.tag) in ("pos", "coordinates"):
+                pts = swap_pairs(k.text or "")
+                if pts:
+                    return "POINT (%s)" % fmt(pts[0])
+        return None
+    if tag in ("Surface", "Polygon"):
+        rings = []
+        for ring_tag in ("exterior", "interior"):
+            for ring in el.iter():
+                if _local(ring.tag) != ring_tag:
+                    continue
+                pts = []
+                for pl in ring.iter():
+                    if _local(pl.tag) in ("posList", "coordinates"):
+                        pts.extend(swap_pairs(pl.text or ""))
+                if len(pts) >= 4:
+                    rings.append(pts)
+        if rings:
+            return "POLYGON (%s)" % ",".join(
+                "(%s)" % ",".join(fmt(p) for p in r) for r in rings)
+        return None
+    if tag in ("Curve", "LineString"):
+        pts = []
+        for pl in el.iter():
+            if _local(pl.tag) in ("posList", "coordinates"):
+                pts.extend(swap_pairs(pl.text or ""))
+        if len(pts) >= 2:
+            return "LINESTRING (%s)" % ",".join(fmt(p) for p in pts)
+    return None

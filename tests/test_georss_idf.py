@@ -75,3 +75,19 @@ def test_gmt_roundtrip_poly():
     assert back["wkt"].to_pylist() == wkts
     assert back["EAS_ID"].to_pylist() == tab["EAS_ID"].to_pylist()
     assert back["AREA"].to_pylist() == tab["AREA"].to_pylist()
+
+
+def test_fgd_gml():
+    """ogr_gml_fgd_read.py: JGD2011 lat/lon axis swap + devDate."""
+    from gdal_ray.sources.gml import read_fgd_gml
+
+    L = read_fgd_gml(FIX + "gml_jpfgd/ElevPt.xml")
+    r = L["ElevPt"].to_pylist()[0]
+    assert r["wkt"] == "POINT (133.123456789 34.123456789)"
+    assert r["devDate"] == "2015-01-07"
+    L = read_fgd_gml(FIX + "gml_jpfgd/BldA.xml")
+    r = L["BldA"].to_pylist()[0]
+    assert r["devDate"] == "2017-03-07"
+    assert r["wkt"].startswith(
+        "POLYGON ((139.718509733734 35.6952171397133,"
+        "139.718444177734 35.6953121947133,")
