@@ -1227,6 +1227,35 @@ def q_json_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=3)
 
 
+def q_vfk_layer(sf_dir: str):
+    """Czech VFK cadastre driver (sources/vfk.py; reference
+    ogr/ogrsf_frmts/vfk, conformed against ogr_vfk.py in
+    tests/test_vfk.py — 61-table &B schema parse, latin-2 decode,
+    S-JTSK point geometry).  Rows (case, value)."""
+    import zlib
+
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.vfk import read_vfk
+
+        L = read_vfk("/root/reference/autotest/ogr/data/vfk/bylany.vfk")
+        names = list(L)
+        cases = ["n_layers", "par_fields", "par_rows", "sobr_rows",
+                 "sobr_wkt_crc", "layers_crc"]
+        values = [len(names), L["PAR"].num_columns, L["PAR"].num_rows,
+                  L["SOBR"].num_rows,
+                  zlib.crc32("\n".join(
+                      w or "" for w in
+                      L["SOBR"]["wkt"].to_pylist()).encode()),
+                  zlib.crc32("|".join(names).encode())]
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items([{"x": 0}]).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 def q_miramon_layer(sf_dir: str):
     """MiraMon vector driver (sources/miramon.py; reference
     ogr/ogrsf_frmts/miramon, conformed against
@@ -1797,6 +1826,7 @@ def q_dxf_layer(sf_dir: str):
 QUERIES = {
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
+    "q_vfk_layer": q_vfk_layer,
     "q_miramon_layer": q_miramon_layer,
     "q_avc_layer": q_avc_layer,
     "q_dgn_layer": q_dgn_layer,
