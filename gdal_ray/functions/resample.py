@@ -338,3 +338,39 @@ def reduce2x2(src: np.ndarray, method: str = "average") -> np.ndarray:
     else:
         raise NotImplementedError(f"reduction {method!r}")
     return out[..., 0] if squeeze else out
+
+
+def apply_vertical_shift_grid(src, src_gt, grid, grid_gt,
+                              inverse=False, src_unit_to_meter=1.0,
+                              dst_unit_to_meter=1.0,
+                              resampling="bilinear",
+                              out_dtype=None):
+    """GDALApplyVerticalShiftGrid (alg/gdalapplyverticalshiftgrid
+    .cpp): resample the shift grid onto the source georef (bilinear
+    default) and emit ``(src*srcUnit ± grid) / dstUnit`` — minus when
+    inverse (``:253-260``); the result keeps the source grid, clipped
+    to the output data type."""
+    src = np.asarray(src, np.float64)
+    grid = np.asarray(grid, np.float64)
+    h, w = src.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    # pixel centers -> world -> grid pixels
+    X = src_gt[0] + (xs + 0.5) * src_gt[1] + (ys + 0.5) * src_gt[2]
+    Y = src_gt[3] + (xs + 0.5) * src_gt[4] + (ys + 0.5) * src_gt[5]
+    det = grid_gt[1] * grid_gt[5] - grid_gt[2] * grid_gt[4]
+    gx = ((X - grid_gt[0]) * grid_gt[5] - (Y - grid_gt[3]) * grid_gt[2]) / det
+    gy = ((Y - grid_gt[3]) * grid_gt[1] - (X - grid_gt[0]) * grid_gt[4]) / det
+    gvals, _valid = sample(grid.astype(np.float64), gx.ravel(), gy.ravel(),
+                           method=resampling, nodata=0)
+    gvals = np.asarray(gvals, np.float64).reshape(h, w)
+    if inverse:
+        out = (src * src_unit_to_meter - gvals) / dst_unit_to_meter
+    else:
+        out = (src * src_unit_to_meter + gvals) / dst_unit_to_meter
+    if out_dtype is not None:
+        info = np.iinfo(out_dtype) if np.issubdtype(out_dtype, np.integer) \
+            else None
+        if info is not None:
+            out = np.clip(np.round(out), info.min, info.max)
+        return out.astype(out_dtype)
+    return out

@@ -1416,6 +1416,19 @@ def q_pmtiles_layer(sf_dir: str):
                 vis, ix, iy = line_of_sight(dem3, 0, 0, 1, 7, 7, 1)
                 add("los_diag_x", ix)
                 add("los_diag_y", iy)
+                from ..functions.checksum import checksum_image
+                from ..functions.resample import (
+                    apply_vertical_shift_grid, resize)
+                from ..sources.tiff import decode_tiff
+
+                with open("/root/reference/autotest/gcore/data/"
+                          "byte.tif", "rb") as fh:
+                    srcpx = decode_tiff(fh.read())[0]
+                src2 = resize(srcpx, 40, 20, method="nearest")
+                gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -30.0)
+                out = apply_vertical_shift_grid(src2, gt, src2, gt,
+                                                out_dtype=np.uint8)
+                add("vshift_cs", checksum_image(out))
         return pa.table({"case": pa.array(cases, pa.string()),
                          "value": pa.array(values, pa.int64())})
 

@@ -69,3 +69,24 @@ def test_los_blocking_terrain():
     dem[4, 4] = 9
     vis, ix, iy = line_of_sight(dem, 0, 0, 1, 7, 7, 1)
     assert not vis and (ix, iy) == (4, 4)
+
+
+def test_apply_vertical_shift_grid():
+    """alg/applyverticalshiftgrid.py: byte.tif 20x40 + same grid ->
+    cs 10038; inverse with itself -> cs 0."""
+    import numpy as np
+
+    from gdal_ray.functions.checksum import checksum_image
+    from gdal_ray.functions.resample import (apply_vertical_shift_grid,
+                                             resize)
+    from gdal_ray.sources.tiff import decode_tiff
+
+    with open("/root/reference/autotest/gcore/data/byte.tif", "rb") as f:
+        src = decode_tiff(f.read())[0]
+    src2 = resize(src, 40, 20, method="nearest")
+    gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -30.0)
+    out = apply_vertical_shift_grid(src2, gt, src2, gt,
+                                    out_dtype=np.uint8)
+    assert checksum_image(out) == 10038
+    inv = apply_vertical_shift_grid(src2, gt, src2, gt, inverse=True)
+    assert checksum_image(inv.astype(np.float32)) == 0
