@@ -1477,6 +1477,40 @@ def q_mvt_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_pds_table(sf_dir: str):
+    """PDS3 TABLE vector driver (sources/pdstable.py; reference
+    ogr/ogrsf_frmts/pds, conformed against ogr_pds.py in
+    tests/test_pdstable.py — ^TABLE pointer, ^STRUCTURE .fmt include,
+    ASCII + MSB binary columns, ITEMS array expansion to NAME_1..N,
+    LONGITUDE/LATITUDE point geometry).  Rows (case, value)."""
+    import zlib
+
+    import ray.data
+
+    P = "/root/reference/autotest/ogr/data/pds"
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.pdstable import read_pds_table
+
+        a = read_pds_table(f"{P}/ap01578l.lbl")
+        b = read_pds_table(f"{P}/virsvd_orb_11187_050618.lbl")
+        r0, r1 = a.slice(0, 2).to_pylist()
+        rb = b.to_pylist()[0]
+        cases = ["ascii_rows", "ascii_cols", "noise_counts_1",
+                 "wkt_crc", "mars_radius_x10", "bin_cols",
+                 "incidence_angle_u", "temp_2_u"]
+        values = [a.num_rows, a.num_columns, r0["NOISE_COUNTS_1"],
+                  zlib.crc32((r0["wkt"] or "").encode()),
+                  int(round(r1["MARS_RADIUS"] * 10)), b.num_columns,
+                  int(round(rb["INCIDENCE_ANGLE"] * 1e6)),
+                  int(round(rb["TEMP_2"] * 1e6))]
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items([{"x": 0}]).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 def q_feed_formats(sf_dir: str):
     """GTFS (zip-of-CSVs with trips/shapes_geom derived linestrings),
     DIMAP v1 (XML product + tie-point GCPs), PDS4 (XML label + raw
@@ -1840,6 +1874,7 @@ QUERIES = {
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
     "q_vfk_layer": q_vfk_layer,
+    "q_pds_table": q_pds_table,
     "q_miramon_layer": q_miramon_layer,
     "q_avc_layer": q_avc_layer,
     "q_dgn_layer": q_dgn_layer,
