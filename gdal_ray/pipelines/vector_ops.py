@@ -1477,6 +1477,51 @@ def q_mvt_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_lvbag_layer(sf_dir: str):
+    """LVBAG (Dutch BAG 2.0 extract) driver (sources/lvbag.py;
+    reference ogr/ogrsf_frmts/lvbag, conformed against ogr_lvbag.py
+    in tests/test_lvbag.py — fixed per-type schemas, domein-prefixed
+    ids with 15->16 zero-padding, J/N booleans, gml polygon WKT,
+    zip-archive merge).  Rows (case, value)."""
+    import zlib
+
+    import ray.data
+
+    D = "/root/reference/autotest/ogr/data/lvbag"
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.lvbag import read_lvbag
+
+        cases, values = [], []
+
+        def add(c, v):
+            cases.append(c)
+            values.append(int(v))
+
+        for fn, lyr in (("lig.xml", "Ligplaats"), ("num.xml",
+                        "Nummeraanduiding"), ("opr.xml", "Openbareruimte"),
+                        ("pnd.xml", "Pand"), ("sta.xml", "Standplaats"),
+                        ("vbo.xml", "Verblijfsobject"),
+                        ("wpl.xml", "Woonplaats")):
+            tab = read_lvbag(f"{D}/{fn}")[lyr]
+            add(f"{fn}_rows", tab.num_rows)
+            add(f"{fn}_cols", tab.num_columns)
+            add(f"{fn}_id_crc", zlib.crc32("|".join(
+                x or "" for x in tab["identificatie"].to_pylist()
+            ).encode()))
+        add("pnd2_id_crc", zlib.crc32(read_lvbag(
+            f"{D}/pnd2.xml")["Pand"].to_pylist()[0][
+            "identificatie"].encode()))
+        add("zip_pnd_rows", read_lvbag(
+            f"{D}/archive_pnd.zip")["Pand"].num_rows)
+        add("zip_mixed_layers", len(read_lvbag(f"{D}/archive_mixed.zip")))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items([{"x": 0}]).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 def q_pds_table(sf_dir: str):
     """PDS3 TABLE vector driver (sources/pdstable.py; reference
     ogr/ogrsf_frmts/pds, conformed against ogr_pds.py in
@@ -1875,6 +1920,7 @@ QUERIES = {
     "q_json_layer": q_json_layer,
     "q_vfk_layer": q_vfk_layer,
     "q_pds_table": q_pds_table,
+    "q_lvbag_layer": q_lvbag_layer,
     "q_miramon_layer": q_miramon_layer,
     "q_avc_layer": q_avc_layer,
     "q_dgn_layer": q_dgn_layer,
