@@ -289,3 +289,52 @@ def geojsonl_dataset(path: str, columns: list[str] | None = None,
 
     return (ray.data.from_items(shards, override_num_blocks=num_shards)
             .map_batches(load, batch_format="pyarrow", batch_size=1))
+
+
+_GEOM_TYPES = {"Point", "LineString", "Polygon", "MultiPoint",
+               "MultiLineString", "MultiPolygon", "GeometryCollection"}
+
+
+def read_geojsonseq(path_or_text: str,
+                    columns: list[str] | None = None) -> pa.Table:
+    """GeoJSONSeq reader with full reference semantics
+    (ogr_geojsonseq.py): LF- or RS-(0x1e)-separated records, RS
+    records may be pretty-printed across lines; a sequence of bare
+    geometries becomes geometry-only features; unparseable records
+    are skipped."""
+    if "\n" in path_or_text or path_or_text.lstrip()[:1] in ("{", RS):
+        text = path_or_text
+    else:
+        with open(path_or_text) as f:
+            text = f.read()
+
+    chunks = text.split(RS) if RS in text else text.splitlines()
+    feats = []
+    for ch in chunks:
+        ch = ch.strip()
+        if not ch:
+            continue
+        try:
+            obj = json.loads(ch)
+        except json.JSONDecodeError:
+            continue
+        if not isinstance(obj, dict):
+            continue
+        if obj.get("type") == "Feature":
+            feats.append(obj)
+        elif obj.get("type") in _GEOM_TYPES:
+            feats.append({"type": "Feature", "properties": {},
+                          "geometry": obj})
+    return _features_to_table(feats, columns)
+
+
+def write_geojsonseq(path: str, table: pa.Table, rs: bool = False,
+                     precision: int = 7) -> None:
+    """RS=False writes LF-delimited (one feature per line); RS=True
+    prefixes each record with 0x1e like the reference's RS=YES."""
+    with open(path, "w") as f:
+        for r in table.to_pylist():
+            if rs:
+                f.write(RS)
+            f.write(json.dumps(_row_to_feature(r, precision)))
+            f.write("\n")
