@@ -159,7 +159,7 @@ def _features_to_table(feats: list[dict], columns: list[str] | None = None,
     return pa.table(out)
 
 
-_LAYER_COLS = ("fid", "geometry", "bbox_xmin", "bbox_ymin",
+_LAYER_COLS = ("fid", "geometry", "wkt", "bbox_xmin", "bbox_ymin",
                "bbox_xmax", "bbox_ymax")
 
 
@@ -168,12 +168,16 @@ def _row_to_feature(row: dict, precision: int) -> dict:
     for k, v in props.items():
         if isinstance(v, np.generic):
             props[k] = v.item()
-    return {
-        "type": "Feature",
-        "id": int(row["fid"]),
-        "geometry": geom_to_geojson(wkb_to_geom(row["geometry"]), precision),
-        "properties": props,
-    }
+    geom = None
+    if row.get("geometry") is not None:
+        geom = geom_to_geojson(wkb_to_geom(row["geometry"]), precision)
+    elif row.get("wkt"):
+        from ..functions.wkb import wkt_to_geom
+        geom = geom_to_geojson(wkt_to_geom(row["wkt"]), precision)
+    feat = {"type": "Feature", "geometry": geom, "properties": props}
+    if row.get("fid") is not None:
+        feat["id"] = int(row["fid"])
+    return feat
 
 
 def table_to_featurecollection(table: pa.Table, precision: int = 7) -> dict:

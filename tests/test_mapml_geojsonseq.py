@@ -73,7 +73,9 @@ def test_mapml_read_poly():
     r = t.to_pylist()[0]
     assert r["AREA"] == 215229.266
     assert r["EAS_ID"] == 168
-    assert r["PRFEDEA"] == "35043411"
+    # CPLGetValueType("35043411") == CPL_VALUE_INTEGER, so the reference
+    # types PRFEDEA as OFTInteger (ogrmapmldataset.cpp:379-389).
+    assert r["PRFEDEA"] == 35043411
     assert r["wkt"].startswith("POLYGON ((2.75225922 43.03904529")
 
 
