@@ -2988,7 +2988,84 @@ def q_military_formats(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_hdf5(sf_dir: str):
+    """HDF5 family conformance: one task per reference fixture
+    (autotest/gdrivers/hdf5.py + bag.py), our checksum next to the
+    reference's published expectation. Covers big-endian arrays,
+    nested groups, compound complex {r,i} (interleaved-value checksum
+    per gdalchecksum.cpp), chunked+deflate netCDF-4 layout, the
+    'family' split file, HDF-EOS swaths and south-up BAG grids.
+    Reader: sources/hdf5.py (pure-Python superblock/object-header/
+    B-tree/global-heap parser)."""
+    import os
+
+    import ray.data
+
+    D = "/root/reference/autotest/gdrivers/data/hdf5"
+    NC = "/root/reference/autotest/gdrivers/data/netcdf"
+    BAG = "/root/reference/autotest/gdrivers/data/bag"
+    cases = [
+        ("u8be", f"{D}/u8be.h5", "/TestArray", 135),
+        ("groups_dset1", f"{D}/groups.h5", "/MyGroup/dset1", 18),
+        ("complex_f16", f"{D}/complex.h5", "/f16", 412),
+        ("complex_f32", f"{D}/complex.h5", "/f32", 523),
+        ("complex_f64", f"{D}/complex.h5", "/f64", 511),
+        ("deflate", f"{D}/deflate.h5", "/Band1", 4855),
+        ("chunked_1d", f"{NC}/byte_chunked_multiple.nc", "/x", 231),
+        ("offset_1024", f"{NC}/byte_hdf5_starting_at_offset_1024.nc",
+         "/Band1", 4672),
+        ("family", f"{D}/test_family_0.h5", "/chunked", 0),
+        ("eos_swath", f"{D}/dummy_HDFEOS_swath.h5",
+         "/HDFEOS/SWATHS/MySwath/Data_Fields/MyDataField", 59),
+        ("eos_chunked", f"{D}/dummy_HDFEOS_swath_chunked.h5",
+         "/HDFEOS/SWATHS/MySwath/Data_Fields/MyDataField", 13612),
+        ("bag_elevation", f"{BAG}/true_n_nominal.bag",
+         "/BAG_root/elevation", 1072),
+        ("bag_uncertainty", f"{BAG}/true_n_nominal.bag",
+         "/BAG_root/uncertainty", 150),
+        ("bag_nominal", f"{BAG}/true_n_nominal.bag",
+         "/BAG_root/nominal_elevation", 1315),
+    ]
+    if not os.path.exists(cases[0][1]):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "checksum": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..sources.hdf5 import read_hdf5_array
+
+        names, cks, exps = [], [], []
+        for r in t.to_pylist():
+            px = read_hdf5_array(r["path"], r["dset"])
+            if px.dtype.names:  # complex compound: interleave r,i
+                inter = np.empty((px.shape[0], px.shape[1] * 2),
+                                 np.float64)
+                inter[:, 0::2] = px["r"].astype(np.float64)
+                inter[:, 1::2] = px["i"].astype(np.float64)
+                px = inter
+            elif px.ndim == 3:
+                px = px[0]
+            elif px.ndim == 1:
+                px = px.reshape(1, -1)
+            if r["dset"].startswith("/BAG_root/"):
+                px = np.flipud(px)
+            names.append(r["case"])
+            cks.append(checksum_image(px))
+            exps.append(r["expected"])
+        return pa.table({"case": pa.array(names, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    ds = ray.data.from_items(
+        [{"case": c, "path": p, "dset": d, "expected": e}
+         for c, p, d, e in cases])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
+
+
 QUERIES = {
+    "q_hdf5": q_hdf5,
     "q_military_formats": q_military_formats,
     "q_mrf": q_mrf,
     "q_esric": q_esric,

@@ -81,12 +81,30 @@ def _worldfile(path: str) -> str | None:
     return None
 
 
+def _hdf5_signature(data: bytes) -> bool:
+    sig = b"\x89HDF\r\n\x1a\n"
+    off = 0
+    while off + 8 <= len(data) and off <= 65536:
+        if data[off:off + 8] == sig:
+            return True
+        off = 512 if off == 0 else off * 2
+    return False
+
+
 def open_raster(path: str) -> dict:
     """-> {"pixels": ndarray, "gt": tuple | None, "epsg": int | None,
     "driver": str}. The GDALOpen analog for the engine's codecs."""
     from .asciigrid import read_aaigrid, read_xyz, sniff_aaigrid
 
+    if path.startswith("HDF5:"):
+        from .hdf5 import open_hdf5_raster
+
+        return open_hdf5_raster(path)
     data = vsi_open_bytes(path)
+    if _hdf5_signature(data):
+        from .hdf5 import open_hdf5_raster
+
+        return open_hdf5_raster(path, data=data)
     if data[:3] == b"CDF" and data[3:4] in (b"\x01", b"\x02", b"\x05"):
         from .netcdf import raster_from_nc
 
