@@ -3064,8 +3064,89 @@ def q_hdf5(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_grib2(sf_dir: str):
+    """GRIB2 conformance (autotest/gdrivers/grib.py goldens): per-case
+    rows of our value vs the reference's published expectation.
+    cs_* rows are band checksums (complex packing + spatial
+    differencing orders 1/2, IEEE floats, PNG payloads, bitmaps,
+    subgrids, 0-360 split-and-swap, K->C unit normalization);
+    gtx_* rows are round(gt[0]*1000) for the projected geotransforms
+    (Mercator 1SP/2SP, TM, polar stereo, LCC, Albers, LAEA incl. the
+    buggy-grid heuristic). Reader: sources/grib2.py."""
+    import os
+
+    import ray.data
+
+    D = "/root/reference/autotest/gdrivers/data/grib"
+    cs_cases = [
+        ("cs_mint_b2", "ds.mint.bin", 1, 46927),
+        ("cs_ieee_single", "ieee754_single.grb2", 0, 4727),
+        ("cs_ieee_double", "ieee754_double.grb2", 0, 4727),
+        ("cs_nbits0", "simple_packing_nbits_zero_decimal_scaled.grb2",
+         0, 5),
+        ("cs_png_nbits0", "png_nbits_zero_decimal_scaled.grb2", 0, 5),
+        ("cs_sd_order1", "spatial_differencing_order_1.grb2", 0,
+         46650),
+        ("cs_satellite",
+         "twenty-se27w.2017102006.hwrfsat.core.0p02.f000_truncated"
+         ".grb2", 0, 48230),
+        ("cs_png", "MRMS_EchoTop_18_00.50_20161015-133230.grib2", 0,
+         41854),
+        ("cs_subgrids_b1", "subgrids.grib2", 0, 4672),
+        ("cs_subgrids_b2", "subgrids.grib2", 1, 4563),
+        ("cs_bitmap_reuse", "subgrids_reuse_bitmap.grib2", 1, 4563),
+        ("cs_splitswap", "gfs.t06z.pgrb2.1p0.grib2", 0, 7514),
+        ("cs_gfswave", "gfswave-11.t00z.global.0p25.f000.grib2", 0,
+         52492),
+    ]
+    gt_cases = [
+        ("gtx_tm", "transverse_mercator.grb2", 440720000),
+        ("gtx_mercator", "mercator.grb2", -13095853598),
+        ("gtx_mercator_2sp", "mercator_2sp.grb2", -10931598948),
+        ("gtx_polar", "polar_stereographic.grb2", -5621962073),
+        ("gtx_lcc", "lambert_conformal_conic.grb2", 8974734738),
+        ("gtx_albers", "albers_equal_area.grb2", 8974979714),
+        ("gtx_laea", "lambert_azimuthal_equal_area.grb2", -59384011),
+        ("gtx_manal_heuristic",
+         "MANAL_2023030103_fake_wrong_grid_origin_latitude.grb2",
+         -2442500022),
+    ]
+    if not os.path.exists(f"{D}/ds.mint.bin"):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    items = [{"case": c, "path": f"{D}/{f}", "band": b, "kind": "cs",
+              "expected": e} for c, f, b, e in cs_cases]
+    items += [{"case": c, "path": f"{D}/{f}", "band": 0, "kind": "gt",
+               "expected": e} for c, f, e in gt_cases]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.grib2 import read_grib2
+
+        names, vals, exps = [], [], []
+        for r in t.to_pylist():
+            with open(r["path"], "rb") as fh:
+                bands = read_grib2(fh.read())
+            b = bands[r["band"]]
+            if r["kind"] == "cs":
+                v = checksum_image(b["values"])
+            else:
+                v = int(round(b["gt"][0] * 1000))
+            names.append(r["case"])
+            vals.append(v)
+            exps.append(r["expected"])
+        return pa.table({"case": pa.array(names, pa.string()),
+                         "value": pa.array(vals, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    return ray.data.from_items(items).map_batches(
+        f, batch_format="pyarrow", batch_size=3)
+
+
 QUERIES = {
     "q_hdf5": q_hdf5,
+    "q_grib2": q_grib2,
     "q_military_formats": q_military_formats,
     "q_mrf": q_mrf,
     "q_esric": q_esric,

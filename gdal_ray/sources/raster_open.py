@@ -149,6 +149,27 @@ def open_raster(path: str) -> dict:
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "HFA", "hfa_meta": meta}
     if data[:4] == b"GRIB":
+        if len(data) > 7 and data[7] == 2:
+            from .grib2 import read_grib2
+
+            fields = [f for f in read_grib2(data)
+                      if f["values"] is not None]
+            if not fields:
+                raise ValueError(f"{path}: no decodable GRIB2 field")
+            bands = [f["values"] for f in fields]
+            px = bands[0] if len(bands) == 1 else \
+                np.stack(bands, axis=2)
+            f0 = fields[0]
+            epsg = 4326 if (f0["proj"] or {}).get("kind") == "latlon" \
+                else None
+            out = {"pixels": px, "gt": f0["gt"], "epsg": epsg,
+                   "driver": "GRIB",
+                   "band_meta": [f["meta"] for f in fields]}
+            if f0["proj"]:
+                out["grib_proj"] = f0["proj"]
+            if "nodata" in f0["meta"]:
+                out["nodata"] = f0["meta"]["nodata"]
+            return out
         from .grib1 import read_grib1
 
         bands, gt, metas = read_grib1(data)
