@@ -3144,9 +3144,125 @@ def q_grib2(sf_dir: str):
         f, batch_format="pyarrow", batch_size=3)
 
 
+def q_simple_formats(sf_dir: str):
+    """TGA / ZMap / HF2 / SIGDEM / NGSGEOID / NSIDCbin / TIL / CALS
+    conformance rows (autotest tga/zmap/hf2/sigdem/ngsgeoid/nsidcbin/
+    til/cals goldens): our checksum or probe value vs the reference's
+    published expectation. Readers: sources/simpleformats.py,
+    sources/cals.py (+ functions/ccittg4.py G4 codec)."""
+    import os
+
+    import ray.data
+
+    GD = "/root/reference/autotest/gdrivers/data"
+    GC = "/root/reference/autotest/gcore/data"
+    if not os.path.exists(f"{GD}/tga/stefan_full_rgba.tga"):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def run(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..sources.cals import read_cals, write_cals
+        from ..sources.hfa import decode_hfa
+        from ..sources.simpleformats import (
+            read_hf2, read_ngsgeoid, read_nsidcbin, read_sigdem,
+            read_tga, read_til, read_zmap, write_hf2, write_sigdem,
+            write_zmap,
+        )
+        from ..sources.tiff import decode_tiff
+
+        cases, values, exps = [], [], []
+
+        def add(c, v, e):
+            cases.append(c)
+            values.append(int(v))
+            exps.append(int(e))
+
+        for r in t.to_pylist():
+            which = r["which"]
+            if which == "tga":
+                for name, ics in [
+                        ("ref_test_suite/cbw8.tga", [43089]),
+                        ("ref_test_suite/ccm8.tga", [38151]),
+                        ("ref_test_suite/utc16.tga",
+                         [64747, 64839, 64796]),
+                        ("ref_test_suite/utc32.tga",
+                         [9797, 9952, 9848, 0]),
+                        ("stefan_full_rgba.tga",
+                         [12603, 58561, 36064, 10807]),
+                        ("from_ffmpeg_samples/TEST24rle.tga",
+                         [39607, 6458, 44534])]:
+                    px = read_tga(open(f"{GD}/tga/{name}",
+                                       "rb").read())["pixels"]
+                    if px.ndim == 2:
+                        px = px[:, :, None]
+                    for b, e in enumerate(ics):
+                        add(f"tga:{os.path.basename(name)}:{b+1}",
+                            checksum_image(px[:, :, b]), e)
+            elif which == "roundtrips":
+                byte, gtb = decode_tiff(
+                    open(f"{GC}/byte.tif", "rb").read())
+                g, _, _ = read_zmap(write_zmap(
+                    byte.astype(np.float64), gtb))
+                add("zmap:byte", checksum_image(g), 4672)
+                g, _ = read_hf2(write_hf2(byte.astype(np.float64),
+                                          gtb, gzipped=True))
+                add("hfz:byte", checksum_image(g), 4672)
+                dt_, gtd = __import__(
+                    "gdal_ray.sources.terrain",
+                    fromlist=["read_dted"]).read_dted(
+                        open(f"{GD}/n43.dt0", "rb").read())
+                g, _ = read_hf2(write_hf2(dt_.astype(np.float64),
+                                          gtd))
+                add("hf2:n43", checksum_image(g), 49187)
+                rr = read_sigdem(write_sigdem(
+                    byte.astype(np.float64), gtb, epsg=26711))
+                add("sigdem:byte", checksum_image(rr["pixels"]), 4672)
+                small, _, _ = decode_hfa(open(
+                    f"{GD}/hfa/small1bit.img", "rb").read())
+                rc = read_cals(write_cals(small))
+                add("cals:small1bit", checksum_image(rc["pixels"]),
+                    9907)
+                odd, _ = decode_tiff(open(f"{GC}/oddsize1bit.tif",
+                                          "rb").read())
+                rc = read_cals(write_cals(odd))
+                add("cals:oddsize1bit", checksum_image(rc["pixels"]),
+                    3883)
+                slim, _ = decode_tiff(open(f"{GC}/slim_g4.tif",
+                                           "rb").read())
+                add("g4tiff:slim", checksum_image(slim), 3322)
+            else:
+                g, gt = read_ngsgeoid(open(
+                    f"{GD}/ngsgeoid/g2009u01_le_truncated.bin",
+                    "rb").read())
+                add("ngsgeoid:le", checksum_image(np.nan_to_num(g)),
+                    65534)
+                add("ngsgeoid:gt0", round(gt[0] * 1e6), 229991667)
+                rn = read_nsidcbin(open(
+                    f"{GD}/nsidcbin/nt_20220409_f18_nrt_s.bin",
+                    "rb").read())
+                add("nsidc:px", rn["pixels"][44, 60], 27)
+                px, _ = read_til(
+                    open(f"{GD}/til/testtil.til").read(),
+                    f"{GD}/til")
+                add("til:byte",
+                    checksum_image(px if px.ndim == 2
+                                   else px[:, :, 0]), 4672)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("tga", "roundtrips", "grids")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_hdf5": q_hdf5,
     "q_grib2": q_grib2,
+    "q_simple_formats": q_simple_formats,
     "q_military_formats": q_military_formats,
     "q_mrf": q_mrf,
     "q_esric": q_esric,

@@ -238,6 +238,56 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "XYZ"}
+    if data[:6] == b"HF2\x00\x00\x00" or (
+            data[:2] == b"\x1f\x8b" and path.lower().endswith(
+                (".hfz", ".hf2.gz"))):
+        from .simpleformats import read_hf2
+
+        px, gt = read_hf2(data)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "HF2"}
+    if data[:6] == b"SIGDEM":
+        from .simpleformats import read_sigdem
+
+        return read_sigdem(data)
+    if data[:1] in (b"!", b"@") and b"@GRID" in data[:4096]:
+        from .simpleformats import read_zmap
+
+        px, gt, nodata = read_zmap(data.decode("ascii", "replace"))
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "ZMap",
+                "nodata": nodata}
+    if path.lower().endswith(".tga"):
+        from .simpleformats import read_tga
+
+        out = read_tga(data)
+        out.setdefault("gt", None)
+        out.setdefault("epsg", None)
+        return out
+    if path.lower().endswith(".til") and b"numTiles" in data[:1024]:
+        from .simpleformats import read_til
+
+        px, gt = read_til(data.decode("ascii", "replace"),
+                          os.path.dirname(path) or ".")
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "TIL"}
+    if path.lower().endswith(".bin") and len(data) > 44:
+        import struct as _struct
+
+        from .simpleformats import read_ngsgeoid
+
+        if _struct.unpack("<i", data[40:44])[0] == 1 or \
+                _struct.unpack(">i", data[40:44])[0] == 1:
+            px, gt = read_ngsgeoid(data)
+            return {"pixels": px, "gt": gt, "epsg": 4326,
+                    "driver": "NGSGEOID"}
+    if b"rtype: 1" in data[:2048] and b"rpelcnt:" in data[:2048]:
+        from .cals import read_cals
+
+        r = read_cals(data)
+        out = {"pixels": r["pixels"], "gt": None, "epsg": None,
+               "driver": "CALS", "palette": r["color_table"]}
+        for k in ("pixel_path", "line_progression", "density"):
+            if k in r:
+                out[k] = r[k]
+        return out
     if data[:27] == b"RUU CROSS SYSTEM MAP FORMAT":
         from .rawmisc import read_pcraster
 

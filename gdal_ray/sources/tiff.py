@@ -196,7 +196,7 @@ def decode_tiff(data: bytes):
     spp = int(tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0])
     fmt = int(tags.get(_TAG_SAMPLE_FORMAT, [1])[0])
     rows_per_strip = int(tags.get(_TAG_ROWS_PER_STRIP, [h])[0])
-    if comp not in (1, 5, 7, 8, 32773, 32946):
+    if comp not in (1, 4, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} (no codec library in this container)")
     predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
@@ -205,7 +205,9 @@ def decode_tiff(data: bytes):
     # photometric drives the colorspace (libtiff tif_jpeg.c): 6=YCbCr
     # transforms to RGB on read (what GDAL exposes), 2=RGB planes direct
     jpeg_color = {6: "ycbcr", 2: "rgb"}.get(photometric, "auto")
-    if fmt == 3:
+    if bits == 1:
+        dt = "u1"  # expanded to one byte per pixel below
+    elif fmt == 3:
         dt = {32: "f4", 64: "f8"}[bits]
     elif fmt == 2:
         dt = {8: "i1", 16: "i2", 32: "i4"}[bits]
@@ -217,6 +219,23 @@ def decode_tiff(data: bytes):
     def decomp(chunk: bytes, nrows: int, ncols: int, nspp: int = None) -> bytes:
         nspp = spp if nspp is None else nspp
         nbytes = nrows * ncols * nspp * dtype.itemsize
+        if comp == 4:  # CCITT Group 4 (T.6); 1 = black run
+            from ..functions.ccittg4 import decode_g4
+
+            return decode_g4(bytes(chunk), ncols, nrows).tobytes()
+        if bits == 1:  # uncompressed/deflate 1-bit rows, byte-aligned
+            if comp in (8, 32946):
+                import zlib
+
+                chunk = zlib.decompress(chunk)
+            elif comp == 32773:
+                chunk = _unpackbits(chunk, (ncols + 7) // 8 * nrows)
+            rowbytes = (ncols * nspp + 7) // 8
+            rows = np.frombuffer(chunk, np.uint8,
+                                 count=rowbytes * nrows)
+            bits_arr = np.unpackbits(rows.reshape(nrows, rowbytes),
+                                     axis=1)[:, :ncols * nspp]
+            return bits_arr.astype(np.uint8).tobytes()
         if comp == 7:  # new-style JPEG (TechNote2)
             from ..functions.jpeg import decode_jpeg_tiff
 
