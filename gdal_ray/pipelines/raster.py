@@ -3259,10 +3259,89 @@ def q_simple_formats(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_srp_nwt(sf_dir: str):
+    """SRP (ASRP/USRP on ISO 8211) + Northwood GRD/GRC conformance
+    rows vs the autotest goldens (srp.py 24576 across PCB 0/4/8 and
+    via the THF transmittal header; nwt_grd.py 4-band ramp+Z
+    28093/33690/20365/25856; nwt_grc.py 46760). Readers:
+    sources/srp.py, sources/northwood.py."""
+    import os
+
+    import ray.data
+
+    D = "/root/reference/autotest/gdrivers/data"
+    if not os.path.exists(f"{D}/srp/USRP_PCB0/FKUSRP01.GEN"):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def run(t: pa.Table) -> pa.Table:
+        from ..sources.northwood import read_grc, read_grd
+        from ..sources.srp import read_srp, srp_thf_info
+
+        cases, values, exps = [], [], []
+
+        def add(c, v, e):
+            cases.append(c)
+            values.append(int(v))
+            exps.append(int(e))
+
+        for r in t.to_pylist():
+            which = r["which"]
+            if which == "srp":
+                for pcb in (0, 4, 8):
+                    rr = read_srp(
+                        f"{D}/srp/USRP_PCB{pcb}/FKUSRP01.GEN")
+                    add(f"srp:pcb{pcb}",
+                        checksum_image(rr["pixels"]), 24576)
+                    add(f"srp:pcb{pcb}:gt0", round(rr["gt"][0]),
+                        500000)
+                info = srp_thf_info(
+                    f"{D}/srp/USRP_PCB0/TRANSH01.THF")
+                add("srp:thf_subdatasets",
+                    len(info["subdatasets"]), 1)
+            elif which == "grd":
+                rr = read_grd(open(f"{D}/nwt_grd/nwt_grd.grd",
+                                   "rb").read())
+                for band, e in (("r", 28093), ("g", 33690),
+                                ("b", 20365), ("z", 25856)):
+                    add(f"grd:{band}", checksum_image(rr[band]), e)
+            elif which == "grc":
+                rr = read_grc(open(f"{D}/nwt_grc/nwt_grc.grc",
+                                   "rb").read())
+                add("grc:band1", checksum_image(rr["pixels"]), 46760)
+                add("grc:classes",
+                    sum(1 for n in rr["class_names"] if n), 3)
+            else:  # cpg + doq1 (frmts/raw: cpgdataset, doq1dataset)
+                from ..sources.simpleformats import (read_cpg_sirc,
+                                                     read_doq1)
+
+                cp = read_cpg_sirc(
+                    open(f"{D}/cpg/fakecpgSIRC.hdr").read(),
+                    open(f"{D}/cpg/fakecpgSIRC.img", "rb").read())
+                add("cpg:bands", len(cp["bands"]), 4)
+                shh = cp["bands"]["SHH"]
+                inter = np.stack([shh.real[0], shh.imag[0]],
+                                 axis=1).astype(np.float64)
+                add("cpg:shh_cs", checksum_image(inter), 0)
+                dq = read_doq1(open(f"{D}/doq1/fakedoq1.doq",
+                                    "rb").read())
+                add("doq1:w", dq["pixels"].shape[1], 500)
+                add("doq1:h", dq["pixels"].shape[0], 500)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("srp", "grd", "grc", "cpg_doq")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_hdf5": q_hdf5,
     "q_grib2": q_grib2,
     "q_simple_formats": q_simple_formats,
+    "q_srp_nwt": q_srp_nwt,
     "q_military_formats": q_military_formats,
     "q_mrf": q_mrf,
     "q_esric": q_esric,

@@ -238,6 +238,34 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "XYZ"}
+    if data[:4] == b"HGPC":
+        if data[4:5] == b"1":
+            from .northwood import read_grd
+
+            r = read_grd(data)
+            px = np.stack([r["r"], r["g"], r["b"]], axis=2)
+            return {"pixels": px, "gt": r["gt"], "epsg": None,
+                    "driver": "NWT_GRD", "z": r["z"],
+                    "nodata": r["nodata"]}
+        from .northwood import read_grc
+
+        return {**read_grc(data), "epsg": None}
+    if path.upper().endswith(".GEN") and b"GENERAL_INFORMATION" in \
+            data[:256]:
+        from .srp import read_srp
+
+        return read_srp(path)
+    if path.upper().endswith(".THF") and data[:5].isdigit():
+        from .srp import read_srp, srp_thf_info
+
+        info = srp_thf_info(path)
+        if len(info["subdatasets"]) == 1:
+            gen, img = info["subdatasets"][0][4:].split(",")
+            out = read_srp(gen, img)
+            out["metadata"].update(info["metadata"])
+            return out
+        raise ValueError(f"{path}: {len(info['subdatasets'])} SRP "
+                         f"subdatasets: {info['subdatasets']}")
     if data[:6] == b"HF2\x00\x00\x00" or (
             data[:2] == b"\x1f\x8b" and path.lower().endswith(
                 (".hfz", ".hf2.gz"))):

@@ -95,6 +95,8 @@ class Iso8211File:
         pos = 0
         first = True
         while pos + 24 <= len(data):
+            if not data[pos:pos + 5].isdigit():
+                break  # trailing pad bytes (SRP files fill with '^')
             reclen = int(data[pos:pos + 5])
             if reclen <= 0:
                 break

@@ -371,6 +371,79 @@ def read_nsidcbin(data: bytes) -> dict:
             "header": hdr.decode("latin-1", "replace")}
 
 
+# ------------------------------------------------------------------- CPG
+def read_cpg_sirc(hdr_text: str, img: bytes) -> dict:
+    """Convair PolGASP SIRC (frmts/raw/cpgdataset.cpp
+    SIRC_QSLCRasterBand): 10 signed bytes per sample -> 4 complex
+    scattering-matrix bands, scale = sqrt((b1/254+1.5)*2^b0)/127."""
+    kv = {}
+    for ln in hdr_text.splitlines():
+        parts = ln.split()
+        if len(parts) >= 2:
+            kv[parts[0]] = parts[1]
+    h = int(kv.get("number_lines", 0))
+    w = int(kv.get("number_samples", 0))
+    if not h or not w:
+        raise ValueError("CPG: missing number_lines/number_samples")
+    raw = np.frombuffer(img, np.int8, count=h * w * 10) \
+        .reshape(h, w, 10).astype(np.float64)
+    scale = np.sqrt((raw[:, :, 1] / 254 + 1.5)
+                    * np.power(2.0, raw[:, :, 0])) / 127.0
+    bands = {}
+    for bi, name in enumerate(("SHH", "SHV", "SVH", "SVV")):
+        re_ = raw[:, :, 2 + 2 * bi] * scale
+        im = raw[:, :, 3 + 2 * bi] * scale
+        bands[name] = (re_ + 1j * im).astype(np.complex64)
+    return {"bands": bands, "shape": (h, w), "driver": "CPG"}
+
+
+# ------------------------------------------------------------------ DOQ1
+def _doq_field(data: bytes, off: int, n: int) -> float:
+    txt = data[off:off + n].split(b"\x00")[0] \
+        .decode("ascii", "replace").replace("D", "E") \
+        .replace("d", "E").strip()
+    try:
+        return float(txt) if txt else 0.0
+    except ValueError:
+        return 0.0
+
+
+def read_doq1(data: bytes) -> dict:
+    """USGS DOQ (old format): ASCII numeric fields at fixed offsets
+    (frmts/raw/doq1dataset.cpp:210-373), 4 header lines then BIP
+    bytes."""
+    w = int(_doq_field(data, 150, 6))
+    h = int(_doq_field(data, 144, 6))
+    band_types = int(_doq_field(data, 156, 3))
+    if w <= 0 or h <= 0:
+        raise ValueError("not a DOQ1 file")
+    nbpp = 3 if band_types == 5 else 1
+    nline = nbpp * w
+    skip = 4 * nline
+    n_avail = max(0, (len(data) - skip) // nline)
+    px = np.zeros((h, w, nbpp), np.uint8)
+    if n_avail:
+        rows = np.frombuffer(data, np.uint8,
+                             min(h, n_avail) * nline, skip)
+        px[:min(h, n_avail)] = rows.reshape(-1, w, nbpp)
+    rec2 = data[nline:2 * nline] if len(data) >= 2 * nline else b""
+    gt = None
+    if len(rec2) >= 336:
+        ulx = _doq_field(rec2, 288, 24)
+        uly = _doq_field(rec2, 312, 24)
+        psx = _doq_field(rec2, 59, 12)
+        psy = _doq_field(rec2, 71, 12)
+        gt = (ulx, psx, 0.0, uly, 0.0, -psy)
+    epsg = None
+    if int(_doq_field(data, 195, 3)) == 1:
+        zone = int(_doq_field(data, 198, 6))
+        if 0 < zone <= 60:
+            epsg = 26900 + zone if int(_doq_field(data, 167, 2)) == 4 \
+                else 32600 + zone
+    return {"pixels": px[:, :, 0] if nbpp == 1 else px, "gt": gt,
+            "epsg": epsg, "driver": "DOQ1"}
+
+
 # ------------------------------------------------------------------- TIL
 def read_til(text: str, base_dir: str) -> tuple[np.ndarray, tuple | None]:
     import os
