@@ -3337,9 +3337,79 @@ def q_srp_nwt(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_fits(sf_dir: str):
+    """FITS conformance rows vs autotest/gdrivers/fits.py: Mercator
+    WCS georef, BZERO/BSCALE, HDU subdataset scan, and the 78-field
+    BINTABLE vector decode (sources/fits.py)."""
+    import os
+
+    import ray.data
+
+    D = "/root/reference/autotest/gdrivers/data/fits/"
+    if not os.path.exists(D + "byte_merc.fits"):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def run(t: pa.Table) -> pa.Table:
+        from ..sources.fits import (fits_subdatasets, read_fits_image,
+                                    read_fits_table)
+
+        cases, values, exps = [], [], []
+
+        def add(c, v, e):
+            cases.append(c)
+            values.append(int(v))
+            exps.append(int(e))
+
+        for r in t.to_pylist():
+            if r["which"] == "raster":
+                rr = read_fits_image(
+                    open(D + "byte_merc.fits", "rb").read())
+                add("merc:gt0", round(rr["gt"][0]), -13095897)
+                add("merc:gt1_x1e6", round(rr["gt"][1] * 1e6), 72235220)
+                add("merc:projcs",
+                    rr["srs"]["projcs"] == "Mercator_Earth", 1)
+                add("merc:cs", checksum_image(rr["pixels"]), 4855)
+                r2 = read_fits_image(
+                    open(D + "offset_scale_no_georef.fits", "rb").read())
+                add("offscale:scale_x1e9",
+                    round(r2["scale"] * 1e9), 1003952569)
+                fn = D + "image_in_first_and_second_hdu.fits"
+                subs = fits_subdatasets(open(fn, "rb").read(), fn)
+                add("subds:count", len(subs), 2)
+                add("subds:hdu1_desc",
+                    subs[0][1] == "HDU 1 (1x2, 1 band), FIRST_IMAGE", 1)
+            else:
+                tb, defns, name = read_fits_table(
+                    open(D + "binary_table.fits", "rb").read())
+                add("table:fields", tb.num_columns, 78)
+                add("table:rows", tb.num_rows, 3)
+                add("table:name", name == "MyTable", 1)
+                add("table:B_scaled_x10",
+                    round(tb.column("B_scaled")[0].as_py() * 10), 55)
+                add("table:I_scaled_x10",
+                    round(tb.column("I_scaled")[0].as_py() * 10), -491495)
+                add("table:PL_f1_sum",
+                    sum(tb.column("PL")[0].as_py()), 1)
+                add("table:M_scaled",
+                    tb.column("M_scaled")[0].as_py()
+                    == "4.375 + 5.875j", 1)
+                add("table:B_tnull",
+                    tb.column("B")[2].as_py() is None, 1)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("raster", "table")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_hdf5": q_hdf5,
     "q_grib2": q_grib2,
+    "q_fits": q_fits,
     "q_simple_formats": q_simple_formats,
     "q_srp_nwt": q_srp_nwt,
     "q_military_formats": q_military_formats,

@@ -96,6 +96,15 @@ def open_raster(path: str) -> dict:
     "driver": str}. The GDALOpen analog for the engine's codecs."""
     from .asciigrid import read_aaigrid, read_xyz, sniff_aaigrid
 
+    if path.startswith("FITS:"):
+        # FITS:"filename":hdu subdataset syntax (fitsdataset.cpp:2480)
+        from .fits import read_fits_image
+
+        m = re.match(r'^FITS:"?([^"]+)"?:(\d+)$', path)
+        if not m:
+            raise ValueError(f"bad FITS subdataset name: {path}")
+        return read_fits_image(vsi_open_bytes(m.group(1)),
+                               int(m.group(2)))
     if path.startswith("HDF5:"):
         from .hdf5 import open_hdf5_raster
 
@@ -238,6 +247,10 @@ def open_raster(path: str) -> dict:
         return {"pixels": np.asarray(px), "gt": gt,
                 "epsg": epsg_from_wkt(prj) if prj else None,
                 "driver": "XYZ"}
+    if data[:6] == b"SIMPLE":
+        from .fits import read_fits_image
+
+        return read_fits_image(data)
     if data[:4] == b"HGPC":
         if data[4:5] == b"1":
             from .northwood import read_grd
