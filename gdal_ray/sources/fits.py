@@ -238,6 +238,84 @@ def read_fits_image(data: bytes, hdu_index: int | None = None) -> dict:
     return out
 
 
+def read_fits(data: bytes, hdu: int | None = None):
+    """Array-level open: (pixels, gt, info) for the image HDU ``hdu``
+    (0-based; default = first image HDU). Raises when no image HDU
+    exists (fitsdataset.cpp:2424-2505 HDU scan semantics)."""
+    hdus = parse_fits(data)
+    valid = [i for i, h in enumerate(hdus)
+             if h["kind"] in ("primary", "image") and h["naxis"] in (2, 3)]
+    if hdu is None:
+        if not valid:
+            raise ValueError("FITS: no image HDU with 2 or 3 axes")
+        idx = valid[0]
+    else:
+        if hdu not in valid:
+            raise ValueError(f"FITS: no image HDU at index {hdu}")
+        idx = hdu
+    r = read_fits_image(data, idx + 1)
+    return r["pixels"], r["gt"], r
+
+
+_WRITE_BITPIX = {
+    np.dtype(np.uint8): (8, ">u1", 0),
+    np.dtype(np.int8): (8, ">u1", -128.0),
+    np.dtype(np.int16): (16, ">i2", 0),
+    np.dtype(np.uint16): (16, ">i2", 32768.0),
+    np.dtype(np.int32): (32, ">i4", 0),
+    np.dtype(np.uint32): (32, ">i4", 2147483648.0),
+    np.dtype(np.int64): (64, ">i8", 0),
+    np.dtype(np.float32): (-32, ">f4", 0),
+    np.dtype(np.float64): (-64, ">f8", 0),
+}
+
+
+def _card(key: str, val) -> bytes:
+    if isinstance(val, bool):
+        s = "T" if val else "F"
+    elif isinstance(val, str):
+        return f"{key:<8}= '{val}'".ljust(80).encode("ascii")
+    else:
+        s = repr(val)
+    return f"{key:<8}= {s:>20}".ljust(80).encode("ascii")
+
+
+def write_fits(px: np.ndarray) -> bytes:
+    """Encode (h,w) or (h,w,bands) as a single-HDU FITS file using the
+    reference's conventions: bottom-up rows (fitsdataset.cpp:1744),
+    cfitsio unsigned BZERO offsets (:342-381), big-endian data."""
+    px = np.asarray(px)
+    dt = px.dtype.newbyteorder("=")
+    if dt not in _WRITE_BITPIX:
+        raise ValueError(f"FITS write: unsupported dtype {px.dtype}")
+    bitpix, store, bzero = _WRITE_BITPIX[dt]
+    if px.ndim == 2:
+        ht, w = px.shape
+        naxes = [w, ht]
+        arr = px[::-1]
+    elif px.ndim == 3:
+        ht, w, nb = px.shape
+        naxes = [w, ht, nb]
+        arr = px[::-1].transpose(2, 0, 1)
+    else:
+        raise ValueError("FITS write: expected 2-D or 3-D array")
+    cards = [_card("SIMPLE", True), _card("BITPIX", bitpix),
+             _card("NAXIS", len(naxes))]
+    cards += [_card(f"NAXIS{i + 1}", n) for i, n in enumerate(naxes)]
+    if bzero:
+        cards += [_card("BZERO", bzero), _card("BSCALE", 1.0)]
+    cards.append(b"END".ljust(80))
+    hdr = b"".join(cards)
+    hdr += b" " * (-len(hdr) % BLOCK)
+    if bzero:
+        raw = (arr.astype(np.float64) - bzero).astype(store)
+    else:
+        raw = arr.astype(store)
+    body = raw.tobytes()
+    body += b"\0" * (-len(body) % BLOCK)
+    return hdr + body
+
+
 _PROJ = {
     "SFL": "Sinusoidal",
     "MER": "Mercator",

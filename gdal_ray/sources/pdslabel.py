@@ -162,7 +162,7 @@ def _resolve_pointer(ptr: str, label_path: str, record_bytes: int):
     return path, off
 
 
-def _pds_geotransform(lbl: dict) -> tuple | None:
+def _pds_geotransform(lbl: dict, isis2: bool = False) -> tuple | None:
     proj = None
     for k in lbl:
         if k.endswith("image_map_projection.map_projection_type"):
@@ -188,6 +188,10 @@ def _pds_geotransform(lbl: dict) -> tuple | None:
     rot = _num(lbl.get(proj + "map_projection_rotation"), 0.0)
     if rot != 0.0:
         raise NotImplementedError("rotated PDS map projection")
+    if isis2:
+        # ISIS2 places the origin at +offset*scale (isis2dataset.cpp
+        # xulcenter math; pinned by autotest isis2.py expected_gt)
+        return (so * scale, scale, 0.0, -lo * scale, 0.0, -scale)
     return (-so * scale, scale, 0.0, lo * scale, 0.0, -scale)
 
 
@@ -352,5 +356,5 @@ def read_isis2(path: str):
                               np.float32)[0])
         else:
             info["nodata"] = raw
-    gt = _pds_geotransform(lbl)
+    gt = _pds_geotransform(lbl, isis2=True)
     return px, gt, info

@@ -210,3 +210,7 @@ def test_isis2_golden():
     assert r["driver"] == "ISIS2"
     assert checksum_image(_b1(r["pixels"])) == 382
     assert r["pixels"].dtype == np.dtype(">f4")
+    # gt pinned by the reference's autotest/gdrivers/isis2.py expected_gt
+    exp = (10157400.403618813, 1200.0000476837158, 0.0,
+           -585000.02324581146, 0.0, -1200.0000476837158)
+    assert r["gt"] == pytest.approx(exp, rel=1e-12)
