@@ -109,7 +109,21 @@ def open_raster(path: str) -> dict:
         from .hdf5 import open_hdf5_raster
 
         return open_hdf5_raster(path)
+    if path.startswith("STACIT:"):
+        from .stac import read_stacit
+
+        return read_stacit(path)
     data = vsi_open_bytes(path)
+    if data[:1] in (b"{", b" ", b"\n") and b'"stac_version"' in data[:4096]:
+        head = data[:4096]
+        if b"tiles:tile_matrix" in data or b"asset_templates" in data:
+            from .stac import read_stacta
+
+            return read_stacta(path)
+        if b'"FeatureCollection"' in head:
+            from .stac import read_stacit
+
+            return read_stacit(path)
     if _hdf5_signature(data):
         from .hdf5 import open_hdf5_raster
 
@@ -569,6 +583,8 @@ def open_raster(path: str) -> dict:
             f"{path}: SQLite file without a tile pyramid — open vector "
             "layers via sources.gpkg / sources.spatialite instead")
     if data[:2] in (b"II", b"MM"):
+        from .tiff import tiff_nodata
+
         px, gt = decode_tiff(data)
         epsg = tiff_epsg(data)
         driver = "GTiff"
@@ -576,6 +592,14 @@ def open_raster(path: str) -> dict:
             wf = _worldfile(path)
             if wf:
                 gt = worldfile_to_gt(wf)
+        nodata = tiff_nodata(data)
+        if nodata is not None:
+            if epsg is None:
+                prj = _sidecar(path, ".prj")
+                if prj:
+                    epsg = epsg_from_wkt(prj)
+            return {"pixels": np.asarray(px), "gt": gt, "epsg": epsg,
+                    "driver": driver, "nodata": nodata}
     elif data[:8] == b"\x89PNG\r\n\x1a\n" or data[:2] == b"\xff\xd8":
         px = decode_image(data)
         driver = "PNG" if data[:8] == b"\x89PNG\r\n\x1a\n" else "JPEG"
