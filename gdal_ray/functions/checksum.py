@@ -47,13 +47,22 @@ def checksum_image(band: np.ndarray) -> int:
     For complex input, pass the interleaved real/imag stream yourself.
     """
     flat = np.ascontiguousarray(band).reshape(-1)
-    if flat.size == 0:
+    n = flat.size
+    if n == 0:
         return 0
-    ints = _to_int32_like(flat)
-    primes = _PRIMES[np.arange(flat.size, dtype=np.int64) % 11]
-    # C truncated modulo: np.fmod keeps the dividend's sign, like C %.
-    contrib = np.fmod(ints, primes)
-    total = int(contrib.sum())
+    # chunked so every pass stays cache-resident; the prime stream has
+    # period 11, so a tiled template + phase offset replaces the
+    # arange-%-fancy-index construction (identical values)
+    CHUNK = 1 << 20
+    tiled = np.tile(_PRIMES, CHUNK // 11 + 2)
+    total = 0
+    for start in range(0, n, CHUNK):
+        vals = flat[start:start + CHUNK]
+        ints = _to_int32_like(vals)
+        phase = start % 11
+        primes = tiled[phase:phase + vals.size]
+        # C truncated modulo: np.fmod keeps the dividend's sign, like C %
+        total += int(np.fmod(ints, primes).sum())
     return total & 0xFFFF
 
 

@@ -113,7 +113,30 @@ def open_raster(path: str) -> dict:
         from .stac import read_stacit
 
         return read_stacit(path)
+    if path.startswith("RADARSAT_2_CALIB:"):
+        from .radarsat import read_rs2
+
+        return read_rs2(path)
+    if path.startswith("RCM_CALIB:"):
+        from .radarsat import read_rcm
+
+        return read_rcm(path)
+    if os.path.isdir(path) and (
+            os.path.exists(os.path.join(path, "product.xml")) or
+            os.path.exists(os.path.join(path, "metadata", "product.xml"))):
+        from .radarsat import read_rcm
+
+        return read_rcm(path)
     data = vsi_open_bytes(path)
+    if path.endswith("product.xml") and data[:6] == b"<?xml ":
+        if b"rcmGsProductSchema" in data[:2048]:
+            from .radarsat import read_rcm
+
+            return read_rcm(path)
+        if b"fullResolutionImageData" in data:
+            from .radarsat import read_rs2
+
+            return read_rs2(path)
     if data[:1] in (b"{", b" ", b"\n") and b'"stac_version"' in data[:4096]:
         head = data[:4096]
         if b"tiles:tile_matrix" in data or b"asset_templates" in data:

@@ -268,6 +268,8 @@ def decode_tiff(data: bytes):
         ntx = (w + tw - 1) // tw
         px = np.zeros((h, w, spp), dtype=dtype)
         for ti, (off, cnt) in enumerate(zip(toffs, tcnts)):
+            if off == 0 or cnt == 0:    # sparse tile -> zeros
+                continue
             ty, tx = divmod(ti, ntx)
             buf = decomp(data[off:off + cnt], th, tw)
             tile = np.frombuffer(buf, dtype=dtype,
@@ -282,8 +284,10 @@ def decode_tiff(data: bytes):
         offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
         counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
         spb = (h + rows_per_strip - 1) // rows_per_strip
-        px = np.empty((h, w, spp), dtype=dtype)
+        px = np.zeros((h, w, spp), dtype=dtype)
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off == 0 or cnt == 0:    # sparse strip -> zeros
+                continue
             band, blk = divmod(si, spb)
             y0 = blk * rows_per_strip
             nrows = min(rows_per_strip, h - y0)
@@ -296,6 +300,9 @@ def decode_tiff(data: bytes):
         raw_all = bytearray()
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             nrows = min(rows_per_strip, h - si * rows_per_strip)
+            if off == 0 or cnt == 0:    # sparse strip -> zeros
+                raw_all += bytes(nrows * w * spp * dtype.itemsize)
+                continue
             raw_all += decomp(data[off:off + cnt], nrows, w)
         px = np.frombuffer(bytes(raw_all), dtype=dtype, count=h * w * spp)
         px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w)
