@@ -128,6 +128,17 @@ def open_raster(path: str) -> dict:
 
         return read_rcm(path)
     data = vsi_open_bytes(path)
+    if path.startswith("SENTINEL2_L1C:"):
+        from .sentinel2 import read_sentinel2_subdataset
+
+        return read_sentinel2_subdataset(path)
+    if path.endswith(".xml") and b"Level-1C_User_Product" in data[:2048]:
+        from .sentinel2 import sentinel2_subdatasets
+
+        subs = sentinel2_subdatasets(path)
+        raise ValueError(
+            f"{path}: SENTINEL2 L1C product — open one of the "
+            f"{len(subs)} subdatasets: {[s[0] for s in subs]}")
     if path.endswith("product.xml") and data[:6] == b"<?xml ":
         if b"rcmGsProductSchema" in data[:2048]:
             from .radarsat import read_rcm
