@@ -162,6 +162,10 @@ def open_raster(path: str) -> dict:
         from .hdf5 import open_hdf5_raster
 
         return open_hdf5_raster(path, data=data)
+    if data[:4] == b"\x0e\x03\x13\x01":
+        from .hdf4 import read_hdf4
+
+        return read_hdf4(data)
     if data[:3] == b"CDF" and data[3:4] in (b"\x01", b"\x02", b"\x05"):
         from .netcdf import raster_from_nc
 
