@@ -3406,7 +3406,147 @@ def q_fits(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_product_formats(sf_dir: str):
+    """Satellite-product + container driver conformance rows: HDF4
+    (gcore/hdf4_read.py goldens), Sentinel-2 L1C (gdrivers/sentinel2.py
+    l1c_1/l1c_2), RS2 + RCM (gdrivers/rs2.py, rcm.py incl. calibrated
+    subdatasets), STACTA tile pyramids and STACIT item mosaics
+    (gdrivers/stacta.py, stacit.py). Readers: sources/hdf4.py,
+    sentinel2.py, radarsat.py, stac.py."""
+    import os
+
+    import ray.data
+
+    G = "/root/reference/autotest/gdrivers"
+    D = f"{G}/data"
+    GC = "/root/reference/autotest/gcore/data"
+    if not os.path.exists(f"{GC}/byte_3.hdf"):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def run(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..sources.raster_open import open_raster
+
+        cases, values, exps = [], [], []
+
+        def add(c, v, e):
+            cases.append(c)
+            values.append(int(v))
+            exps.append(int(e))
+
+        for r in t.to_pylist():
+            which = r["which"]
+            if which == "hdf4":
+                from ..sources.hdf4 import hdf4_datasets, read_hdf4
+                for fname, cs in [("byte_3.hdf", 4672),
+                                  ("float64_3.hdf", 4672),
+                                  ("utmsmall_3.hdf", 50054),
+                                  ("byte_2.hdf", 4672),
+                                  ("float32_2.hdf", 4672),
+                                  ("utmsmall_2.hdf", 50054)]:
+                    rr = open_raster(f"{GC}/{fname}")
+                    px = rr["pixels"]
+                    b1 = px if px.ndim == 2 else px[:, :, 0]
+                    add(f"hdf4:{fname}", checksum_image(b1), cs)
+                gr = read_hdf4(
+                    open(f"{GC}/General_RImages.hdf", "rb").read())
+                add("hdf4:gr_b1", checksum_image(gr["pixels"][:, :, 0]),
+                    361)
+                add("hdf4:gr_b2", checksum_image(gr["pixels"][:, :, 1]),
+                    400)
+                pal = read_hdf4(
+                    open(f"{GC}/Image_with_Palette.hdf", "rb").read())
+                add("hdf4:palette_rows", pal["palette"].shape[0], 256)
+                sets = hdf4_datasets(open(f"{GC}/SDS.hdf", "rb").read())
+                add("hdf4:sds_count", len(sets), 2)
+            elif which == "sentinel2":
+                from ..sources.sentinel2 import (
+                    read_sentinel2_subdataset, sentinel2_metadata,
+                    sentinel2_subdatasets)
+                xml = (f"{D}/sentinel2/fake_l1c/"
+                       "S2A_OPER_PRD_MSIL1C.SAFE/S2A_OPER_MTD_SAFL1C"
+                       ".xml")
+                md = sentinel2_metadata(xml)
+                add("s2:quantification",
+                    int(md["QUANTIFICATION_VALUE"]), 1000)
+                add("s2:orbit",
+                    int(md["DATATAKE_1_SENSING_ORBIT_NUMBER"]), 22)
+                subs = sentinel2_subdatasets(xml)
+                add("s2:subdatasets", len(subs), 4)
+                rr = read_sentinel2_subdataset(subs[0][0])
+                add("s2:10m_w", rr["width"], 20984)
+                add("s2:10m_h", rr["height"], 20980)
+                add("s2:10m_gt0", round(rr["gt"][0]), 699960)
+                add("s2:10m_epsg", rr["epsg"], 32632)
+                add("s2:10m_bands", len(rr["bands"]), 4)
+                add("s2:10m_nbits", rr["nbits"], 12)
+                s = [x for x in rr["sources"] if x["band"] == "B8"]
+                add("s2:b8_granules", len(s), 2)
+                add("s2:b8_g2_xoff", s[1]["dst_xoff"], 10004)
+            elif which == "sar":
+                from ..sources.radarsat import read_rcm
+                rs2 = open_raster(f"{D}/rs2/product.xml")
+                add("rs2:cs", checksum_image(rs2["pixels"][:, :, 0]),
+                    4672)
+                add("rs2:bands", rs2["pixels"].shape[2], 2)
+                add("rs2:gcps", len(rs2["gcps"]), 4)
+                beta = open_raster(
+                    f"RADARSAT_2_CALIB:BETA0:{D}/rs2/product.xml")
+                add("rs2:beta0_cs",
+                    checksum_image(beta["pixels"][:, :, 0]), 4848)
+                add("rs2:beta0_f32",
+                    beta["pixels"].dtype == np.float32, 1)
+                rcm = read_rcm(
+                    f"{D}/rcm/fake_VV_VH_GRD/metadata/product.xml")
+                add("rcm:w", rcm["pixels"].shape[1], 17915)
+                add("rcm:h", rcm["pixels"].shape[0], 3297)
+                add("rcm:poles", rcm["poles"] == ["VH", "VV"], 1)
+                add("rcm:gcp_epsg", rcm["gcp_epsg"], 4326)
+                sig = open_raster(
+                    "RCM_CALIB:SIGMA0:"
+                    f"{D}/rcm/fake_VV_VH_GRD/metadata/product.xml")
+                add("rcm:sigma0_f32",
+                    sig["pixels"].dtype == np.float32, 1)
+            else:  # stac
+                from ..sources.stac import (read_stacit, read_stacta,
+                                            stacit_subdatasets)
+                ta = open_raster(f"{D}/stacta/test.json")
+                add("stacta:w", ta["pixels"].shape[1], 2048)
+                add("stacta:h", ta["pixels"].shape[0], 1024)
+                add("stacta:epsg", ta["epsg"], 4326)
+                add("stacta:gt0", round(ta["gt"][0]), -180)
+                add("stacta:overviews", len(ta["overviews"]), 2)
+                east = read_stacta(
+                    f"{D}/stacta/test_east_hemisphere.json")
+                add("stacta:east_w", east["pixels"].shape[1], 1024)
+                it = read_stacit(f"{D}/stacit/test.json", base_dir=G)
+                add("stacit:cs", checksum_image(it["pixels"]), 9239)
+                add("stacit:epsg", it["epsg"], 26711)
+                it1 = read_stacit(f"{D}/stacit/test.json", base_dir=G,
+                                  max_items=1)
+                add("stacit:max1_cs", checksum_image(it1["pixels"]),
+                    4672)
+                subs = stacit_subdatasets(
+                    f"{D}/stacit/test_multiple_assets.json", base_dir=G)
+                add("stacit:subdatasets", len(subs), 4)
+                ov = read_stacit(
+                    f"{D}/stacit/overlapping_sources.json", base_dir=G)
+                add("stacit:overlap_cs", checksum_image(ov["pixels"]),
+                    4672)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("hdf4", "sentinel2", "sar", "stac")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_product_formats": q_product_formats,
     "q_hdf5": q_hdf5,
     "q_grib2": q_grib2,
     "q_fits": q_fits,
