@@ -3545,8 +3545,107 @@ def q_product_formats(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_s100(sf_dir: str):
+    """S-100 family (S-102 bathymetry / S-104 water level / S-111
+    surface currents) conformance rows vs the reference's own autotest
+    expectations (s102.py/s104.py/s111.py). Reader: sources/s100.py on
+    the pure-Python HDF5 core."""
+    import os
+
+    import ray.data
+
+    D = "/root/reference/autotest/gdrivers/data"
+    if not os.path.exists(f"{D}/s102/test_s102_v2.1.h5"):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def run(t: pa.Table) -> pa.Table:
+        from ..sources.s100 import read_s100
+
+        cases, values, exps = [], [], []
+
+        def add(c, v, e):
+            cases.append(c)
+            values.append(int(v))
+            exps.append(int(e))
+
+        for r in t.to_pylist():
+            which = r["which"]
+            if which == "s102":
+                f = f"{D}/s102/test_s102_v2.1.h5"
+                rr = read_s100(f)
+                add("s102:w", rr["width"], 3)
+                add("s102:h", rr["height"], 2)
+                add("s102:epsg", rr["epsg"], 4326)
+                add("s102:gt0_x10", round(rr["gt"][0] * 10), 18)
+                add("s102:gt3_x100", round(rr["gt"][3] * 100), 4875)
+                add("s102:datum",
+                    rr["metadata"]["VERTICAL_DATUM_ABBREV"] == "MLLW", 1)
+                d = rr["bands"][0]
+                add("s102:depth_sum100",
+                    round(d["data"][d["data"] != d["nodata"]].sum()), 12)
+                add("s102:depth_max", d["max"], 5)
+                el = read_s100(f, depth_or_elevation="ELEVATION")
+                add("s102:elev_min", el["bands"][0]["min"], -5)
+                nu = read_s100(f, north_up=False)
+                add("s102:flip_gt3_x100", round(nu["gt"][3] * 100), 4775)
+            elif which == "s102_quality":
+                f = (f"{D}/s102/"
+                     "test_s102_v2.2_with_QualityOfSurvey_nodata_0.h5")
+                rr = read_s100(f)
+                add("s102q:subdatasets", len(rr["subdatasets"]), 2)
+                q = read_s100(f'S102:"{f}":QualityOfSurvey')
+                add("s102q:nodata", q["bands"][0]["nodata"], 0)
+                add("s102q:sum",
+                    int(q["bands"][0]["data"].sum()), 1000008)
+                rat = q["bands"][0]["rat"]
+                add("s102q:rat_rows", rat["rows"], 5)
+                add("s102q:rat_id4", rat["columns"][0]["values"][4],
+                    1000000)
+            elif which == "s104":
+                f = f"{D}/s104/test_s104_v1.1.h5"
+                rr = read_s100(f)
+                add("s104:times", int(rr["metadata"]["numberOfTimes"]),
+                    1)
+                add("s104:interval",
+                    int(rr["metadata"]["timeRecordInterval"]), 3600)
+                add("s104:subdatasets", len(rr["subdatasets"]), 1)
+                g = read_s100(f'S104:"{f}":Group_001')
+                h = g["bands"][0]
+                add("s104:height_nodata", h["nodata"], -123)
+                add("s104:height_sum",
+                    round(h["data"][h["data"] != -123].sum()), 15)
+                t2 = g["bands"][1]
+                add("s104:trend_vals",
+                    int("".join(str(x) for x in t2["data"].ravel())),
+                    321012)
+                add("s104:trend_rat_rows", t2["rat"]["rows"], 4)
+            else:  # s111
+                f = f"{D}/s111/test_s111_v1.2.h5"
+                rr = read_s100(f)
+                add("s111:max_speed",
+                    int(rr["metadata"]["maxDatasetCurrentSpeed"]), 2)
+                g = read_s100(f'S111:"{f}":Group_001')
+                s = g["bands"][0]
+                add("s111:speed_knots", s["unit"] == "knots", 1)
+                add("s111:speed_sum",
+                    round(s["data"][s["data"] != -123].sum()), 15)
+                add("s111:speed_rat_rows", s["rat"]["rows"], 9)
+                d2 = g["bands"][1]
+                add("s111:dir_degree", d2["unit"] == "degree", 1)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("s102", "s102_quality", "s104", "s111")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_product_formats": q_product_formats,
+    "q_s100": q_s100,
     "q_hdf5": q_hdf5,
     "q_grib2": q_grib2,
     "q_fits": q_fits,

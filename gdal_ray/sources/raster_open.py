@@ -109,6 +109,10 @@ def open_raster(path: str) -> dict:
         from .hdf5 import open_hdf5_raster
 
         return open_hdf5_raster(path)
+    if path.startswith(("S102:", "S104:", "S111:")):
+        from .s100 import read_s100
+
+        return read_s100(path)
     if path.startswith("STACIT:"):
         from .stac import read_stacit
 
@@ -159,6 +163,12 @@ def open_raster(path: str) -> dict:
 
             return read_stacit(path)
     if _hdf5_signature(data):
+        from .s100 import s100_product
+
+        if s100_product(path):  # S-102/S-104/S-111 take precedence
+            from .s100 import read_s100
+
+            return read_s100(path)
         from .hdf5 import open_hdf5_raster
 
         return open_hdf5_raster(path, data=data)
