@@ -242,10 +242,21 @@ def _parse_item(item: str):
     return ("scalar", None, ast, name)
 
 
-def execute(sql: str, sf_dir: str):
+def execute(sql: str, sf_dir):
     """Run a SELECT over one of the registered tables; returns
-    pyarrow.Table."""
-    from ..pipelines.common import partial_groupby_agg, read_table, topk
+    pyarrow.Table. ``sf_dir`` is either a testdata directory or a
+    {name: pyarrow.Table} dict of in-memory layers (the OGR VRT
+    driver's SrcSQL path)."""
+    from ..pipelines.common import partial_groupby_agg, topk
+
+    def read_table(src, name):
+        if isinstance(src, dict):
+            import ray.data
+
+            return ray.data.from_arrow(src[name.strip()])
+        from ..pipelines.common import read_table as _rt
+
+        return _rt(src, name)
 
     members = _split_union(sql)
     if len(members) > 1:
@@ -267,8 +278,15 @@ def execute(sql: str, sf_dir: str):
     distinct = bool(re.match(r"\s*DISTINCT\b", select_s, re.I))
     if distinct:
         select_s = re.sub(r"\s*DISTINCT\b", "", select_s, count=1, flags=re.I)
-    items = [_parse_item(s) for s in _split_select(select_s)]
     table = grp("table")
+    if select_s.strip() == "*":
+        # SELECT * — expand to every source column (swq_select.cpp
+        # wildcard expansion)
+        probe = read_table(sf_dir, table)
+        select_s = ", ".join(
+            f'"{c}"' if not c.isidentifier() else c
+            for c in probe.schema().names)
+    items = [_parse_item(s) for s in _split_select(select_s)]
     where = grp("where")
     having = grp("having")
     having_hidden = False

@@ -324,22 +324,35 @@ def geom_to_wkt(g: Geom, precision: int = 15) -> str:
 
 def wkt_to_geom(wkt: str) -> Geom:
     """ISO WKT parser for the same subset (OGRGeometryFactory::
-    createFromWkt analog; 2-D, no EMPTY)."""
+    createFromWkt analog; 2-D plus 2.5-D Z — 'POINT Z (x y z)' and the
+    legacy bare 3-token 'POINT(x y z)' both set Geom.zs)."""
     import re as _re
 
     s = wkt.strip()
-    m = _re.match(r"^([A-Za-z]+)\s*\((.*)\)$", s, _re.S)
+    m = _re.match(r"^([A-Za-z]+)\s*(?:\s(Z|M|ZM))?\s*\((.*)\)$", s,
+                  _re.S | _re.I)
     if not m:
         raise ValueError(f"bad WKT: {wkt[:40]!r}")
     kind = m.group(1).upper()
-    body = m.group(2).strip()
+    qual = (m.group(2) or "").upper()
+    body = m.group(3).strip()
+    zcol: list[np.ndarray | None] = []
 
     def parse_coords(txt: str) -> np.ndarray:
-        pts = []
+        pts, zs = [], []
         for pair in txt.split(","):
-            x, y = pair.split()[:2]
-            pts.append((float(x), float(y)))
+            toks = pair.split()
+            pts.append((float(toks[0]), float(toks[1])))
+            if len(toks) > 2 and qual != "M":
+                zs.append(float(toks[2]))
+        zcol.append(np.array(zs, np.float64)
+                    if len(zs) == len(pts) and zs else None)
         return np.array(pts, np.float64)
+
+    def _zs():
+        if not zcol or any(z is None for z in zcol):
+            return None
+        return list(zcol)
 
     def split_groups(txt: str) -> list[str]:
         out, depth, start = [], 0, None
@@ -355,21 +368,24 @@ def wkt_to_geom(wkt: str) -> Geom:
         return out
 
     if kind == "POINT":
-        return Geom(POINT, [parse_coords(body)])
+        return Geom(POINT, [parse_coords(body)], zs=_zs())
     if kind == "LINESTRING":
-        return Geom(LINESTRING, [parse_coords(body)])
+        return Geom(LINESTRING, [parse_coords(body)], zs=_zs())
     if kind == "POLYGON":
         rings = [parse_coords(g) for g in split_groups(body)]
-        return Geom(POLYGON, rings, [len(rings)])
+        return Geom(POLYGON, rings, [len(rings)], zs=_zs())
     if kind == "MULTIPOINT":
         groups = split_groups(body)
         if groups:
             pts = np.vstack([parse_coords(g) for g in groups])
         else:
             pts = parse_coords(body)
-        return Geom(MULTIPOINT, [pts])
+        z = _zs()
+        return Geom(MULTIPOINT, [pts],
+                    zs=[np.concatenate(z)] if z else None)
     if kind == "MULTILINESTRING":
-        return Geom(MULTILINESTRING, [parse_coords(g) for g in split_groups(body)])
+        rings = [parse_coords(g) for g in split_groups(body)]
+        return Geom(MULTILINESTRING, rings, zs=_zs())
     if kind == "MULTIPOLYGON":
         rings: list[np.ndarray] = []
         counts: list[int] = []

@@ -1915,7 +1915,121 @@ def q_dxf_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_ogrvrt_layer(sf_dir: str):
+    """OGR VRT driver conformance rows vs the reference's own
+    ogr_vrt.py expectations: vrt_test.vrt PointFromColumns/WKT/SrcSQL
+    layers, poly_vrt.vrt shapefile passthrough, SrcRegion clip, union
+    schema merge, warped-layer reprojection. Reader:
+    sources/ogrvrt.py over sources/vector_open.py."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    OGR = "/root/reference/autotest/ogr"
+    if not os.path.exists(f"{OGR}/data/vrt/vrt_test.vrt"):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def run(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.wkb import (geom_to_wkt, points_to_wkb,
+                                     wkb_to_geom, wkb_to_points)
+        from ..sources.ogrvrt import read_ogrvrt
+
+        cases, values, exps = [], [], []
+
+        def add(c, v, e):
+            cases.append(c)
+            values.append(int(v))
+            exps.append(int(e))
+
+        for r in t.to_pylist():
+            which = r["which"]
+            if which == "core":
+                layers = read_ogrvrt(f"{OGR}/data/vrt/vrt_test.vrt")
+                t2 = layers["test2"]
+                add("vrt:test2_fids",
+                    sum(t2["fid"].to_pylist()), 1)   # 0 + 1
+                g = wkb_to_geom(t2["geometry"][0].as_py())
+                add("vrt:test2_wkt",
+                    geom_to_wkt(g) == "POINT Z (12.5 17 1.2)", 1)
+                t3 = layers["test3"]
+                add("vrt:test3_fids",
+                    sum(t3["fid"].to_pylist()), 3)   # 1 + 2 (column)
+                t4 = layers["test4"]
+                add("vrt:test4_rows", t4.num_rows, 2)
+                add("vrt:test6_cols", len(layers["test6"].column_names),
+                    2)
+                poly = read_ogrvrt(
+                    f"{OGR}/data/vrt/poly_vrt.vrt")["poly"]
+                add("vrt:poly_rows", poly.num_rows, 10)
+                add("vrt:poly_eas",
+                    sum(poly["EAS_ID"].to_pylist()), 1686)
+            elif which == "clip":
+                d = tempfile.mkdtemp()
+                with open(f"{d}/test.csv", "w") as f:
+                    f.write('wkt_geom,v\n'
+                            '"LINESTRING (-1 0.5,1.5 0.5)",\n')
+                xml = f"""<OGRVRTDataSource><OGRVRTLayer name="test">
+                    <SrcDataSource>{d}/test.csv</SrcDataSource>
+                    <SrcLayer>test</SrcLayer>
+                    <GeometryField encoding="WKT" field="wkt_geom"/>
+                    <SrcRegion clip="true">POLYGON((0 0,0 1,1 1,1 0,0 0))</SrcRegion>
+                    </OGRVRTLayer></OGRVRTDataSource>"""
+                c = read_ogrvrt(xml)["test"]
+                add("vrt:clip_wkt",
+                    geom_to_wkt(wkb_to_geom(c["geometry"][0].as_py()))
+                    == "LINESTRING (0 0.5, 1 0.5)", 1)
+            else:  # union + warped
+                from ..sources.shapefile import write_shapefile
+
+                d = tempfile.mkdtemp()
+                pts = [(2 + i / 5.0, 49 + j / 5.0)
+                       for i in range(5) for j in range(5)]
+                x = np.array([p[0] for p in pts])
+                y = np.array([p[1] for p in pts])
+                t1 = pa.table({
+                    "geometry": pa.array(points_to_wkb(x, y),
+                                         pa.binary()),
+                    "id1": pa.array(range(25), pa.int32())})
+                write_shapefile(f"{d}/a", t1)
+                t2v = pa.table({
+                    "geometry": pa.array(points_to_wkb(x + 2, y),
+                                         pa.binary()),
+                    "id2": pa.array(range(25), pa.int32())})
+                write_shapefile(f"{d}/b", t2v)
+                xml = f"""<OGRVRTDataSource>
+                <OGRVRTUnionLayer name="u">
+                  <OGRVRTLayer name="a"><SrcDataSource>{d}/a.shp</SrcDataSource></OGRVRTLayer>
+                  <OGRVRTLayer name="b"><SrcDataSource>{d}/b.shp</SrcDataSource></OGRVRTLayer>
+                </OGRVRTUnionLayer></OGRVRTDataSource>"""
+                u = read_ogrvrt(xml)["u"]
+                add("vrt:union_rows", u.num_rows, 50)
+                ux, _ = wkb_to_points(u["geometry"].to_pylist())
+                add("vrt:union_xmax_x10", round(ux.max() * 10), 48)
+                add("vrt:union_id2_nulls", u["id2"].null_count, 25)
+                xml = f"""<OGRVRTDataSource><OGRVRTWarpedLayer>
+                  <OGRVRTLayer name="a"><SrcDataSource>{d}/a.shp</SrcDataSource><LayerSRS>WGS84</LayerSRS></OGRVRTLayer>
+                  <TargetSRS>EPSG:32631</TargetSRS>
+                </OGRVRTWarpedLayer></OGRVRTDataSource>"""
+                w = read_ogrvrt(xml)["a"]
+                wx, wy = wkb_to_points(w["geometry"].to_pylist())
+                add("vrt:warped_x", round(wx[0]), 426858)
+                add("vrt:warped_y", round(wy[0]), 5427938)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("core", "clip", "union")]
+    ).map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_ogrvrt_layer": q_ogrvrt_layer,
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
     "q_vfk_layer": q_vfk_layer,
