@@ -117,4 +117,8 @@ def open_vector(path: str) -> dict[str, pa.Table]:
         from .gmtvec import read_gmt
 
         return {stem: _table_with_fid(read_gmt(path))}
+    if lower.endswith(".vct"):
+        from .idrisi_vct import read_vct
+
+        return {stem: _table_with_fid(read_vct(path)["table"])}
     raise ValueError(f"open_vector: unrecognized vector source {path}")
