@@ -1915,6 +1915,49 @@ def q_dxf_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_sg_vct_layers(sf_dir: str):
+    """CF-1.8 Simple Geometries (sources/netcdf_sg.py; reference
+    frmts/netcdf/netcdfsg.cpp, conformed against
+    autotest/gdrivers/netcdf.py SG suite in tests/test_netcdf_sg.py)
+    + Idrisi .vct vector driver (sources/idrisi_vct.py; reference
+    ogr/ogrsf_frmts/idrisi, autotest/ogr/ogr_idrisi.py).
+    Rows (file, layer, n_rows, wkt_crc, attr_crc)."""
+    import zlib
+
+    import ray.data
+
+    NC = "/root/reference/autotest/gdrivers/data/netcdf-sg"
+    ID = "/root/reference/autotest/ogr/data/idrisi"
+    files = [f"{NC}/cf1.8_states.nc", f"{NC}/Yahara_alb.nc",
+             f"{NC}/multiple_containers.nc", f"{NC}/multipolygon3D_test.nc",
+             f"{ID}/points.vct", f"{ID}/lines.vct", f"{ID}/polygons.vct"]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.wkb import geom_to_wkt, wkb_to_geom
+        from ..sources.vector_open import open_vector
+
+        fs, lays, nr, wcrc, acrc = [], [], [], [], []
+        for rec in t.to_pylist():
+            path = rec["file"]
+            for lname, tab in sorted(open_vector(path).items()):
+                fs.append(path.rsplit("/", 1)[-1])
+                lays.append(lname)
+                nr.append(tab.num_rows)
+                wkts = [geom_to_wkt(wkb_to_geom(b))
+                        for b in tab["geometry"].to_pylist()]
+                wcrc.append(zlib.crc32("\n".join(wkts).encode()))
+                attrs = tab.drop_columns(["geometry"])
+                acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"file": pa.array(fs, pa.string()),
+                         "layer": pa.array(lays, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"file": fn} for fn in files])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_ogrvrt_layer(sf_dir: str):
     """OGR VRT driver conformance rows vs the reference's own
     ogr_vrt.py expectations: vrt_test.vrt PointFromColumns/WKT/SrcSQL
@@ -2030,6 +2073,7 @@ def q_ogrvrt_layer(sf_dir: str):
 
 QUERIES = {
     "q_ogrvrt_layer": q_ogrvrt_layer,
+    "q_sg_vct_layers": q_sg_vct_layers,
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
     "q_vfk_layer": q_vfk_layer,
