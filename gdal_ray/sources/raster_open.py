@@ -131,6 +131,18 @@ def open_raster(path: str) -> dict:
         from .radarsat import read_rcm
 
         return read_rcm(path)
+    if path.lower().endswith(".kmz") or (
+            path.lower().endswith(".kml") and os.path.exists(path) and
+            b"hideChildrenStyle" in open(path, "rb").read(4096)):
+        from .kmlsuperoverlay import read_superoverlay
+
+        rd = read_superoverlay(path)
+        north, south, east, west = rd["geo"]
+        h, w = rd["pixels"].shape[1:]
+        gt = (west, (east - west) / w, 0.0, north, 0.0, (south - north) / h)
+        return {"pixels": rd["pixels"], "gt": gt, "epsg": 4326,
+                "driver": "KMLSUPEROVERLAY",
+                "overviews": rd["overviews"]}
     data = vsi_open_bytes(path)
     if path.startswith("SENTINEL2_L1C:"):
         from .sentinel2 import read_sentinel2_subdataset
