@@ -1958,6 +1958,90 @@ def q_sg_vct_layers(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_slf_wasp_kmz(sf_dir: str):
+    """Round-3 continuation drivers: Selafin mesh (sources/selafin.py),
+    WAsP .map roughness boundaries (sources/wasp.py), KMLSuperOverlay
+    tile pyramid (sources/kmlsuperoverlay.py) — each builds its
+    deterministic fixture, writes, reads back through the engine and
+    emits (case, value) rows. Oracle is the pinned literal table."""
+    import math
+    import os
+    import zlib
+
+    import numpy as np
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.checksum import checksum_image
+        from ..sources.kmlsuperoverlay import (read_superoverlay,
+                                               write_superoverlay)
+        from ..sources.selafin import selafin_layers, write_selafin
+        from ..sources.wasp import read_wasp, write_wasp_roughness_polys
+
+        cases, values = [], []
+
+        def add(c, v):
+            cases.append(c)
+            values.append(int(v))
+
+        which = t["which"][0].as_py()
+        base = f"/tmp/gdal_ray_fixtures/r3fmt_{os.getpid()}"
+        os.makedirs(base, exist_ok=True)
+        if which == "selafin":
+            xs, ys, vals = [], [], []
+            for i in range(5):
+                for j in range(5):
+                    xs.append(float(i))
+                    ys.append(float(j))
+                    vals.append(float(i * 5 + j))
+            ikle = [[i * 5 + j + 1, i * 5 + j + 2, i * 5 + j + 7,
+                     i * 5 + j + 6] for i in range(4) for j in range(4)]
+            p = f"{base}/m.slf"
+            write_selafin(p, xs, ys, np.array(ikle), {"value": vals})
+            lay = selafin_layers(p)
+            add("slf_points", lay["m_p0"].num_rows)
+            add("slf_elements", lay["m_e0"].num_rows)
+            add("slf_elem5_mean_x100",
+                round(lay["m_e0"]["value"][5].as_py() * 100))
+        elif which == "wasp":
+            rings, zs = [], []
+            for i in range(6):
+                p0 = (0.0, 0.0)
+                p1 = (round(math.cos(i * math.pi / 3), 6),
+                      round(math.sin(i * math.pi / 3), 6))
+                p2 = (round(math.cos((i + 1) * math.pi / 3), 6),
+                      round(math.sin((i + 1) * math.pi / 3), 6))
+                rings.append(np.array([p0, p1, p2, p0]))
+                zs.append(float(i))
+            p = f"{base}/r.map"
+            write_wasp_roughness_polys(p, rings, zs)
+            tb = read_wasp(p)
+            add("wasp_boundaries", tb.num_rows)
+            pairs = sorted((min(a, b), max(a, b)) for a, b in
+                           zip(tb["z_left"].to_pylist(),
+                               tb["z_right"].to_pylist()))
+            add("wasp_pairs_crc", zlib.crc32(repr(pairs).encode()))
+        else:  # kmz
+            from ..sources.tiff import decode_tiff
+
+            px, gt = decode_tiff(open(
+                "/root/reference/autotest/gdrivers/data/small_world.tif",
+                "rb").read())[:2]
+            px = np.moveaxis(px, 2, 0)
+            p = f"{base}/x.kmz"
+            write_superoverlay(px, gt, 4326, p, fmt="PNG")
+            rd = read_superoverlay(p)
+            add("kmz_cs_band1", checksum_image(rd["pixels"][0]))
+            add("kmz_h", rd["pixels"].shape[1])
+            add("kmz_w", rd["pixels"].shape[2])
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    ds = ray.data.from_items([{"which": w}
+                              for w in ("selafin", "wasp", "kmz")])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_ogrvrt_layer(sf_dir: str):
     """OGR VRT driver conformance rows vs the reference's own
     ogr_vrt.py expectations: vrt_test.vrt PointFromColumns/WKT/SrcSQL
@@ -2074,6 +2158,7 @@ def q_ogrvrt_layer(sf_dir: str):
 QUERIES = {
     "q_ogrvrt_layer": q_ogrvrt_layer,
     "q_sg_vct_layers": q_sg_vct_layers,
+    "q_slf_wasp_kmz": q_slf_wasp_kmz,
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
     "q_vfk_layer": q_vfk_layer,

@@ -117,6 +117,10 @@ def open_vector(path: str) -> dict[str, pa.Table]:
         from .gmtvec import read_gmt
 
         return {stem: _table_with_fid(read_gmt(path))}
+    if lower.endswith(".map"):
+        from .wasp import read_wasp
+
+        return {stem: read_wasp(path)}
     if lower.endswith(".slf"):
         from .selafin import selafin_layers
 
