@@ -117,6 +117,13 @@ def open_vector(path: str) -> dict[str, pa.Table]:
         from .gmtvec import read_gmt
 
         return {stem: _table_with_fid(read_gmt(path))}
+    if lower.endswith(".sxf"):
+        from .sxf import read_sxf
+
+        base = os.path.splitext(path)[0]
+        rsc = next((base + ext for ext in (".rsc", ".RSC")
+                    if os.path.exists(base + ext)), None)
+        return read_sxf(path, rsc_path=rsc)
     if lower.endswith(".map"):
         from .wasp import read_wasp
 
