@@ -1958,6 +1958,43 @@ def q_sg_vct_layers(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_sxf_layer(sf_dir: str):
+    """Panorama SXF driver (sources/sxf.py; reference
+    ogr/ogrsf_frmts/sxf, autotest/ogr/ogr_sxf.py + the shipped
+    default.rsc classifier). Rows (layer, n_rows, wkt_crc, attr_crc)
+    over the reference's own 100_test.sxf."""
+    import zlib
+
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.wkb import geom_to_wkt, wkb_to_geom
+        from ..sources.sxf import read_sxf
+
+        mode = t["mode"][0].as_py()
+        r = read_sxf(
+            "/root/reference/autotest/ogr/data/sxf/100_test.sxf",
+            rsc_path=("/root/reference/ogr/ogrsf_frmts/sxf/data/default.rsc"
+                      if mode != "norsc" else None),
+            layer_fullname=(mode == "full"))
+        lays, nr, wcrc, acrc = [], [], [], []
+        for name, tab in r.items():
+            lays.append(f"{mode}:{name}")
+            nr.append(tab.num_rows)
+            wkts = [geom_to_wkt(wkb_to_geom(b), precision=10)
+                    for b in tab["geometry"].to_pylist()]
+            wcrc.append(zlib.crc32("\n".join(wkts).encode()))
+            attrs = tab.drop_columns(["geometry"])
+            acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"layer": pa.array(lays, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"mode": m} for m in ("norsc", "short", "full")])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_slf_wasp_kmz(sf_dir: str):
     """Round-3 continuation drivers: Selafin mesh (sources/selafin.py),
     WAsP .map roughness boundaries (sources/wasp.py), KMLSuperOverlay
@@ -2159,6 +2196,7 @@ QUERIES = {
     "q_ogrvrt_layer": q_ogrvrt_layer,
     "q_sg_vct_layers": q_sg_vct_layers,
     "q_slf_wasp_kmz": q_slf_wasp_kmz,
+    "q_sxf_layer": q_sxf_layer,
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
     "q_vfk_layer": q_vfk_layer,
