@@ -1106,6 +1106,55 @@ def q_mif_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_mitab_tab(sf_dir: str):
+    """MapInfo TAB binary driver (sources/mitab.py; reference
+    ogr/ogrsf_frmts/mitab .dat/.id/.map layout): one task per
+    reference fixture, emitting (layer, n_rows, n_cols, wkt_crc,
+    attr_crc) — wkt_crc pins the geometry text bit-exactly
+    (all_geoms rows equal all_geoms.mif.golden.csv; see
+    tests/test_mitab.py), attr_crc pins the typed .dat decode."""
+    import os
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/mitab"
+    names = ["all_geoms", "all_possible_fields", "first_table",
+             "poly_indexed", "polygon_without_index", "aspatial",
+             "aspatial-table"]
+    if not os.path.exists(f"{fixdir}/all_geoms.tab"):
+        return pa.table({"layer": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "n_cols": pa.array([], pa.int64()),
+                         "wkt_crc": pa.array([], pa.int64()),
+                         "attr_crc": pa.array([], pa.int64())})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.mitab import read_tab
+
+        layers, nr, nc, wcrc, acrc = [], [], [], [], []
+        for rec in t.to_pylist():
+            name = rec["name"]
+            tab = read_tab(f"{fixdir}/{name}.tab")
+            layers.append(name)
+            nr.append(tab.num_rows)
+            nc.append(tab.num_columns)
+            wkts = (tab["wkt"].to_pylist()
+                    if "wkt" in tab.column_names else [])
+            wcrc.append(zlib.crc32("\n".join(wkts).encode()))
+            attrs = tab.drop_columns(
+                ["wkt"] if "wkt" in tab.column_names else [])
+            acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"layer": pa.array(layers, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "n_cols": pa.array(nc, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"name": n} for n in names])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
+
+
 def q_feed_vector(sf_dir: str):
     """GeoRSS (simple + GML encodings) and VDV IDF drivers
     (sources/georss.py, idf.py; reference ogr/ogrsf_frmts/georss +
@@ -2197,6 +2246,7 @@ QUERIES = {
     "q_sg_vct_layers": q_sg_vct_layers,
     "q_slf_wasp_kmz": q_slf_wasp_kmz,
     "q_sxf_layer": q_sxf_layer,
+    "q_mitab_tab": q_mitab_tab,
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,
     "q_vfk_layer": q_vfk_layer,

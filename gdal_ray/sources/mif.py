@@ -177,7 +177,9 @@ def _parse_geometry(lx: _Lines) -> str | None:
             a0, a1 = map(float, lx.next().split()[:2])
         cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
         rx, ry = abs(x2 - x1) / 2, abs(y2 - y1) / 2
-        wkt = f"LINESTRING ({_pts_wkt(_arc_points(cx, cy, rx, ry, a0, a1))})"
+        pts = _arc_points(cx, cy, rx, ry, a0, a1)
+        pts.append(pts[-1])  # TABGenerateArc re-adds the end point
+        wkt = f"LINESTRING ({_pts_wkt(pts)})"
     elif kw == "TEXT":
         # anchor: the text box's (center-x, min-y) like the golden row
         if len(toks) > 1 and toks[1].startswith('"'):

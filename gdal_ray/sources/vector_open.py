@@ -113,6 +113,10 @@ def open_vector(path: str) -> dict[str, pa.Table]:
         return {stem: _table_with_fid(
             read_mif(open(base + ".mif", encoding="latin-1").read(),
                      mid))}
+    if lower.endswith(".tab"):
+        from .mitab import read_tab
+
+        return {stem: _table_with_fid(read_tab(path))}
     if lower.endswith(".gmt"):
         from .gmtvec import read_gmt
 
