@@ -2241,7 +2241,80 @@ def q_ogrvrt_layer(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_mapml_pgdump(sf_dir: str):
+    """MapML driver (sources/mapml.py; reference ogr/ogrsf_frmts/mapml,
+    autotest data/mapml/poly.mapml) and PGDump SQL writer
+    (sources/pgdump.py; reference ogr/ogrsf_frmts/pgdump, statement
+    stream pinned against ogr_pgdump.py tests 1-2 in
+    tests/test_pgdump.py). Rows (case, value): fixture goldens,
+    write->read roundtrip CRCs, and CRCs of the generated SQL."""
+    import os
+    import tempfile
+    import zlib
+
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.mapml import read_mapml, wkb_to_wkt_mapml, write_mapml
+        from ..sources.pgdump import write_pgdump
+        from ..sources.shapefile import read_shapefile
+
+        cases, values = [], []
+
+        def add(c, v):
+            cases.append(c)
+            values.append(int(v))
+
+        which = t["which"][0].as_py()
+        if which == "mapml":
+            lay = read_mapml(
+                "/root/reference/autotest/ogr/data/mapml/poly.mapml")
+            tab = lay["poly"]
+            add("mapml:poly_rows", tab.num_rows)
+            add("mapml:poly_eas_sum", sum(tab["EAS_ID"].to_pylist()))
+            add("mapml:poly_area_sum",
+                round(sum(tab["AREA"].to_pylist())))
+            wkts = [wkb_to_wkt_mapml(b)
+                    for b in tab["geometry"].to_pylist()]
+            add("mapml:poly_wkt_crc", zlib.crc32("\n".join(wkts).encode()))
+            with tempfile.TemporaryDirectory() as d:
+                out = os.path.join(d, "rt.mapml")
+                write_mapml(out, {"poly": tab})
+                rt = read_mapml(out)["poly"]
+                wkts2 = [wkb_to_wkt_mapml(b)
+                         for b in rt["geometry"].to_pylist()]
+                add("mapml:roundtrip_wkt_same",
+                    int(wkts2 == wkts))
+                add("mapml:roundtrip_attr_crc", zlib.crc32(repr(
+                    rt.drop_columns(["geometry"]).to_pylist()).encode()))
+        else:
+            shp = read_shapefile("/root/reference/autotest/ogr/data/poly.shp")
+            cols = {c.lower(): shp[c] for c in shp.column_names}
+            tab = pa.table({
+                "AREA": cols["area"].cast(pa.float64()),
+                "EAS_ID": cols["eas_id"].cast(pa.int32()),
+                "PRFEDEA": cols["prfedea"].cast(pa.string()),
+                "geometry": cols["geometry"]})
+            with tempfile.TemporaryDirectory() as d:
+                ins = os.path.join(d, "i.sql")
+                write_pgdump(ins, tab, "tpoly", dim=3,
+                             postgis_version="1.5")
+                add("pgdump:insert_crc",
+                    zlib.crc32(open(ins, "rb").read()))
+                cp = os.path.join(d, "c.sql")
+                write_pgdump(cp, tab, "tpoly", srid=4326,
+                             geom_type="POLYGON", use_copy=True)
+                add("pgdump:copy_crc", zlib.crc32(open(cp, "rb").read()))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("mapml", "pgdump")]
+    ).map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_mapml_pgdump": q_mapml_pgdump,
     "q_ogrvrt_layer": q_ogrvrt_layer,
     "q_sg_vct_layers": q_sg_vct_layers,
     "q_slf_wasp_kmz": q_slf_wasp_kmz,
