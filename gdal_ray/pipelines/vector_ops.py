@@ -2313,7 +2313,50 @@ def q_mapml_pgdump(sf_dir: str):
     ).map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_cad_layer(sf_dir: str):
+    """AutoCAD DWG R2000 driver (sources/cad.py; reference
+    ogr/ogrsf_frmts/cad + libopencad dwg/r2000.cpp bit-stream parse,
+    conformed against autotest/ogr/ogr_cad.py in tests/test_cad.py).
+    One task per reference fixture, rows (layer, n_rows, wkt_crc,
+    attr_crc)."""
+    import os
+    import zlib
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/ogr/data/cad"
+    names = ["ellipse_r2000", "triple_circles_r2000", "point2d_r2000",
+             "line_r2000", "text_mtext_attdef_r2000"]
+    if not os.path.exists(f"{fixdir}/ellipse_r2000.dwg"):
+        return pa.table({"layer": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "wkt_crc": pa.array([], pa.int64()),
+                         "attr_crc": pa.array([], pa.int64())})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.cad import read_cad
+
+        lays, nr, wcrc, acrc = [], [], [], []
+        for rec in t.to_pylist():
+            name = rec["name"]
+            for lname, tab in read_cad(f"{fixdir}/{name}.dwg").items():
+                lays.append(f"{name}:{lname}")
+                nr.append(tab.num_rows)
+                wcrc.append(zlib.crc32(
+                    "\n".join(tab["wkt"].to_pylist()).encode()))
+                attrs = tab.drop_columns(["wkt"])
+                acrc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+        return pa.table({"layer": pa.array(lays, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "wkt_crc": pa.array(wcrc, pa.int64()),
+                         "attr_crc": pa.array(acrc, pa.int64())})
+
+    ds = ray.data.from_items([{"name": n} for n in names])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
+
+
 QUERIES = {
+    "q_cad_layer": q_cad_layer,
     "q_mapml_pgdump": q_mapml_pgdump,
     "q_ogrvrt_layer": q_ogrvrt_layer,
     "q_sg_vct_layers": q_sg_vct_layers,

@@ -140,6 +140,10 @@ def open_vector(path: str) -> dict[str, pa.Table]:
         from .netcdf_sg import read_nc_sg
 
         return {k: v["table"] for k, v in read_nc_sg(path).items()}
+    if lower.endswith(".dwg"):
+        from .cad import read_cad
+
+        return read_cad(path)
     if lower.endswith(".mapml"):
         from .mapml import read_mapml
 
