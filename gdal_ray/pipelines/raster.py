@@ -3643,7 +3643,58 @@ def q_s100(sf_dir: str):
     ).map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def q_snap_tiff(sf_dir: str):
+    """SNAP GeoTIFF driver (sources/snap_tiff.py; reference
+    frmts/snap_tiff/snaptiffdriver.cpp, conformed against
+    autotest/gdrivers/snap_tiff.py in tests/test_snap_tiff.py).
+    Rows (case, value): dimensions, corner-GCP micro-degrees,
+    geolocation-grid shape and lon/lat extrema, DIMAP band metadata."""
+    import os
+
+    import ray.data
+
+    fix = ("/root/reference/autotest/gdrivers/data/snap_tiff/"
+           "S1A_IW_GRDH_1SDV_20171009T141532_20171009T141557_018737_"
+           "01F9E2_E974_tnr_empty_truncated.tif.zip.zip")
+    if not os.path.exists(fix):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "value": pa.array([], pa.int64())})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.snap_tiff import read_snap_tiff, snap_geoloc_arrays
+
+        cases, values = [], []
+
+        def add(c, v):
+            cases.append(c)
+            values.append(int(round(v)))
+
+        info = read_snap_tiff(fix)
+        add("width", info["width"])
+        add("height", info["height"])
+        add("epsg", info["epsg"])
+        add("geoloc_w", info["geoloc_width"])
+        add("geoloc_h", info["geoloc_height"])
+        add("pixel_step_u", info["pixel_step"] * 1e6)
+        add("line_step_u", info["line_step"] * 1e6)
+        for g in info["gcps"]:
+            add(f"gcp_{g['id']}_xu", g["x"] * 1e6)
+            add(f"gcp_{g['id']}_yu", g["y"] * 1e6)
+        add("nodata", info["nodata"])
+        add("band_intensity_vv", info["band_name"] == "Intensity_VV")
+        add("unit_intensity", info["unit"] == "intensity")
+        lon, lat = snap_geoloc_arrays(fix)
+        add("lon_min_u", lon[lon != 0].min() * 1e6)
+        add("lat_max_u", lat[lat != 0].max() * 1e6)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items([{"i": 0}]).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_snap_tiff": q_snap_tiff,
     "q_product_formats": q_product_formats,
     "q_s100": q_s100,
     "q_hdf5": q_hdf5,

@@ -143,6 +143,20 @@ def open_raster(path: str) -> dict:
         return {"pixels": rd["pixels"], "gt": gt, "epsg": 4326,
                 "driver": "KMLSUPEROVERLAY",
                 "overviews": rd["overviews"]}
+    if path.startswith("SNAP_TIFF:"):
+        # SNAP_TIFF:"file":{MAIN|GEOLOCATION} (snaptiffdriver.cpp:17)
+        from .snap_tiff import read_snap_tiff, snap_geoloc_arrays
+
+        m = re.match(r'^SNAP_TIFF:"?([^"]+)"?:(\w+)$', path)
+        if not m:
+            raise ValueError(f"bad SNAP_TIFF subdataset name: {path}")
+        if m.group(2) == "GEOLOCATION":
+            lon, lat = snap_geoloc_arrays(m.group(1))
+            return {"pixels": np.stack([lon, lat]), "gt": None,
+                    "epsg": None, "driver": "SNAP_TIFF"}
+        info = read_snap_tiff(m.group(1))
+        info["driver"] = "SNAP_TIFF"
+        return info
     data = vsi_open_bytes(path)
     if path.startswith("SENTINEL2_L1C:"):
         from .sentinel2 import read_sentinel2_subdataset
