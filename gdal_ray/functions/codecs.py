@@ -103,6 +103,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         return encode_jpeg(pixels, quant_tables=(_JPEG_QLUM, _JPEG_QCHROM),
                            restart_interval="auto")
+    if fmt == "webp":
+        from .webp import encode_webp_lossless
+
+        return encode_webp_lossless(pixels)
     if fmt == "raw":
         return _encode_raw(pixels)
     if fmt == "raw0":
@@ -119,6 +123,10 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_jpeg(data)
     if data[:4] == _JQ_MAGIC:
         return _decode_jq(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(data)
     if data[:4] == _RAW_MAGIC:
         return _decode_raw(data)
     if data[:4] == _RAW0_MAGIC:

@@ -3693,7 +3693,73 @@ def q_snap_tiff(sf_dir: str):
         f, batch_format="pyarrow", batch_size=1)
 
 
+def q_webp_codec(sf_dir: str):
+    """WebP lossless (VP8L) codec (functions/webp.py; reference
+    frmts/webp/webpdataset.cpp + the GTiff COMPRESS=WEBP path).
+    Rows (case, value): the tiff_write.py:8401 WEBP_LOSSLESS
+    CreateCopy+reopen checksums for rgbsmall.tif ([21212, 21053,
+    21349]), plus transform-path roundtrip flags (14 predictor modes,
+    cross-color, color-indexing at every bundle width) on a
+    deterministic synthetic. One Ray task per case group."""
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.checksum import checksum_image
+        from ..functions.webp import (decode_vp8l, decode_webp,
+                                      encode_vp8l, encode_webp_lossless)
+        from ..sources.tiff import decode_tiff, encode_tiff
+
+        cases, values = [], []
+        for grp in t["grp"].to_pylist():
+            if grp == "tiff":
+                fix = ("/root/reference/autotest/gcore/data/"
+                       "rgbsmall.tif")
+                px, gt = decode_tiff(open(fix, "rb").read())
+                px2, _ = decode_tiff(encode_tiff(px, gt=gt,
+                                                 compression="webp"))
+                for b in range(3):
+                    cases.append(f"rgbsmall_webp_b{b + 1}")
+                    values.append(checksum_image(px2[:, :, b]))
+            elif grp == "transforms":
+                rng = np.random.default_rng(7)
+                img = rng.integers(0, 256, (40, 30, 3), np.uint8)
+                ok = sum(
+                    (decode_vp8l(encode_vp8l(img, predictor_mode=m))
+                     [:, :, :3] == img).all() for m in range(14))
+                cases.append("predictor_modes_ok")
+                values.append(int(ok))
+                ok = (decode_vp8l(encode_vp8l(
+                    img, color_mult=(10, -7, 33)))[:, :, :3]
+                    == img).all()
+                cases.append("color_transform_ok")
+                values.append(int(ok))
+                npal = 0
+                for ncol in (2, 4, 13, 90, 256):
+                    pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+                    im = pal[rng.integers(0, ncol, (21, 37))]
+                    npal += (decode_vp8l(encode_vp8l(
+                        im, palette=True))[:, :, :3] == im).all()
+                cases.append("palette_widths_ok")
+                values.append(int(npal))
+            else:                        # container roundtrip checksum
+                rng = np.random.default_rng(11)
+                img = rng.integers(0, 256, (64, 48, 4), np.uint8)
+                out = decode_webp(encode_webp_lossless(img))
+                cases.append("container_rgba_cs")
+                values.append(checksum_image(
+                    out.astype(np.int64).sum(axis=2)))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    items = [{"grp": g} for g in ("tiff", "transforms", "container")]
+    return ray.data.from_items(items).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_webp_codec": q_webp_codec,
     "q_snap_tiff": q_snap_tiff,
     "q_product_formats": q_product_formats,
     "q_s100": q_s100,

@@ -47,9 +47,10 @@ _WEBP_MAGIC = b"RIFF"
 
 def _decode_tile(blob: bytes) -> np.ndarray:
     if blob[:4] == _WEBP_MAGIC and blob[8:12] == b"WEBP":
-        raise NotImplementedError(
-            "WEBP tile blobs: no VP8 codec in this environment "
-            "(reference frmts/webp); PNG/JPEG tiles are decoded natively")
+        # lossless VP8L decodes natively; lossy VP8 raises inside
+        from ..functions.webp import decode_webp
+
+        return decode_webp(blob)
     return decode_image(blob)
 
 

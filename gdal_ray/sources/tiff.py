@@ -196,7 +196,7 @@ def decode_tiff(data: bytes):
     spp = int(tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0])
     fmt = int(tags.get(_TAG_SAMPLE_FORMAT, [1])[0])
     rows_per_strip = int(tags.get(_TAG_ROWS_PER_STRIP, [h])[0])
-    if comp not in (1, 4, 5, 7, 8, 32773, 32946):
+    if comp not in (1, 4, 5, 7, 8, 32773, 32946, 50001):
         raise NotImplementedError(
             f"TIFF compression {comp} (no codec library in this container)")
     predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
@@ -236,6 +236,14 @@ def decode_tiff(data: bytes):
             bits_arr = np.unpackbits(rows.reshape(nrows, rowbytes),
                                      axis=1)[:, :ncols * nspp]
             return bits_arr.astype(np.uint8).tobytes()
+        if comp == 50001:  # WebP (libtiff: full RIFF stream per chunk)
+            from ..functions.webp import decode_webp
+
+            arr = decode_webp(bytes(chunk))
+            out = np.zeros((nrows, ncols, nspp), np.uint8)
+            sh, sw = min(nrows, arr.shape[0]), min(ncols, arr.shape[1])
+            out[:sh, :sw] = arr[:sh, :sw, :nspp]
+            return out.astype(dtype).tobytes()
         if comp == 7:  # new-style JPEG (TechNote2)
             from ..functions.jpeg import decode_jpeg_tiff
 
@@ -380,6 +388,17 @@ def encode_tiff(px: np.ndarray, gt=None, compression: str = "none",
         comp_tag = 7
         if spp == 3:
             photometric = 6
+    elif compression == "webp":
+        # Compression=50001, lossless VP8L (the reference's
+        # COMPRESS=WEBP + WEBP_LOSSLESS=true write path; each strip is
+        # a self-contained RIFF WebP stream like libtiff's tif_webp.c)
+        if dt != np.uint8 or spp not in (3, 4):
+            raise NotImplementedError(
+                "WebP-in-TIFF write needs uint8 3- or 4-band")
+        from ..functions.webp import encode_webp_lossless
+
+        data = encode_webp_lossless(px)
+        comp_tag = 50001
     elif compression != "none":
         raise NotImplementedError(f"tiff write compression {compression}")
 

@@ -63,7 +63,10 @@ def test_byte_gpkg_golden():
 
 
 def test_webp_tiles_raise_honestly():
-    with pytest.raises(NotImplementedError, match="WEBP"):
+    # world_l1_webp.mbtiles holds lossy VP8X/ALPH/VP8 payloads — still
+    # out of scope; lossless VP8L tile blobs decode natively
+    # (tests/test_webp.py::test_mbtiles_webp_blob_path).
+    with pytest.raises(NotImplementedError, match="VP8"):
         read_mbtiles(f"{MB}/world_l1_webp.mbtiles", use_bounds=False)
 
 
