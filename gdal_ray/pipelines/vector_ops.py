@@ -2044,6 +2044,49 @@ def q_sxf_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_duckdb_layer(sf_dir: str):
+    """ADBC/DuckDB vector driver (sources/adbc.py; reference
+    ogr/ogrsf_frmts/adbc, autotest/ogr/ogr_adbc.py). One task per open
+    mode over the reference's own poly.duckdb fixtures: full table,
+    SQL= open option (RESULTSET layer), spatial-index variant. Rows
+    (case, n_rows, sum_eas, wkt_crc): feature counts, EAS_ID sums and
+    the CRC of the decoded WKT stream (DuckDB-spatial GEOMETRY ->
+    WKB)."""
+    import zlib
+
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.wkb import geom_to_wkt, wkb_to_geom
+        from ..sources.adbc import read_duckdb
+
+        base = "/root/reference/autotest/ogr/data/duckdb"
+        mode = t["mode"][0].as_py()
+        if mode == "table":
+            tab = read_duckdb(f"{base}/poly.duckdb")["poly"]
+        elif mode == "sql":
+            tab = read_duckdb(
+                f"{base}/poly.duckdb",
+                sql="SELECT * FROM poly WHERE EAS_ID >= 170 "
+                    "ORDER BY EAS_ID")["RESULTSET"]
+        else:
+            tab = read_duckdb(
+                f"{base}/poly_with_spatial_index.duckdb")["poly"]
+        wkts = [geom_to_wkt(wkb_to_geom(b), precision=8)
+                for b in tab["geometry"].to_pylist()]
+        return pa.table({
+            "case": pa.array([mode], pa.string()),
+            "n_rows": pa.array([tab.num_rows], pa.int64()),
+            "sum_eas": pa.array([sum(tab["EAS_ID"].to_pylist())],
+                                pa.int64()),
+            "wkt_crc": pa.array([zlib.crc32("\n".join(wkts).encode())],
+                                pa.int64())})
+
+    ds = ray.data.from_items(
+        [{"mode": m} for m in ("table", "sql", "spatial_index")])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_slf_wasp_kmz(sf_dir: str):
     """Round-3 continuation drivers: Selafin mesh (sources/selafin.py),
     WAsP .map roughness boundaries (sources/wasp.py), KMLSuperOverlay
@@ -2362,6 +2405,7 @@ QUERIES = {
     "q_sg_vct_layers": q_sg_vct_layers,
     "q_slf_wasp_kmz": q_slf_wasp_kmz,
     "q_sxf_layer": q_sxf_layer,
+    "q_duckdb_layer": q_duckdb_layer,
     "q_mitab_tab": q_mitab_tab,
     "q_feed_vector": q_feed_vector,
     "q_json_layer": q_json_layer,

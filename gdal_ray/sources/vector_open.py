@@ -66,6 +66,10 @@ def open_vector(path: str) -> dict[str, pa.Table]:
 
         return {name: _table_with_fid(read_gpkg_layer(path, name))
                 for name in list_layers(path)}
+    if lower.endswith(".duckdb"):
+        from .adbc import read_duckdb
+
+        return read_duckdb(path)
     if lower.endswith((".sqlite", ".db")):
         from .spatialite import list_layers, read_sqlite_layer
 
