@@ -3758,7 +3758,47 @@ def q_webp_codec(sf_dir: str):
         f, batch_format="pyarrow", batch_size=1)
 
 
+def q_pdf_raster(sf_dir: str):
+    """Geospatial PDF driver (sources/pdf.py; reference frmts/pdf
+    pdfcreatecopy.cpp ISO 32000 write + pdfdataset.cpp read).
+    Rows (case, value): byte.tif CreateCopy+reopen checksums per
+    compression (the pdf.py autotest matrix), micro-degree gt origin
+    after the GPTS->projected->geographic->projected round trip, EPSG
+    and DPI-scaled MediaBox flags. One Ray task per compression."""
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.checksum import checksum_image
+        from ..sources.pdf import encode_pdf, read_pdf
+        from ..sources.tiff import decode_tiff
+
+        comp = t["comp"][0].as_py()
+        px, gt = decode_tiff(open(
+            "/root/reference/autotest/gcore/data/byte.tif", "rb").read())
+        dpi = 300 if comp == "dpi300" else 72
+        pdf = encode_pdf(px, gt=gt, epsg=26711,
+                         compression=("none" if comp == "none"
+                                      else "deflate"), dpi=dpi)
+        r = read_pdf(pdf)
+        cases = [f"{comp}_cs", f"{comp}_epsg", f"{comp}_gt_ok"]
+        values = [checksum_image(r["pixels"]), r["epsg"],
+                  int(np.abs(np.array(r["gt"]) - np.array(gt)).max()
+                      < 1e-6)]
+        if comp == "dpi300":
+            cases.append("dpi300_mediabox")
+            values.append(int(b"/MediaBox [0 0 4.8 4.8]" in pdf))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    items = [{"comp": c} for c in ("deflate", "none", "dpi300")]
+    return ray.data.from_items(items).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_pdf_raster": q_pdf_raster,
     "q_webp_codec": q_webp_codec,
     "q_snap_tiff": q_snap_tiff,
     "q_product_formats": q_product_formats,

@@ -217,6 +217,10 @@ def open_raster(path: str) -> dict:
         wf = _worldfile(path)
         return {"pixels": px, "gt": worldfile_to_gt(wf) if wf else None,
                 "epsg": None, "driver": "PNM"}
+    if data[:5] == b"%PDF-":
+        from .pdf import read_pdf
+
+        return read_pdf(data)
     if data[:4] in (b"NITF", b"NSIF"):
         from .nitf import decode_nitf
 
