@@ -3797,7 +3797,61 @@ def q_pdf_raster(sf_dir: str):
         f, batch_format="pyarrow", batch_size=1)
 
 
+def q_exr_codec(sf_dir: str):
+    """OpenEXR driver (sources/exr.py; reference frmts/exr
+    exrdataset.cpp, autotest exr.py matrix). Rows (case, value):
+    byte.tif roundtrip checksums per (compression x pixel type), the
+    dtype family, the RGB HALF auto-rescale tiled goldens
+    [12852, 12226, 10731] and the AUTO_RESCALE=NO source parity.
+    One Ray task per case group."""
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.checksum import checksum_image
+        from ..sources.exr import encode_exr, read_exr
+        from ..sources.tiff import decode_tiff
+
+        gcore = "/root/reference/autotest/gcore/data"
+        grp = t["grp"][0].as_py()
+        cases, values = [], []
+        if grp == "byte":
+            px, gt = decode_tiff(open(f"{gcore}/byte.tif", "rb").read())
+            for comp in ("zip", "zips", "rle", "none"):
+                for ptype in ("HALF", "FLOAT", "UINT"):
+                    r = read_exr(encode_exr(px, gt=gt, compression=comp,
+                                            pixel_type=ptype))
+                    cases.append(f"byte_{comp}_{ptype.lower()}")
+                    values.append(checksum_image(r["pixels"]))
+        elif grp == "dtypes":
+            for name in ("uint16", "uint32", "float32", "float64"):
+                px, _ = decode_tiff(open(f"{gcore}/{name}.tif",
+                                         "rb").read())
+                cases.append(name)
+                values.append(checksum_image(
+                    read_exr(encode_exr(px))["pixels"]))
+        else:
+            sw, gt = decode_tiff(open(
+                "/root/reference/autotest/gdrivers/data/"
+                "small_world.tif", "rb").read())
+            r = read_exr(encode_exr(sw, gt=gt, tiled=True, tile_w=64,
+                                    tile_h=32))
+            for b in range(3):
+                cases.append(f"rgb_rescaled_b{b + 1}")
+                values.append(checksum_image(r["pixels"][:, :, b]))
+            r2 = read_exr(encode_exr(sw, auto_rescale=False))
+            for b in range(3):
+                cases.append(f"rgb_raw_b{b + 1}")
+                values.append(checksum_image(r2["pixels"][:, :, b]))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    items = [{"grp": g} for g in ("byte", "dtypes", "rgb")]
+    return ray.data.from_items(items).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_exr_codec": q_exr_codec,
     "q_pdf_raster": q_pdf_raster,
     "q_webp_codec": q_webp_codec,
     "q_snap_tiff": q_snap_tiff,

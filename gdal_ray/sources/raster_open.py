@@ -221,6 +221,10 @@ def open_raster(path: str) -> dict:
         from .pdf import read_pdf
 
         return read_pdf(data)
+    if data[:4] == b"\x76\x2f\x31\x01":
+        from .exr import read_exr
+
+        return read_exr(data)
     if data[:4] in (b"NITF", b"NSIF"):
         from .nitf import decode_nitf
 
