@@ -565,9 +565,13 @@ def _parse_jpeg(data: bytes) -> dict:
     raise ValueError("no SOS marker found")
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes to (h, w) or (h, w, 3) uint8."""
-    return _decode_entropy(**_parse_jpeg(data))
+def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray:
+    """Decode baseline JFIF bytes to (h, w) or (h, w, 3) uint8.
+
+    ``scale_denom`` in {1, 2, 4, 8} reproduces libjpeg's DCT-scaled
+    decode (jdmaster.c + jidctred.c): output is ceil(dim/denom) and
+    bit-exact with cinfo.scale_num/scale_denom = 1/denom."""
+    return _decode_entropy(**_parse_jpeg(data), scale_denom=scale_denom)
 
 
 def decode_jpeg_tiff(stream: bytes, tables: bytes | None = None,
@@ -592,7 +596,8 @@ def decode_jpeg_tiff(stream: bytes, tables: bytes | None = None,
 
 
 def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
-                    h, w, restart_interval, rgb_direct=False):
+                    h, w, restart_interval, rgb_direct=False,
+                    scale_denom=1):
     hmax = max(c.hsamp for c in comps)
     vmax = max(c.vsamp for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -627,7 +632,8 @@ def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
     if restart_interval and len(seg_bounds) >= 4:
         _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
                          restart_interval, nmcu, mcux)
-        return _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct)
+        return _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct,
+                            scale_denom)
 
     # per-MCU block decode order, with everything the hot loop needs
     # prebound per entry: base = my*A + mx*B + C
@@ -712,7 +718,8 @@ def _decode_entropy(buf, pos, order, comps, qtabs, dc_luts, ac_luts,
             flat = c.coefs.reshape(-1)
             flat[np.array(scat_idx[cpos], np.int64)] = \
                 np.array(scat_val[cpos], np.int64)
-    return _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct)
+    return _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct,
+                        scale_denom)
 
 
 def _decode_lockstep(tail, seg_bounds, order, comps, dc_luts, ac_luts,
@@ -1062,6 +1069,65 @@ def _idct_islow(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
     return sp.astype(np.uint8)
 
 
+def _red4_butterfly(d0, d1, d2, d3, d4, d5, d6, d7):
+    """Pre-DESCALE 8-to-4 1-D pass of libjpeg's reduced IDCT
+    (jidctred.c jpeg_idct_4x4): each output is the average of two
+    adjacent full-IDCT outputs, folded into one linear stage with the
+    published CONST_BITS=13 multipliers. d4 is unused by design."""
+    del d4
+    tmp0 = d0 * 16384                     # << CONST_BITS+1
+    tmp2 = d2 * 15137 - d6 * 6270         # FIX_1_847759065 / 0_765366865
+    tmp10, tmp12 = tmp0 + tmp2, tmp0 - tmp2
+    o0 = (d7 * -1730 + d5 * 11893         # FIX_0_211164243 / 1_451774981
+          + d3 * -17799 + d1 * 8697)      # FIX_2_172734803 / 1_061594337
+    o2 = (d7 * -4176 + d5 * -4926         # FIX_0_509795579 / 0_601344887
+          + d3 * 7373 + d1 * 20995)       # FIX_0_899976223 / 2_562915447
+    return (tmp10 + o2, tmp12 + o0, tmp12 - o0, tmp10 - o2)
+
+
+def _red2_butterfly(d0, d1, d2, d3, d4, d5, d6, d7):
+    """Pre-DESCALE 8-to-2 pass (jidctred.c jpeg_idct_2x2); only
+    inputs 0,1,3,5,7 participate."""
+    del d2, d4, d6
+    tmp10 = d0 * 32768                    # << CONST_BITS+2
+    tmp0 = (d7 * -5906 + d5 * 6967        # FIX_0_720959822 / 0_850430095
+            + d3 * -10426 + d1 * 29692)   # FIX_1_272758580 / 3_624509785
+    return (tmp10 + tmp0, tmp10 - tmp0)
+
+
+_RED4_C = np.stack(_red4_butterfly(*np.eye(8, dtype=np.int64))) \
+    .astype(np.float64)
+_RED2_C = np.stack(_red2_butterfly(*np.eye(8, dtype=np.int64))) \
+    .astype(np.float64)
+
+
+def _idct_reduced(coefs: np.ndarray, quant: np.ndarray,
+                  ssize: int) -> np.ndarray:
+    """jpeg_idct_4x4 / 2x2 / 1x1 for (N, 64) blocks -> (N, s, s)
+    uint8, bit-exact with jidctred.c (pass-1 DESCALE
+    CONST_BITS-PASS1_BITS+k, pass-2 CONST_BITS+PASS1_BITS+3+k for
+    k = log2(8/ssize); the AC-zero shortcuts in the C code are exact
+    special cases of the general linear pass, so one matrix per pass
+    reproduces them). Same float64-exactness argument as
+    _idct_islow."""
+    d = (coefs.astype(np.float64)
+         * quant.astype(np.float64)[None, :]).reshape(-1, 8, 8)
+    n = d.shape[0]
+    if ssize == 1:
+        sp = np.floor((d[:, 0, 0] + 4.0) * 0.125)[:, None, None] + 128.0
+        np.clip(sp, 0, 255, out=sp)
+        return sp.astype(np.uint8)
+    C, b1, b2 = ((_RED4_C, 12, 19) if ssize == 4 else (_RED2_C, 13, 20))
+    a = np.ascontiguousarray(d.transpose(0, 2, 1)).reshape(-1, 8)
+    ws = np.floor((a @ C.T + float(1 << (b1 - 1))) * (1.0 / (1 << b1)))
+    ws = ws.reshape(n, 8, ssize).transpose(0, 2, 1)   # (n, row, 8)
+    sp = np.floor((ws.reshape(-1, 8) @ C.T + float(1 << (b2 - 1)))
+                  * (1.0 / (1 << b2))).reshape(n, ssize, ssize)
+    sp += 128.0
+    np.clip(sp, 0, 255, out=sp)
+    return sp.astype(np.uint8)
+
+
 def _fancy_upsample(plane: np.ndarray, hf: int, vf: int) -> np.ndarray:
     """libjpeg 'fancy' (triangle-filter) chroma upsampling, bit-exact
     with jdsample.c h2v1_fancy_upsample / h2v2_fancy_upsample; other
@@ -1110,20 +1176,40 @@ _CR_G_TAB = (-46802 * _X128 + (1 << 15)).astype(np.int64)
 _CB_G_TAB = (-22554 * _X128).astype(np.int64)
 
 
-def _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct):
-    # dequant + libjpeg-exact integer IDCT per component
+def _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct,
+                 scale_denom=1):
+    # dequant + libjpeg-exact integer IDCT per component.  For
+    # scale_denom in {2,4,8} this follows jdmaster.c: the global
+    # DCT_scaled_size is 8/scale_denom, but each lower-sampled
+    # component doubles its own scaled size while that keeps its
+    # plane no larger than the luma plane — so 4:2:0 at 1/2 decodes
+    # luma via the 4x4 reduced IDCT and chroma at full 8x8, and the
+    # planes line up with no upsampling step.
+    minsz = 8 // scale_denom
+    oh, ow = -(-h // scale_denom), -(-w // scale_denom)
     planes = []
     for c in comps:
-        sp = _idct_islow(c.coefs, qtabs[c.tq])
-        plane = sp.reshape(c.blocks_h, c.blocks_w, 8, 8) \
-            .transpose(0, 2, 1, 3).reshape(c.blocks_h * 8, c.blocks_w * 8)
-        hf, vf = hmax // c.hsamp, vmax // c.vsamp
+        ssize = minsz
+        while ssize < 8 and c.hsamp * ssize * 2 <= hmax * minsz \
+                and c.vsamp * ssize * 2 <= vmax * minsz:
+            ssize *= 2
+        if ssize == 8:
+            sp = _idct_islow(c.coefs, qtabs[c.tq])
+        else:
+            sp = _idct_reduced(c.coefs, qtabs[c.tq], ssize)
+        plane = sp.reshape(c.blocks_h, c.blocks_w, ssize, ssize) \
+            .transpose(0, 2, 1, 3) \
+            .reshape(c.blocks_h * ssize, c.blocks_w * ssize)
+        # component downsampled size at its own scaled resolution
+        ch = -(-(h * c.vsamp * ssize) // (vmax * 8))
+        cw = -(-(w * c.hsamp * ssize) // (hmax * 8))
+        hf = (hmax * minsz) // (c.hsamp * ssize)
+        vf = (vmax * minsz) // (c.vsamp * ssize)
         if hf != 1 or vf != 1:
             # crop to the downsampled image size first (jdsample
             # operates on downsampled_width), then triangle-upsample
-            ch, cw = -(-h // vf), -(-w // hf)
             plane = _fancy_upsample(plane[:ch, :cw], hf, vf)
-        planes.append(plane[:h, :w])
+        planes.append(plane[:oh, :ow])
 
     if len(planes) == 1:
         return planes[0]

@@ -3850,8 +3850,105 @@ def q_exr_codec(sf_dir: str):
         f, batch_format="pyarrow", batch_size=1)
 
 
+def q_rasterlite2(sf_dir: str):
+    """RasterLite2 driver (sources/rasterlite2.py; reference
+    ogr/ogrsf_frmts/sqlite/rasterlite2.cpp, autotest gdrivers/rl2.py).
+    Rows (case, value): the rl2.py read checksums — gray DEFLATE +
+    section-pyramid overview, JPEG RGB sections with DCT-scaled
+    overview renders, palette + pick-decimated overview, the
+    multi-type coverage matrix — plus CreateCopy-parity write
+    roundtrips. One Ray task per case group."""
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.checksum import checksum_image
+        from ..sources.rasterlite2 import read_rl2, rl2_subdatasets, \
+            write_rl2
+        from ..sources.tiff import decode_tiff
+
+        D = "/root/reference/autotest/gdrivers/data/rasterlite2/"
+        grp = t["grp"][0].as_py()
+        cases, values = [], []
+
+        def cs(px, band=0):
+            return checksum_image(px if px.ndim == 2 else px[:, :, band])
+
+        if grp == "read":
+            r = read_rl2(D + "byte.rl2")
+            cases += ["byte_cs", "byte_novr"]
+            values += [cs(r["pixels"]), len(r["overviews"])]
+            o = read_rl2(D + "byte.rl2", overview=0,
+                         show_all_pyramids=True)
+            cases.append("byte_ovr0")
+            values.append(cs(o["pixels"]))
+            r = read_rl2(D + "small_world.rl2")
+            cases += ["sw_b1", "sw_b2", "sw_novr"]
+            values += [cs(r["pixels"], 0), cs(r["pixels"], 1),
+                       len(r["overviews"])]
+            cases.append("sw_ovr1")
+            values.append(cs(read_rl2(D + "small_world.rl2",
+                                      overview=1)["pixels"], 0))
+            cases.append("sw_sections")
+            values.append(len(rl2_subdatasets(D + "small_world.rl2")))
+            cases.append("sec1_cs")
+            values.append(cs(read_rl2(D + "small_world.rl2",
+                                      section_id=1)["pixels"], 0))
+            cases.append("sec1_ovr0")
+            values.append(cs(read_rl2(D + "small_world.rl2",
+                                      section_id=1,
+                                      overview=0)["pixels"], 0))
+            r = read_rl2(D + "small_world_pct.rl2")
+            cases += ["pct_cs", "pct_pal1"]
+            values += [cs(r["pixels"]),
+                       int(r["palette"][1][0]) * 1000000
+                       + int(r["palette"][1][1]) * 1000
+                       + int(r["palette"][1][2])]
+            cases.append("pct_ovr0")
+            values.append(cs(read_rl2(D + "small_world_pct.rl2",
+                                      overview=0)["pixels"]))
+        elif grp == "multi":
+            cases.append("mt_subdatasets")
+            values.append(len(rl2_subdatasets(D + "multi_type.rl2")))
+            for cov in ("uint8", "int8", "uint16", "int16", "uint32",
+                        "int32", "float", "double", "1bit"):
+                cases.append(f"mt_{cov}")
+                values.append(cs(read_rl2(D + "multi_type.rl2",
+                                          coverage=cov)["pixels"]))
+        else:
+            gcore = "/root/reference/autotest/gcore/data"
+            for name in ("byte", "float64"):
+                px, gt = decode_tiff(open(f"{gcore}/{name}.tif",
+                                          "rb").read())
+                out = f"/tmp/rl2_q_{name}.rl2"
+                import os
+                if os.path.exists(out):
+                    os.remove(out)
+                write_rl2(out, np.asarray(px), gt, 26711)
+                cases.append(f"wr_{name}")
+                values.append(cs(read_rl2(out)["pixels"]))
+            sw, gt = decode_tiff(open(
+                "/root/reference/autotest/gdrivers/data/"
+                "small_world.tif", "rb").read())
+            out = "/tmp/rl2_q_sw.rl2"
+            import os
+            if os.path.exists(out):
+                os.remove(out)
+            write_rl2(out, np.asarray(sw), gt, 4326, compression="PNG")
+            cases.append("wr_rgb_png")
+            values.append(cs(read_rl2(out)["pixels"], 0))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    items = [{"grp": g} for g in ("read", "multi", "write")]
+    return ray.data.from_items(items).map_batches(
+        f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_exr_codec": q_exr_codec,
+    "q_rasterlite2": q_rasterlite2,
     "q_pdf_raster": q_pdf_raster,
     "q_webp_codec": q_webp_codec,
     "q_snap_tiff": q_snap_tiff,

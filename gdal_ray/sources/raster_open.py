@@ -143,6 +143,15 @@ def open_raster(path: str) -> dict:
         return {"pixels": rd["pixels"], "gt": gt, "epsg": 4326,
                 "driver": "KMLSUPEROVERLAY",
                 "overviews": rd["overviews"]}
+    if path.startswith("RASTERLITE2:"):
+        # RASTERLITE2:path:coverage[:section_id:section_name]
+        # (rasterlite2.cpp subdataset naming, rl2.py test_rl2_3/5)
+        from .rasterlite2 import read_rl2
+
+        parts = path.split(":")
+        cov = parts[2] if len(parts) > 2 else None
+        sid = int(parts[3]) if len(parts) > 4 else None
+        return read_rl2(parts[1], coverage=cov, section_id=sid)
     if path.startswith("SNAP_TIFF:"):
         # SNAP_TIFF:"file":{MAIN|GEOLOCATION} (snaptiffdriver.cpp:17)
         from .snap_tiff import read_snap_tiff, snap_geoloc_arrays
@@ -661,6 +670,17 @@ def open_raster(path: str) -> dict:
             return read_mbtiles(path)
         if gpkg_tile_tables(path):
             return read_gpkg_tiles(path)
+        import sqlite3 as _sq
+
+        con = _sq.connect(path)
+        has_rl2 = con.execute(
+            "SELECT count(*) FROM sqlite_master WHERE type='table'"
+            " AND name='raster_coverages'").fetchone()[0]
+        con.close()
+        if has_rl2:
+            from .rasterlite2 import read_rl2
+
+            return read_rl2(path)
         raise ValueError(
             f"{path}: SQLite file without a tile pyramid — open vector "
             "layers via sources.gpkg / sources.spatialite instead")
