@@ -2007,6 +2007,46 @@ def q_sg_vct_layers(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_gnm(sf_dir: str):
+    """Geographic Network Model analysis (gnm/gnmgraph.cpp,
+    gnmgenericnetwork.cpp; autotest/gnm/gnm_test.py): build the
+    pipes+wells network (GFIDs in import order, endpoint autoconnect
+    at tolerance 1e-6) and run the three GetPath algorithms —
+    Dijkstra 61->50, Yen K-shortest (num_paths=3) and connected
+    components — one ray task per algorithm; rows are the result
+    layer's (vertex|edge, gfid) sequence per path."""
+    import os
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/gnm/data"
+    schema = pa.schema([("alg", pa.string()), ("path_num", pa.int32()),
+                        ("seq", pa.int32()), ("gfid", pa.int64()),
+                        ("kind", pa.string()), ("layer", pa.string())])
+    if not os.path.exists(f"{fixdir}/pipes.shp"):
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.gnm import build_autotest_network
+
+        net = build_autotest_network(fixdir)
+        out = []
+        for rec in t.to_pylist():
+            alg = rec["alg"]
+            res = net.get_path(61, 50, alg, num_paths=3)
+            res = (res.append_column("seq", pa.array(
+                       np.arange(res.num_rows, dtype=np.int32)))
+                   .append_column("alg", pa.array(
+                       [alg] * res.num_rows, pa.string())))
+            out.append(res.select([f.name for f in schema]))
+        return pa.concat_tables(out) if out else \
+            pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    ds = ray.data.from_items(
+        [{"alg": a} for a in ("dijkstra", "kshortest", "connected")])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_sxf_layer(sf_dir: str):
     """Panorama SXF driver (sources/sxf.py; reference
     ogr/ogrsf_frmts/sxf, autotest/ogr/ogr_sxf.py + the shipped
@@ -2399,6 +2439,7 @@ def q_cad_layer(sf_dir: str):
 
 
 QUERIES = {
+    "q_gnm": q_gnm,
     "q_cad_layer": q_cad_layer,
     "q_mapml_pgdump": q_mapml_pgdump,
     "q_ogrvrt_layer": q_ogrvrt_layer,
