@@ -2047,6 +2047,68 @@ def q_gnm(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_lineref(sf_dir: str):
+    """ogrlineref linear referencing (apps/ogrlineref.cpp;
+    autotest/utilities/test_ogrlineref.py): create 1000-m parts from
+    path.shp + mstones.shp, then get_pos / get_coord / get_subline —
+    one ray task per operation, rows pinned to the reference's own
+    printed goldens (15977.724709 / -1.435097,51.950080)."""
+    import os
+
+    import ray.data
+
+    data = "/root/reference/autotest/utilities/data"
+    schema = pa.schema([("case", pa.string()), ("value_a", pa.float64()),
+                        ("value_b", pa.float64())])
+    if not os.path.exists(f"{data}/path.shp"):
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions import lineref as lr
+        from ..functions.wkb import wkb_to_geom
+        from ..sources.shapefile import read_shapefile
+
+        path_t = read_shapefile(f"{data}/path.shp")
+        ms_t = read_shapefile(f"{data}/mstones.shp")
+        g = wkb_to_geom(path_t["geometry"][0].as_py())
+        repers = []
+        for i in range(ms_t.num_rows):
+            pg = wkb_to_geom(ms_t["geometry"][i].as_py())
+            repers.append((float(ms_t["pos"][i].as_py()),
+                           float(pg.rings[0][0, 0]),
+                           float(pg.rings[0][0, 1])))
+        parts = lr.create_parts(g.rings[0], repers, 1000.0, geographic=True)
+        cases, va, vb = [], [], []
+        for rec in t.to_pylist():
+            op = rec["op"]
+            if op == "n_parts":
+                cases.append(op)
+                va.append(float(len(parts)))
+                vb.append(round(parts[-1][lr.FIELD_FINISH], 6))
+            elif op == "get_pos":
+                cases.append(op)
+                va.append(round(lr.get_position(parts, -1.4345, 51.9497), 6))
+                vb.append(0.0)
+            elif op == "get_coord":
+                x, y, _z = lr.get_coordinates(parts, 15977.724709)
+                cases.append(op)
+                va.append(round(x, 6))
+                vb.append(round(y, 6))
+            elif op == "get_subline":
+                sub = lr.create_subline(parts, 13300, 17400)
+                cases.append(op)
+                va.append(float(len(sub)))
+                vb.append(round(lr.line_length(sub), 9))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value_a": pa.array(va, pa.float64()),
+                         "value_b": pa.array(vb, pa.float64())})
+
+    ds = ray.data.from_items(
+        [{"op": o} for o in ("n_parts", "get_pos", "get_coord",
+                             "get_subline")])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_sxf_layer(sf_dir: str):
     """Panorama SXF driver (sources/sxf.py; reference
     ogr/ogrsf_frmts/sxf, autotest/ogr/ogr_sxf.py + the shipped
@@ -2440,6 +2502,7 @@ def q_cad_layer(sf_dir: str):
 
 QUERIES = {
     "q_gnm": q_gnm,
+    "q_lineref": q_lineref,
     "q_cad_layer": q_cad_layer,
     "q_mapml_pgdump": q_mapml_pgdump,
     "q_ogrvrt_layer": q_ogrvrt_layer,

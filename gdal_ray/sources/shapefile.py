@@ -228,7 +228,8 @@ def _read_dbf_rows(path: str, lo: int, hi: int) -> dict[str, list]:
             if ftype == b"L":
                 out[name].append(None if s in ("?", "") else s in "TtYy")
             elif ftype in (b"N", b"F"):
-                if not s:
+                if not s or s.strip("*") == "":
+                    # all-asterisk = dBase numeric overflow -> NULL
                     out[name].append(None)
                 elif dec or ftype == b"F" or "." in s:
                     out[name].append(float(s))
