@@ -73,7 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
               "q_pixel_info", "q_tile_counts", "q_tile_assign",
               "q_pyramid", "q_footprint"):
         tier[k] = 2
-    for k in ("q_gnm", "q_lineref",
+    for k in ("q_gnm", "q_lineref", "q_sosi_layer",
               "q_sql_left_join", "q_sql_count_distinct", "q_sql_multi_join",
               "q_sql_subquery", "q_geoloc_warp", "q_zfield_precision",
               "q_gpkg_layer", "q_geojson_layer", "q_fgb_layer",

@@ -2109,6 +2109,54 @@ def q_lineref(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_sosi_layer(sf_dir: str):
+    """SOSI vector driver (ogr/ogrsf_frmts/sosi, sources/sosi.py):
+    one ray task per appendFieldsMap variant over the reference's own
+    test_duplicate_fields.sos, emitting per-layer (variant, layer,
+    n_rows, reinbeite, wkb_crc) — reinbeite pins the duplicate-field
+    fold (YD / YD,YG / YD;YG per ogr_sosi.py tests 2-4), wkb_crc the
+    assembled geometry bytes."""
+    import os
+    import zlib
+
+    import ray.data
+
+    fix = "/root/reference/autotest/ogr/data/sosi/test_duplicate_fields.sos"
+    schema = pa.schema([("variant", pa.string()), ("layer", pa.string()),
+                        ("n_rows", pa.int64()), ("reinbeite", pa.string()),
+                        ("wkb_crc", pa.int64())])
+    if not os.path.exists(fix):
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    variants = {"default": None, "comma": "BEITEBRUKERID&OPPHAV",
+                "semicolon": "BEITEBRUKERID:;&OPPHAV:;"}
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.sosi import read_sosi
+
+        va, ly, nr, rb, crc = [], [], [], [], []
+        for rec in t.to_pylist():
+            name = rec["variant"]
+            lay = read_sosi(fix, append_fields_map=variants[name])
+            lay.pop("__epsg__", None)
+            for lname, tab in lay.items():
+                va.append(name)
+                ly.append(lname)
+                nr.append(tab.num_rows)
+                r = tab["reinbeitebrukerID"].to_pylist()
+                rb.append(",".join(x for x in r if x) or "")
+                crc.append(zlib.crc32(b"".join(
+                    tab["geometry"].to_pylist())))
+        return pa.table({"variant": pa.array(va, pa.string()),
+                         "layer": pa.array(ly, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "reinbeite": pa.array(rb, pa.string()),
+                         "wkb_crc": pa.array(crc, pa.int64())})
+
+    ds = ray.data.from_items([{"variant": v} for v in variants])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_sxf_layer(sf_dir: str):
     """Panorama SXF driver (sources/sxf.py; reference
     ogr/ogrsf_frmts/sxf, autotest/ogr/ogr_sxf.py + the shipped
@@ -2503,6 +2551,7 @@ def q_cad_layer(sf_dir: str):
 QUERIES = {
     "q_gnm": q_gnm,
     "q_lineref": q_lineref,
+    "q_sosi_layer": q_sosi_layer,
     "q_cad_layer": q_cad_layer,
     "q_mapml_pgdump": q_mapml_pgdump,
     "q_ogrvrt_layer": q_ogrvrt_layer,

@@ -132,6 +132,12 @@ def open_vector(path: str) -> dict[str, pa.Table]:
         rsc = next((base + ext for ext in (".rsc", ".RSC")
                     if os.path.exists(base + ext)), None)
         return read_sxf(path, rsc_path=rsc)
+    if lower.endswith((".sos", ".sosi")):
+        from .sosi import read_sosi
+
+        lay = read_sosi(path)
+        lay.pop("__epsg__", None)
+        return lay
     if lower.endswith(".map"):
         from .wasp import read_wasp
 
