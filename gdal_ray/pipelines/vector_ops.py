@@ -2548,7 +2548,58 @@ def q_cad_layer(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
 
 
+def q_xodr_layers(sf_dir: str):
+    """XODR/OpenDRIVE driver (ogr/ogrsf_frmts/xodr, sources/xodr.py):
+    one ray task per OGR layer over the reference's own Wolfsburg-West
+    fixture, emitting (layer, n_rows, crc) where crc covers the
+    attribute columns — the geometry engine itself is pinned bit-level
+    against the autotest WKT goldens in tests/test_xodr.py."""
+    import os
+    import zlib
+
+    import ray.data
+
+    fix = ("/root/reference/autotest/ogr/data/xodr/"
+           "5g_living_lab_A39_Wolfsburg-West.xodr")
+    schema = pa.schema([("layer", pa.string()), ("n_rows", pa.int64()),
+                        ("attr_crc", pa.int64()), ("n_tris", pa.int64())])
+    if not os.path.exists(fix):
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    names = ["ReferenceLine", "LaneBorder", "RoadMark", "RoadObject",
+             "Lane", "RoadSignal"]
+
+    def f(t: pa.Table) -> pa.Table:
+        import struct
+
+        from ..sources.xodr import read_xodr
+
+        lay = read_xodr(fix, epsilon=1.0)
+        ly, nr, crc, nt = [], [], [], []
+        for rec in t.to_pylist():
+            name = rec["name"]
+            tab = lay[name]
+            ly.append(name)
+            nr.append(tab.num_rows)
+            attrs = tab.drop_columns(["geometry"])
+            crc.append(zlib.crc32(repr(attrs.to_pylist()).encode()))
+            tris = 0
+            for wkb in tab["geometry"].to_pylist():
+                kind = struct.unpack("<I", wkb[1:5])[0]
+                if kind == 1016:
+                    tris += struct.unpack("<I", wkb[5:9])[0]
+            nt.append(tris)
+        return pa.table({"layer": pa.array(ly, pa.string()),
+                         "n_rows": pa.array(nr, pa.int64()),
+                         "attr_crc": pa.array(crc, pa.int64()),
+                         "n_tris": pa.array(nt, pa.int64())})
+
+    ds = ray.data.from_items([{"name": n} for n in names])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
+    "q_xodr_layers": q_xodr_layers,
     "q_gnm": q_gnm,
     "q_lineref": q_lineref,
     "q_sosi_layer": q_sosi_layer,

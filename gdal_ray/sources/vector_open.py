@@ -158,6 +158,12 @@ def open_vector(path: str) -> dict[str, pa.Table]:
         from .mapml import read_mapml
 
         return read_mapml(path)
+    if lower.endswith(".xodr"):
+        from .xodr import read_xodr
+
+        lay = read_xodr(path)
+        lay.pop("__proj4__", None)
+        return lay
     if lower.endswith(".vct"):
         from .idrisi_vct import read_vct
 
