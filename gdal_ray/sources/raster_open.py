@@ -131,6 +131,38 @@ def open_raster(path: str) -> dict:
         from .radarsat import read_rcm
 
         return read_rcm(path)
+    if path.lower().endswith(".cos"):
+        from .cosar import read_cosar
+
+        return read_cosar(vsi_open_bytes(path))
+    if path.lower().endswith(".gff"):
+        from .sar_formats import read_gff
+
+        return read_gff(vsi_open_bytes(path))
+    base_up = os.path.basename(path).upper()
+    if base_up.startswith("VOL-ALPSR"):
+        from .sar_formats import read_palsar
+
+        return read_palsar(path)
+    if os.path.isfile(path):
+        with open(path, "rb") as _f:
+            _magic = _f.read(22)
+        if _magic == b"RECORD LENGTH IN BYTES":
+            from .sar_formats import read_airsar
+
+            return read_airsar(vsi_open_bytes(path))
+    if path.lower().endswith(".hdr") and os.path.exists(path) and \
+            open(path, "rb").read(18) == b"time_first_datarec":
+        from .sar_formats import read_coasp
+
+        return read_coasp(path)
+    from .cosar import is_tsx
+
+    if is_tsx(path) and (os.path.isdir(path) or
+                         path.lower().endswith(".xml")):
+        from .cosar import read_tsx
+
+        return read_tsx(path)
     if path.lower().endswith(".kmz") or (
             path.lower().endswith(".kml") and os.path.exists(path) and
             b"hideChildrenStyle" in open(path, "rb").read(4096)):
