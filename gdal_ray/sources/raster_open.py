@@ -151,6 +151,15 @@ def open_raster(path: str) -> dict:
             from .sar_formats import read_airsar
 
             return read_airsar(vsi_open_bytes(path))
+        if _magic.startswith(b'PRODUCT="') or \
+                path.lower().endswith(".n1"):
+            from .envisat import read_envisat
+
+            return read_envisat(vsi_open_bytes(path))
+        if path.lower().endswith(".rik") or _magic[:4] == b"RIK3":
+            from .rik import read_rik
+
+            return read_rik(vsi_open_bytes(path))
     if path.lower().endswith(".hdr") and os.path.exists(path) and \
             open(path, "rb").read(18) == b"time_first_datarec":
         from .sar_formats import read_coasp
