@@ -2598,8 +2598,99 @@ def q_xodr_layers(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_sar_product_formats(sf_dir: str):
+    """SAR/product driver batch (COSAR, TSX, GFF, COASP, AIRSAR,
+    JAXA PALSAR, ENVISAT, RIK, EDIGEO): one ray task per driver over
+    deterministically synthesized in-format fixtures (the reference's
+    own autotests download their data), emitting (driver, n_items,
+    checksum) where checksum folds the decoded pixels/features."""
+    import ray.data
+
+    drivers = ["COSAR", "TSX", "GFF", "COASP", "AIRSAR", "PALSAR",
+               "ESAT", "RIK", "EDIGEO"]
+
+    def f(t: pa.Table) -> pa.Table:
+        import os
+        import tempfile
+        import zlib
+
+        import numpy as np
+
+        from ..sources import sar_formats as sf
+        from ..sources.cosar import read_cosar, read_tsx, write_cosar
+        from ..sources.edigeo import read_edigeo
+        from ..sources.envisat import read_envisat, write_envisat
+        from ..sources.rik import read_rik, write_rik
+
+        rng = np.random.default_rng(12345)
+        cplx = (rng.integers(-900, 900, (12, 17)) +
+                1j * rng.integers(-900, 900, (12, 17))).astype(np.complex64)
+        byte = rng.integers(0, 255, (19, 23)).astype(np.uint8)
+        u16 = rng.integers(0, 60000, (11, 13)).astype(np.uint16)
+        stokes = rng.integers(-90, 90, (9, 8, 10)).astype(np.int8)
+
+        def crc(arr) -> int:
+            return zlib.crc32(np.ascontiguousarray(arr).tobytes())
+
+        dd, nn, cc = [], [], []
+        for rec in t.to_pylist():
+            drv = rec["driver"]
+            with tempfile.TemporaryDirectory() as d:
+                if drv == "COSAR":
+                    rd = read_cosar(write_cosar(cplx))
+                    n, c = rd["pixels"].size, crc(rd["pixels"])
+                elif drv == "TSX":
+                    from ..sources.cosar import synth_tsx_product
+
+                    path, _ = synth_tsx_product(d)
+                    rd = read_tsx(path)
+                    n, c = rd["pixels"].size, crc(rd["pixels"])
+                elif drv == "GFF":
+                    rd = sf.read_gff(sf.write_gff(cplx))
+                    n, c = rd["pixels"].size, crc(rd["pixels"])
+                elif drv == "COASP":
+                    hdr = sf.write_coasp(d, "x_hh_y", {"hh": cplx,
+                                                       "vv": cplx * 2})
+                    rd = sf.read_coasp(hdr)
+                    n, c = rd["pixels"].size, crc(rd["pixels"])
+                elif drv == "AIRSAR":
+                    rd = sf.read_airsar(sf.write_airsar(stokes))
+                    n, c = rd["pixels"].size, crc(
+                        rd["pixels"].astype(np.complex128))
+                elif drv == "PALSAR":
+                    vol = sf.write_palsar(d, "P42", {"HH": cplx})
+                    rd = sf.read_palsar(vol)
+                    n, c = rd["pixels"].size, crc(rd["pixels"])
+                elif drv == "ESAT":
+                    rd = read_envisat(write_envisat([u16]))
+                    n, c = rd["pixels"].size, crc(rd["pixels"])
+                elif drv == "RIK":
+                    rd = read_rik(write_rik(byte, options=0x0D))
+                    n, c = rd["pixels"].size, crc(rd["pixels"])
+                else:   # EDIGEO
+                    from ..sources.edigeo import synth_edigeo_lot
+
+                    thf = synth_edigeo_lot(d)
+                    lay = read_edigeo(thf)
+                    lay.pop("__epsg__", None)
+                    n = sum(tb.num_rows for tb in lay.values())
+                    c = zlib.crc32(b"".join(
+                        b"".join(tb["geometry"].to_pylist())
+                        for tb in lay.values()))
+            dd.append(drv)
+            nn.append(int(n))
+            cc.append(int(c))
+        return pa.table({"driver": pa.array(dd, pa.string()),
+                         "n_items": pa.array(nn, pa.int64()),
+                         "checksum": pa.array(cc, pa.int64())})
+
+    ds = ray.data.from_items([{"driver": n} for n in drivers])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_xodr_layers": q_xodr_layers,
+    "q_sar_product_formats": q_sar_product_formats,
     "q_gnm": q_gnm,
     "q_lineref": q_lineref,
     "q_sosi_layer": q_sosi_layer,

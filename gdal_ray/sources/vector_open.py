@@ -158,6 +158,12 @@ def open_vector(path: str) -> dict[str, pa.Table]:
         from .mapml import read_mapml
 
         return read_mapml(path)
+    if lower.endswith(".thf"):
+        from .edigeo import read_edigeo
+
+        lay = read_edigeo(path)
+        lay.pop("__epsg__", None)
+        return lay
     if lower.endswith(".xodr"):
         from .xodr import read_xodr
 

@@ -62,70 +62,9 @@ def test_cosar_rejects_garbage():
 
 
 def _make_tsx(tmp_path, variant="SSC", with_georef=True, n_pol=2):
-    """Synthesize a minimal TSX SSC product directory."""
-    name = "TSX1_SAR__SSC______SM_S_SRA_20260101T000000_20260101T000010"
-    root = tmp_path / name
-    (root / "IMAGEDATA").mkdir(parents=True)
-    rng = _rng()
-    arrs, comps = [], []
-    for i, pol in enumerate(["HH", "VV", "HV", "VH"][:n_pol]):
-        arr = (rng.integers(-500, 500, (6, 9)) +
-               1j * rng.integers(-500, 500, (6, 9))).astype(np.complex64)
-        fn = f"IMAGE_{pol}_SRA_spot_042.cos"
-        (root / "IMAGEDATA" / fn).write_bytes(write_cosar(arr))
-        arrs.append(arr)
-        comps.append(f"""
-  <imageData layerIndex="{i + 1}">
-   <polLayer>{pol}</polLayer>
-   <file><location><path>IMAGEDATA</path>
-   <filename>{fn}</filename></location></file>
-  </imageData>""")
-    georef = ""
-    if with_georef:
-        pts = "".join(
-            f"<gridPoint iaz='1' irg='{i}'><t>0</t><tau>0</tau>"
-            f"<col>{c}</col><row>{r}</row><lat>{50 + r * 0.01}</lat>"
-            f"<lon>{8 + c * 0.01}</lon><height>120</height></gridPoint>"
-            for i, (c, r) in enumerate([(0, 0), (8, 0), (0, 5), (8, 5)]))
-        (root / "ANNOTATION").mkdir()
-        (root / "ANNOTATION" / "GEOREF.xml").write_text(
-            f"<geoReference><geolocationGrid>"
-            f"<numberOfGridPoints><total>4</total></numberOfGridPoints>"
-            f"{pts}</geolocationGrid></geoReference>")
-        georef = """
-  <annotation>
-   <type>GEOREF</type>
-   <file><location><path>ANNOTATION</path>
-   <filename>GEOREF.xml</filename></location></file>
-  </annotation>"""
-    xml = f"""<level1Product>
- <productComponents>{georef}{''.join(comps)}
- </productComponents>
- <productInfo>
-  <missionInfo><orbitCycle>25</orbitCycle><absOrbit>1234</absOrbit>
-   <orbitDirection>ASCENDING</orbitDirection></missionInfo>
-  <acquisitionInfo><sensor>SAR</sensor>
-   <imagingMode>SM</imagingMode></acquisitionInfo>
-  <productVariantInfo><productVariant>{variant}</productVariant>
-  </productVariantInfo>
-  <imageDataInfo><imageDataType>COMPLEX</imageDataType>
-   <imageRaster><numberOfRows>6</numberOfRows>
-    <numberOfColumns>9</numberOfColumns>
-    <rowSpacing>1.8</rowSpacing><columnSpacing>0.9</columnSpacing>
-    <azimuthLooks>1</azimuthLooks><rangeLooks>1</rangeLooks>
-   </imageRaster></imageDataInfo>
-  <sceneInfo><sceneAverageHeight>118.5</sceneAverageHeight>
-   <sceneCenterCoord><refRow>3</refRow><refColumn>4</refColumn>
-    <lat>50.03</lat><lon>8.04</lon></sceneCenterCoord>
-   <sceneCornerCoord><refRow>0</refRow><refColumn>0</refColumn>
-    <lat>50.0</lat><lon>8.0</lon></sceneCornerCoord>
-   <sceneCornerCoord><refRow>5</refRow><refColumn>8</refColumn>
-    <lat>50.05</lat><lon>8.08</lon></sceneCornerCoord>
-  </sceneInfo>
- </productInfo>
-</level1Product>"""
-    (root / f"{name}.xml").write_text(xml)
-    return str(root), arrs
+    from gdal_ray.sources.cosar import synth_tsx_product
+
+    return synth_tsx_product(tmp_path, variant, with_georef, n_pol)
 
 
 def test_tsx_product(tmp_path):
