@@ -2688,9 +2688,54 @@ def q_sar_product_formats(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_sar_ceos(sf_dir: str):
+    """SAR_CEOS driver (frmts/ceos2, sources/sar_ceos.py) over the
+    reference's own autotest fixtures — one ray task per product,
+    emitting (file, w, h, lines_avail, pix_sum, crc, n_gcps)."""
+    import os
+
+    import ray.data
+
+    fixdir = "/root/reference/autotest/gdrivers/data/sar_ceos"
+    schema = pa.schema([("file", pa.string()), ("w", pa.int64()),
+                        ("h", pa.int64()), ("lines_avail", pa.int64()),
+                        ("pix_sum", pa.int64()), ("crc", pa.int64()),
+                        ("n_gcps", pa.int64())])
+    names = ["ottawa_patch.img", "R1_26161_FN1_F164.D"]
+    if not os.path.exists(os.path.join(fixdir, names[0])):
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    def f(t: pa.Table) -> pa.Table:
+        import zlib
+
+        import numpy as np
+
+        from ..sources.sar_ceos import read_sar_ceos
+
+        rows = {k: [] for k in schema.names}
+        for rec in t.to_pylist():
+            rd = read_sar_ceos(os.path.join(fixdir, rec["file"]))
+            px = rd["pixels"]
+            rows["file"].append(rec["file"])
+            rows["h"].append(px.shape[0])
+            rows["w"].append(px.shape[1])
+            rows["lines_avail"].append(
+                int(rd["metadata"]["CEOS_LINES_AVAILABLE"]))
+            rows["pix_sum"].append(int(np.asarray(px, np.float64).sum()))
+            rows["crc"].append(
+                zlib.crc32(np.ascontiguousarray(px).tobytes()))
+            rows["n_gcps"].append(len(rd["gcps"]))
+        return pa.table({k: pa.array(v, schema.field(k).type)
+                         for k, v in rows.items()})
+
+    ds = ray.data.from_items([{"file": n} for n in names])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 QUERIES = {
     "q_xodr_layers": q_xodr_layers,
     "q_sar_product_formats": q_sar_product_formats,
+    "q_sar_ceos": q_sar_ceos,
     "q_gnm": q_gnm,
     "q_lineref": q_lineref,
     "q_sosi_layer": q_sosi_layer,

@@ -160,6 +160,11 @@ def open_raster(path: str) -> dict:
             from .rik import read_rik
 
             return read_rik(vsi_open_bytes(path))
+        if len(_magic) >= 12 and tuple(_magic[4:8]) in (
+                (63, 192, 18, 18), (50, 192, 18, 18)):
+            from .sar_ceos import read_sar_ceos
+
+            return read_sar_ceos(path)
     if path.lower().endswith(".hdr") and os.path.exists(path) and \
             open(path, "rb").read(18) == b"time_first_datarec":
         from .sar_formats import read_coasp
