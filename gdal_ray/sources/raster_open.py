@@ -165,6 +165,10 @@ def open_raster(path: str) -> dict:
             from .sar_ceos import read_sar_ceos
 
             return read_sar_ceos(path)
+        if _magic.startswith(b"FormatName"):
+            from .msgn import read_msgn
+
+            return read_msgn(vsi_open_bytes(path))
     if path.lower().endswith(".hdr") and os.path.exists(path) and \
             open(path, "rb").read(18) == b"time_first_datarec":
         from .sar_formats import read_coasp
