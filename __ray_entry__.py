@@ -98,7 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
               "q_mitab_tab", "q_mapml_pgdump", "q_cad_layer",
               "q_snap_tiff", "q_webp_codec", "q_duckdb_layer",
               "q_pdf_raster", "q_exr_codec", "q_rasterlite2",
-              "q_xodr_layers", "q_sar_product_formats", "q_sar_ceos"):
+              "q_xodr_layers", "q_sar_product_formats", "q_sar_ceos",
+              "q_hex_join"):
         tier[k] = 3                           # new this round, never rowed
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}

@@ -22,8 +22,10 @@ import numpy as np
 
 POINT, LINESTRING, POLYGON = 1, 2, 3
 MULTIPOINT, MULTILINESTRING, MULTIPOLYGON = 4, 5, 6
+GEOMETRYCOLLECTION = 7
 _NAMES = {1: "Point", 2: "LineString", 3: "Polygon", 4: "MultiPoint",
-          5: "MultiLineString", 6: "MultiPolygon"}
+          5: "MultiLineString", 6: "MultiPolygon",
+          7: "GeometryCollection"}
 
 
 @dataclass
@@ -44,6 +46,8 @@ class Geom:
     # 2.5-D OGR wkbPoint25D family (ogr/ogr_core.h wkb25DBit / ISO
     # 1000+k types; ogr2ogr -zfield sets these from an attribute)
     zs: list[np.ndarray] | None = None
+    # GEOMETRYCOLLECTION members (kind 7 only; rings stays empty)
+    members: list["Geom"] | None = None
 
     @property
     def name(self) -> str:
@@ -123,33 +127,48 @@ def _rd_coords(data, pos, n, little, dims: int = 2):
     return arr, pos + 8 * dims * n
 
 
-def _geom_flags(gtype: int) -> tuple[int, bool]:
-    """(base type, has_z) from an ISO (1000+k) or EWKB (0x80000000)
-    geometry type; measured (M/ZM) dimensions raise."""
+def _geom_flags(gtype: int) -> tuple[int, bool, bool]:
+    """(base type, has_z, has_m) following OGRReadWKBGeometryType
+    (ogr/ogrutils.cpp): EWKB Z (0x80000000, type cleaned to the low
+    byte), PostGIS M bit (0x40000000), the 'Z flag in the 2nd byte'
+    quirk (0x8000, the autotest 3d_broken_* fixtures), and the ISO
+    1000/2000/3000 Z/M/ZM ranges.  M values are parsed and dropped
+    (the engine's geometry model is XY[Z])."""
     has_z = False
-    if gtype & 0x80000000:  # EWKB Z
+    has_m = False
+    if gtype & 0x40000000:  # PostGIS M bit
+        gtype &= ~0x40000000
+        has_m = True
+    if gtype & 0x80000000:  # old-style 25D bit
+        gtype &= 0x000000FF
         has_z = True
-        gtype &= 0x7FFFFFFF
-    if gtype & 0x40000000:  # EWKB M
-        raise NotImplementedError("measured (M) WKB coordinates")
-    gtype &= 0x1FFFFFFF  # strip EWKB SRID flag space
+    if gtype & 0x8000:      # Z flag in the 2nd byte (broken encoders)
+        gtype &= 0x000000FF
+        has_z = True
     iso = gtype // 1000
     if iso == 1:
         has_z = True
-    elif iso in (2, 3):
-        raise NotImplementedError("measured (M/ZM) WKB coordinates")
-    return gtype % 1000, has_z
+    elif iso == 2:
+        has_m = True
+    elif iso == 3:
+        has_z = has_m = True
+    return gtype % 1000, has_z, has_m
 
 
 def _parse(data: bytes, pos: int):
-    little = data[pos] == 1
+    border = data[pos]
+    if border & 0x31 == border:   # DB2 v7.2 ASCII byte-order quirk
+        border &= 0x1             # (ogr_core.h DB2_V72_FIX_BYTE_ORDER)
+    if border not in (0, 1):
+        raise ValueError(f"WKB: corrupt byte order {data[pos]}")
+    little = border == 1
     pos += 1
     gtype, pos = _rd_uint32(data, pos, little)
-    gtype, has_z = _geom_flags(gtype)
-    dims = 3 if has_z else 2
+    gtype, has_z, has_m = _geom_flags(gtype)
+    dims = 2 + (1 if has_z else 0) + (1 if has_m else 0)
 
     def split(arr):
-        return (arr[:, :2], arr[:, 2]) if has_z else (arr, None)
+        return (arr[:, :2], arr[:, 2]) if has_z else (arr[:, :2], None)
 
     if gtype == POINT:
         c, pos = _rd_coords(data, pos, 1, little, dims)
@@ -195,6 +214,13 @@ def _parse(data: bytes, pos: int):
                         [np.concatenate(pts) if pts else np.empty((0, 2))],
                         zs=[np.concatenate(zs)] if any_z else None), pos
         return Geom(gtype, rings, counts, zs=zs if any_z else None), pos
+    if gtype == GEOMETRYCOLLECTION:
+        nparts, pos = _rd_uint32(data, pos, little)
+        members = []
+        for _ in range(nparts):
+            sub, pos = _parse(data, pos)
+            members.append(sub)
+        return Geom(GEOMETRYCOLLECTION, [], members=members), pos
     raise NotImplementedError(f"WKB geometry type {gtype}")
 
 
@@ -255,6 +281,12 @@ def geom_to_wkb(g: Geom) -> bytes:
             for k in range(i, i + cnt):
                 out += struct.pack("<I", len(g.rings[k])) + coords(k)
             i += cnt
+        return out
+    if g.kind == GEOMETRYCOLLECTION:
+        out = b"\x01" + struct.pack("<I", GEOMETRYCOLLECTION)
+        out += struct.pack("<I", len(g.members or []))
+        for sub in g.members or []:
+            out += geom_to_wkb(sub)
         return out
     raise NotImplementedError(g.kind)
 
@@ -319,6 +351,10 @@ def geom_to_wkt(g: Geom, precision: int = 15) -> str:
             out.append(f"({rings})")
             i += cnt
         return f"MULTIPOLYGON{zt} ({', '.join(out)})"
+    if g.kind == GEOMETRYCOLLECTION:
+        subs = ", ".join(geom_to_wkt(sub, precision)
+                         for sub in g.members or [])
+        return f"GEOMETRYCOLLECTION ({subs})"
     raise NotImplementedError(g.kind)
 
 
@@ -329,24 +365,46 @@ def wkt_to_geom(wkt: str) -> Geom:
     import re as _re
 
     s = wkt.strip()
-    m = _re.match(r"^([A-Za-z]+)\s*(?:\s(Z|M|ZM))?\s*\((.*)\)$", s,
+    m = _re.match(r"^([A-Za-z]+)\s*(?:\s(Z|M|ZM))?\s*\(", s,
                   _re.S | _re.I)
     if not m:
         raise ValueError(f"bad WKT: {wkt[:40]!r}")
     kind = m.group(1).upper()
     qual = (m.group(2) or "").upper()
-    body = m.group(3).strip()
+    # scan to the matching close paren; trailing characters beyond it
+    # are ignored like OGRGeometryFactory::createFromWkt (the autotest
+    # wkb_wkt/8.wkt fixture carries a stray ')')
+    depth = 0
+    start = m.end() - 1
+    end = -1
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end < 0:
+        raise ValueError(f"bad WKT: {wkt[:40]!r}")
+    body = s[start + 1:end].strip()
     zcol: list[np.ndarray | None] = []
 
     def parse_coords(txt: str) -> np.ndarray:
         pts, zs = [], []
+        had3 = False
         for pair in txt.split(","):
             toks = pair.split()
             pts.append((float(toks[0]), float(toks[1])))
+            # mixed-dimension rings pad the missing z with 0 like
+            # OGRGeometryFactory (autotest wkb_wkt/3d_1.wkt polygon)
             if len(toks) > 2 and qual != "M":
                 zs.append(float(toks[2]))
+                had3 = True
+            else:
+                zs.append(0.0)
         zcol.append(np.array(zs, np.float64)
-                    if len(zs) == len(pts) and zs else None)
+                    if had3 or qual in ("Z", "ZM") else None)
         return np.array(pts, np.float64)
 
     def _zs():
@@ -394,6 +452,26 @@ def wkt_to_geom(wkt: str) -> Geom:
             rings.extend(rs)
             counts.append(len(rs))
         return Geom(MULTIPOLYGON, rings, counts)
+    if kind == "GEOMETRYCOLLECTION":
+        # split members at top-level commas (each member is a full
+        # WKT geometry with its own parentheses)
+        members = []
+        depth = 0
+        part_start = 0
+        parts = []
+        for i, c in enumerate(body):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                parts.append(body[part_start:i])
+                part_start = i + 1
+        if body.strip():
+            parts.append(body[part_start:])
+        for part in parts:
+            members.append(wkt_to_geom(part.strip()))
+        return Geom(GEOMETRYCOLLECTION, [], members=members)
     raise NotImplementedError(kind)
 
 

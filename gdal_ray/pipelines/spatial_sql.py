@@ -468,7 +468,97 @@ _LON = _DERIVE_SQL[0]
 _LAT = _DERIVE_SQL[1]
 _CLAT = f"least(greatest({_LAT}, -85.0511287798066), 85.0511287798066)"
 
+def q_hex_join(sf_dir: str):
+    """The north rule's join shape verbatim: a partitioned hash-join
+    on hex cell prefix followed by exact refinement.  Zone polygons
+    are broadcast as a coarse-resolution aperture-7 hex covering
+    (functions/hexgrid.py, the H3-style index) built once per actor;
+    each point batch encodes its hex cell (vectorized), probes the
+    covering dict for candidate zones only, and exact-tests the
+    survivors.  Result must hash-match the plain SQL PIP aggregate —
+    any covering-cell omission would change the counts.  At 100 TB
+    the probe is a per-batch dict lookup against a broadcast index
+    (no shuffle); only the tiny per-zone partials aggregate."""
+    from ..functions.hexgrid import hex_cell, k_ring
+    from .common import arrow_table
+
+    nat = arrow_table(sf_dir, "nation", ["n_nationkey"])
+    keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    COARSE = 3
+
+    class HexJoin:
+        def __init__(self, zone_keys):
+            self.bounds = {}
+            cover: dict[int, list[int]] = {}
+            for k in zone_keys:
+                x0, x1 = -180.0 + 14.0 * k, -167.0 + 14.0 * k
+                y0, y1 = -80.0 + 16.0 * (k % 10), -65.0 + 16.0 * (k % 10)
+                self.bounds[int(k)] = (x0, x1, y0, y1)
+                gx = np.linspace(x0, x1, 24)
+                gy = np.linspace(y0, y1, 24)
+                mx, my = np.meshgrid(gx, gy)
+                cells = np.unique(hex_cell(mx.ravel(), my.ravel(), COARSE))
+                dilated = np.unique(np.concatenate(
+                    [k_ring(int(c), 1) for c in cells]))
+                for c in dilated:
+                    cover.setdefault(int(c), []).append(int(k))
+            self.cover = {c: np.array(v, np.int64)
+                          for c, v in cover.items()}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lon = t["lon"].to_numpy()
+            lat = t["lat"].to_numpy()
+            val = t["value"].to_numpy()
+            cells = hex_cell(lon, lat, COARSE)
+            out_key, out_val = [], []
+            order = np.argsort(cells, kind="stable")
+            cs = cells[order]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], cs[1:] != cs[:-1]]))
+            for s, e in zip(starts, np.append(starts[1:], len(cs))):
+                cand = self.cover.get(int(cs[s]))
+                if cand is None:
+                    continue
+                idx = order[s:e]
+                for k in cand:
+                    x0, x1, y0, y1 = self.bounds[int(k)]
+                    m = ((lon[idx] > x0) & (lon[idx] < x1) &
+                         (lat[idx] > y0) & (lat[idx] < y1))
+                    if m.any():
+                        out_key.append(np.full(int(m.sum()), k, np.int64))
+                        out_val.append(val[idx][m])
+            if not out_key:
+                return pa.table({"n_nationkey": pa.array([], pa.int64()),
+                                 "value": pa.array([], pa.float64())})
+            return pa.table({
+                "n_nationkey": pa.array(np.concatenate(out_key)),
+                "value": pa.array(np.concatenate(out_val))})
+
+    joined = _points_ds(sf_dir).map_batches(
+        HexJoin, fn_constructor_args=(keys,), batch_format="pyarrow",
+        batch_size=4096, concurrency=2)
+    out = partial_groupby_agg(joined, ["n_nationkey"],
+                              [("n_points", "value", "count_all"),
+                               ("sum_value", "value", "sum")])
+    return pa.table({
+        "n_nationkey": out["n_nationkey"],
+        "n_points": out["n_points"],
+        "sum_value": pa.array(round_away_np(out["sum_value"].to_numpy(),
+                                            2)),
+    })
+
+
 ORACLE: dict[str, str] = {
+    "q_hex_join": f"""
+        SELECT n_nationkey, count(*) AS n_points,
+               round(sum(value), 2) AS sum_value
+        FROM events, nation
+        WHERE ({_LON}) >  -180.0 + 14.0 * n_nationkey
+          AND ({_LON}) <  -167.0 + 14.0 * n_nationkey
+          AND ({_LAT}) >  -80.0 + 16.0 * (n_nationkey % 10)
+          AND ({_LAT}) <  -65.0 + 16.0 * (n_nationkey % 10)
+        GROUP BY n_nationkey
+    """,
     "q_tile_assign": f"""
         SELECT event_id,
                CAST(least(floor((({_LON}) + 180.0) / 360.0 * 256.0), 255) AS BIGINT) AS tile_x,
@@ -536,6 +626,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_hex_join": q_hex_join,
     "q_tile_assign": q_tile_assign,
     "q_tile_counts": q_tile_counts,
     "q_cell_index": q_cell_index,

@@ -160,3 +160,86 @@ def test_dimap2_single_component():
         assert meta["PROCESSING_LEVEL"] == "SENSOR"
         assert meta["SPECTRAL_PROCESSING"] == "PMS"
         assert checksum_image(px[:, :, 0]) == 7024
+
+
+def test_safe_wv_subdatasets():
+    """gdrivers/safe.py test_safe_WV: 10 subdatasets with the
+    SENTINEL1_CALIB naming, per-vignette GCP counts 1 and 2."""
+    from gdal_ray.sources.safe import read_safe_calib, safe_subdatasets
+
+    wv = GDR + "SAFE_FAKE_WV"
+    subs = safe_subdatasets(wv)
+    assert len(subs) == 10
+    names = [s for s, _ in subs]
+    man = wv + "/manifest.safe"
+    assert f"SENTINEL1_CALIB:SIGMA0:{man}:WV1_VV_001:INTENSITY" in names
+    assert f"SENTINEL1_CALIB:SIGMA0:{man}:WV2_VV_002:INTENSITY" in names
+
+    rd = read_safe_calib(
+        f"SENTINEL1_CALIB:SIGMA0:{man}:WV1_VV_001:INTENSITY")
+    assert len(rd["gcps"]) == 1
+    rd = read_safe_calib(
+        f"SENTINEL1_CALIB:SIGMA0:{man}:WV2_VV_002:INTENSITY")
+    assert len(rd["gcps"]) == 2
+    # the WV fixture's calibration XML is fake: structural open only,
+    # like the reference whose LUT parse fails at block-read time
+    assert rd["pixels"] is None
+    assert rd["size"] == (4500, 4774)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_safe_calib(names[0] + "xxxx")
+
+
+def test_safe_calib_uncalib_amplitude():
+    """gdrivers/safe.py tests 3/4: UNCALIB AMPLITUDE subdatasets match
+    the plain band checksums (65372 VH / 3732 VV)."""
+    from gdal_ray.sources.safe import read_safe_calib, safe_subdatasets
+
+    man = GDR + "SAFE_FAKE/test.SAFE/manifest.safe"
+    subs = safe_subdatasets(man)
+    names = [s for s, _ in subs]
+    assert f"SENTINEL1_CALIB:UNCALIB:{man}:IW_VH:AMPLITUDE" in names
+    rd = read_safe_calib(f"SENTINEL1_CALIB:UNCALIB:{man}:IW_VH:AMPLITUDE")
+    assert checksum_image(rd["pixels"]) == 65372
+    rd = read_safe_calib(f"SENTINEL1_CALIB:UNCALIB:{man}:IW_VV:AMPLITUDE")
+    assert checksum_image(rd["pixels"]) == 3732
+
+
+def test_safe_calibrated_lut_math():
+    """Synthesized calibration LUT: sigma0 = DN^2 / A^2 with bilinear
+    line/pixel interpolation."""
+    import numpy as np
+
+    from gdal_ray.sources.safe import read_safe_calib
+
+    import os
+    import shutil
+    import tempfile
+
+    src = GDR + "SAFE_FAKE/test.SAFE"
+    with tempfile.TemporaryDirectory() as d:
+        dst = os.path.join(d, "test.SAFE")
+        shutil.copytree(src, dst)
+        ann = [f for f in os.listdir(os.path.join(dst, "annotation"))
+               if f.endswith(".xml") and "vv" in f][0]
+        cal_path = os.path.join(dst, "annotation", "calibration",
+                                "calibration-" + ann)
+        with open(cal_path, "w") as f:
+            f.write("""<calibration><calibrationVectorList count="2">
+<calibrationVector><azimuthTime>t0</azimuthTime><line>0</line>
+<pixel count="2">0 9999</pixel>
+<sigmaNought>2.0 2.0</sigmaNought></calibrationVector>
+<calibrationVector><azimuthTime>t1</azimuthTime><line>9999</line>
+<pixel count="2">0 9999</pixel>
+<sigmaNought>2.0 2.0</sigmaNought></calibrationVector>
+</calibrationVectorList></calibration>""")
+        man = os.path.join(dst, "manifest.safe")
+        rd_cal = read_safe_calib(
+            f"SENTINEL1_CALIB:SIGMA0:{man}:IW_VV:INTENSITY")
+        rd_raw = read_safe_calib(
+            f"SENTINEL1_CALIB:UNCALIB:{man}:IW_VV:INTENSITY")
+        assert rd_cal["pixels"] is not None
+        assert np.allclose(rd_cal["pixels"],
+                           rd_raw["pixels"] / 4.0, rtol=1e-6)
