@@ -59,12 +59,33 @@ MAGIC = bytes([0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00])
 
 # ColumnType (header_generated.h:107-125)
 CT_BOOL, CT_INT, CT_LONG, CT_DOUBLE, CT_STRING = 2, 5, 7, 10, 11
+# full ColumnType enum (flatgeobuf header.fbs)
+CT_BYTE, CT_UBYTE, CT_SHORT, CT_USHORT = 0, 1, 3, 4
+CT_UINT, CT_ULONG, CT_FLOAT, CT_JSON = 6, 8, 9, 12
+CT_DATETIME, CT_BINARY = 13, 14
 
 _ARROW_TO_CT = {
     pa.bool_(): CT_BOOL, pa.int32(): CT_INT, pa.int64(): CT_LONG,
     pa.float64(): CT_DOUBLE, pa.string(): CT_STRING,
 }
 _CT_TO_ARROW = {v: k for k, v in _ARROW_TO_CT.items()}
+# read-side types for the rest of the enum (OGR's width promotions:
+# ULong falls back to Real like OGRFieldDefn, ogr_flatgeobuf.py
+# test_ogr_flatgeobuf_alldatatypes expects float(2**64-1))
+_CT_TO_ARROW.update({
+    CT_BYTE: pa.int32(), CT_UBYTE: pa.int32(), CT_SHORT: pa.int32(),
+    CT_USHORT: pa.int32(), CT_UINT: pa.int64(), CT_ULONG: pa.float64(),
+    CT_FLOAT: pa.float32(), CT_JSON: pa.string(),
+    CT_DATETIME: pa.string(), CT_BINARY: pa.binary(),
+})
+
+
+def _norm_fgb_datetime(v: str) -> str:
+    """OGR datetime normalization ('2019/10/15 12:34:56.789+00')."""
+    v = v.replace("-", "/").replace("T", " ")
+    if v.endswith("Z"):
+        v = v[:-1] + "+00"
+    return v
 
 
 # ===================================================== minimal flatbuffers
@@ -317,9 +338,28 @@ def _decode_props(data: bytes, cols: list[tuple[str, int]]) -> dict:
             (out[name],) = struct.unpack_from("<q", data, off); off += 8
         elif ct == CT_DOUBLE:
             (out[name],) = struct.unpack_from("<d", data, off); off += 8
-        elif ct == CT_STRING:
+        elif ct in (CT_STRING, CT_JSON, CT_DATETIME):
             (ln,) = struct.unpack_from("<I", data, off); off += 4
-            out[name] = data[off:off + ln].decode(); off += ln
+            s = data[off:off + ln].decode(); off += ln
+            out[name] = _norm_fgb_datetime(s) if ct == CT_DATETIME else s
+        elif ct == CT_BINARY:
+            (ln,) = struct.unpack_from("<I", data, off); off += 4
+            out[name] = data[off:off + ln]; off += ln
+        elif ct == CT_BYTE:
+            (out[name],) = struct.unpack_from("<b", data, off); off += 1
+        elif ct == CT_UBYTE:
+            out[name] = data[off]; off += 1
+        elif ct == CT_SHORT:
+            (out[name],) = struct.unpack_from("<h", data, off); off += 2
+        elif ct == CT_USHORT:
+            (out[name],) = struct.unpack_from("<H", data, off); off += 2
+        elif ct == CT_UINT:
+            (out[name],) = struct.unpack_from("<I", data, off); off += 4
+        elif ct == CT_ULONG:
+            (v,) = struct.unpack_from("<Q", data, off); off += 8
+            out[name] = float(v)
+        elif ct == CT_FLOAT:
+            (out[name],) = struct.unpack_from("<f", data, off); off += 4
         else:
             raise ValueError(f"unsupported FGB column type {ct}")
     return out
@@ -384,9 +424,11 @@ def _level_bounds(num_items: int, node_size: int) -> list[tuple[int, int]]:
     node ranges, leaves first in the list, root-first in storage."""
     level_num = [num_items]
     n = num_items
-    while n != 1:
+    while True:   # do-while: a single item still gets a root level
         n = -(-n // node_size)
         level_num.append(n)
+        if n == 1:
+            break
     total = sum(level_num)
     bounds, acc = [], total
     for sz in level_num:
@@ -554,7 +596,8 @@ def read_fgb_info(path: str) -> dict:
 
 
 def _decode_features(buf: bytes, cols, fid_start: int,
-                     columns: list[str] | None) -> pa.Table:
+                     columns: list[str] | None,
+                     geom_type: int = 0) -> pa.Table:
     """Concatenated size-prefixed feature buffers -> layer table."""
     want_geom = columns is None or "geometry" in columns
     names = [n for n, _ in cols]
@@ -568,15 +611,19 @@ def _decode_features(buf: bytes, cols, fid_start: int,
         (fsize,) = struct.unpack_from("<I", buf, off)
         feat = _root(buf[off + 4:off + 4 + fsize])
         off += 4 + fsize
-        g = _fb_to_geom(feat.table(4))
+        gt = feat.table(4)
+        g = _fb_to_geom(gt, geom_type) if gt is not None else None
         props = _decode_props(feat.bytes_vector(6) or b"", cols)
         for k in keep:
             out[k].append(props.get(k))
         fids.append(i)
         i += 1
         if want_geom:
-            wkbs.append(geom_to_wkb(g))
-        xmin, ymin, xmax, ymax = g.bbox()
+            wkbs.append(geom_to_wkb(g) if g is not None else b"")
+        if g is not None and len(g.rings) and len(g.rings[0]):
+            xmin, ymin, xmax, ymax = g.bbox()
+        else:
+            xmin = ymin = xmax = ymax = float("nan")
         bx0.append(xmin); by0.append(ymin); bx1.append(xmax); by1.append(ymax)
     res: dict = {"fid": pa.array(fids, pa.int64())}
     if want_geom:
@@ -610,14 +657,26 @@ def read_fgb(path: str, columns: list[str] | None = None,
                 (fsize,) = struct.unpack("<I", f.read(4))
                 f.seek(-4, 1)
                 buf = f.read(4 + fsize)
-                tabs.append(_decode_features(buf, info["columns"], 0, columns))
+                tabs.append(_decode_features(buf, info["columns"], 0, columns,
+                                             info["geometry_type"]))
             if not tabs:
                 return _decode_features(b"", info["columns"], 0, columns)
             t = pa.concat_tables(tabs)
             return t.set_column(0, "fid", pa.array(range(len(t)), pa.int64()))
         f.seek(info["feature_base"])
         buf = f.read(size - info["feature_base"])
-    return _decode_features(buf, info["columns"], 0, columns)
+    t = _decode_features(buf, info["columns"], 0, columns,
+                         info["geometry_type"])
+    if bbox is not None:
+        # no index: full scan + bbox intersect (the reference's
+        # unindexed SetSpatialFilterRect path)
+        x0, y0, x1, y1 = bbox
+        m = ((t["bbox_xmax"].to_numpy(zero_copy_only=False) >= x0) &
+             (t["bbox_xmin"].to_numpy(zero_copy_only=False) <= x1) &
+             (t["bbox_ymax"].to_numpy(zero_copy_only=False) >= y0) &
+             (t["bbox_ymin"].to_numpy(zero_copy_only=False) <= y1))
+        t = t.filter(pa.array(m))
+    return t
 
 
 def fgb_dataset(path: str, columns: list[str] | None = None,

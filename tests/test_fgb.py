@@ -70,7 +70,9 @@ def test_level_bounds_matches_reference_shape():
     b = _level_bounds(64, 16)
     assert b == [(5, 69), (1, 5), (0, 1)]
     assert rtree_size(64, 16) == 69 * 40
-    assert _level_bounds(1, 16) == [(0, 1)]
+    # do-while in generateLevelBounds: a single item still gets a
+    # root level (the reference's alldatatypes.fgb carries 2 nodes)
+    assert _level_bounds(1, 16) == [(1, 2), (0, 1)]
 
 
 def test_magic_and_header(fgb_path):
@@ -220,3 +222,62 @@ def test_bad_magic_raises(tmp_path):
         f.write(b"XXXXXXXX" + struct.pack("<I", 0))
     with pytest.raises(ValueError):
         read_fgb_info(p)
+
+
+# ----------------------------------------------- reference fixtures
+REFDIR = "/root/reference/autotest/ogr/data/testfgb"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REFDIR),
+                    reason="reference fixtures unavailable")
+class TestReferenceFixtures:
+    def test_poly(self):
+        """ogr_flatgeobuf.py test 2: extent + spatial filter counts."""
+        info = read_fgb_info(f"{REFDIR}/poly.fgb")
+        assert info["envelope"] == (478315.53125, 4762880.5,
+                                    481645.3125, 4765610.5)
+        t = read_fgb(f"{REFDIR}/poly.fgb")
+        assert t.num_rows == 10
+        assert read_fgb(f"{REFDIR}/poly.fgb",
+                        bbox=(478315.531250, 4762880.5,
+                              481645.3125, 4765610.5)).num_rows == 10
+        assert read_fgb(f"{REFDIR}/poly.fgb",
+                        bbox=(878315.53, 4762880.5,
+                              881645.31, 4765610.5)).num_rows == 0
+        # bbox-only filter = the reference's no-GEOS expectation (5)
+        assert read_fgb(f"{REFDIR}/poly.fgb",
+                        bbox=(479586.0, 4764618.6,
+                              479808.2, 4764797.8)).num_rows == 5
+
+    def test_poly_no_index(self):
+        """test 2_1: same counts through the sequential-scan path."""
+        info = read_fgb_info(f"{REFDIR}/poly_no_index.fgb")
+        assert info["index_size"] == 0
+        assert read_fgb(f"{REFDIR}/poly_no_index.fgb").num_rows == 10
+        assert read_fgb(f"{REFDIR}/poly_no_index.fgb",
+                        bbox=(878315.53, 4762880.5,
+                              881645.31, 4765610.5)).num_rows == 0
+
+    def test_datatypes(self):
+        """test_ogr_flatgeobuf_datatypes goldens."""
+        r = read_fgb(f"{REFDIR}/testdatatypes.fgb").to_pylist()[0]
+        assert r["int"] == 1
+        assert r["int64"] == 1234567890123
+        assert r["double"] == 1.25
+        assert r["string"] == "my string"
+        assert r["datetime"] == "2019/10/15 12:34:56.789+00"
+
+    def test_alldatatypes(self):
+        """test_ogr_flatgeobuf_alldatatypes goldens (full ColumnType
+        enum incl. the ULong->Real fallback)."""
+        r = read_fgb(f"{REFDIR}/alldatatypes.fgb").to_pylist()[0]
+        assert r["byte"] == -1 and r["ubyte"] == 255
+        assert r["bool"] is True
+        assert r["short"] == -1 and r["ushort"] == 65535
+        assert r["int"] == -1 and r["uint"] == 4294967295
+        assert r["long"] == -1
+        assert r["ulong"] == float(2 ** 64 - 1)
+        assert r["float"] == 0 and r["double"] == 0
+        assert r["string"] == "X" and r["json"] == "X"
+        assert r["datetime"] == "2020/02/29 12:34:56+00"
+        assert r["binary"] == b"\x58"
