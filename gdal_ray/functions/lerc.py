@@ -90,10 +90,19 @@ def _bit_unstuff(r: _Reader, num_elements: int, num_bits: int,
     tail_bytes = (tail_bits + 7) >> 3
     not_needed = (4 - tail_bytes) if tail_bytes > 0 else 0
     if version >= 3:
+        # BitStuffer2::BitUnStuff (v3+): elements are packed
+        # LSB-first within each little-endian 32-bit word — i.e. a
+        # plain little-endian bitstream
         used = num_bytes - not_needed
         buf = bytearray(r.bytes(used))
         buf += b"\x00" * (num_bytes - used)
-        words = np.frombuffer(bytes(buf), "<u4", num_uints)
+        bits = np.unpackbits(np.frombuffer(bytes(buf), np.uint8),
+                             bitorder="little")
+        arrb = bits[:num_elements * num_bits].reshape(num_elements,
+                                                      num_bits)
+        weights = (1 << np.arange(num_bits, dtype=np.uint32))
+        return (arrb.astype(np.uint32) * weights).sum(axis=1) \
+            .astype(np.uint32)
     else:
         to_copy = (num_elements * num_bits + 7) // 8
         buf = bytearray(r.bytes(to_copy))
@@ -277,8 +286,9 @@ def _decode_lerc2(data: bytes) -> np.ndarray:
         out[np.repeat(mask, n_dim)] = z_min
         return out.reshape(n_rows, n_cols, n_dim).astype(dtype)
     if version >= 4:
-        # min/max per dim
-        r.bytes(2 * 8 * n_dim)
+        # min/max per dim, in the DATA type's width (Lerc2.h
+        # ReadMinMaxRanges reads nDim*sizeof(T) per bound)
+        r.bytes(2 * _DT_SIZE[dt] * n_dim)
 
     one_sweep = r.u8()
     if one_sweep:
@@ -298,29 +308,35 @@ def _decode_lerc2(data: bytes) -> np.ndarray:
                 r, code_len, codes, total * n_dim if mask.all() else
                 int(mask.sum()) * n_dim)
             arr = out
-            if flag == 1:  # delta Huffman
-                full = np.empty(total, np.int64)
-                if mask.all():
-                    deltas = (vals - offset).astype(np.int64)
+            if flag == 1:  # delta Huffman (Lerc2::DecodeHuffman:
+                # dim-major streams, per-dim prevVal chains; masked
+                # pixels skipped with the IsValid(k-1)/IsValid(k-width)
+                # neighbour rules; byte overflow semantics)
+                deltas = (vals - offset).astype(np.int64)
+                all_valid = bool(mask.all())
+                vi = 0
+                for idim in range(n_dim):
                     prev = 0
                     k = 0
                     for ii in range(n_rows):
                         for jj in range(n_cols):
-                            d = deltas[k]
-                            if jj > 0:
+                            if not all_valid and not mask[k]:
+                                k += 1
+                                continue
+                            d = deltas[vi]
+                            vi += 1
+                            if jj > 0 and (all_valid or mask[k - 1]):
                                 d += prev
-                            elif ii > 0:
-                                d += full[(ii - 1) * n_cols]
+                            elif ii > 0 and (all_valid or
+                                             mask[k - n_cols]):
+                                d += int(out[(k - n_cols) * n_dim
+                                             + idim])
                             else:
                                 d += prev
-                            d &= 0xFF  # byte overflow semantics
-                            full[k] = d
+                            d &= 0xFF
+                            out[k * n_dim + idim] = d
                             prev = d
                             k += 1
-                    arr[:] = full
-                else:
-                    raise NotImplementedError(
-                        "masked delta-Huffman LERC not needed by fixtures")
             else:
                 if mask.all():
                     arr[:] = vals - offset

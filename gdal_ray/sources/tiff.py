@@ -175,12 +175,67 @@ def _undo_predictor(chunk: bytes, nrows: int, w: int, spp: int,
                     dtype: np.dtype) -> bytes:
     """Horizontal differencing (predictor=2): cumulative sum along the
     row per sample channel, wrapping modulo 2^bits."""
-    if dtype.kind not in "iu":
-        raise NotImplementedError("TIFF predictor on float samples")
+    # libtiff tif_predict.c accumulates on the raw integer lanes of
+    # whatever the sample width is — float samples included (the
+    # gcore float32/float64_LZW_predictor_2 fixtures)
     u = np.dtype(f"{dtype.byteorder}u{dtype.itemsize}")
     arr = np.frombuffer(chunk, dtype=u,
                         count=nrows * w * spp).reshape(nrows, w, spp)
     return np.cumsum(arr, axis=1, dtype=u).tobytes()
+
+
+def _ycbcr_tables(luma, refbw):
+    """TIFFYCbCrToRGBInit (tif_color.c) fixed-point tables."""
+    SHIFT = 16
+    ONE_HALF = 1 << (SHIFT - 1)
+
+    def FIX(x):
+        return int(x * (1 << SHIFT) + 0.5)
+
+    def code2v(c, rb, rw, cr):
+        d = (rw - rb) if (rw - rb) != 0 else 1
+        return (c - rb) * float(cr) / float(d)
+
+    lr, lg, lb = luma
+    f1 = 2 - 2 * lr
+    d1 = FIX(min(max(f1, 0.0), 2.0))
+    f2 = lr * f1 / lg
+    d2 = -FIX(min(max(f2, 0.0), 2.0))
+    f3 = 2 - 2 * lb
+    d3 = FIX(min(max(f3, 0.0), 2.0))
+    f4 = lb * f3 / lg
+    d4 = -FIX(min(max(f4, 0.0), 2.0))
+    cr_r = np.empty(256, np.int64)
+    cb_b = np.empty(256, np.int64)
+    cr_g = np.empty(256, np.int64)
+    cb_g = np.empty(256, np.int64)
+    y_tab = np.empty(256, np.int64)
+    for i in range(256):
+        x = i - 128
+        cr = int(np.clip(code2v(x, refbw[4] - 128.0, refbw[5] - 128.0,
+                                127), -128.0 * 32, 128.0 * 32))
+        cb = int(np.clip(code2v(x, refbw[2] - 128.0, refbw[3] - 128.0,
+                                127), -128.0 * 32, 128.0 * 32))
+        cr_r[i] = (d1 * cr + ONE_HALF) >> SHIFT
+        cb_b[i] = (d3 * cb + ONE_HALF) >> SHIFT
+        cr_g[i] = d2 * cr
+        cb_g[i] = d4 * cb + ONE_HALF
+        y_tab[i] = int(np.clip(code2v(x + 128, refbw[0], refbw[1], 255),
+                               -128.0 * 32, 128.0 * 32))
+    return y_tab, cr_r, cb_b, cr_g, cb_g
+
+
+def _ycbcr_to_rgb(Y, Cb, Cr, tabs):
+    """TIFFYCbCrtoRGB per pixel, vectorized."""
+    y_tab, cr_r, cb_b, cr_g, cb_g = tabs
+    Y = np.clip(Y, 0, 255).astype(np.int64)
+    Cb = np.clip(Cb, 0, 255).astype(np.int64)
+    Cr = np.clip(Cr, 0, 255).astype(np.int64)
+    yv = y_tab[Y]
+    r = np.clip(yv + cr_r[Cr], 0, 255)
+    g = np.clip(yv + ((cb_g[Cb] + cr_g[Cr]) >> 16), 0, 255)
+    b = np.clip(yv + cb_b[Cb], 0, 255)
+    return np.stack([r, g, b], -1).astype(np.uint8)
 
 
 def decode_tiff(data: bytes):
@@ -196,24 +251,37 @@ def decode_tiff(data: bytes):
     spp = int(tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0])
     fmt = int(tags.get(_TAG_SAMPLE_FORMAT, [1])[0])
     rows_per_strip = int(tags.get(_TAG_ROWS_PER_STRIP, [h])[0])
-    if comp not in (1, 4, 5, 7, 8, 32773, 32946, 50001):
+    if comp not in (1, 4, 5, 7, 8, 32773, 32946, 50001, 34925, 34887):
         raise NotImplementedError(
             f"TIFF compression {comp} (no codec library in this container)")
+    # LERC (tif_lerc.c): LERC_PARAMETERS = [version, add_compression]
+    lerc_add = int(tags.get(50674, [0, 0])[1]) if comp == 34887 else 0
+    if comp == 34887 and lerc_add == 2:
+        raise NotImplementedError(
+            "TIFF LERC+ZSTD (no zstd library in this container)")
     predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
     photometric = int(tags.get(262, [1])[0])
     jpeg_tables = tags.get(347, [None])[0]  # TIFF TechNote2 tables stream
     # photometric drives the colorspace (libtiff tif_jpeg.c): 6=YCbCr
     # transforms to RGB on read (what GDAL exposes), 2=RGB planes direct
     jpeg_color = {6: "ycbcr", 2: "rgb"}.get(photometric, "auto")
+    complex_int = False
     if bits == 1:
         dt = "u1"  # expanded to one byte per pixel below
     elif fmt == 3:
-        dt = {32: "f4", 64: "f8"}[bits]
+        dt = {16: "f2", 32: "f4", 64: "f8"}[bits]
     elif fmt == 2:
-        dt = {8: "i1", 16: "i2", 32: "i4"}[bits]
+        dt = {8: "i1", 16: "i2", 32: "i4", 64: "i8"}[bits]
+    elif fmt == 6:   # complex IEEE (CFloat32/CFloat64)
+        dt = {64: "c8", 128: "c16"}[bits]
+    elif fmt == 5:   # complex int (CInt16/CInt32): interleaved pairs
+        dt = {32: "i2", 64: "i4"}[bits]
+        complex_int = True
     else:
-        dt = {8: "u1", 16: "u2", 32: "u4"}[bits]
+        dt = {8: "u1", 16: "u2", 32: "u4", 64: "u8"}[bits]
     dtype = np.dtype(bo + dt)
+    if complex_int:
+        spp *= 2    # decode the I/Q lanes as doubled samples
     planar = int(tags.get(284, [1])[0])
 
     def decomp(chunk: bytes, nrows: int, ncols: int, nspp: int = None) -> bytes:
@@ -263,9 +331,81 @@ def decode_tiff(data: bytes):
             chunk = zlib.decompress(chunk)
         elif comp == 5:
             chunk = _unlzw(chunk, nbytes)
+        elif comp == 34925:   # LZMA (tif_lzma.c; xz container)
+            import lzma
+
+            chunk = lzma.decompress(chunk)
+        elif comp == 34887:   # LERC (tif_lerc.c)
+            from ..functions.lerc import _decode_lerc2
+
+            if lerc_add == 1:
+                import zlib
+
+                chunk = zlib.decompress(chunk)
+            arr = _decode_lerc2(bytes(chunk))  # (rows, cols, ndim)
+            out = np.zeros((nrows, ncols, nspp), dtype)
+            sh = min(nrows, arr.shape[0])
+            sw = min(ncols, arr.shape[1])
+            out[:sh, :sw] = arr[:sh, :sw, :nspp].astype(dtype)
+            return out.tobytes()
         if predictor == 2:
             chunk = _undo_predictor(chunk[:nbytes], nrows, ncols, nspp, dtype)
         return chunk[:nbytes]
+
+    if photometric == 6 and comp in (1, 5, 8, 32946) and bits == 8 \
+            and _TAG_TILE_WIDTH not in tags:
+        # subsampled YCbCr strips (libtiff contig layout: per v-row
+        # unit group h*v luma samples + Cb + Cr; replication
+        # upsampling and the tif_color.c fixed-point conversion —
+        # pinned by the gcore ycbcr_*_lzw checksum matrix)
+        sub = tags.get(530, [2, 2])
+        sh_, sv_ = int(sub[0]), int(sub[1])
+        if (sh_, sv_) not in ((1, 1), (1, 2), (2, 1), (2, 2),
+                              (4, 1), (4, 2), (4, 4)):
+            # the combinations libtiff has no putcontig routine for
+            # (the gcore matrix marks 1x4 / 2x4 "not supported")
+            raise NotImplementedError(
+                f"YCbCr subsampling {sh_}x{sv_} unsupported (libtiff)")
+        luma = [float(v) for v in tags.get(
+            529, [0.299, 0.587, 0.114])]
+        refbw = [float(v) for v in tags.get(
+            532, [0.0, 255.0, 128.0, 255.0, 128.0, 255.0])]
+        tabs = _ycbcr_tables(luma, refbw)
+        offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
+        counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
+        wpad = -(-w // sh_) * sh_
+        unit = sh_ * sv_ + 2
+        Yf = np.zeros((0, wpad), np.uint8)
+        Cbf = []
+        Crf = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            rpad = -(-nrows // sv_) * sv_
+            nunits = (wpad // sh_) * (rpad // sv_)
+            chunk = data[off:off + cnt]
+            if comp == 5:
+                chunk = _unlzw(chunk, nunits * unit)
+            elif comp in (8, 32946):
+                import zlib
+
+                chunk = zlib.decompress(chunk)
+            u = np.frombuffer(chunk, np.uint8, nunits * unit).reshape(
+                rpad // sv_, wpad // sh_, unit)
+            yy = u[:, :, :sh_ * sv_].reshape(
+                rpad // sv_, wpad // sh_, sv_, sh_)
+            yy = yy.transpose(0, 2, 1, 3).reshape(rpad, wpad)
+            Yf = np.vstack([Yf, yy[:nrows]])
+            cb = np.repeat(np.repeat(u[:, :, sh_ * sv_], sh_, axis=1),
+                           sv_, axis=0)[:nrows]
+            cr = np.repeat(np.repeat(u[:, :, sh_ * sv_ + 1], sh_,
+                                     axis=1), sv_, axis=0)[:nrows]
+            Cbf.append(cb)
+            Crf.append(cr)
+        Y = Yf[:, :w]
+        Cb = np.vstack(Cbf)[:, :w]
+        Cr = np.vstack(Crf)[:, :w]
+        px = _ycbcr_to_rgb(Y, Cb, Cr, tabs)
+        return px, None
 
     if _TAG_TILE_WIDTH in tags:
         # tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts)
@@ -274,18 +414,30 @@ def decode_tiff(data: bytes):
         toffs = [int(v) for v in tags[_TAG_TILE_OFFSETS]]
         tcnts = [int(v) for v in tags[_TAG_TILE_BYTE_COUNTS]]
         ntx = (w + tw - 1) // tw
+        nty = (h + th - 1) // th
         px = np.zeros((h, w, spp), dtype=dtype)
+        tiles_per_band = ntx * nty
         for ti, (off, cnt) in enumerate(zip(toffs, tcnts)):
             if off == 0 or cnt == 0:    # sparse tile -> zeros
                 continue
-            ty, tx = divmod(ti, ntx)
-            buf = decomp(data[off:off + cnt], th, tw)
-            tile = np.frombuffer(buf, dtype=dtype,
-                                 count=th * tw * spp).reshape(th, tw, spp)
+            if planar == 2 and spp > 1:
+                band, pos = divmod(ti, tiles_per_band)
+                ty, tx = divmod(pos, ntx)
+                buf = decomp(data[off:off + cnt], th, tw, 1)
+                tile = np.frombuffer(buf, dtype=dtype,
+                                     count=th * tw).reshape(th, tw, 1)
+                bsl = slice(band, band + 1)
+            else:
+                ty, tx = divmod(ti, ntx)
+                buf = decomp(data[off:off + cnt], th, tw)
+                tile = np.frombuffer(
+                    buf, dtype=dtype,
+                    count=th * tw * spp).reshape(th, tw, spp)
+                bsl = slice(None)
             y0, x0 = ty * th, tx * tw
             ny = min(th, h - y0)
             nx_ = min(tw, w - x0)
-            px[y0:y0 + ny, x0:x0 + nx_] = tile[:ny, :nx_]
+            px[y0:y0 + ny, x0:x0 + nx_, bsl] = tile[:ny, :nx_]
         px = px if spp > 1 else px[:, :, 0]
     elif planar == 2 and spp > 1:
         # separate planes: one run of strips per band
@@ -304,7 +456,14 @@ def decode_tiff(data: bytes):
                 buf, dtype=dtype, count=nrows * w).reshape(nrows, w)
     else:
         offsets = [int(v) for v in tags[_TAG_STRIP_OFFSETS]]
-        counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
+        if _TAG_STRIP_BYTE_COUNTS not in tags and comp == 1:
+            # missing StripByteCounts: infer for uncompressed strips
+            # (gtiff one_strip_nobytecount / minimum-tags fixtures)
+            counts = [min(rows_per_strip, h - i * rows_per_strip) * w
+                      * spp * dtype.itemsize
+                      for i in range(len(offsets))]
+        else:
+            counts = [int(v) for v in tags[_TAG_STRIP_BYTE_COUNTS]]
         raw_all = bytearray()
         for si, (off, cnt) in enumerate(zip(offsets, counts)):
             nrows = min(rows_per_strip, h - si * rows_per_strip)
@@ -314,6 +473,14 @@ def decode_tiff(data: bytes):
             raw_all += decomp(data[off:off + cnt], nrows, w)
         px = np.frombuffer(bytes(raw_all), dtype=dtype, count=h * w * spp)
         px = px.reshape(h, w, spp) if spp > 1 else px.reshape(h, w)
+
+    if complex_int:
+        cdt = np.complex64 if dtype.itemsize == 2 else np.complex128
+        px3 = px if px.ndim == 3 else px[:, :, None]
+        px = (px3[:, :, 0::2].astype(np.float64) +
+              1j * px3[:, :, 1::2].astype(np.float64)).astype(cdt)
+        if px.shape[2] == 1:
+            px = px[:, :, 0]
 
     gt = None
     if _TAG_TRANSFORM in tags and len(tags[_TAG_TRANSFORM]) >= 16:
