@@ -89,28 +89,79 @@ def geojson_to_geom(obj: dict) -> Geom:
     the engine is 2-D throughout, like the reference's default
     promotion rules)."""
     t = obj["type"]
-    c = obj["coordinates"]
-    arr2 = lambda pts: np.asarray([p[:2] for p in pts], np.float64).reshape(-1, 2)
+    if t == "GeometryCollection":
+        from ..functions.wkb import GEOMETRYCOLLECTION
+
+        members = [geojson_to_geom(g)
+                   for g in (obj.get("geometries") or [])
+                   if g is not None]
+        members = [m for m in members if m is not None]
+        return Geom(GEOMETRYCOLLECTION, [], members=members)
+    c = obj.get("coordinates")
+    if c is None:
+        return None   # degenerate geometry (ogr_geojson_14 matrix)
+
+    def arr2(pts):
+        if pts is None:
+            return None
+        clean = [p[:2] for p in pts
+                 if isinstance(p, (list, tuple)) and len(p) >= 2
+                 and p[0] is not None and p[1] is not None]
+        if not clean:
+            return None
+        return np.asarray(clean, np.float64).reshape(-1, 2)
     if t == "Point":
-        return Geom(POINT, [arr2([c])])
+        a = arr2([c])
+        return Geom(POINT, [a]) if a is not None else None
     if t == "MultiPoint":
-        return Geom(MULTIPOINT, [arr2(c)])
+        a = arr2(c)
+        return Geom(MULTIPOINT, [a]) if a is not None else None
     if t == "LineString":
-        return Geom(LINESTRING, [arr2(c)])
+        a = arr2(c)
+        return Geom(LINESTRING, [a]) if a is not None else None
     if t == "MultiLineString":
-        return Geom(MULTILINESTRING, [arr2(r) for r in c])
+        parts = [a for a in (arr2(r) for r in c) if a is not None]
+        return Geom(MULTILINESTRING, parts) if parts else None
     if t == "Polygon":
-        return Geom(POLYGON, [arr2(r) for r in c], [len(c)])
+        rings = [a for a in (arr2(r) for r in c) if a is not None]
+        return Geom(POLYGON, rings, [len(rings)]) if rings else None
     if t == "MultiPolygon":
         rings, counts = [], []
         for poly in c:
-            rings.extend(arr2(r) for r in poly)
-            counts.append(len(poly))
-        return Geom(MULTIPOLYGON, rings, counts)
+            if poly is None:
+                continue
+            rs = [a for a in (arr2(r) for r in poly) if a is not None]
+            if rs:
+                rings.extend(rs)
+                counts.append(len(rs))
+        return Geom(MULTIPOLYGON, rings, counts) if rings else None
     raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
 
 
 # ------------------------------------------------------------- table <-> json
+
+def _promote_array(vals: list) -> pa.Array:
+    """OGR field-type promotion (ogrgeojsonreader.cpp
+    OGRGeoJSONSchemaOpt): mixed bool/int -> int, +float -> real,
+    +string -> string; list/dict values serialize as JSON strings
+    (the reference's JSON-typed string fields)."""
+    try:
+        return pa.array(vals)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        pass
+    if any(isinstance(v, (list, dict)) for v in vals):
+        return pa.array([json.dumps(v) if isinstance(v, (list, dict))
+                         else (None if v is None else str(v))
+                         for v in vals], pa.string())
+    if any(isinstance(v, str) for v in vals):
+        return pa.array([None if v is None else str(v) for v in vals],
+                        pa.string())
+    if any(isinstance(v, float) for v in vals):
+        return pa.array([None if v is None else float(v) for v in vals],
+                        pa.float64())
+    return pa.array([None if v is None else int(v) for v in vals],
+                    pa.int64())
+
 
 def _features_to_table(feats: list[dict], columns: list[str] | None = None,
                        with_bbox: bool = True) -> pa.Table:
@@ -136,21 +187,38 @@ def _features_to_table(feats: list[dict], columns: list[str] | None = None,
         props = f.get("properties") or {}
         for k in keys:
             cols[k].append(props.get(k))
-        fids.append(f.get("id", i))
+        fids.append(f.get("id"))
         if want_geom or with_bbox:
-            g = geojson_to_geom(f["geometry"])
+            gj = f.get("geometry")
+            g = geojson_to_geom(gj) if gj is not None else None
             if want_geom:
-                wkbs.append(geom_to_wkb(g))
+                # null geometry -> empty WKB (OGR's NULL geometry)
+                wkbs.append(geom_to_wkb(g) if g is not None else b"")
             if with_bbox:
-                xmin, ymin, xmax, ymax = g.bbox()
+                if g is not None and g.rings and len(g.rings[0]):
+                    xmin, ymin, xmax, ymax = g.bbox()
+                else:
+                    xmin = ymin = xmax = ymax = float("nan")
                 bx0.append(xmin); by0.append(ymin)
                 bx1.append(xmax); by1.append(ymax)
 
-    out: dict[str, pa.Array] = {"fid": pa.array(fids, pa.int64())}
+    # feature ids: integers become the FID (null -> sequential); any
+    # non-integer id moves to an 'id' string field and FIDs stay
+    # sequential (ogrgeojsonreader.cpp id handling)
+    if any(v is not None and not isinstance(v, int) for v in fids):
+        if "id" not in keys:
+            keys = ["id"] + keys
+            cols["id"] = [None if v is None else str(v) for v in fids]
+        fid_arr = pa.array(range(len(fids)), pa.int64())
+    else:
+        fid_arr = pa.array(
+            [i if v is None else v for i, v in enumerate(fids)],
+            pa.int64())
+    out: dict[str, pa.Array] = {"fid": fid_arr}
     if want_geom:
         out["geometry"] = pa.array(wkbs, pa.binary())
     for k in keys:
-        out[k] = pa.array(cols[k])
+        out[k] = _promote_array(cols[k])
     if with_bbox:
         out["bbox_xmin"] = pa.array(bx0, pa.float64())
         out["bbox_ymin"] = pa.array(by0, pa.float64())
@@ -205,15 +273,60 @@ def read_geojson(path_or_obj, columns: list[str] | None = None) -> pa.Table:
     if isinstance(path_or_obj, dict):
         obj = path_or_obj
     elif isinstance(path_or_obj, str) and path_or_obj.lstrip()[:1] == "{":
-        obj = json.loads(path_or_obj)
+        obj = _loads_lenient(path_or_obj)
     else:
-        with open(path_or_obj) as f:
-            obj = json.load(f)
-    if obj.get("type") == "Feature":
+        # utf-8-sig strips a UTF-8 BOM (point_with_utf8bom.json)
+        with open(path_or_obj, encoding="utf-8-sig") as f:
+            obj = _loads_lenient(f.read())
+    typ = obj.get("type")
+    if typ == "Feature":
         return _features_to_table([obj], columns)
-    if obj.get("type") != "FeatureCollection":
+    if typ in ("Point", "MultiPoint", "LineString", "MultiLineString",
+               "Polygon", "MultiPolygon", "GeometryCollection"):
+        # bare geometry documents open as one geometry-only feature
+        # (OGRGeoJSONReadGeometry path)
+        return _features_to_table(
+            [{"type": "Feature", "properties": {}, "geometry": obj}],
+            columns)
+    if typ != "FeatureCollection":
         raise ValueError("not a GeoJSON FeatureCollection")
     return _features_to_table(obj["features"], columns)
+
+
+def _loads_lenient(text: str):
+    """json.loads with json-c's trailing-comma tolerance (the
+    reference parses stac_item.json's ",]" without complaint)."""
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        # single pass: drop commas directly followed by ] or }
+        # (string-aware)
+        out = []
+        in_str = False
+        esc = False
+        n = len(text)
+        for i, ch in enumerate(text):
+            if in_str:
+                out.append(ch)
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = False
+                continue
+            if ch == '"':
+                in_str = True
+                out.append(ch)
+                continue
+            if ch == ",":
+                j = i + 1
+                while j < n and text[j] in " \t\r\n":
+                    j += 1
+                if j < n and text[j] in "]}":
+                    continue    # trailing comma: drop
+            out.append(ch)
+        return json.loads("".join(out))
 
 
 # ------------------------------------------------------------- GeoJSONSeq
