@@ -570,8 +570,38 @@ def decode_jpeg(data: bytes, scale_denom: int = 1) -> np.ndarray:
 
     ``scale_denom`` in {1, 2, 4, 8} reproduces libjpeg's DCT-scaled
     decode (jdmaster.c + jidctred.c): output is ceil(dim/denom) and
-    bit-exact with cinfo.scale_num/scale_denom = 1/denom."""
-    return _decode_entropy(**_parse_jpeg(data), scale_denom=scale_denom)
+    bit-exact with cinfo.scale_num/scale_denom = 1/denom.
+    Progressive (SOF2) and lossless (SOF3) streams dispatch to their
+    dedicated decoders (scale_denom applies to baseline only)."""
+    try:
+        parsed = _parse_jpeg(data)
+    except NotImplementedError:
+        sof = _sniff_sof(data)
+        if sof == 0xC2 and scale_denom == 1:
+            return decode_jpeg_progressive(data)
+        if sof == 0xC3 and scale_denom == 1:
+            return decode_jpeg_lossless(data)
+        raise
+    return _decode_entropy(**parsed, scale_denom=scale_denom)
+
+
+def _sniff_sof(data: bytes) -> int | None:
+    pos = 2
+    n = len(data)
+    while pos < n - 3:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m
+        if m == 0xDA:
+            return None
+        pos += 2 + struct.unpack(">H", data[pos + 2:pos + 4])[0]
+    return None
 
 
 def decode_jpeg_tiff(stream: bytes, tables: bytes | None = None,
@@ -1223,3 +1253,407 @@ def _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct,
     rgb[..., 2] = y + _CB_B_TAB[cb]
     np.clip(rgb, 0, 255, out=rgb)
     return rgb.astype(np.uint8)
+
+
+# ------------------------------------------------------------- lossless JPEG
+class _LLBits:
+    """MSB-first bit reader over the entropy-coded segment (0xFF00
+    stuffing removed; marker-terminated)."""
+
+    __slots__ = ("tail", "bp", "buf", "cnt", "m")
+
+    def __init__(self, tail: bytes):
+        self.tail = tail
+        self.bp = 0
+        self.buf = 0
+        self.cnt = 0
+        self.m = len(tail)
+
+    def _fill(self):
+        while self.cnt <= 48 and self.bp < self.m:
+            b = self.tail[self.bp]
+            if b == 0xFF:
+                nxt = self.tail[self.bp + 1] if self.bp + 1 < self.m else 0
+                if nxt == 0x00:
+                    self.bp += 2
+                else:
+                    # restart or terminating marker: pad with zeros
+                    self.bp = self.m
+                    break
+            else:
+                self.bp += 1
+            self.buf = ((self.buf << 8) | b) & ((1 << 56) - 1)
+            self.cnt += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        if self.cnt < k:
+            self.buf <<= (k - self.cnt)
+            self.cnt = k
+        v = (self.buf >> (self.cnt - k)) & ((1 << k) - 1)
+        self.cnt -= k
+        return v
+
+    def huff(self, lut: np.ndarray) -> int:
+        self._fill()
+        if self.cnt >= 16:
+            window = (self.buf >> (self.cnt - 16)) & 0xFFFF
+        else:
+            window = (self.buf << (16 - self.cnt)) & 0xFFFF
+        e = int(lut[window])
+        ln = e >> 8
+        if ln == 0:
+            raise ValueError("bad lossless Huffman code")
+        if self.cnt < ln:
+            self.buf <<= (ln - self.cnt)
+            self.cnt = ln
+        self.cnt -= ln
+        return e & 0xFF
+
+
+def decode_jpeg_lossless(data: bytes) -> np.ndarray:
+    """Lossless JPEG (SOF3, ITU T.81 Annex H) — Huffman-coded
+    prediction residuals, no DCT.  The scan's Ss field selects the
+    predictor (1..7), Al the point transform; the first sample
+    predicts 1<<(P-1-Pt) and row starts predict from Rb
+    (libjpeg-turbo 2.2 semantics; the reference's byte_lossless.jpg
+    pins checksum 4672 — note GDAL itself REJECTS the 16-bit
+    uint16_lossless.jpg, which this decoder reads).  Non-subsampled
+    single/multi component scans; SSSS=16 means +32768."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    dc_luts: dict[int, np.ndarray] = {}
+    ncomp_sof = 0
+    h = w = prec = 0
+    order = []
+    predictor = 1
+    pt = 0
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2: pos + seglen]
+        if marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                if tc == 0:
+                    dc_luts[th] = _build_lut(bits,
+                                             list(seg[i + 17:i + 17 + nv]))
+                i += 17 + nv
+        elif marker == 0xC3:
+            prec, h, w, ncomp_sof = struct.unpack(">BHHB", seg[:6])
+        elif marker == 0xDA:
+            ns = seg[0]
+            for si in range(ns):
+                order.append((seg[1 + 2 * si], seg[2 + 2 * si] >> 4))
+            predictor = seg[1 + 2 * ns]
+            pt = seg[3 + 2 * ns] & 15
+            pos += seglen
+            break
+        pos += seglen
+    else:
+        raise ValueError("no SOS marker found")
+    if prec == 0:
+        raise ValueError("lossless JPEG: missing SOF3")
+    ncomp = len(order)
+    br = _LLBits(data[pos:])
+    luts = [dc_luts[td] for _, td in order]
+    out = np.zeros((h, w, ncomp), np.int64)
+    default_pred = 1 << (prec - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                ssss = br.huff(luts[ci])
+                if ssss == 0:
+                    diff = 0
+                elif ssss == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(br.bits(ssss), ssss)
+                if y == 0 and x == 0:
+                    pred = default_pred
+                elif x == 0:
+                    pred = int(out[y - 1, 0, ci])
+                elif y == 0:
+                    pred = int(out[y, x - 1, ci])
+                else:
+                    ra = int(out[y, x - 1, ci])
+                    rb = int(out[y - 1, x, ci])
+                    rc = int(out[y - 1, x - 1, ci])
+                    pred = {1: ra, 2: rb, 3: rc,
+                            4: ra + rb - rc,
+                            5: ra + ((rb - rc) >> 1),
+                            6: rb + ((ra - rc) >> 1),
+                            7: (ra + rb) >> 1}[predictor]
+                out[y, x, ci] = (pred + diff) & 0xFFFF
+    out &= (1 << prec) - 1
+    out <<= pt
+    dt = np.uint8 if prec <= 8 else np.uint16
+    res = out.astype(dt)
+    return res[:, :, 0] if ncomp == 1 else res
+
+
+# ----------------------------------------------------------- progressive JPEG
+def decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2, spectral selection + successive
+    approximation) per ITU T.81 Annex G / libjpeg jdphuff.c: DC
+    first/refine and AC first/refine scans accumulate into the
+    coefficient planes, then the shared dequant+IDCT+upsample+color
+    pipeline finishes.  Scans loop until EOI; DHT may be redefined
+    between scans; restart intervals reset predictors and EOB runs.
+    (Plain-Python scan loop — the vectorized path stays baseline's.)"""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, np.ndarray] = {}
+    ac_luts: dict[int, np.ndarray] = {}
+    comps: list[_Component] = []
+    h = w = 0
+    restart_interval = 0
+    adobe_transform = None
+    n = len(data)
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    eobrun = 0
+
+    def comp_dims(c):
+        # non-interleaved scan block dims (libjpeg downsampled size)
+        cw = -(-w * c.hsamp // hmax)
+        ch_ = -(-h * c.vsamp // vmax)
+        return -(-cw // 8), -(-ch_ // 8)
+
+    while pos < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2: pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.frombuffer(seg[i + 1:i + 65],
+                                    np.uint8).astype(np.int64)
+                qtabs[tq] = tab[UNZIGZAG]
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                values = list(seg[i + 17:i + 17 + nv])
+                (ac_luts if tc else dc_luts)[th] = _build_lut(bits, values)
+                i += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit progressive JPEG")
+            for ci in range(nc):
+                c = _Component()
+                c.cid = seg[6 + 3 * ci]
+                samp = seg[7 + 3 * ci]
+                c.hsamp, c.vsamp = samp >> 4, samp & 15
+                c.tq = seg[8 + 3 * ci]
+                comps.append(c)
+            hmax = max(c.hsamp for c in comps)
+            vmax = max(c.vsamp for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c.blocks_w = mcux * c.hsamp
+                c.blocks_h = mcuy * c.vsamp
+                c.nb = c.blocks_w * c.blocks_h
+                c.coefs = np.zeros((c.nb, 64), np.int32)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":
+            adobe_transform = seg[-1]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                c = next(c for c in comps if c.cid == cs)
+                c.td, c.ta = tdta >> 4, tdta & 15
+                scan_comps.append(c)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            pos += seglen
+            # find entropy segment end (next marker that is not RST/FF00)
+            br = _LLBits(b"")
+            end = pos
+            while end < n - 1:
+                if data[end] == 0xFF and data[end + 1] != 0x00 and \
+                        not (0xD0 <= data[end + 1] <= 0xD7):
+                    break
+                end += 1
+            tail = data[pos:end]
+            pos = end
+            eobrun = 0
+            zig = ZIGZAG.tolist()
+
+            # split at restart markers
+            segs = []
+            s0 = 0
+            i2 = 0
+            m2 = len(tail)
+            while i2 < m2 - 1:
+                if tail[i2] == 0xFF and 0xD0 <= tail[i2 + 1] <= 0xD7:
+                    segs.append(tail[s0:i2])
+                    s0 = i2 + 2
+                    i2 += 2
+                else:
+                    i2 += 1
+            segs.append(tail[s0:])
+
+            if ns > 1:
+                # interleaved (DC scans): MCU order
+                nmcu = mcux * mcuy
+                mcu_idx = 0
+                for segb in segs:
+                    br = _LLBits(segb)
+                    preds = {id(c): 0 for c in scan_comps}
+                    lim = min(nmcu - mcu_idx,
+                              restart_interval or nmcu)
+                    for _ in range(lim):
+                        my, mx = divmod(mcu_idx, mcux)
+                        for c in scan_comps:
+                            for by in range(c.vsamp):
+                                for bx in range(c.hsamp):
+                                    bi = ((my * c.vsamp + by) * c.blocks_w
+                                          + mx * c.hsamp + bx)
+                                    if ah == 0:
+                                        ssss = br.huff(dc_luts[c.td])
+                                        d = (_extend(br.bits(ssss), ssss)
+                                             if ssss else 0)
+                                        preds[id(c)] += d
+                                        c.coefs[bi, 0] = \
+                                            preds[id(c)] << al
+                                    else:
+                                        if br.bits(1):
+                                            c.coefs[bi, 0] |= (1 << al)
+                        mcu_idx += 1
+            else:
+                c = scan_comps[0]
+                bw, bh = comp_dims(c)
+                nblocks = bw * bh
+                bidx = 0
+                for segb in segs:
+                    br = _LLBits(segb)
+                    pred = 0
+                    eobrun = 0
+                    lim = min(nblocks - bidx,
+                              restart_interval or nblocks)
+                    for _ in range(lim):
+                        byy, bxx = divmod(bidx, bw)
+                        bi = byy * c.blocks_w + bxx
+                        co = c.coefs[bi]
+                        if ss == 0:     # DC scan
+                            if ah == 0:
+                                ssss = br.huff(dc_luts[c.td])
+                                d = (_extend(br.bits(ssss), ssss)
+                                     if ssss else 0)
+                                pred += d
+                                co[0] = pred << al
+                            else:
+                                if br.bits(1):
+                                    co[0] |= (1 << al)
+                        elif ah == 0:   # AC first
+                            if eobrun > 0:
+                                eobrun -= 1
+                            else:
+                                k = ss
+                                while k <= se:
+                                    sym = br.huff(ac_luts[c.ta])
+                                    r, s_ = sym >> 4, sym & 15
+                                    if s_ == 0:
+                                        if r < 15:
+                                            eobrun = (1 << r) - 1
+                                            if r:
+                                                eobrun += br.bits(r)
+                                            break
+                                        k += 16
+                                        continue
+                                    k += r
+                                    co[zig[k]] = _extend(
+                                        br.bits(s_), s_) << al
+                                    k += 1
+                        else:   # AC refine (jdphuff.c
+                                # decode_mcu_AC_refine, exact flow)
+                            p1 = 1 << al
+                            m1 = -1 << al
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    sym = br.huff(ac_luts[c.ta])
+                                    r, s_ = sym >> 4, sym & 15
+                                    sval = 0
+                                    if s_:
+                                        sval = p1 if br.bits(1) else m1
+                                    else:
+                                        if r != 15:
+                                            eobrun = 1 << r
+                                            if r:
+                                                eobrun += br.bits(r)
+                                            break
+                                    while True:   # do-while k <= se
+                                        z = zig[k]
+                                        if co[z] != 0:
+                                            if br.bits(1) and \
+                                                    (co[z] & p1) == 0:
+                                                co[z] += (p1 if co[z] >= 0
+                                                          else m1)
+                                        else:
+                                            r -= 1
+                                            if r < 0:
+                                                break
+                                        k += 1
+                                        if k > se:
+                                            break
+                                    if sval and k <= se:
+                                        co[zig[k]] = sval
+                                    k += 1
+                            if eobrun > 0:
+                                while k <= se:
+                                    z = zig[k]
+                                    if co[z] != 0:
+                                        if br.bits(1) and \
+                                                (co[z] & p1) == 0:
+                                            co[z] += (p1 if co[z] >= 0
+                                                      else m1)
+                                    k += 1
+                                eobrun -= 1
+                        bidx += 1
+            continue
+        pos += seglen
+
+    if not comps:
+        raise ValueError("progressive JPEG: no SOF2")
+    rgb_direct = (adobe_transform == 0
+                  or [c.cid for c in comps] == [82, 71, 66])
+    return _idct_planes(comps, qtabs, h, w, hmax, vmax, rgb_direct, 1)
