@@ -50,10 +50,23 @@ def _pairs_from_poslist(txt: str, swap: bool) -> np.ndarray:
 
 
 def _pairs_from_coordinates(txt: str) -> np.ndarray:
+    """<gml:coordinates>: normally 'x,y x,y' (cs="," ts=" ") but some
+    producers emit 'x y,x y' — GDAL detects which separator splits
+    tuples (gml2ogrgeometry.cpp coordinate parsing)."""
+    txt = txt.strip()
+    toks = txt.split()
+    if toks and all("," in t for t in toks):
+        pts = []
+        for tup in toks:
+            parts = tup.split(",")
+            pts.append((float(parts[0]), float(parts[1])))
+        return np.array(pts, np.float64).reshape(-1, 2)
+    # comma-separated tuples with space inside
     pts = []
-    for tup in txt.split():
-        parts = tup.split(",")
-        pts.append((float(parts[0]), float(parts[1])))
+    for tup in txt.split(","):
+        parts = tup.split()
+        if len(parts) >= 2:
+            pts.append((float(parts[0]), float(parts[1])))
     return np.array(pts, np.float64).reshape(-1, 2)
 
 

@@ -58,29 +58,44 @@ def _coords(el) -> tuple[np.ndarray, np.ndarray]:
     return np.array(xy, np.float64).reshape(-1, 2), np.array(z, np.float64)
 
 
+def _ring(el_container) -> tuple[np.ndarray, np.ndarray] | None:
+    """LinearRing coordinates, or None for the degenerate shapes of
+    the reference's geometries.kml matrix (empty Polygon, missing
+    LinearRing, empty <coordinates/>)."""
+    if el_container is None:
+        return None
+    lr = _find(el_container, "LinearRing")
+    if lr is None:
+        return None
+    c = _find(lr, "coordinates")
+    if c is None or not (c.text or "").strip():
+        return None
+    return _coords(c)
+
+
 def _parse_geom(el) -> Geom | None:
     name = _local(el.tag)
-    if name == "Point":
+    if name in ("Point", "LineString", "LinearRing"):
         c = _find(el, "coordinates")
+        if c is None or not (c.text or "").strip():
+            return None
         xy, z = _coords(c)
-        return Geom(1, [xy], zs=[z])
-    if name == "LineString" or name == "LinearRing":
-        c = _find(el, "coordinates")
-        xy, z = _coords(c)
-        return Geom(2, [xy], zs=[z])
+        if len(xy) == 0:
+            return None
+        return Geom(1 if name == "Point" else 2, [xy], zs=[z])
     if name == "Polygon":
         rings, zs = [], []
-        outer = _find(el, "outerBoundaryIs")
-        if outer is not None:
-            lr = _find(outer, "LinearRing")
-            xy, z = _coords(_find(lr, "coordinates"))
-            rings.append(xy)
-            zs.append(z)
+        got = _ring(_find(el, "outerBoundaryIs"))
+        if got is not None:
+            rings.append(got[0])
+            zs.append(got[1])
         for inner in _findall(el, "innerBoundaryIs"):
-            lr = _find(inner, "LinearRing")
-            xy, z = _coords(_find(lr, "coordinates"))
-            rings.append(xy)
-            zs.append(z)
+            got = _ring(inner)
+            if got is not None:
+                rings.append(got[0])
+                zs.append(got[1])
+        if not rings:
+            return None
         return Geom(3, rings, poly_ring_counts=[len(rings)], zs=zs)
     if name == "MultiGeometry":
         members = [_parse_geom(c) for c in el]
@@ -89,9 +104,11 @@ def _parse_geom(el) -> Geom | None:
             return None
         kinds = {m.kind for m in members}
         if len(kinds) != 1 or members[0].kind not in _MULTI:
-            raise NotImplementedError(
-                "mixed-type KML MultiGeometry (GeometryCollection) "
-                "is not modeled")
+            # heterogeneous members -> GeometryCollection (matches
+            # the reference's wkbGeometryCollection output)
+            from ..functions.wkb import GEOMETRYCOLLECTION
+
+            return Geom(GEOMETRYCOLLECTION, [], members=members)
         base = members[0].kind
         rings = [r for m in members for r in m.rings]
         zs = [z for m in members for z in (m.zs or [])]
@@ -127,9 +144,48 @@ def read_kml(path_or_bytes) -> dict[str, pa.Table]:
     geometry WKB)} — one layer per Folder, plus the Document layer
     for loose placemarks (the reference's layer model)."""
     if isinstance(path_or_bytes, bytes):
-        root = ET.fromstring(path_or_bytes)
+        data = path_or_bytes
     else:
-        root = ET.parse(path_or_bytes).getroot()
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as e:
+        if "junk after document element" not in str(e):
+            raise
+        # content after the closing </kml> is ignored like the
+        # reference's expat loop (junk_content_after_valid_doc.kml)
+        parser = ET.XMLPullParser(["start", "end"])
+        root = None
+        depth = 0
+        done = False
+        for off in range(0, len(data), 1024):
+            failed = False
+            try:
+                parser.feed(data[off:off + 1024])
+            except ET.ParseError:
+                failed = True
+            it = parser.read_events()
+            while True:
+                try:
+                    ev, el = next(it)
+                except StopIteration:
+                    break
+                except ET.ParseError:
+                    failed = True
+                    break
+                if ev == "start":
+                    depth += 1
+                    if root is None:
+                        root = el
+                else:
+                    depth -= 1
+                    if depth == 0:
+                        done = True
+            if done or failed:
+                break
+        if root is None or not done:
+            raise
     doc = _find(root, "Document")
     if doc is None:
         doc = root

@@ -129,7 +129,10 @@ def parse_nc_header(data: bytes) -> dict:
 
 
 def nc_variable(data: bytes, name: str) -> MDArray:
-    """One variable as a lazy MDArray (byte-range window reads)."""
+    """One variable as a lazy MDArray (byte-range window reads);
+    netCDF-4 goes through the HDF5 reader."""
+    if _is_nc4(data):
+        return _nc4_variable(data, name)
     hdr = parse_nc_header(data)
     v = next((x for x in hdr["vars"] if x["name"] == name), None)
     if v is None:
@@ -174,8 +177,54 @@ def nc_variable(data: bytes, name: str) -> MDArray:
     return MDArray(name, dim_names, shape, provider, attrs)
 
 
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def _is_nc4(data: bytes) -> bool:
+    return data[:8] == _HDF5_MAGIC
+
+
+def _nc4_datasets(data: bytes):
+    from .hdf5 import HDF5File
+
+    f = HDF5File(data)
+    out = []
+    for ds in f.root.walk_datasets():
+        if ds.name.startswith("_nc"):
+            continue    # netCDF-4 internal bookkeeping
+        out.append(ds)
+    return out
+
+
 def nc_list_variables(data: bytes) -> list[str]:
+    """Classic CDF-1/2/5 header walk; netCDF-4 (HDF5 container)
+    delegates to the engine's pure-Python HDF5 reader (the reference
+    routes both through libnetcdf; frmts/netcdf identifies NC4 by the
+    HDF5 signature)."""
+    if _is_nc4(data):
+        return [ds.path.strip("/") for ds in _nc4_datasets(data)]
     return [v["name"] for v in parse_nc_header(data)["vars"]]
+
+
+def _nc4_variable(data: bytes, name: str) -> MDArray:
+    from .hdf5 import HDF5File
+
+    f = HDF5File(data)
+    ds = f.root[name]
+    arr = ds.read()
+
+    def provider(origin, want):
+        sl = tuple(slice(o, o + s) for o, s in zip(origin, want))
+        return np.ascontiguousarray(arr[sl])
+
+    attrs = dict(ds.attrs or {})
+    if "scale_factor" in attrs:
+        attrs.setdefault("scale", float(attrs["scale_factor"]))
+    if "add_offset" in attrs:
+        attrs.setdefault("offset", float(attrs["add_offset"]))
+    dim_names = tuple(f"dim{i}" for i in range(len(arr.shape)))
+    return MDArray(name.split("/")[-1], dim_names, tuple(arr.shape),
+                   provider, attrs)
 
 
 def _byte_is_signed(attrs: dict) -> bool:
