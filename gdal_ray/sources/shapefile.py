@@ -65,19 +65,121 @@ def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:
     return bool(np.count_nonzero(cross) % 2)
 
 
+_ZM_BASE = {11: SHP_POINT, 13: SHP_POLYLINE, 15: SHP_POLYGON,
+            18: SHP_MULTIPOINT,       # ...Z (XY block + Z [+ M])
+            21: SHP_POINT, 23: SHP_POLYLINE, 25: SHP_POLYGON,
+            28: SHP_MULTIPOINT}       # ...M (XY block + M)
+
+
 def _shape_to_geom(shape_type: int, payload: bytes) -> Geom | None:
     """One .shp record payload (after the LE shape-type int) -> Geom."""
     if shape_type == SHP_NULL:
         return None
+    if shape_type == 31:
+        # MultiPatch: parts carry a part-type array (strip/fan/ring
+        # kinds); the reference maps it to TIN / GeometryCollection
+        # (OGRCreateFromMultiPatch) — here strips/fans triangulate
+        # and ring parts stay rings, emitted as one MultiPolygonZ.
+        nparts, npts = struct.unpack_from("<ii", payload, 32)
+        parts = np.frombuffer(payload, "<i4", nparts, 40)
+        ptypes = np.frombuffer(payload, "<i4", nparts, 40 + 4 * nparts)
+        xyoff = 40 + 8 * nparts
+        xy = np.frombuffer(payload, "<f8", 2 * npts, xyoff).reshape(npts, 2)
+        z = np.frombuffer(payload, "<f8", npts, xyoff + 16 * npts + 16)
+        bounds = list(parts) + [npts]
+        rings, zs, counts = [], [], []
+        for i in range(nparts):
+            pxy = xy[bounds[i]:bounds[i + 1]].astype(np.float64)
+            pz = z[bounds[i]:bounds[i + 1]].astype(np.float64)
+            pt = int(ptypes[i])
+            if pt in (0, 1):        # triangle strip / fan
+                for j in range(len(pxy) - 2):
+                    a = 0 if pt == 1 else j
+                    tri = np.array([pxy[a], pxy[j + 1], pxy[j + 2], pxy[a]])
+                    rings.append(tri)
+                    zs.append(np.array([pz[a], pz[j + 1], pz[j + 2], pz[a]]))
+                    counts.append(1)
+            else:                   # ring kinds (2..5)
+                rings.append(pxy)
+                zs.append(pz)
+                if pt in (3,) and counts:   # inner ring joins previous
+                    counts[-1] += 1
+                else:
+                    counts.append(1)
+        if not rings:
+            return None
+        return Geom(MULTIPOLYGON, rings, counts, zs=zs)
+    if shape_type in _ZM_BASE:
+        # Z/M shapes: the XY layout is the base shape's; Z values (if
+        # a ...Z type) follow as zmin,zmax,z[n] right after the XY
+        # block; M is parsed past (the engine's model is XY[Z]) —
+        # ESRI whitepaper pp. 9-22, shpopen.c SHPReadObject
+        base = _ZM_BASE[shape_type]
+        has_z = shape_type in (11, 13, 15, 18)
+        if base == SHP_POINT:
+            g = _shape_to_geom(base, payload)
+            if has_z:
+                z = np.frombuffer(payload, "<f8", 1, 16)
+                g = Geom(g.kind, g.rings, g.poly_ring_counts,
+                         zs=[z.astype(np.float64)])
+            return g
+        if base == SHP_MULTIPOINT:
+            g = _shape_to_geom(base, payload)
+            if g is not None and has_z:
+                n = struct.unpack_from("<i", payload, 32)[0]
+                z = np.frombuffer(payload, "<f8", n, 36 + 16 * n + 16)
+                g = Geom(g.kind, g.rings, g.poly_ring_counts,
+                         zs=[z.astype(np.float64)])
+            return g
+        nparts, npts = struct.unpack_from("<ii", payload, 32)
+        if nparts == 0 or npts == 0:
+            return None
+        parts = np.frombuffer(payload, "<i4", nparts, 40)
+        xy = np.frombuffer(payload, "<f8", 2 * npts,
+                           40 + 4 * nparts).reshape(npts, 2)
+        z = None
+        if has_z:
+            zoff = 40 + 4 * nparts + 16 * npts + 16
+            z = np.frombuffer(payload, "<f8", npts, zoff)
+        bounds = list(parts) + [npts]
+        pairs = [(xy[bounds[i]:bounds[i + 1]].astype(np.float64),
+                  None if z is None else
+                  z[bounds[i]:bounds[i + 1]].astype(np.float64))
+                 for i in range(nparts)]
+        if base == SHP_POLYLINE:
+            kind = LINESTRING if len(pairs) == 1 else MULTILINESTRING
+            return Geom(kind, [r for r, _ in pairs],
+                        zs=[zv for _, zv in pairs] if has_z else None)
+        outers = [p for p in pairs if _ring_area(p[0]) <= 0]
+        holes = [p for p in pairs if _ring_area(p[0]) > 0]
+        if not outers:
+            outers, holes = pairs, []
+        groups = [[o] for o in outers]
+        for hp in holes:
+            hit = next((grp for grp in groups
+                        if _point_in_ring(hp[0][0], grp[0][0])),
+                       groups[0])
+            hit.append(hp)
+        flat = [p for grp in groups for p in grp]
+        zs = [zv for _, zv in flat] if has_z else None
+        if len(groups) == 1:
+            return Geom(POLYGON, [r for r, _ in flat],
+                        [len(flat)], zs=zs)
+        return Geom(MULTIPOLYGON, [r for r, _ in flat],
+                    [len(g_) for g_ in groups], zs=zs)
     if shape_type == SHP_POINT:
         xy = np.frombuffer(payload, "<f8", 2).reshape(1, 2)
         return Geom(POINT, [xy.astype(np.float64)])
     if shape_type == SHP_MULTIPOINT:
         n = struct.unpack_from("<i", payload, 32)[0]
+        if n == 0:      # emptymultipoint.shp -> null geometry
+            return None
         xy = np.frombuffer(payload, "<f8", 2 * n, 36).reshape(n, 2)
         return Geom(MULTIPOINT, [xy.astype(np.float64)])
     if shape_type in (SHP_POLYLINE, SHP_POLYGON):
         nparts, npts = struct.unpack_from("<ii", payload, 32)
+        if nparts == 0 or npts == 0:    # emptymulti{line,poly}.shp
+            return None
         parts = np.frombuffer(payload, "<i4", nparts, 40)
         xy = np.frombuffer(payload, "<f8", 2 * npts,
                            40 + 4 * nparts).reshape(npts, 2)
@@ -205,7 +307,7 @@ def _read_dbf_meta(path: str):
             fd = f.read(32)
             if fd[0:1] == b"\x0d" or len(fd) < 32:
                 break
-            name = fd[:11].split(b"\x00")[0].decode()
+            name = fd[:11].split(b"\x00")[0].decode("latin-1")
             fields.append((name, fd[11:12], fd[16], fd[17]))
     return nrec, hdr_size, rec_size, fields
 
@@ -292,12 +394,31 @@ def _read_shx(base: str) -> np.ndarray:
                      raw[1::2].astype(np.int64) * 2], axis=1)
 
 
+def _scan_shp_index(base: str) -> np.ndarray:
+    """Rebuild the (offset, length) record index by walking .shp
+    record headers — the reference regenerates .shx the same way
+    when it is absent (shpopen.c SHPRestoreSHX)."""
+    with open(base + ".shp", "rb") as f:
+        data = f.read()
+    idx, off = [], 100
+    while off + 8 <= len(data):
+        words = struct.unpack_from(">i", data, off + 4)[0]
+        if words <= 0 or off + 8 + words * 2 > len(data):
+            break
+        idx.append((off, words * 2))
+        off += 8 + words * 2
+    return np.array(idx, np.int64).reshape(-1, 2)
+
+
 def read_shapefile(base: str, rec_range: tuple[int, int] | None = None,
                    columns: list[str] | None = None) -> pa.Table:
     """``base``{.shp,.shx,.dbf} -> engine-shaped Arrow table (WKB
     ``geometry`` + ``bbox_*`` + ``fid`` + attributes)."""
     base = base[:-4] if base.endswith(".shp") else base
-    idx = _read_shx(base)
+    if os.path.exists(base + ".shx"):
+        idx = _read_shx(base)
+    else:
+        idx = _scan_shp_index(base)     # .shx missing: scan .shp records
     lo, hi = rec_range or (0, len(idx))
     hi = min(hi, len(idx))
     wkbs, bx = [], []
@@ -305,8 +426,14 @@ def read_shapefile(base: str, rec_range: tuple[int, int] | None = None,
         for off, ln in idx[lo:hi]:
             f.seek(off + 8)  # skip BE record header
             content = f.read(ln)
-            st = struct.unpack_from("<i", content)[0]
-            g = _shape_to_geom(st, content[4:])
+            try:
+                st = struct.unpack_from("<i", content)[0]
+                g = _shape_to_geom(st, content[4:])
+            except (ValueError, struct.error):
+                # truncated / corrupt record payload: the reference
+                # errors per-feature but keeps the layer open — map
+                # to a null-geometry row (buggy*.shp fixtures)
+                g = None
             if g is None:
                 wkbs.append(None)
                 bx.append((None,) * 4)
@@ -317,7 +444,8 @@ def read_shapefile(base: str, rec_range: tuple[int, int] | None = None,
         "fid": pa.array(np.arange(lo, hi, dtype=np.int64) + 1),
         "geometry": pa.array(wkbs, pa.binary()),
     }
-    attrs = _read_dbf_rows(base + ".dbf", lo, hi)
+    attrs = (_read_dbf_rows(base + ".dbf", lo, hi)
+             if os.path.exists(base + ".dbf") else {})
     for name, vals in attrs.items():
         if columns is not None and name not in columns:
             continue

@@ -95,6 +95,25 @@ def test_hdf5_corpus():
     assert ok >= 23
 
 
+def test_shp_corpus():
+    from gdal_ray.functions.wkb import wkb_to_geom
+    from gdal_ray.sources.shapefile import read_shapefile
+
+    files = sorted(glob.glob(f"{A}/ogr/data/shp/*.shp") +
+                   glob.glob(f"{A}/ogr/data/*.shp"))
+    assert len(files) >= 45
+    for p in files:
+        read_shapefile(p)   # every fixture opens (corrupt records
+        #                     degrade to null geometry, missing .dbf
+        #                     / .shx tolerated like the reference)
+    t = read_shapefile(f"{A}/ogr/data/shp/pointz_without_m.shp")
+    g = wkb_to_geom(t["geometry"][0].as_py())
+    assert g.kind == 1 and list(g.rings[0][0]) == [1.0, 2.0]
+    assert g.zs[0][0] == 3.0
+    t = read_shapefile(f"{A}/ogr/data/shp/emptymultipoint.shp")
+    assert t["geometry"][0].as_py() is None
+
+
 def test_gpkg_corpus():
     from gdal_ray.sources.gpkg import list_layers, read_gpkg_layer
 
