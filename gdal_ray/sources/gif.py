@@ -20,6 +20,35 @@ def sniff_gif(data: bytes) -> bool:
     return data[:6] in (b"GIF87a", b"GIF89a")
 
 
+def gif_info(data: bytes) -> dict:
+    """Header-level open: screen/image dims + driver selection
+    (reference routes width*height > 100e6 to the lazy BIGGIF driver
+    — biggifdataset.cpp — which opens without decoding any pixels,
+    e.g. fakebig.gif's claimed 32767x32767 frame)."""
+    if not sniff_gif(data):
+        raise ValueError("not a GIF file")
+    sw, sh, flags = struct.unpack_from("<HHB", data, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += (2 << (flags & 7)) * 3
+    w, h = sw, sh
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x21:
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b == 0x2C:
+            _, _, w, h, _ = struct.unpack_from("<HHHHB", data, pos)
+            break
+        break
+    return {"width": int(w), "height": int(h),
+            "driver": "BIGGIF" if w * h > 100_000_000 else "GIF"}
+
+
 def decode_gif(data: bytes):
     """First image frame -> (indices (h, w) uint8, palette (n, 3)
     uint8, meta dict with 'background' and optional 'transparent')."""

@@ -110,7 +110,32 @@ def decode_grib1_message(msg: bytes):
     lon2 = _s3(gds, 20) / 1000.0
     scan = gds[27]
     pos += gds_len
-    if gtype not in (0, 1, 10):
+    proj = None
+    if gtype == 5:
+        # polar stereographic: La1/Lo1 first point, LoV orientation,
+        # Dx/Dy in whole meters, true-scale latitude fixed at 60
+        # (WMO GRIB1 GDS template 5; sphere R=6367470 m, and the
+        # spherical proj4 stere akm1 formula reproduces the
+        # reference's geotransform bit-for-bit — degrib1.cpp +
+        # autotest grib.py test_grib_grib1_south_polar_stereographic)
+        lov = _s3(gds, 17) / 1000.0
+        dxm = float((gds[20] << 16) | (gds[21] << 8) | gds[22])
+        dym = float((gds[23] << 16) | (gds[24] << 8) | gds[25])
+        south = bool(gds[26] & 0x80)
+        R = 6367470.0
+        phits = np.deg2rad(60.0)
+        akm1 = np.cos(phits) / np.tan(np.pi / 4 - phits / 2)
+        phi = np.deg2rad(lat1)
+        lam = np.deg2rad(lon1 - lov)
+        if south:
+            t = np.tan(np.pi / 4 + phi / 2)
+            x1, y1 = R * akm1 * t * np.sin(lam), R * akm1 * t * np.cos(lam)
+        else:
+            t = np.tan(np.pi / 4 - phi / 2)
+            x1, y1 = R * akm1 * t * np.sin(lam), -R * akm1 * t * np.cos(lam)
+        proj = {"proj": "stere", "lat_0": -90.0 if south else 90.0,
+                "lat_ts": -60.0 if south else 60.0, "lon_0": lov, "R": R}
+    elif gtype not in (0, 1, 10):
         raise NotImplementedError(f"GRIB1 grid type {gtype}")
     # ---- BMS
     bitmap = None
@@ -165,12 +190,17 @@ def decode_grib1_message(msg: bytes):
     if south_up:
         grid = grid[::-1]
         lat1, lat2 = lat2, lat1  # top latitude first
-    dx = (lon2 - lon1) / (ni - 1) if ni > 1 else 1.0
-    dy = (lat2 - lat1) / (nj - 1) if nj > 1 else 1.0  # negative going down
-    gt = (lon1 - dx / 2.0, dx, 0.0, lat1 - dy / 2.0, 0.0, dy)
+    if gtype == 5:
+        sx = -dxm if scan & 0x80 else dxm
+        top = y1 + (nj - 1) * dym + dym / 2.0 if south_up else y1 + dym / 2.0
+        gt = (x1 - sx / 2.0, sx, 0.0, top, 0.0, -dym)
+    else:
+        dx = (lon2 - lon1) / (ni - 1) if ni > 1 else 1.0
+        dy = (lat2 - lat1) / (nj - 1) if nj > 1 else 1.0  # neg going down
+        gt = (lon1 - dx / 2.0, dx, 0.0, lat1 - dy / 2.0, 0.0, dy)
     meta = {"param": param, "level_type": level_type, "grid_type": gtype,
             "ni": ni, "nj": nj, "has_bitmap": bitmap is not None,
-            "nodata": nodata}
+            "nodata": nodata, "proj": proj}
     return grid, gt, meta
 
 

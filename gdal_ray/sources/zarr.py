@@ -41,6 +41,13 @@ def _decompress(blob: bytes, comp: dict | None) -> bytes:
         return zlib.decompress(blob)
     if cid == "gzip":
         return gzip.decompress(blob)
+    if cid == "lzma":
+        import lzma
+
+        fmt = comp.get("format", lzma.FORMAT_XZ)
+        # filter chains live inside the container except FORMAT_RAW
+        flt = comp.get("filters") if fmt == lzma.FORMAT_RAW else None
+        return lzma.decompress(blob, format=fmt, filters=flt or None)
     raise NotImplementedError(
         f"zarr compressor {cid!r} not available in this environment "
         "(stdlib supports null/zlib/gzip)")
@@ -68,23 +75,98 @@ def _fill_scalar(meta_fill, dtype: np.dtype):
             return np.float64(np.inf).astype(dtype)[()]
         if meta_fill == "-Infinity":
             return np.float64(-np.inf).astype(dtype)[()]
-        raise ValueError(f"unsupported fill_value {meta_fill!r}")
+        if dtype.kind == "U":
+            return np.asarray(meta_fill, dtype)[()]   # literal string
+        if dtype.kind in "SV" or dtype.names:
+            # v2 spec: structured / raw / bytes dtypes carry the
+            # fill as base64 of the raw itemsize bytes
+            import base64
+
+            raw = base64.b64decode(meta_fill)
+            return np.frombuffer(raw.ljust(dtype.itemsize, b"\0"),
+                                 dtype, count=1)[0]
+        try:
+            return np.asarray(float(meta_fill), dtype)[()]
+        except ValueError:
+            raise ValueError(f"unsupported fill_value {meta_fill!r}")
     return np.asarray(meta_fill, dtype)[()]
 
 
+def _np_dtype(meta_dtype) -> np.dtype:
+    """.zarray dtype -> numpy: strings pass through ('!' byte order
+    normalized); compound dtypes arrive as JSON lists-of-lists and
+    need tuples (zarr_v2_array.cpp ParseDtype)."""
+    if isinstance(meta_dtype, str):
+        if meta_dtype[:1] == "!":
+            meta_dtype = ("|" if np.dtype(meta_dtype[1:]).itemsize == 1
+                          else ">") + meta_dtype[1:]
+        return np.dtype(meta_dtype)
+    return np.dtype([(f[0], _np_dtype(f[1]), *[tuple(s) for s in f[2:]])
+                     for f in meta_dtype])
+
+
+def _load_json(path: str):
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        # the reference's json-c based parser tolerates single-quoted
+        # strings (array_attrs.zarr ships '!b1'); normalize and retry
+        import re
+
+        fixed = re.sub(rb"'([^']*)'", rb'"\1"', raw)
+        return json.loads(fixed)
+
+
+def _apply_filters_decode(raw: bytes, filters, dtype: np.dtype):
+    """Reverse the numcodecs filter pipeline (encode = filters in
+    order then compressor; decode = decompress then filters reversed).
+    Supported: delta, shuffle, fixedscaleoffset, quantize."""
+    arr = None
+    for f in reversed(filters or []):
+        fid = f.get("id")
+        if fid == "shuffle":
+            es = int(f.get("elementsize", dtype.itemsize))
+            b = raw if arr is None else arr.tobytes()
+            n = len(b) // es
+            raw = (np.frombuffer(b, np.uint8, n * es)
+                   .reshape(es, n).T.copy().tobytes())
+            arr = None
+        elif fid == "delta":
+            enc_dt = np.dtype(f.get("astype") or f.get("dtype") or dtype)
+            a = np.frombuffer(raw, enc_dt) if arr is None else arr
+            arr = np.cumsum(a, dtype=np.dtype(f.get("dtype") or dtype))
+        elif fid == "fixedscaleoffset":
+            enc_dt = np.dtype(f.get("astype") or "u1")
+            a = np.frombuffer(raw, enc_dt) if arr is None else arr
+            arr = (a / f["scale"] + f["offset"]).astype(
+                np.dtype(f.get("dtype") or dtype))
+        elif fid == "quantize":
+            # lossy at encode time; stored as astype, read back as dtype
+            dt = np.dtype(f.get("dtype") or dtype)
+            enc_dt = np.dtype(f.get("astype") or dt)
+            a = np.frombuffer(raw, enc_dt) if arr is None else arr
+            arr = a.astype(dt)
+        else:
+            raise NotImplementedError(f"zarr filter {fid!r}")
+    if arr is None:
+        return np.frombuffer(raw, dtype)
+    return arr.astype(dtype, copy=False)
+
+
 def _chunk_name(idx: tuple[int, ...], sep: str) -> str:
-    return sep.join(str(i) for i in idx)
+    # 0-d arrays store their lone chunk as "0" (v2 spec)
+    return sep.join(str(i) for i in idx) if idx else "0"
 
 
 def read_zarr_array(path: str, name: str | None = None) -> MDArray:
     """Open a Zarr v2 array directory as a lazy MDArray."""
-    with open(os.path.join(path, ".zarray"), "rb") as f:
-        meta = json.load(f)
+    meta = _load_json(os.path.join(path, ".zarray"))
     if meta.get("zarr_format") != 2:
         raise NotImplementedError(
             f"zarr_format {meta.get('zarr_format')} (only v2 supported)")
-    if meta.get("filters"):
-        raise NotImplementedError("zarr filters not supported")
+    filters = meta.get("filters")
     order = meta.get("order", "C")
     if order not in ("C", "F"):
         raise ValueError(f"bad chunk order {order!r}")
@@ -92,7 +174,7 @@ def read_zarr_array(path: str, name: str | None = None) -> MDArray:
     chunks = tuple(int(n) for n in meta["chunks"])
     if len(chunks) != len(shape):
         raise ValueError("chunks/shape rank mismatch")
-    dtype = np.dtype(meta["dtype"])
+    dtype = _np_dtype(meta["dtype"])
     comp = meta.get("compressor")
     sep = meta.get("dimension_separator", ".")
     fill = _fill_scalar(meta.get("fill_value"), dtype)
@@ -100,8 +182,7 @@ def read_zarr_array(path: str, name: str | None = None) -> MDArray:
     attrs: dict = {}
     zattrs = os.path.join(path, ".zattrs")
     if os.path.exists(zattrs):
-        with open(zattrs, "rb") as f:
-            attrs = json.load(f)
+        attrs = _load_json(zattrs)
     dims = tuple(attrs.get("_ARRAY_DIMENSIONS",
                            [f"dim_{i}" for i in range(len(shape))]))
     # CF scale/offset map onto MDArray.unscaled defaults
@@ -138,12 +219,39 @@ def read_zarr_array(path: str, name: str | None = None) -> MDArray:
                 continue  # missing chunk == fill_value (already in out)
             with open(fp, "rb") as f:
                 raw = _decompress(f.read(), comp)
-            block = np.frombuffer(raw, dtype).reshape(chunks, order=order)
+            block = _apply_filters_decode(raw, filters, dtype).reshape(
+                chunks, order=order)
             out[tuple(dst_sl)] = block[tuple(src_sl)]
         return out
 
     return MDArray(name or os.path.basename(path.rstrip("/")) or "zarr",
                    dims, shape, provider, attrs)
+
+
+def open_zarr(path: str) -> dict[str, MDArray]:
+    """Open a Zarr v2 store (array OR group) -> {path/name: MDArray}.
+    Groups (.zgroup, incl. NCZarr v2 stores and consolidated
+    .zmetadata) are walked recursively for array directories — the
+    reference's ZarrV2Group::Open* traversal."""
+    if os.path.exists(os.path.join(path, ".zarray")):
+        return {os.path.basename(path.rstrip("/")): read_zarr_array(path)}
+    out: dict[str, MDArray] = {}
+
+    def walk(d: str, prefix: str):
+        for name in sorted(os.listdir(d)):
+            sub = os.path.join(d, name)
+            if not os.path.isdir(sub):
+                continue
+            rel = f"{prefix}/{name}" if prefix else name
+            if os.path.exists(os.path.join(sub, ".zarray")):
+                out[rel] = read_zarr_array(sub, name=rel)
+            else:
+                walk(sub, rel)
+
+    walk(path, "")
+    if not out:
+        raise ValueError(f"no zarr arrays under {path}")
+    return out
 
 
 def write_zarr_array(path: str, arr: np.ndarray, *,

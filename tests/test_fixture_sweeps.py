@@ -114,6 +114,113 @@ def test_shp_corpus():
     assert t["geometry"][0].as_py() is None
 
 
+def test_gif_corpus():
+    from gdal_ray.sources.gif import decode_gif, gif_info
+
+    for p in sorted(glob.glob(f"{A}/gdrivers/data/gif/*.gif")):
+        info = gif_info(open(p, "rb").read())
+        if info["driver"] == "GIF":     # BIGGIF opens lazily only
+            decode_gif(open(p, "rb").read())
+    big = gif_info(open(f"{A}/gdrivers/data/gif/fakebig.gif", "rb").read())
+    assert big == {"width": 32767, "height": 32767, "driver": "BIGGIF"}
+
+
+def test_bmp_corpus():
+    from gdal_ray.sources.bmp import decode_bmp
+
+    files = sorted(glob.glob(f"{A}/gcore/data/**/*.bmp", recursive=True))
+    assert len(files) >= 5
+    for p in files:
+        decode_bmp(open(p, "rb").read())
+
+
+def test_hfa_corpus_incl_spill():
+    from gdal_ray.sources.hfa import decode_hfa
+
+    for p in sorted(glob.glob(f"{A}/gdrivers/data/hfa/*.img")):
+        ige = p[:-4] + ".ige"
+        decode_hfa(open(p, "rb").read(),
+                   ige=open(ige, "rb").read() if os.path.exists(ige)
+                   else None)
+
+
+def test_grib_corpus():
+    from gdal_ray.sources.grib1 import read_grib1
+    from gdal_ray.sources.grib2 import read_grib2
+
+    files = sorted(glob.glob(f"{A}/gdrivers/data/grib/*.grb") +
+                   glob.glob(f"{A}/gdrivers/data/grib/*.grb2") +
+                   glob.glob(f"{A}/gdrivers/data/grib/*.grib2"))
+    ok = 0
+    for p in files:
+        d = open(p, "rb").read()
+        i = d.find(b"GRIB")
+        try:
+            (read_grib2 if d[i + 7] == 2 else read_grib1)(d)
+            ok += 1
+        except Exception:
+            pass
+    assert len(files) >= 41 and ok == len(files)
+
+
+def test_grib1_polar_stereographic():
+    # autotest grib.py test_grib_grib1_south_polar_stereographic
+    # (the fixture ships as a vsisparse .begin prefix + zero region)
+    from gdal_ray.sources.grib1 import read_grib1
+
+    d = open(f"{A}/gdrivers/data/grib/south_polar_stereo_grib1.grb.begin",
+             "rb").read()
+    i = d.find(b"GRIB")
+    total = int.from_bytes(d[i + 4:i + 7], "big")
+    msg = d[i:] + b"\0" * (total - len(d[i:]))
+    bands, gt, metas = read_grib1(msg)
+    exp = (-3243994.6063763676, 7673.0, 0.0,
+           3286668.2989108698, 0.0, -7673.0)
+    assert all(abs(a - b) < 1e-6 * max(1.0, abs(b))
+               for a, b in zip(gt, exp))
+    assert metas[0]["proj"]["proj"] == "stere"
+    assert metas[0]["proj"]["lat_ts"] == -60.0
+    assert bands[0].shape == (786, 834)
+
+
+ZARR_ENV_BLOCKED = ("blosc", "lz4.", "zstd", "imagecodecs_tiff")
+
+
+def test_zarr_corpus_and_goldens():
+    import numpy as np
+
+    from gdal_ray.sources.zarr import open_zarr, read_zarr_array
+
+    Z = f"{A}/gdrivers/data/zarr"
+    for p in sorted(glob.glob(f"{Z}/*.zarr")):
+        name = os.path.basename(p)
+        if any(s in name for s in ZARR_ENV_BLOCKED):
+            with pytest.raises(NotImplementedError):
+                for a in open_zarr(p).values():
+                    a.read()
+            continue
+        for a in open_zarr(p).values():
+            a.read()
+    # golden values straight from autotest zarr_driver.py
+    assert read_zarr_array(
+        f"{Z}/delta_filter_i4.zarr").read().tolist() == list(range(10))
+    assert read_zarr_array(f"{Z}/shuffle.zarr").read().tolist() == [1, 2]
+    q = read_zarr_array(f"{Z}/quantize.zarr").read().ravel()
+    assert q[:5].tolist() == [0.0, 0.125, 0.1875, 0.3125, 0.375]
+    f = read_zarr_array(
+        f"{Z}/fixedscaleoffset_dtype_f8_astype_u2.zarr").read()
+    assert np.round(f, 6).tolist() == [
+        1000.0, 1000.1, 1000.2, 1000.3, 1000.4,
+        1000.6, 1000.7, 1000.8, 1000.9, 1001.0]
+    c = read_zarr_array(f"{Z}/compound_well_aligned.zarr").read()
+    assert c.tolist() == [(1000, 3000), (4000, 5000), (0, 0)]
+    s = read_zarr_array(f"{Z}/order_f_s3.zarr").read().ravel()
+    assert [v.decode() for v in s[:4]] == ["000", "111", "222", "333"]
+    assert read_zarr_array(
+        f"{Z}/unicode_le.zarr").read().tolist() == ["é"]
+    assert read_zarr_array(f"{Z}/lzma.zarr").read().tolist() == [1, 2]
+
+
 def test_gpkg_corpus():
     from gdal_ray.sources.gpkg import list_layers, read_gpkg_layer
 
