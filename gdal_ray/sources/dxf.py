@@ -1112,7 +1112,23 @@ class DXFReader:
         return merged
 
     def _insert_block(self, feat, name, xyz, scale, angle_deg):
-        """InsertBlockInline with geometry merging."""
+        """InsertBlockInline with geometry merging. Mutually/self-
+        recursive block references stop expanding at re-entry (the
+        reference survives insert-recursive-pair.dxf the same way —
+        ogr_dxf.py test_ogr_dxf_43 expects one feature, not a hang)."""
+        stack = getattr(self, "_insert_stack", None)
+        if stack is None:
+            stack = self._insert_stack = []
+        if name in stack:
+            return None, []
+        stack.append(name)
+        try:
+            return self._insert_block_inner(feat, name, xyz, scale,
+                                            angle_deg)
+        finally:
+            stack.pop()
+
+    def _insert_block_inner(self, feat, name, xyz, scale, angle_deg):
         block = self.blocks[name]
         rot = math.radians(angle_deg)
         insertion = xyz

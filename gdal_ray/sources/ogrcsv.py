@@ -72,11 +72,40 @@ def _read_csvt(path: str) -> list[str] | None:
 
 def _header_and_sep(path: str, sep: str | None):
     with open(path, "rb") as f:
-        raw_first = f.readline()
-        hdr_len = f.tell()
-    first = raw_first.decode("utf-8-sig").rstrip("\r\n")
-    sep = sep or _detect_sep(first)
-    names = [c.strip().strip('"') for c in first.split(sep)]
+        head = f.read(65536)
+    # quote-aware scan for the end of the header RECORD (a quoted
+    # header field may contain line breaks — header_with_line_break)
+    in_q = False
+    end = len(head)
+    for i, b in enumerate(head):
+        if b == 0x22:
+            in_q = not in_q
+        elif b in (0x0A,) and not in_q:
+            end = i + 1
+            break
+    hdr_len = end
+    first = head[:end].decode("utf-8-sig").rstrip("\r\n")
+    sep = sep or _detect_sep(first.splitlines()[0] if first else first)
+    # quote-aware field split of the header record
+    names, cur, in_q = [], [], False
+    for ch in first:
+        if ch == '"':
+            in_q = not in_q
+        elif ch == sep and not in_q:
+            names.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    names.append("".join(cur))
+    names = [n.strip().strip('"') for n in names]
+    # Arrow needs unique column names; the reference warns and keeps
+    # duplicates positionally — suffix later occurrences
+    seen: dict[str, int] = {}
+    for i, n in enumerate(names):
+        k = seen.get(n, 0)
+        seen[n] = k + 1
+        if k:
+            names[i] = f"{n}_{k}"
     return names, sep, hdr_len
 
 
@@ -92,17 +121,33 @@ def _parse_shard(raw: bytes, names: list[str], sep: str,
     if types:
         col_types = {n: _CSVT_TO_ARROW.get(t, pa.string())
                      for n, t in zip(names, types)}
-    tab = pacsv.read_csv(
-        io.BytesIO(raw),
-        read_options=pacsv.ReadOptions(column_names=names),
-        parse_options=pacsv.ParseOptions(delimiter=sep),
-        convert_options=pacsv.ConvertOptions(column_types=col_types))
-    if not types:
-        # OGR autodetect promotes int -> int64 -> float -> string;
-        # pyarrow's inference follows the same lattice but lands on
-        # int64 for all integers — accept that as Integer64.
-        pass
-    return tab
+    try:
+        return pacsv.read_csv(
+            io.BytesIO(raw),
+            read_options=pacsv.ReadOptions(column_names=names),
+            parse_options=pacsv.ParseOptions(delimiter=sep),
+            convert_options=pacsv.ConvertOptions(column_types=col_types))
+    except pa.ArrowInvalid as e:
+        if "conversion error" in str(e):
+            # mixed-type column: the reference's default is all-string
+            # fields (autodetect is opt-in) — fall back to strings
+            return pacsv.read_csv(
+                io.BytesIO(raw),
+                read_options=pacsv.ReadOptions(column_names=names),
+                parse_options=pacsv.ParseOptions(delimiter=sep),
+                convert_options=pacsv.ConvertOptions(
+                    column_types={n: pa.string() for n in names}))
+        # ragged rows: the reference ignores extra fields and
+        # null-pads short rows (ogrcsvlayer.cpp tuple handling)
+        import csv as _csv
+
+        rd = _csv.reader(io.StringIO(raw.decode("utf-8", "replace")),
+                         delimiter=sep)
+        rows = [(r + [None] * len(names))[:len(names)]
+                for r in rd if r]
+        cols = {n: pa.array([r[i] for r in rows], pa.string())
+                for i, n in enumerate(names)}
+        return pa.table(cols)
 
 
 def _attach_geometry(tab: pa.Table, names: list[str],
@@ -131,8 +176,14 @@ def _attach_geometry(tab: pa.Table, names: list[str],
             cy = next((n for n, ln in zip(names, lower)
                        if ln in Y_POSSIBLE), None)
     if wkt_col is not None:
-        wkb = [geom_to_wkb(wkt_to_geom(v)) if v else None
-               for v in tab[wkt_col].to_pylist()]
+        def _wkb_or_null(v):
+            if not v:
+                return None
+            try:
+                return geom_to_wkb(wkt_to_geom(v))
+            except ValueError:
+                return None     # unparsable WKT -> null geometry
+        wkb = [_wkb_or_null(v) for v in tab[wkt_col].to_pylist()]
         return tab.append_column("geometry", pa.array(wkb, pa.binary()))
     if cx is not None and cy is not None:
         x = np.asarray(tab[cx].to_pandas(), np.float64)

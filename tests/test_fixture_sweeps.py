@@ -221,6 +221,44 @@ def test_zarr_corpus_and_goldens():
     assert read_zarr_array(f"{Z}/lzma.zarr").read().tolist() == [1, 2]
 
 
+def test_csv_corpus():
+    from gdal_ray.sources.ogrcsv import read_csv_layer
+
+    files = sorted(glob.glob(f"{A}/ogr/data/csv/*.csv") +
+                   glob.glob(f"{A}/ogr/data/csv/*.tsv") +
+                   glob.glob(f"{A}/ogr/data/csv/*.psv"))
+    assert len(files) >= 21
+    for p in files:
+        read_csv_layer(p)
+    # field 0 named 'id' despite the UTF-8 BOM (ogr_csv.py test 22)
+    t = read_csv_layer(f"{A}/ogr/data/csv/csv_with_utf8_bom.csv")
+    assert t.column_names[0] == "id"
+    # quoted header fields may contain line breaks
+    t = read_csv_layer(f"{A}/ogr/data/csv/header_with_line_break.csv")
+    assert len(t.column_names) == 7 and t.num_rows == 3
+
+
+def test_sqlite_corpus():
+    from gdal_ray.sources.spatialite import list_layers, read_sqlite_layer
+
+    files = sorted(glob.glob(f"{A}/ogr/data/sqlite/*.sqlite") +
+                   glob.glob(f"{A}/ogr/data/sqlite/*.db"))
+    assert len(files) >= 3
+    for p in files:
+        for lay in list_layers(p):
+            read_sqlite_layer(p, lay[0])
+
+
+def test_dxf_corpus_incl_recursive_insert():
+    from gdal_ray.sources.dxf import read_dxf
+
+    for p in sorted(glob.glob(f"{A}/ogr/data/dxf/*.dxf")):
+        read_dxf(p)
+    # ogr_dxf.py test_ogr_dxf_43: recursive pair expands to ONE feature
+    feats = read_dxf(f"{A}/ogr/data/dxf/insert-recursive-pair.dxf")
+    assert len(feats) == 1
+
+
 def test_gpkg_corpus():
     from gdal_ray.sources.gpkg import list_layers, read_gpkg_layer
 
