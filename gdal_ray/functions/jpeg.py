@@ -1331,6 +1331,7 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
     order = []
     predictor = 1
     pt = 0
+    ri = 0
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -1356,6 +1357,8 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xC3:
             prec, h, w, ncomp_sof = struct.unpack(">BHHB", seg[:6])
+        elif marker == 0xDD:  # DRI
+            ri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
             ns = seg[0]
             for si in range(ns):
@@ -1370,12 +1373,43 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
     if prec == 0:
         raise ValueError("lossless JPEG: missing SOF3")
     ncomp = len(order)
-    br = _LLBits(data[pos:])
+    # split the entropy stream at RST markers (T.81 H.2.1: a restart
+    # interval restarts the entropy coder AND the predictor); stuffed
+    # 0xFF00 pairs are skipped here and unstuffed inside _LLBits.
+    tail = data[pos:]
+    m = len(tail)
+    segs: list[bytes] = []
+    i = i0 = 0
+    while i < m - 1:
+        if tail[i] != 0xFF:
+            i += 1
+        elif tail[i + 1] == 0x00:
+            i += 2
+        elif 0xD0 <= tail[i + 1] <= 0xD7:
+            segs.append(tail[i0:i])
+            i += 2
+            i0 = i
+        elif tail[i + 1] == 0xD9:
+            break
+        else:
+            i += 1
+    segs.append(tail[i0:])
+    br = _LLBits(segs[0])
+    seg_idx = 0
+    mcus_in_interval = 0
+    restart_y = restart_x = 0  # scan start is the first "restart"
     luts = [dc_luts[td] for _, td in order]
     out = np.zeros((h, w, ncomp), np.int64)
     default_pred = 1 << (prec - 1 - pt)
     for y in range(h):
         for x in range(w):
+            if ri and mcus_in_interval == ri:
+                seg_idx += 1
+                br = _LLBits(segs[seg_idx]
+                             if seg_idx < len(segs) else b"")
+                mcus_in_interval = 0
+                restart_y, restart_x = y, x
+            mcus_in_interval += 1
             for ci in range(ncomp):
                 ssss = br.huff(luts[ci])
                 if ssss == 0:
@@ -1384,12 +1418,16 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
                     diff = 32768
                 else:
                     diff = _extend(br.bits(ssss), ssss)
-                if y == 0 and x == 0:
-                    pred = default_pred
+                if y == restart_y:
+                    # first line of a restart interval (H.1.1): the
+                    # interval's first sample predicts the default,
+                    # the rest of that line uses Ra (1-D predictor)
+                    if x == restart_x:
+                        pred = default_pred
+                    else:
+                        pred = int(out[y, x - 1, ci])
                 elif x == 0:
                     pred = int(out[y - 1, 0, ci])
-                elif y == 0:
-                    pred = int(out[y, x - 1, ci])
                 else:
                     ra = int(out[y, x - 1, ci])
                     rb = int(out[y - 1, x, ci])

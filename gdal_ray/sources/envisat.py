@@ -140,7 +140,12 @@ def read_envisat(data: bytes) -> dict:
 
     bands, names = [], []
     for d in prod.dsds:
-        if d["type"] != "M" or d["num_dsr"] != height:
+        # envisatdataset.cpp only collects measurement datasets whose
+        # record size matches the reference dataset's (dsr_size2 ==
+        # dsr_size); heterogeneous products would otherwise gain
+        # misaligned bands built with the wrong prefix/width.
+        if (d["type"] != "M" or d["num_dsr"] != height
+                or d["dsr_size"] != dsr_size):
             continue
         rows = np.frombuffer(
             data, np.uint8, count=height * d["dsr_size"],
@@ -206,8 +211,13 @@ def _meris_tiepoint_gcps(prod: EnvisatProduct, data: bytes,
 # ------------------------------------------------------------------ writer
 def write_envisat(bands: list[np.ndarray], product: str = "MER_RR__2P",
                   data_type: str = "UWORD",
-                  tiepoints: dict | None = None) -> bytes:
-    """Synthesize a minimal-but-conformant ENVISAT product (tests)."""
+                  tiepoints: dict | None = None,
+                  extra_m_dsr_size: int | None = None) -> bytes:
+    """Synthesize a minimal-but-conformant ENVISAT product (tests).
+
+    extra_m_dsr_size appends a type-M dataset with the same num_dsr
+    but a different record size — a heterogeneous product that the
+    reference's dsr_size2==dsr_size gate must exclude from bands."""
     h, w = bands[0].shape
     dt = {"UWORD": np.dtype(">u2"), "SWORD": np.dtype(">i2"),
           "FLT32": np.dtype(">f4")}[data_type]
@@ -223,6 +233,8 @@ def write_envisat(bands: list[np.ndarray], product: str = "MER_RR__2P",
         dsds.append(("Tie points ADS", "A", tiepoints["num_dsr"], tp_dsr))
     for i in range(len(bands)):
         dsds.append((f"Radiance MDS({i + 1})", "M", h, dsr_size))
+    if extra_m_dsr_size is not None:
+        dsds.append(("Odd-size MDS", "M", h, extra_m_dsr_size))
     num_dsd = len(dsds)
 
     sph_head = (f'SPH_DESCRIPTOR="{product} SPH                   "\n'
@@ -273,4 +285,6 @@ def write_envisat(bands: list[np.ndarray], product: str = "MER_RR__2P",
         for y in range(h):
             rows += b"\x00" * prefix + b[y].astype(dt).tobytes()
         body += rows
+    if extra_m_dsr_size is not None:
+        body += b"\x00" * (h * extra_m_dsr_size)
     return mph + sph + body

@@ -213,7 +213,10 @@ def read_msgn(data: bytes, mode: str = "VISIR") -> dict:
         band_in_file += 1
         if ch >= NUM_CHANNELS - 1:
             continue    # HRV not part of VISIR/RAD band set
-        if mode == "RAD" and not (ch <= 2 or _BLACKBODY_B[ch + 1] != 0):
+        # _BLACKBODY_B is 0-based for channels 1..12 (reference's
+        # Blackbody_LUT is 1-based with a dummy slot 0, indexed [i+1]
+        # at msgndataset.cpp:632 — same channel, different base).
+        if mode == "RAD" and not (ch <= 2 or _BLACKBODY_B[ch] != 0):
             continue
         dt = np.uint16 if mode == "VISIR" else np.float64
         arr = np.full((lines, columns), nodata, dt)

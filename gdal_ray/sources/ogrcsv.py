@@ -24,6 +24,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.csv as pacsv
 
 from ..functions.wkb import (Geom, geom_to_wkb, geom_to_wkt, points_to_wkb,
@@ -145,8 +146,23 @@ def _parse_shard(raw: bytes, names: list[str], sep: str,
                          delimiter=sep)
         rows = [(r + [None] * len(names))[:len(names)]
                 for r in rd if r]
-        cols = {n: pa.array([r[i] for r in rows], pa.string())
-                for i, n in enumerate(names)}
+        cols = {}
+        for i, n in enumerate(names):
+            arr = pa.array([r[i] for r in rows], pa.string())
+            # keep .csvt-declared types: only the ragged fields are
+            # padded/ignored, declared columns cast back (empty
+            # strings are null under the declared type)
+            want = col_types.get(n) if col_types else None
+            if want is not None and want != pa.string():
+                try:
+                    clean = pc.replace_substring_regex(arr, r"^\s*$", "")
+                    clean = pc.if_else(pc.equal(clean, ""),
+                                       pa.nulls(len(arr), pa.string()),
+                                       clean)
+                    arr = clean.cast(want)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    pass
+            cols[n] = arr
         return pa.table(cols)
 
 

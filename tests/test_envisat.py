@@ -72,6 +72,17 @@ def test_tiepoint_gcps():
     assert rd["gcp_epsg"] == 4326
 
 
+def test_heterogeneous_dsr_size_excluded():
+    # envisatdataset.cpp only adds bands whose dsr_size matches the
+    # reference dataset's; a same-num_dsr type-M dataset with a
+    # different record size must not become a (misaligned) band.
+    b = _rng().integers(0, 60000, (4, 6)).astype(np.uint16)
+    rd = read_envisat(write_envisat([b], extra_m_dsr_size=99))
+    assert rd["pixels"].ndim == 2
+    assert np.array_equal(rd["pixels"], b)
+    assert rd["band_names"] == ["Radiance MDS(1)"]
+
+
 def test_rejects_non_envisat():
     with pytest.raises(ValueError):
         read_envisat(b"NOPE" + b" " * 2000)

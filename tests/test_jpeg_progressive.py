@@ -235,3 +235,103 @@ def test_lossless_golden():
     px16 = decode_jpeg_lossless(
         open(f"{d}/uint16_lossless.jpg", "rb").read())
     assert px16.dtype == np.uint16 and px16.shape == (20, 20)
+
+
+def _encode_lossless_dri(img: np.ndarray, ri: int,
+                         predictor: int = 1) -> bytes:
+    """Minimal SOF3 grayscale encoder with restart intervals (test
+    oracle for decode_jpeg_lossless's DRI path; T.81 Annex H
+    semantics: interval start -> default prediction, restart line ->
+    Ra, row start -> Rb)."""
+    import struct
+
+    h, w = img.shape
+    # canonical Huffman: SSSS symbols 0..16, all 5-bit codes
+    bits = [0, 0, 0, 0, 17] + [0] * 11
+    values = list(range(17))
+    codes = {v: (i, 5) for i, v in enumerate(values)}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += b"\x01\x11\x00"
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(values))
+    out += bytes([0x00]) + bytes(bits[:16]) + bytes(values)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes(
+        [1, 1, 0x00, predictor, 0, 0])
+
+    buf = 0
+    nbits = 0
+    seg = bytearray()
+
+    def put(code, k):
+        nonlocal buf, nbits
+        buf = (buf << k) | code
+        nbits += k
+        while nbits >= 8:
+            b = (buf >> (nbits - 8)) & 0xFF
+            seg.append(b)
+            if b == 0xFF:
+                seg.append(0x00)
+            nbits -= 8
+
+    def flush():
+        nonlocal buf, nbits
+        if nbits:
+            b = ((buf << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+            seg.append(b)
+            if b == 0xFF:
+                seg.append(0x00)
+        buf = 0
+        nbits = 0
+
+    ry = rx = 0
+    count = 0
+    rst = 0
+    px = img.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            if count == ri:
+                flush()
+                out += bytes(seg) + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                seg = bytearray()
+                count = 0
+                ry, rx = y, x
+            count += 1
+            if y == ry:
+                pred = 128 if x == rx else int(px[y, x - 1])
+            elif x == 0:
+                pred = int(px[y - 1, 0])
+            else:
+                ra, rb, rc = (int(px[y, x - 1]), int(px[y - 1, x]),
+                              int(px[y - 1, x - 1]))
+                pred = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                        5: ra + ((rb - rc) >> 1),
+                        6: rb + ((ra - rc) >> 1),
+                        7: (ra + rb) >> 1}[predictor]
+            diff = int(px[y, x]) - pred
+            ssss = 0 if diff == 0 else max(diff.bit_length(),
+                                           (-diff).bit_length())
+            code, k = codes[ssss]
+            put(code, k)
+            if ssss:
+                v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                put(v & ((1 << ssss) - 1), ssss)
+    flush()
+    out += bytes(seg) + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_lossless_restart_interval_roundtrip():
+    from gdal_ray.functions.jpeg import decode_jpeg_lossless
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    for pred in (1, 4, 7):
+        # mid-row restarts (ri not a multiple of width) and row-aligned
+        for ri in (5, 17, 40):
+            enc = _encode_lossless_dri(img, ri, predictor=pred)
+            got = decode_jpeg_lossless(enc)
+            assert got.dtype == np.uint8
+            assert np.array_equal(got, img), (pred, ri)

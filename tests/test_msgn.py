@@ -51,6 +51,19 @@ def test_rad_mode_skips_non_thermal():
     assert rd["channels"] == [1, 4]
 
 
+def test_rad_mode_keeps_channel_11():
+    # channel 11 (IR13.4) has B=0.9981 in the reference's
+    # Blackbody_LUT (msg_reader_core.cpp:52) and must survive the RAD
+    # gate; a prior off-by-one read the HRV zero slot and dropped it.
+    rng = _rng()
+    chans = {4: rng.integers(0, 1023, (3, 8)).astype(np.uint16),
+             11: rng.integers(0, 1023, (3, 8)).astype(np.uint16)}
+    cal = {4: (0.01, -0.5), 11: (0.02, 1.0)}
+    rd = read_msgn(write_msgn(chans, calibration=cal), mode="RAD")
+    assert rd["channels"] == [4, 11]
+    assert np.allclose(rd["pixels"][:, :, 1], chans[11] * 0.02 + 1.0)
+
+
 def test_geotransform_and_origin():
     chans = {1: np.zeros((4, 8), np.uint16)}
     rd = read_msgn(write_msgn(chans, line_start=100, col_start=50))

@@ -111,3 +111,23 @@ def test_as_xy_rejects_polygons(tmp_path):
     with pytest.raises(ValueError):
         write_csv_layer(str(tmp_path / "x.csv"), _poly_table(),
                         geometry="AS_XY")
+
+
+def test_ragged_rows_keep_csvt_types(tmp_path):
+    # ogrcsvlayer.cpp ignores extra fields and null-pads short rows
+    # WITHOUT discarding declared field types; the string-reparse
+    # fallback must cast declared columns back.
+    p = str(tmp_path / "ragged.csv")
+    with open(p, "w") as f:
+        f.write("fid,name,score\n")
+        f.write("1,a,2.5\n")
+        f.write("2,b\n")                    # short row -> score null
+        f.write("3,c,7.5,EXTRA,MORE\n")     # long row -> extras ignored
+    with open(str(tmp_path / "ragged.csvt"), "w") as f:
+        f.write('"Integer","String","Real"\n')
+    got = read_csv_layer(p)
+    assert got["fid"].type == pa.int32()
+    assert got["score"].type == pa.float64()
+    assert got["fid"].to_pylist() == [1, 2, 3]
+    assert got["score"].to_pylist() == [2.5, None, 7.5]
+    assert got["name"].to_pylist() == ["a", "b", "c"]
