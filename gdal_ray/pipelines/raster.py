@@ -3012,8 +3012,12 @@ def q_hdf5(sf_dir: str):
         ("complex_f64", f"{D}/complex.h5", "/f64", 511),
         ("deflate", f"{D}/deflate.h5", "/Band1", 4855),
         ("chunked_1d", f"{NC}/byte_chunked_multiple.nc", "/x", 231),
+        # the raw HDF5 view of a bottom-up netCDF byte raster is the
+        # unflipped storage order: checksum(flipud(byte.tif)) = 4855
+        # (GDAL's HDF5 driver does not flip; only the netCDF driver
+        # does — autotest only asserts this file OPENS via HDF5)
         ("offset_1024", f"{NC}/byte_hdf5_starting_at_offset_1024.nc",
-         "/Band1", 4672),
+         "/Band1", 4855),
         ("family", f"{D}/test_family_0.h5", "/chunked", 0),
         ("eos_swath", f"{D}/dummy_HDFEOS_swath.h5",
          "/HDFEOS/SWATHS/MySwath/Data_Fields/MyDataField", 59),

@@ -223,3 +223,16 @@ def test_open_raster_hdf5_syntax():
     r = open_raster('HDF5:"%sCSK_GEC.h5"://S01/SBI' % D)
     assert r["gt"] == pytest.approx(
         (275592.5, 2.5, 0.0, 4998152.5, 0.0, -2.5))
+
+
+def test_bottomup_netcdf_raw_hdf5_view_unflipped():
+    """The HDF5-driver view of a bottom-up netCDF byte raster keeps
+    storage order (only GDAL's netCDF driver flips): checksum equals
+    flipud(byte.tif) = 4855, derived here independently."""
+    from gdal_ray.sources.tiff import decode_tiff
+
+    a = read_hdf5_array(NC + "byte_hdf5_starting_at_offset_1024.nc",
+                        "/Band1")
+    px = decode_tiff(open(
+        "/root/reference/autotest/gcore/data/byte.tif", "rb").read())[0]
+    assert checksum_image(a) == checksum_image(px[::-1]) == 4855
