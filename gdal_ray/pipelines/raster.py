@@ -2798,7 +2798,9 @@ def q_grid_formats(sf_dir: str):
                     add(f"aig_{cover}_nodata", meta["nodata"])
                 px, gt, meta = read_aigrid(
                     f"{D}/aigrid/aigrid_sta_24bytes/teststa")
-                add("aig_sta24_cs", checksum_image(px))
+                # autotest/gdrivers/aigrid.py:124-126 publishes only
+                # min/max for the 24-byte-sta coverage (no checksum)
+                add("aig_sta24_min", meta["min"])
                 add("aig_sta24_max", meta["max"])
             elif fam == "ascii":
                 with open(f"{D}/grassasciigrid/grassascii.txt") as f:
@@ -2826,8 +2828,15 @@ def q_grid_formats(sf_dir: str):
                 px, gt, meta = read_iris(f"{D}/iris/iristest.dat")
                 add("iris_cs", checksum_image(
                     px if px.ndim == 2 else px[:, :, 0]))
-                add("iris_gt0_x100", round(gt[0] * 100))
-                add("iris_gt5_x100", round(gt[5] * 100))
+                # gdrivers/iris.py's own bar is rel 1e-5 (geodesic
+                # Mercator gt) — pin the tolerance flag, not digits
+                # beyond the published precision
+                add("iris_gt0_ok",
+                    abs(gt[0] - 16435.721785269096)
+                    <= 1e-5 * 16435.721785269096)
+                add("iris_gt5_ok",
+                    abs(gt[5] + 1357.6498705837876)
+                    <= 1e-5 * 1357.6498705837876)
             else:  # mosaics
                 with open(f"{D}/loslas/wyhpgn.los", "rb") as f:
                     px, gt = read_loslas(f.read())
@@ -2887,8 +2896,10 @@ def q_esric(sf_dir: str):
                 add("esric_512_b2_cs", checksum_image(lvl[:, :, 1]))
             else:
                 ov = read_tpkx_level(f"{FIX}/Usa.tpkx", 2)
+                # gdrivers/esric.py test_tpkx_4 publishes only band 2
+                # (53503) and the 2048 overview size for this level
                 add("tpkx_ov1_b2_cs", checksum_image(ov[:, :, 1]))
-                add("tpkx_ov1_b4_cs", checksum_image(ov[:, :, 3]))
+                add("tpkx_ov1_size", ov.shape[0])
         return pa.table({"case": pa.array(cases, pa.string()),
                          "value": pa.array(values, pa.int64())})
 
@@ -2953,7 +2964,13 @@ def q_military_formats(sf_dir: str):
                     px, gt, meta = read_adrg(
                         f"{GD}/adrg/{sub}/ABCDEF01.GEN")
                     add(f"adrg_{tag}_cs", checksum_image(px[:, :, 0]))
-                    add(f"adrg_{tag}_gt3_x100", round(gt[3] * 100))
+                    if tag == "geo":
+                        # adrg.py publishes no ZNA-1 gt; the half-
+                        # pixel geographic origin is the documented
+                        # -1/7200 deg (tests/test_adrg_ceos.py)
+                        add("adrg_geo_gt0_x1e9", round(gt[0] * 1e9))
+                    else:
+                        add(f"adrg_{tag}_gt3_x100", round(gt[3] * 100))
             elif rec["which"] == "ceos":
                 px, meta = read_ceos(f"{GD}/ceos/IMAGERY-75K.L-3")
                 add("ceos_b4_cs", checksum_image(px[0:3, 0:5932, 3]))
@@ -3681,7 +3698,8 @@ def q_snap_tiff(sf_dir: str):
         add("geoloc_h", info["geoloc_height"])
         add("pixel_step_u", info["pixel_step"] * 1e6)
         add("line_step_u", info["line_step"] * 1e6)
-        for g in info["gcps"]:
+        # snap_tiff.py publishes only the corner GCPs 0 and 3
+        for g in (info["gcps"][0], info["gcps"][3]):
             add(f"gcp_{g['id']}_xu", g["x"] * 1e6)
             add(f"gcp_{g['id']}_yu", g["y"] * 1e6)
         add("nodata", info["nodata"])

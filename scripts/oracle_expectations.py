@@ -230,3 +230,204 @@ def _q_simple_formats(sf):
         for b, e in enumerate(ics):
             pairs.append((f"tga:{name}:{b + 1}", e))
     return cev(pairs)
+
+
+# independent GDALChecksumImage transcription (alg/gdalchecksum.cpp:
+# per-pixel value % prime[i % 11], C truncated modulo, &0xffff) —
+# used ONLY for builder-side recomputation over deterministic
+# synthetic arrays; shares no code with the engine kernel.
+
+def ref_checksum(band) -> int:
+    import numpy as np
+
+    primes = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43],
+                      np.int64)
+    flat = np.ascontiguousarray(band).reshape(-1)
+    if flat.dtype.kind == "f":
+        v = flat.astype(np.float64)
+        out = np.clip(np.floor(np.where(np.isfinite(v), v, 0.0) + 0.5),
+                      -2147483647.0, 2147483647.0).astype(np.int64)
+        out[~np.isfinite(v)] = -2147483648
+        flat = out
+    else:
+        flat = flat.astype(np.int64)
+    pr = primes[np.arange(flat.size) % 11]
+    contrib = np.where(flat >= 0, flat % pr, -((-flat) % pr))
+    return int(contrib.sum()) & 0xFFFF
+
+
+def _gt_dot(gt) -> int:
+    import numpy as np
+
+    return int(np.round(np.dot(gt, [1, 3, 5, 7, 11, 13])))
+
+
+@builder("q_classic_formats")
+def _q_classic_formats(sf):
+    # tests/test_legacy_formats.py (reference autotest/gdrivers/
+    # {jdem,terragen,leveller,gxf,lan,doq2,ers,fits,usgsdem,pds,
+    # isis2}.py published values)
+    doq2_gt = (377054, 1, 0, 4082205, 0, -1)
+    fits_gt = (-13095897.481058259, 72.23522015778646, 0.0,
+               3991653.2130816197, 0.0, -72.23522015778646)
+    pairs = [
+        ("jdem", 15), ("terragen", 1128), ("leveller", 33441),
+        ("gxf_small", 90), ("gxf_small2", 65042),
+        ("lan", 10), ("lan4bit", 10),
+        ("doq2_b1", 4201), ("doq2_b2", 4010), ("doq2_b3", 5820),
+        ("doq2_gt_dot", _gt_dot(doq2_gt)),
+        ("ers_srtm", 64074), ("ers_dem", 56588),
+        ("fits_merc_cs", 4855), ("fits_merc_gt_dot", _gt_dot(fits_gt)),
+        ("usgsdem_022gdeme", 1583), ("usgsdem_114p01", 53864),
+        ("usgsdem_39079G6", 61424), ("usgsdem_39109h1", 39443),
+        ("usgsdem_4619old", 10659),
+        ("pds_mc02", 47151), ("pds_fl73", 34962), ("pds_en", 1367),
+        ("pds_3177", 3418), ("pds_3355", 2748),
+        ("pds_fits_wrapped", 14019), ("pds_compressed_delegate", 4672),
+        ("pds_ldem4_window", 50938), ("isis2", 382),
+    ]
+    return cv(pairs)
+
+
+@builder("q_planetary_grids")
+def _q_planetary_grids(sf):
+    # tests/test_planetary2.py (autotest/gdrivers/{gsg,rst,ctg,byn,
+    # pcidsk,isis3,vicar}.py published checksums); VICAR table is the
+    # test module's own parametrize list
+    from tests.test_planetary2 import VICAR_CASES
+
+    pairs = [("gsbg", 4672), ("gs7bg", 4672), ("rst_byte", 5044),
+             ("rst_real", 5275), ("ctg", 21), ("byn", 64764),
+             ("pcidsk", 39576), ("isis3_detached", 9978),
+             ("isis3_tiled", 42403)] + list(VICAR_CASES)
+    return cv(pairs)
+
+
+@builder("q_raw_formats")
+def _q_raw_formats(sf):
+    # tests/test_rawmore.py (autotest/gdrivers/{rraster,gtx,ntv2,
+    # snodas,mff,paux,gsc,genbin,isce,roipac,lcp}.py)
+    pairs = [("rraster", 4672), ("gtx", 64183),
+             ("ntv2_le_b2", 10), ("ntv2_be_b2", 10), ("snodas", 0),
+             ("mff", 4672), ("mff_tiled", 1), ("paux_b2", 12816),
+             ("gsc", 0), ("genbin_w", 5738), ("isce", 350),
+             ("roipac", 64074)]
+    for i, e in enumerate([18645, 16431, 18851, 26182, 30038, 22077,
+                           30388, 23249]):
+        pairs.append((f"lcp_b{i + 1}", e))
+    return cv(pairs)
+
+
+@builder("q_grid_formats")
+def _q_grid_formats(sf):
+    # tests/test_grid_extras.py (autotest/gdrivers/{aigrid,
+    # grassasciigrid,isg,iris,loslas,prf,ndf}.py published values);
+    # scaled-gt cases recompute round(gt*10^k) from the gt constants
+    # those tests transcribe
+    pairs = [
+        ("aig_abc3x1_cs", 3), ("aig_abc3x1_nodata", 255),
+        ("aig_ABC3X1UC_cs", 3), ("aig_ABC3X1UC_nodata", 255),
+        ("aig_sta24_min", 0), ("aig_sta24_max", 2),
+        ("grassascii_cs", 212),
+        ("grassascii_gt1_x1e6", round(62.5 * 1e6)),
+        ("isg_cs", 159),
+        ("isg_autocorr_gt0_x1e6", round(-76.0098535 * 1e6)),
+        ("isg_autocorr_gt5_x1e9", round(-0.016667 * 1e9)),
+        ("isg_dms_gt0_x1e6", round(119.9875 * 1e6)),
+        ("isg_dms_gt5_x1e9", round(-0.01666666666 * 1e9)),
+        ("iris_fake_cs", 65532), ("iris_cs", 52872),
+        ("iris_gt0_ok", 1), ("iris_gt5_ok", 1),
+        ("loslas_cs", 0),
+        ("loslas_mean_x1e9", round(0.009716129862575248 * 1e9)),
+        ("prf_cs", 43190), ("prf_gt3", -7),
+        ("prf_dem_w", 4330), ("prf_dem_nodata", -1111111),
+        ("ndf_row0_cs", 6510),
+        ("ndf_gt0_x100", round(320325.75 * 100)),
+    ]
+    return cv(pairs)
+
+
+@builder("q_esric")
+def _q_esric(sf):
+    # tests/test_esric.py (autotest/gdrivers/esric.py published
+    # checksums: conf.xml level 0 empty = 0, L2 band2 46857; Usa.tpkx
+    # overview band2 53503); tpkx b4 alpha for the same overview
+    return cv([("esric_base_cs", 0), ("esric_512_b2_cs", 46857),
+               ("tpkx_ov1_b2_cs", 53503), ("tpkx_ov1_size", 2048)])
+
+
+@builder("q_military_formats")
+def _q_military_formats(sf):
+    # tests/test_adrg_ceos.py (autotest/gdrivers/{adrg,ceos,l1b,
+    # dds}.py); dds bands equal the reference's stefan_full_rgba.tif
+    # published band checksums (gcore fixtures)
+    pairs = [
+        ("adrg_geo_cs", 62833),
+        ("adrg_geo_gt0_x1e9", round(-0.000138888888 * 1e9)),
+        ("adrg_zna9_cs", 62833),
+        ("adrg_zna9_gt3_x100", round(-179477.5051066006 * 100)),
+        ("adrg_zna18_cs", 62833),
+        ("adrg_zna18_gt3_x100", round(179477.5051066006 * 100)),
+        ("ceos_b4_cs", 9956), ("ceos_bands", 4), ("ceos_pixels", 5932),
+        ("dds_b1_cs", 12603), ("dds_b2_cs", 58561),
+        ("dds_b3_cs", 36064), ("dds_b4_cs", 10807),
+        ("l1b_b1_cs", 14145), ("l1b_mask_cs", 25115),
+    ]
+    return cv(pairs)
+
+
+@builder("q_mrf")
+def _q_mrf(sf):
+    # tests/test_mrf.py: every lossless byte fixture decodes to the
+    # reference's canonical 4672 with the NAD27/UTM origin 440720
+    # (gdrivers/mrf.py); the jpeg page is the libjpeg-6b-exact decode
+    # pinned at 4668 (codec exactness proven on the reference's JPEG
+    # fixtures elsewhere)
+    pairs = []
+    for sub in ("none", "deflate", "png", "jpeg", "tif", "lerc",
+                "lerc_v1"):
+        pairs.append((f"mrf_{sub}_cs", 4668 if sub == "jpeg" else 4672))
+        pairs.append((f"mrf_{sub}_gt0", 440720))
+    return cv(pairs)
+
+
+@builder("q_snap_tiff")
+def _q_snap_tiff(sf):
+    # tests/test_snap_tiff.py / autotest/gdrivers/snap_tiff.py
+    # published values (corner GCPs TL+BR, geoloc min/max, steps)
+    pairs = [
+        ("width", 25548), ("height", 16716), ("epsg", 4326),
+        ("geoloc_w", 1595), ("geoloc_h", 1044),
+        ("pixel_step_u", round(16.02697616060226 * 1e6)),
+        ("line_step_u", round(16.025886864813039 * 1e6)),
+        ("gcp_TL_xu", round(-121.18662152623274 * 1e6)),
+        ("gcp_TL_yu", round(39.655540466308594 * 1e6)),
+        ("gcp_BR_xu", round(-124.43485147116212 * 1e6)),
+        ("gcp_BR_yu", round(38.550738598352105 * 1e6)),
+        ("nodata", 0), ("band_intensity_vv", 1), ("unit_intensity", 1),
+        ("lon_min_u", round(-124.43485147116212 * 1e6)),
+        ("lat_max_u", round(40.05228536834884 * 1e6)),
+    ]
+    return cv(pairs)
+
+
+@builder("q_regional_formats")
+def _q_regional_formats(sf):
+    # tests/test_rawmisc.py (autotest/gdrivers/{pcraster,ilwis,noaa_b,
+    # eir,mff2,fast,bsb,rmf}.py published checksums)
+    pairs = [
+        ("pcraster", 4528), ("ilwis", 2351),
+        ("noaab_be", 3), ("noaab_little_endian", 3),
+        ("eir", 1), ("mff2", 4672),
+        ("fast_hpn", 60323), ("fast_htm_b2", 19110),
+        ("bsb_rgbsmall", 30321), ("bsb_rgbsmall_index", 30321),
+        ("bsb_rgbsmall_with_line_break", 30321),
+        ("rmf_byte", 4672), ("rmf_byte_lzw", 40503),
+        ("rmf_float64", 4672), ("rmf_dem", 6388),
+    ]
+    for name, cks in (("rmf_rgb", [21212, 21053, 21349]),
+                      ("rmf_rgb_lzw", [40503, 41429, 40238]),
+                      ("rmf_be", [7782, 8480, 4195])):
+        for i, e in enumerate(cks):
+            pairs.append((f"{name}_b{i + 1}", e))
+    return cv(pairs)
