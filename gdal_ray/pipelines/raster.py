@@ -1508,7 +1508,16 @@ def q_raster_open(sf_dir: str):
                 int(np.round(np.abs(np.array(got["gt"])).sum() * 1000)))
             band = got["pixels"] if got["pixels"].ndim == 2 \
                 else got["pixels"][:, :, 0]
-            rows["px_cksum"].append(checksum_image(band))
+            if case == "jpeg_wld":
+                # lossy row: pin the input_hint's PSNR>=40dB gate vs
+                # the raw synthesized pixels, not codec-dependent
+                # digits (lossless rows pin exact checksums)
+                err = band.astype(np.float64) - px[:, :, 0]
+                mse = float(np.mean(err * err))
+                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+                rows["px_cksum"].append(int(psnr >= 40.0))
+            else:
+                rows["px_cksum"].append(checksum_image(band))
         return pa.table({
             "case": pa.array(rows["case"]),
             "driver": pa.array(rows["driver"]),

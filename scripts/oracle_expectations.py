@@ -566,3 +566,263 @@ def _q_product_formats(sf):
               ("hdf4:float32_2.hdf", 4672),
               ("hdf4:utmsmall_2.hdf", 50054)]
     return cev(pairs)
+
+
+@builder("q_raster_open")
+def _q_raster_open(sf):
+    # lossless rows recomputed from the corpus generator's raw pixels
+    # (pre-codec) with the independent checksum transcription; the
+    # lossy jpeg row pins the input_hint PSNR>=40dB gate
+    import pandas as pd
+
+    from gdal_ray.sources.images import image_pixels
+
+    def gtsum(idx):
+        gt = (10.0 + idx, 0.5, 0.0, 20.0 - idx, 0.0, -0.5)
+        return round(sum(abs(g) for g in gt) * 1000)
+
+    rows = [
+        ("gtiff", "GTiff", 32633, gtsum(0),
+         ref_checksum(image_pixels(0)[:64, :64, 0])),
+        ("png_wf", "PNG", 3857, gtsum(1),
+         ref_checksum(image_pixels(1)[:64, :64, 0])),
+        ("jpeg_wld", "JPEG", 0, gtsum(2), 1),
+    ]
+    return pd.DataFrame(rows, columns=["case", "driver", "epsg",
+                                       "gt_cksum", "px_cksum"])
+
+
+@builder("q_zarr")
+def _q_zarr(sf):
+    # recompute the analytic synthetic field (sources/multidim.py
+    # synthetic_mdarray formula, re-derived here) per 64px tile —
+    # independent of the zarr codec path under test
+    import numpy as np
+    import pandas as pd
+
+    def field(oy, ox, sy, sx, t=1, seed=77):
+        yy, xx = np.meshgrid(np.arange(oy, oy + sy),
+                             np.arange(ox, ox + sx), indexing="ij")
+        return (np.sin(xx / 37.0) * np.cos(yy / 23.0) * 100.0
+                + t * 10.0 + (xx * 31 + yy * 17 + t * 7 + seed) % 13)
+
+    rows = []
+    for oy in range(0, 160, 64):
+        for ox in range(0, 160, 64):
+            ty, tx = oy, ox          # tile keys are pixel origins
+            sy = min(64, 160 - oy)
+            sx = min(64, 160 - ox)
+            px = field(oy, ox, sy, sx)
+            m = float(px.mean())
+            m6 = float(np.copysign(
+                np.floor(np.abs(m) * 1e6 + 0.5), m) / 1e6)
+            rows.append((ty, tx, m6,
+                         ref_checksum(np.floor(px).astype(np.int32))))
+    df = pd.DataFrame(rows, columns=["ty", "tx", "mean", "checksum"])
+    df["ty"] = df["ty"].astype("int32")
+    df["tx"] = df["tx"].astype("int32")
+    return df
+
+
+@builder("q_multidim")
+def _q_multidim(sf):
+    # analytic recomputation of the synthetic (time,y,x) field's
+    # slice(0:2) -> unscale (v*0.5-20) -> 128px-tile means
+    import numpy as np
+    import pandas as pd
+
+    def field(t, oy, ox, sy, sx, seed=77):
+        yy, xx = np.meshgrid(np.arange(oy, oy + sy),
+                             np.arange(ox, ox + sx), indexing="ij")
+        return (np.sin(xx / 37.0) * np.cos(yy / 23.0) * 100.0
+                + t * 10.0 + (xx * 31 + yy * 17 + t * 7 + seed) % 13)
+
+    rows = []
+    for oy in range(0, 300, 128):
+        for ox in range(0, 400, 128):
+            sy = min(128, 300 - oy)
+            sx = min(128, 400 - ox)
+            vals = np.stack([field(t, oy, ox, sy, sx)
+                             for t in (0, 1)])
+            un = vals * 0.5 - 20.0
+            rows.append((oy, ox, float(np.round(un.mean(), 6))))
+    df = pd.DataFrame(rows, columns=["ty", "tx", "mean"])
+    return df
+
+
+@builder("q_gpx_layer")
+def _q_gpx_layer(sf):
+    # synthetic-fixture rows derived from the generation parameters
+    # (40 waypoints ele=i%17, 8 tracks x 2 segs x 5 pts); test.gpx
+    # rows derived by parsing the reference's own fixture with
+    # ElementTree (no engine code)
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    rows = [("fixture:waypoints",
+             sum(i % 17 for i in range(40)) * 100, 40, 40),
+            ("fixture:tracks", 0, 8, 8 * 2 * 5),
+            ("fixture:track_points", 0, 8 * 2 * 5, 8 * 2 * 5)]
+
+    ns = {"g": "http://www.topografix.com/GPX/1/1"}
+    root = ET.parse(
+        "/root/reference/autotest/ogr/data/gpx/test.gpx").getroot()
+
+    def elesum(elems):
+        return round(sum(float(e.findtext("g:ele", "0", ns) or 0)
+                         for e in elems) * 100)
+
+    wpts = root.findall("g:wpt", ns)
+    rtes = root.findall("g:rte", ns)
+    rtepts = [p for r in rtes for p in r.findall("g:rtept", ns)]
+    trks = root.findall("g:trk", ns)
+    trkpts = [p for t in trks for s in t.findall("g:trkseg", ns)
+              for p in s.findall("g:trkpt", ns)]
+    rows += [
+        ("test.gpx:waypoints", elesum(wpts), len(wpts), len(wpts)),
+        ("test.gpx:routes", 0, len(rtes), len(rtepts)),
+        ("test.gpx:route_points", elesum(rtepts), len(rtepts),
+         len(rtepts)),
+        ("test.gpx:tracks", 0, len(trks), len(trkpts)),
+        ("test.gpx:track_points", elesum(trkpts), len(trkpts),
+         len(trkpts)),
+    ]
+    return pd.DataFrame(rows, columns=["case", "ele_x100", "n",
+                                       "verts"])
+
+
+def _round_away(v, nd=6):
+    import numpy as np
+
+    v = np.asarray(v, np.float64)
+    f = 10.0 ** nd
+    return np.copysign(np.floor(np.abs(v) * f + 0.5), v) / f
+
+
+def _points_expected(xcol="gx_sum", ycol="gy_sum"):
+    # recompute the altitude-bucket aggregate straight from the data
+    # generator's columns (sources/vector.py points_table is the
+    # INPUT, not the format codec under test) in pandas
+    import numpy as np
+    import pandas as pd
+
+    from gdal_ray.sources.vector import points_table
+
+    t = points_table(256).to_pandas()
+    t["zband"] = np.floor(t["z"] / 200.0)
+    g = t.groupby("zband").agg(n=("fid", "count"), xs=("x", "sum"),
+                               ys=("y", "sum")).reset_index()
+    return pd.DataFrame({
+        "zband": g["zband"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        xcol: _round_away(g["xs"]),
+        ycol: _round_away(g["ys"]),
+    })
+
+
+@builder("q_csv_layer")
+def _q_csv_layer(sf):
+    return _points_expected()
+
+
+@builder("q_arrow_layer")
+def _q_arrow_layer(sf):
+    return _points_expected()
+
+
+@builder("q_geojson_layer")
+def _q_geojson_layer(sf):
+    return _points_expected("x_sum", "y_sum")
+
+
+def _wkb_ring0_npoints(wkb: bytes) -> int:
+    # minimal independent WKB polygon parse (little-endian, type 3)
+    import struct
+
+    bo = "<" if wkb[0] == 1 else ">"
+    gtype = struct.unpack_from(bo + "I", wkb, 1)[0] & 0xFF
+    if gtype != 3:
+        raise ValueError("not a polygon")
+    return struct.unpack_from(bo + "I", wkb, 9)[0]
+
+
+def _zones_expected():
+    from gdal_ray.sources.vector import polygons_table
+
+    return polygons_table(64).to_pandas()
+
+
+@builder("q_shp_layer")
+def _q_shp_layer(sf):
+    import pandas as pd
+
+    t = _zones_expected()
+    g = t.groupby("category").agg(
+        n=("fid", "count"), pop_sum=("pop", "sum")).reset_index()
+    g["n"] = g["n"].astype("int64")
+    g["pop_sum"] = g["pop_sum"].astype("int64")
+    return g[["category", "n", "pop_sum"]]
+
+
+@builder("q_fgb_layer")
+def _q_fgb_layer(sf):
+    t = _zones_expected()
+    bx = (2.25, 48.8, 2.35, 48.92)
+    keep = ~((t["bbox_xmax"] < bx[0]) | (t["bbox_xmin"] > bx[2])
+             | (t["bbox_ymax"] < bx[1]) | (t["bbox_ymin"] > bx[3]))
+    g = t[keep].groupby("category").agg(
+        n=("fid", "count"), pop_sum=("pop", "sum")).reset_index()
+    g["n"] = g["n"].astype("int64")
+    g["pop_sum"] = g["pop_sum"].astype("int64")
+    return g[["category", "n", "pop_sum"]]
+
+
+@builder("q_gpkg_layer")
+def _q_gpkg_layer(sf):
+    t = _zones_expected()
+    g = t.groupby("category").agg(
+        n=("fid", "count"), pop_sum=("pop", "sum"),
+        area_sum=("area_expected", "sum")).reset_index()
+    g["n"] = g["n"].astype("int64")
+    g["pop_sum"] = g["pop_sum"].astype("int64")
+    g["area_sum"] = _round_away(g["area_sum"])
+    return g[["category", "n", "pop_sum", "area_sum"]]
+
+
+@builder("q_sqlite_layer")
+def _q_sqlite_layer(sf):
+    # fixture groupby from the generator table + the reference's own
+    # poly_spatialite.sqlite golden read with STDLIB sqlite3 (the
+    # compressed-geometry decode under test never runs here)
+    import sqlite3
+
+    import pandas as pd
+
+    g = _q_shp_layer(sf)
+    con = sqlite3.connect(
+        "/root/reference/autotest/ogr/data/sqlite/poly_spatialite.sqlite")
+    n, s = con.execute(
+        "SELECT COUNT(*), SUM(eas_id) FROM poly").fetchone()
+    con.close()
+    gold = pd.DataFrame({"category": ["__golden_poly__"],
+                         "n": [int(n)], "pop_sum": [int(s)]})
+    return pd.concat([g, gold], ignore_index=True)
+
+
+@builder("q_kml_gml_layer")
+def _q_kml_gml_layer(sf):
+    import pandas as pd
+
+    t = _zones_expected()
+    t["verts"] = [_wkb_ring0_npoints(w) for w in t["geometry"]]
+    g = t.groupby("category").agg(
+        n=("fid", "count"), pop_sum=("pop", "sum"),
+        verts_sum=("verts", "sum")).reset_index()
+    rows = []
+    for fmt in ("kml", "gml"):
+        for _, r in g.iterrows():
+            rows.append((r["category"], fmt, int(r["n"]),
+                         int(r["pop_sum"]), int(r["verts_sum"])))
+    return pd.DataFrame(rows, columns=["category", "fmt", "n",
+                                       "pop_sum", "verts_sum"])
