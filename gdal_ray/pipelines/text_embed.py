@@ -727,6 +727,36 @@ def q_embed_label_stats(sf_dir: str):
 # ------------------------------------------------------------------ oracles
 
 ORACLE: dict[str, str] = {
+    # computed recomputation of functions/text.py quality_scores: the
+    # same word regex in RE2, ratios as exact int/int double division
+    "q_quality_full": """
+        WITH toks AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(text,
+                   '[A-Za-z0-9]+(''[A-Za-z]+)?') AS tk
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(tk,
+                         x -> length(x))) AS DOUBLE) / len(tk)
+               END AS mean_token_len,
+               CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tk, x -> list_contains(
+                         ['the','a','an','and','or','of','to','in',
+                          'is','are','was','were','be','been','it',
+                          'this','that','for','on','with','as','at',
+                          'by'], lower(x)))) AS DOUBLE) / len(tk)
+               END AS stopword_ratio,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text,
+                         '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                         / length(text)
+               END AS punct_ratio
+        FROM toks
+    """,
     "q_token_count": """
         SELECT doc_id,
                CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,

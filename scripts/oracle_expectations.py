@@ -826,3 +826,172 @@ def _q_kml_gml_layer(sf):
                          int(r["pop_sum"]), int(r["verts_sum"])))
     return pd.DataFrame(rows, columns=["category", "fmt", "n",
                                        "pop_sum", "verts_sum"])
+
+
+# fresh implementations of the deterministic text sketches (stdlib
+# hashlib/re + numpy written against functions/text.py's documented
+# spec — no engine import), recomputed straight from the parquet
+
+def _read_docs(sf):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+@builder("q_simhash")
+def _q_simhash(sf):
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    word = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?")
+    person = (0).to_bytes(8, "little")
+
+    def sh(text):
+        toks = word.findall(text.lower())
+        if not toks:
+            return 0
+        votes = [0] * 64
+        for w in toks:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8,
+                                person=person).digest(), "little")
+            for k in range(64):
+                votes[k] += 1 if (h >> k) & 1 else -1
+        v = 0
+        for k in range(64):
+            if votes[k] > 0:
+                v |= 1 << k
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    ids, texts = _read_docs(sf)
+    return pd.DataFrame({"doc_id": ids,
+                         "simhash": np.array([sh(t) for t in texts],
+                                             np.int64)})
+
+
+@builder("q_fingerprint")
+def _q_fingerprint(sf):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def fp(text, window=16, base=257, mod=(1 << 61) - 1):
+        data = text.encode()
+        if len(data) <= window:
+            return int.from_bytes(
+                hashlib.blake2b(data, digest_size=8,
+                                person=(0).to_bytes(8, "little")
+                                ).digest(), "little", signed=True)
+        p = pow(base, window - 1, mod)
+        h = 0
+        best = None
+        for i, b in enumerate(data):
+            h = (h * base + b) % mod
+            if i >= window:
+                h = (h - data[i - window] * p * base) % mod
+            if i >= window - 1:
+                best = h if best is None else min(best, h)
+        return best
+
+    ids, texts = _read_docs(sf)
+    return pd.DataFrame({"doc_id": ids,
+                         "fingerprint": np.array(
+                             [fp(t) for t in texts], np.int64)})
+
+
+@builder("q_ann_multi_query")
+def _q_ann_multi_query(sf):
+    # exact top-5 cosine recomputed directly from the embeddings
+    # parquet with fresh numpy (one matmul, no partial-merge pipeline)
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(777)
+    q = rng.normal(0, 1, (4, 64))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    emb = np.array(t["embedding"].to_pylist(), np.float64)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ q.T
+    rows = []
+    for qi in range(4):
+        s = sims[:, qi]
+        order = np.lexsort((ids, -s))[:5]
+        for rank, j in enumerate(order, 1):
+            v = s[j]
+            rows.append((qi, int(ids[j]), rank,
+                         float(np.copysign(np.floor(abs(v) * 1e4 + 0.5),
+                                           v) / 1e4)))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "rank",
+                                       "sim"])
+
+
+@builder("q_audio_features")
+def _q_audio_features(sf):
+    # regenerate the sine-mix corpus + the 3-line pcm16 quantization
+    # with fresh numpy, recompute rms/zcr directly
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for i in range(64):
+        rng = np.random.default_rng(31337 + i)
+        sr = 8000
+        dur = int(sr * rng.uniform(0.2, 1.0))
+        tt = np.arange(dur) / sr
+        f0, f1 = rng.uniform(100, 2000, 2)
+        x = (0.5 * np.sin(2 * np.pi * f0 * tt)
+             + 0.3 * np.sin(2 * np.pi * f1 * tt))
+        q = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+        y = q.astype(np.float64) / 32767.0
+        rms = float(np.sqrt(np.mean(y * y))) if len(y) else 0.0
+        zcr = (float(np.mean(np.signbit(y[1:]) != np.signbit(y[:-1])))
+               if len(y) > 1 else 0.0)
+        rows.append((f"aud{i:06d}", len(y), np.round(rms, 4),
+                     np.round(zcr, 4)))
+    return pd.DataFrame(rows, columns=["media_id", "n_samples", "rms",
+                                       "zcr"])
+
+
+@builder("q_video_frames")
+def _q_video_frames(sf):
+    # regenerate the hash-seeded fake frames and re-derive the 8x8
+    # average-hash with fresh numpy (no engine import)
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def ahash(gray):
+        g = gray.astype(np.float64)
+        g8 = g[:32, :32].reshape(8, 4, 8, 4).mean(axis=(1, 3))
+        bits = (g8 > g8.mean()).astype(np.uint64).reshape(-1)
+        v = int((bits << np.arange(64, dtype=np.uint64)).sum()
+                .astype(np.uint64))
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    for i in range(48):
+        nf = 8 + (i % 5) * 4
+        mid = f"vid{i:06d}"
+        idxs = np.unique(np.linspace(0, nf - 1, 4).astype(int))
+        for fi in idxs.tolist():
+            seed = int.from_bytes(hashlib.blake2b(
+                f"{mid}:{fi}".encode(), digest_size=8).digest(), "big")
+            fr = np.random.default_rng(seed).integers(
+                0, 256, (32, 32), np.uint8)
+            rows.append((mid, fi, ahash(fr), float(fr.mean())))
+    df = pd.DataFrame(rows, columns=["media_id", "frame_idx", "phash",
+                                     "mean_lum"])
+    df["frame_idx"] = df["frame_idx"].astype("int32")
+    return df
