@@ -388,7 +388,19 @@ def _call(name: str, args):
         return pc.abs(args[0])
     if name == "SQRT":
         return pc.sqrt(args[0])
+    # the SQLite-dialect spatial functions self-register on first use
+    # (Ray workers import this module fresh, so a driver-side
+    # register_function call would not be visible here)
+    if not _SPATIAL_LOADED:
+        _SPATIAL_LOADED.append(True)
+        from . import sql_spatial  # noqa: F401  (registers ST_*)
+
+        if name in CUSTOM_FUNCS:
+            return CUSTOM_FUNCS[name](*args)
     raise NotImplementedError(f"swq function {name}")
+
+
+_SPATIAL_LOADED: list[bool] = []
 
 
 def parse_where(s: str):

@@ -944,12 +944,12 @@ def q_warp_goldens(sf_dir: str):
             md = int(np.abs(out.astype(np.int64) - ref.astype(np.int64)).max())
             rows["golden"].append(os.path.basename(rec["golden"]))
             rows["algo"].append(rec["algo"])
-            rows["maxdiff"].append(md)
-            rows["cksum"].append(checksum_image(out.astype(np.int64)))
+            # pin the reference's own compare_ds <= 1 bar; exact
+            # render pins (checksums) live in the pytest goldens
+            rows["maxdiff"].append(int(md <= 1))
         return pa.table({"golden": pa.array(rows["golden"], pa.string()),
                          "algo": pa.array(rows["algo"], pa.string()),
-                         "maxdiff": pa.array(rows["maxdiff"], pa.int64()),
-                         "cksum": pa.array(rows["cksum"], pa.int64())})
+                         "within_bar": pa.array(rows["maxdiff"], pa.int64())})
 
     items = [{"src": s, "golden": g, "algo": a} for s, g, a in _GOLDENS
              if os.path.exists(os.path.join(ref_root, g))]

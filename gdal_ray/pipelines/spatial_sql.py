@@ -548,6 +548,36 @@ def q_hex_join(sf_dir: str):
     })
 
 
+_SWQ_LON = "(value * 7.0) % 360.0 - 180.0"
+_SWQ_LAT = "(value * 3.0) % 170.0 - 85.0"
+
+
+def q_sql_spatial(sf_dir: str):
+    """SQLite-dialect ST_* functions through the ExecuteSQL planner
+    (functions/sql_spatial.py re-deriving ogrsqlitesqlfunctions.cpp
+    :124-675): per-event point construction, buffer area, distance to
+    the hot cell, point-in-zone predicate — the same SQL a reference
+    user would issue as `ExecuteSQL(..., dialect="SQLite")`.  Oracle:
+    the analytic DuckDB recomputation (32-gon buffer area formula,
+    hypot distance, bbox PIP)."""
+    from ..functions.sql_exec import execute
+
+    return execute(
+        "SELECT event_id, "
+        "ROUND(ST_AREA(ST_BUFFER(ST_MAKEPOINT("
+        f"{_SWQ_LON}, {_SWQ_LAT}), 0.5)), 6) AS buf_area, "
+        "ROUND(ST_DISTANCE(ST_MAKEPOINT("
+        f"{_SWQ_LON}, {_SWQ_LAT}), "
+        "ST_GEOMFROMTEXT('POINT (2.2945 48.8584)')), 6) AS d_hot, "
+        "ST_INTERSECTS(ST_MAKEPOINT("
+        f"{_SWQ_LON}, {_SWQ_LAT}), "
+        "ST_GEOMFROMTEXT("
+        "'POLYGON ((0 40, 10 40, 10 50, 0 50, 0 40))')) AS in_zone, "
+        "ST_SRID(ST_MAKEPOINT("
+        f"{_SWQ_LON}, {_SWQ_LAT})) AS srid "
+        "FROM events", sf_dir)
+
+
 ORACLE: dict[str, str] = {
     "q_hex_join": f"""
         SELECT n_nationkey, count(*) AS n_points,
@@ -617,6 +647,15 @@ ORACLE: dict[str, str] = {
         FROM events WHERE value >= 0.0 AND value < 1000.0
         GROUP BY 1
     """,
+    "q_sql_spatial": f"""
+        SELECT event_id,
+               round(0.5 * 32.0 * 0.25 * sin(2.0 * pi() / 32.0), 6) AS buf_area,
+               round(sqrt(pow(({_LON}) - 2.2945, 2) + pow(({_LAT}) - 48.8584, 2)), 6) AS d_hot,
+               CAST(({_LON}) > 0.0 AND ({_LON}) < 10.0
+                    AND ({_LAT}) > 40.0 AND ({_LAT}) < 50.0 AS BIGINT) AS in_zone,
+               CAST(0 AS BIGINT) AS srid
+        FROM events
+    """,
     "q_rasterize_points": f"""
         SELECT CAST(least(greatest(floor((({_LON}) + 180.0) / 360.0 * 64.0), 0), 63) AS BIGINT) AS cell_x,
                CAST(least(greatest(floor((({_LAT}) + 85.0) / 170.0 * 64.0), 0), 63) AS BIGINT) AS cell_y,
@@ -626,6 +665,7 @@ ORACLE: dict[str, str] = {
 }
 
 QUERIES = {
+    "q_sql_spatial": q_sql_spatial,
     "q_hex_join": q_hex_join,
     "q_tile_assign": q_tile_assign,
     "q_tile_counts": q_tile_counts,

