@@ -310,12 +310,117 @@ class Helmert7:
         return self._to_geodetic(self.src_a, self.src_e2, Y.reshape(sh))
 
 
+class NTv2Shift:
+    """Grid-shift datum transform (NTv2 .gsb via sources/rawmore.py
+    read_ntv2), with a Helmert fallback outside the grid extent —
+    the PROJ `+nadgrids=` semantics the reference uses for OSGB
+    (OSTN15), DHDN (BETA2007) and NAD27 (ntv2_0/NADCON):
+
+        lat_dst = lat_src + dlat/3600
+        lon_dst = lon_src - dlon/3600   (NTv2 stores lon positive-west)
+
+    shifts bilinearly interpolated at the SOURCE coordinates; the
+    inverse iterates the forward interpolation (PROJ's 4-step fixed
+    point, cm-convergent)."""
+
+    def __init__(self, grid_path: str, fallback: "Helmert7"):
+        from ..sources.rawmore import read_ntv2
+
+        with open(grid_path, "rb") as fh:
+            px, gt, _names = read_ntv2(fh.read())
+        self.dlat = px[:, :, 0].astype(np.float64)
+        self.dlon = px[:, :, 1].astype(np.float64)
+        self.gt = gt
+        self.fallback = fallback
+
+    def _interp(self, lon, lat):
+        """Bilinear (dlat, dlon) arc-seconds at lon/lat; NaN outside."""
+        gt = self.gt
+        fx = (np.asarray(lon, np.float64) - gt[0]) / gt[1] - 0.5
+        fy = (np.asarray(lat, np.float64) - gt[3]) / gt[5] - 0.5
+        h, w = self.dlat.shape
+        inside = (fx >= 0) & (fx <= w - 1) & (fy >= 0) & (fy <= h - 1)
+        x0 = np.clip(np.floor(fx).astype(int), 0, w - 2)
+        y0 = np.clip(np.floor(fy).astype(int), 0, h - 2)
+        tx = np.clip(fx - x0, 0.0, 1.0)
+        ty = np.clip(fy - y0, 0.0, 1.0)
+
+        def bil(a):
+            return ((1 - ty) * ((1 - tx) * a[y0, x0] + tx * a[y0, x0 + 1])
+                    + ty * ((1 - tx) * a[y0 + 1, x0]
+                            + tx * a[y0 + 1, x0 + 1]))
+
+        dla = np.where(inside, bil(self.dlat), np.nan)
+        dlo = np.where(inside, bil(self.dlon), np.nan)
+        return dla, dlo
+
+    def to_wgs84(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        dla, dlo = self._interp(lon, lat)
+        glon = lon - dlo / 3600.0
+        glat = lat + dla / 3600.0
+        flon, flat = self.fallback.to_wgs84(lon, lat)
+        return (np.where(np.isnan(dlo), flon, glon),
+                np.where(np.isnan(dla), flat, glat))
+
+    def from_wgs84(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        slon, slat = lon.copy(), lat.copy()
+        for _ in range(4):
+            dla, dlo = self._interp(slon, slat)
+            slon = lon + np.where(np.isnan(dlo), 0.0, dlo) / 3600.0
+            slat = lat - np.where(np.isnan(dla), 0.0, dla) / 3600.0
+        dla, dlo = self._interp(slon, slat)
+        flon, flat = self.fallback.from_wgs84(lon, lat)
+        return (np.where(np.isnan(dlo), flon, slon),
+                np.where(np.isnan(dla), flat, slat))
+
+
+# datum name -> NTv2 grid file names probed in _grid_dirs() (the
+# reference resolves the same names through PROJ's data path)
+_GRID_NAMES = {
+    "OSGB36": ("OSTN15_NTv2_OSGBtoETRS.gsb", "osgb36.gsb"),
+    "DHDN": ("BETA2007.gsb",),
+    "NAD27": ("ntv2_0.gsb", "conus.gsb"),
+}
+
+
+def _grid_dirs():
+    import os
+
+    dirs = []
+    env = os.environ.get("GDAL_RAY_GRID_DIR")
+    if env:
+        dirs.append(env)
+    dirs.append("/tmp/gdal_ray_fixtures/grids")
+    return dirs
+
+
+def _find_grid(name: str):
+    import os
+
+    for d in _grid_dirs():
+        for fn in _GRID_NAMES.get(name, ()):
+            p = os.path.join(d, fn)
+            if os.path.exists(p):
+                return p
+    return None
+
+
 # EPSG 1314 (OSGB36 -> WGS84) / EPSG 1777 (DHDN -> WGS84)
 _DATUMS: dict[str, Helmert7 | None] = {}
 
 
 def datum_shift(name: str | None):
-    """None = WGS84-equivalent (null shift)."""
+    """None = WGS84-equivalent (null shift).  When an NTv2 grid for
+    the datum is present in a grid dir (GDAL_RAY_GRID_DIR or
+    /tmp/gdal_ray_fixtures/grids), the grid-shift path wraps the
+    Helmert fallback — closing the documented ~2 m single-Helmert
+    OSGB deviation wherever a real OSTN15/BETA2007 grid is supplied
+    (no grid ships in this sandbox; the reference downloads its
+    grids through PROJ the same way)."""
     if name is None:
         return None
     if name not in _DATUMS:
@@ -333,6 +438,9 @@ def datum_shift(name: str | None):
                                      0.0, 0.0, 0.0, 0.0, "clarke1866")
         else:
             raise NotImplementedError(f"datum {name}")
+        grid = _find_grid(name)
+        if grid is not None:
+            _DATUMS[name] = NTv2Shift(grid, _DATUMS[name])
     return _DATUMS[name]
 
 
