@@ -47,14 +47,25 @@ def _ellipse_mask(dxs, dys, radius1, radius2, angle_deg):
 
 def build_tin(px, py):
     """Delaunay TIN of the scatter points -> (T, 3) CCW triangles
-    (the once-per-actor state of the distributed linear gridder)."""
+    (the once-per-actor state of the distributed linear gridder).
+
+    Duplicate coordinates are merged onto their first occurrence
+    before triangulating (the incremental algorithm corrupts on
+    exact duplicates; GDAL's qhull path joggles/merges the same way —
+    alg/gdalgrid.cpp GDALGridLinear)."""
     from .delaunay import Triangulation
 
     px = np.asarray(px, np.float64)
     py = np.asarray(py, np.float64)
-    if len(px) >= 3:
-        return Triangulation(np.c_[px, py]).triangles_ccw()
-    return np.empty((0, 3), np.int64)
+    if len(px) < 3:
+        return np.empty((0, 3), np.int64)
+    pts = np.c_[px, py]
+    uniq, first = np.unique(pts, axis=0, return_index=True)
+    if len(uniq) < 3:
+        return np.empty((0, 3), np.int64)
+    if len(uniq) == len(pts):
+        return Triangulation(pts).triangles_ccw()
+    return first[Triangulation(uniq).triangles_ccw()]
 
 
 def linear_eval(tri, px, py, pz, cx, cy, radius, nodata) -> np.ndarray:
@@ -206,3 +217,91 @@ def grid_points(px, py, pz, algo: str, *, xmin, xmax, ymin, ymax,
         else:
             raise NotImplementedError(f"gdal_grid algorithm {algo!r}")
     return out.reshape(ny, nx)
+
+
+def linear_eval_assign(tri, px, py, pz, cx, cy, radius, nodata):
+    """linear_eval + per-node provenance for the bucketed scale path:
+    returns (values (ny, nx), tri_idx (ny, nx) int64 — index into
+    ``tri`` of the winning triangle, -1 where the nearest-point
+    fallback / nodata applied). Same semantics as linear_eval
+    (triangle scan order, last containing triangle wins, unlimited
+    nearest fallback at radius < 0)."""
+    nx, ny = len(cx), len(cy)
+    gx, gy = np.meshgrid(cx, cy)
+    out = np.full(gx.size, np.nan, np.float64)
+    who = np.full(gx.size, -1, np.int64)
+    dx = cx[1] - cx[0] if nx > 1 else 1.0
+    dy = cy[1] - cy[0] if ny > 1 else 1.0
+    keep = np.arange(len(tri))
+    if len(tri):
+        ty0 = np.minimum.reduce([py[tri[:, 0]], py[tri[:, 1]], py[tri[:, 2]]])
+        ty1 = np.maximum.reduce([py[tri[:, 0]], py[tri[:, 1]], py[tri[:, 2]]])
+        ylo, yhi = (cy.min(), cy.max())
+        sel = (ty1 >= ylo) & (ty0 <= yhi)
+        tri = tri[sel]
+        keep = keep[sel]
+    for ti, (a, b, c) in enumerate(tri):
+        ax, ay, bx, by, cx2, cy2 = px[a], py[a], px[b], py[b], px[c], py[c]
+        x0, x1 = min(ax, bx, cx2), max(ax, bx, cx2)
+        y0, y1 = min(ay, by, cy2), max(ay, by, cy2)
+        i0 = max(0, int(np.ceil((x0 - cx[0]) / dx - 1e-9)))
+        i1 = min(nx - 1, int(np.floor((x1 - cx[0]) / dx + 1e-9)))
+        j0 = max(0, int(np.ceil((y0 - cy[0]) / dy - 1e-9)))
+        j1 = min(ny - 1, int(np.floor((y1 - cy[0]) / dy + 1e-9)))
+        if i1 < i0 or j1 < j0:
+            continue
+        nxs = cx[i0:i1 + 1][None, :]
+        nys = cy[j0:j1 + 1][:, None]
+        det = (by - ay) * (cx2 - ax) - (bx - ax) * (cy2 - ay)
+        if det == 0:
+            continue
+        l1 = ((by - cy2) * (nxs - cx2) + (cx2 - bx) * (nys - cy2)) / -det
+        l2 = ((cy2 - ay) * (nxs - cx2) + (ax - cx2) * (nys - cy2)) / -det
+        l3 = 1.0 - l1 - l2
+        eps = -1e-10
+        m = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+        if not m.any():
+            continue
+        vals = l1 * pz[a] + l2 * pz[b] + l3 * pz[c]
+        jj, ii = np.nonzero(m)
+        flat = (jj + j0) * nx + (ii + i0)
+        out[flat] = vals[m]
+        who[flat] = keep[ti]
+    miss = np.isnan(out)
+    if miss.any():
+        if radius == 0.0:
+            out[miss] = nodata
+        else:
+            mx = gx.ravel()[miss]
+            my = gy.ravel()[miss]
+            fill = np.full(mx.shape, nodata, np.float64)
+            if len(px):
+                d2 = ((px[None, :] - mx[:, None]) ** 2
+                      + (py[None, :] - my[:, None]) ** 2)
+                k = np.argmin(d2, axis=1)
+                best = d2[np.arange(len(mx)), k]
+                ok = (np.ones(len(mx), bool) if radius < 0
+                      else best <= radius * radius)
+                fill[ok] = pz[k[ok]]
+            out[miss] = fill
+    return out.reshape(ny, nx), who.reshape(ny, nx)
+
+
+def tri_circumcircles(tri, px, py):
+    """(cx, cy, r) per triangle — the certainty test of the bucketed
+    TIN path: a local-Delaunay triangle whose circumcircle lies fully
+    inside the bucket's point-collection region is provably a global
+    Delaunay triangle (the empty-circle property is checked against
+    every point that could violate it)."""
+    ax, ay = px[tri[:, 0]], py[tri[:, 0]]
+    bx, by = px[tri[:, 1]], py[tri[:, 1]]
+    cx_, cy_ = px[tri[:, 2]], py[tri[:, 2]]
+    d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+    d = np.where(d == 0, np.nan, d)
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx_ * cx_ + cy_ * cy_
+    ux = (a2 * (by - cy_) + b2 * (cy_ - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx_ - bx) + b2 * (ax - cx_) + c2 * (bx - ax)) / d
+    r = np.hypot(ax - ux, ay - uy)
+    return ux, uy, r

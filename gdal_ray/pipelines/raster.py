@@ -107,53 +107,169 @@ LIN_GRID_N = 48   # q_grid_linear output nodes per axis
 LIN_MOD = 8       # event_id % LIN_MOD == 0 -> TIN vertex sample
 
 
-def q_grid_linear(sf_dir: str):
+def q_grid_linear(sf_dir: str, *, buckets=(2, 2), halo_cells=4.0):
     """GGA_Linear TIN gridding (alg/gdalgrid.cpp:2459 GDALGridLinear;
-    exact n43 golden in tests/test_grid_linear.py) distributed the
-    broadcast-side-input way: the TIN vertices are a deterministic
-    1/LIN_MOD sample of the events scatter (bounded by construction —
-    the same contract as the packed-STRtree and IVF-centroid side
-    inputs), ``ray.put`` once; each actor triangulates ONCE in
-    __init__; the output grid partitions across tasks as row blocks,
-    each evaluating only the triangles its rows intersect. At full
-    density the scale path buckets points by cell with a one-cell halo
-    and triangulates per bucket."""
-    import ray
+    exact n43 golden in tests/test_grid_linear.py), distributed the
+    cell-bucketed way (VERDICT r3 directive #4 — the 100-TB path):
 
-    from ..functions.gdalgrid import build_tin, linear_eval
+    1. points shuffle ONCE by output bucket (each point lands in
+       every bucket whose halo-expanded node region contains it);
+    2. each bucket triangulates ITS OWN points and evaluates its own
+       node block (map_groups — TIN build cost is per-bucket, never
+       global);
+    3. exactness gate: a node's value is *certain* iff its winning
+       local triangle's circumcircle lies fully inside the bucket's
+       collection region (the Delaunay empty-circle property was then
+       checked against every point that could violate it), so the
+       triangle provably belongs to the global TIN.  Uncertain nodes
+       (hull fringe + sparse gaps; O(boundary), not O(area)) are
+       re-evaluated in a bounded second pass against the global TIN —
+       output is bit-identical to a single global triangulation BY
+       CONSTRUCTION, not by tuning (tested at forced 1x1/2x2/4x4).
+    """
+    import ray
+    import ray.data
+
+    from ..functions.gdalgrid import (build_tin, linear_eval,
+                                      linear_eval_assign,
+                                      tri_circumcircles)
 
     pts = arrow_table(sf_dir, "events", ["event_id", "value"])
     eid = pts["event_id"].to_numpy()
     v = pts["value"].to_numpy()[eid % LIN_MOD == 0]
     lon, lat = derive_lonlat(v)
-    side = ray.put((lon, lat, v))
 
-    cx = -180.0 + 360.0 * (np.arange(LIN_GRID_N) + 0.5) / LIN_GRID_N
-    cy = -85.0 + 170.0 * (np.arange(LIN_GRID_N) + 0.5) / LIN_GRID_N
+    n = LIN_GRID_N
+    cx = -180.0 + 360.0 * (np.arange(n) + 0.5) / n
+    cy = -85.0 + 170.0 * (np.arange(n) + 0.5) / n
+    dx = 360.0 / n
+    dy = 170.0 / n
+    nbx, nby = buckets
 
-    class LinearGridder:
-        def __init__(self):
-            self.px, self.py, self.pz = ray.get(side)
-            self.tin = build_tin(self.px, self.py)
+    # node-column/row ranges per bucket
+    xs = np.linspace(0, n, nbx + 1).astype(int)
+    ys = np.linspace(0, n, nby + 1).astype(int)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            rows = t["id"].to_numpy()
-            out_id, out_v = [], []
-            for j in rows:
-                vals = linear_eval(self.tin, self.px, self.py, self.pz,
-                                   cx, cy[j:j + 1], radius=-1.0, nodata=0.0)
-                out_id.append(j * LIN_GRID_N + np.arange(LIN_GRID_N))
-                out_v.append(vals[0])
-            return pa.table({
-                "cell_id": pa.array(np.concatenate(out_id).astype(np.int64)),
-                "lin": pa.array(round_away_np(np.concatenate(out_v), 4)),
-            })
+    def regions():
+        out = []
+        for bj in range(nby):
+            for bi in range(nbx):
+                i0, i1 = xs[bi], xs[bi + 1]
+                j0, j1 = ys[bj], ys[bj + 1]
+                rx0 = cx[i0] - (0.5 + halo_cells) * dx
+                rx1 = cx[i1 - 1] + (0.5 + halo_cells) * dx
+                ry0 = cy[j0] - (0.5 + halo_cells) * dy
+                ry1 = cy[j1 - 1] + (0.5 + halo_cells) * dy
+                out.append((bj * nbx + bi, i0, i1, j0, j1,
+                            rx0, rx1, ry0, ry1))
+        return out
 
-    out_ds = ray.data.range(LIN_GRID_N).map_batches(
-        LinearGridder, concurrency=4, batch_size=6, batch_format="pyarrow")
+    regs = regions()
+    pts_tab = pa.table({"x": pa.array(lon), "y": pa.array(lat),
+                        "z": pa.array(v)})
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        z = t["z"].to_numpy()
+        bs, xs_, ys_, zs_ = [], [], [], []
+        for (b, _i0, _i1, _j0, _j1, rx0, rx1, ry0, ry1) in regs:
+            m = (x >= rx0) & (x <= rx1) & (y >= ry0) & (y <= ry1)
+            if m.any():
+                bs.append(np.full(m.sum(), b, np.int64))
+                xs_.append(x[m])
+                ys_.append(y[m])
+                zs_.append(z[m])
+        return pa.table({"bucket": pa.array(np.concatenate(bs)),
+                         "x": pa.array(np.concatenate(xs_)),
+                         "y": pa.array(np.concatenate(ys_)),
+                         "z": pa.array(np.concatenate(zs_))})
+
+    reg_by_id = {r[0]: r for r in regs}
+
+    def eval_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        b = int(g["bucket"].iloc[0])
+        _, i0, i1, j0, j1, rx0, rx1, ry0, ry1 = reg_by_id[b]
+        real = ~np.isnan(g["x"].to_numpy())
+        px = g["x"].to_numpy()[real]
+        py = g["y"].to_numpy()[real]
+        pz = g["z"].to_numpy()[real]
+        bcx = cx[i0:i1]
+        bcy = cy[j0:j1]
+        if len(px) >= 3:
+            tri = build_tin(px, py)
+            vals, who = linear_eval_assign(tri, px, py, pz, bcx, bcy,
+                                           -1.0, 0.0)
+            if len(tri):
+                ux, uy, r = tri_circumcircles(tri, px, py)
+                ok_tri = ((ux - r >= rx0) & (ux + r <= rx1)
+                          & (uy - r >= ry0) & (uy + r <= ry1))
+                ok_tri &= np.isfinite(r)
+            else:
+                ok_tri = np.zeros(0, bool)
+            certain = np.zeros(who.shape, bool)
+            hit = who >= 0
+            certain[hit] = ok_tri[who[hit]]
+        else:
+            vals = np.zeros((len(bcy), len(bcx)))
+            certain = np.zeros(vals.shape, bool)
+        jj, ii = np.meshgrid(np.arange(j0, j1), np.arange(i0, i1),
+                             indexing="ij")
+        return pd.DataFrame({
+            "cell_id": (jj * n + ii).ravel().astype(np.int64),
+            "lin": vals.ravel(),
+            "certain": certain.ravel(),
+        })
+
+    # one sentinel row per bucket so a points-empty bucket still
+    # forms a group and emits its node block (all-uncertain -> the
+    # exact pass evaluates it); eval_bucket drops the NaN sentinels
+    sentinels = pa.table({
+        "bucket": pa.array([r[0] for r in regs], pa.int64()),
+        "x": pa.array([np.nan] * len(regs)),
+        "y": pa.array([np.nan] * len(regs)),
+        "z": pa.array([np.nan] * len(regs)),
+    })
+    ds = (ray.data.from_arrow(pts_tab).repartition(8)
+          .map_batches(assign, batch_format="pyarrow")
+          .union(ray.data.from_arrow(sentinels)))
+    out_ds = (ds.groupby("bucket")
+              .map_groups(eval_bucket, batch_format="pandas"))
     tab = pa.concat_tables(
-        b for b in out_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-    return tab.take(pc.sort_indices(tab, sort_keys=[("cell_id", "ascending")]))
+        b_ for b_ in out_ds.iter_batches(batch_size=None,
+                                         batch_format="pyarrow"))
+
+    # bounded exact pass: re-evaluate the uncertain fringe against the
+    # global TIN (one task; O(fringe) nodes)
+    certain_mask = tab["certain"].to_numpy(zero_copy_only=False)
+    cells = tab["cell_id"].to_numpy()
+    vals = tab["lin"].to_numpy().copy()
+    bad = ~certain_mask
+    if bad.any():
+        bad_cells = cells[bad]
+
+        @ray.remote
+        def exact(cell_ids):
+            tri = build_tin(lon, lat)
+            rows = np.unique(cell_ids // n)
+            fixed = {}
+            for j in rows:
+                row_vals = linear_eval(tri, lon, lat, v, cx,
+                                       cy[j:j + 1], -1.0, 0.0)[0]
+                for i in range(n):
+                    fixed[j * n + i] = row_vals[i]
+            return fixed
+
+        fixed = ray.get(exact.remote(bad_cells))
+        vals[bad] = [fixed[c] for c in bad_cells]
+
+    order = np.argsort(cells)
+    return pa.table({
+        "cell_id": pa.array(cells[order]),
+        "lin": pa.array(round_away_np(vals[order], 4)),
+    })
 
 
 def q_grid_metrics(sf_dir: str):
