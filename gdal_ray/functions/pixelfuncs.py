@@ -232,3 +232,144 @@ def pansharpen_brovey(pan: np.ndarray, ms: np.ndarray,
         ratio = pan / pseudo
     ratio = np.where(pseudo == 0, 0.0, ratio)
     return ms * ratio[:, :, None]
+
+
+# ------------------------------------------- VRTProcessedDataset functions
+
+_DT_RANGES = {
+    "Byte": (0, 255), "Int8": (-128, 127), "UInt16": (0, 65535),
+    "Int16": (-32768, 32767), "UInt32": (0, 4294967295),
+    "Int32": (-2147483648, 2147483647),
+}
+
+
+def nodata_replacement_value(dt: str, nodata: float) -> float:
+    """gcore/gdal_misc.cpp GDALGetNoDataReplacementValue: 0 when the
+    nodata value is out of range for the type; max-1 at the type max;
+    nodata+1 (integers) / nextafter-up (floats) otherwise."""
+    if dt in _DT_RANGES:
+        lo, hi = _DT_RANGES[dt]
+        if not (lo <= nodata <= hi):
+            return 0.0
+        return float(hi - 1) if nodata == hi else float(nodata + 1)
+    if dt == "Float32":
+        f = np.float32(nodata)
+        if not np.isfinite(f):
+            return 0.0
+        if f == np.finfo(np.float32).max:
+            return float(np.nextafter(f, np.float32(0.0)))
+        return float(np.nextafter(f, np.finfo(np.float32).max))
+    # Float64
+    if not np.isfinite(nodata):
+        return 0.0
+    if nodata == np.finfo(np.float64).max:
+        return float(np.nextafter(nodata, 0.0))
+    return float(np.nextafter(nodata, np.inf))
+
+
+def band_affine_combination(bands: np.ndarray, coefficients,
+                            src_nodata=None, dst_nodata=None,
+                            replacement_nodata=None,
+                            dst_intended_datatype: str = "Float64",
+                            clamp_min: float = -np.inf,
+                            clamp_max: float = np.inf) -> np.ndarray:
+    """VRTProcessedDataset 'BandAffineCombination'
+    (frmts/vrt/vrtprocesseddatasetfunctions.cpp:315-387), vectorized:
+    out[j] = c[j,0] + sum_i c[j,i+1] * band[i]; any-source-nodata
+    pixels write dst_nodata; a VALID result that collides with
+    dst_nodata (compared in the intended datatype) is substituted by
+    the replacement value; then clamped.
+
+    bands: (h, w, n_in) float64.  coefficients: (n_out, n_in+1).
+    src_nodata/dst_nodata: scalars or per-band sequences (None = no
+    nodata handling)."""
+    b = np.asarray(bands, np.float64)
+    h, w, nin = b.shape
+    coef = np.asarray(coefficients, np.float64)
+    nout = coef.shape[0]
+
+    def per_band(v, n, default):
+        if v is None:
+            return np.full(n, default)
+        v = np.asarray(v, np.float64)
+        return np.full(n, float(v)) if v.ndim == 0 else v
+
+    src_nd = per_band(src_nodata, nin, np.nan)
+    dst_nd = per_band(dst_nodata, nout, np.nan)
+    invalid = np.zeros((h, w), bool)
+    for i in range(nin):
+        if np.isfinite(src_nd[i]) or np.isnan(src_nd[i]):
+            # the reference's test `!(src != nodata)` is true for
+            # NaN source values too
+            invalid |= ~(b[:, :, i] != src_nd[i])
+    out = np.empty((h, w, nout), np.float64)
+    integer_dt = dst_intended_datatype in _DT_RANGES
+    for j in range(nout):
+        val = coef[j, 0] + np.tensordot(b, coef[j, 1:], axes=([2], [0]))
+        if not np.isnan(dst_nd[j]):
+            if replacement_nodata is not None:
+                rep = float(replacement_nodata)
+            else:
+                rep = nodata_replacement_value(dst_intended_datatype,
+                                               dst_nd[j])
+            if integer_dt:
+                hit = np.round(val) == dst_nd[j]
+            elif dst_intended_datatype == "Float32":
+                hit = val.astype(np.float32) == np.float32(dst_nd[j])
+            else:
+                hit = val == dst_nd[j]
+            val = np.where(hit, rep, val)
+        val = np.clip(val, clamp_min, clamp_max)
+        if not np.isnan(dst_nd[j]):
+            val = np.where(invalid, dst_nd[j], val)
+        out[:, :, j] = val
+    return out
+
+
+def trimming(bands: np.ndarray, trimming_band: np.ndarray, *,
+             top_rgb: float, tone_ceil: float, top_margin: float,
+             red_band: int = 0, green_band: int = 1, blue_band: int = 2,
+             in_nodata=None, out_nodata=None,
+             trimming_nodata: float = np.nan) -> np.ndarray:
+    """VRTProcessedDataset 'Trimming'
+    (frmts/vrt/vrtprocesseddatasetfunctions.cpp:1315-1475),
+    vectorized: per-pixel RGB saturation trimming against the local
+    max-RGB raster, the non-RGB bands scaled by the same reduction
+    factor; any nodata participant turns the whole pixel nodata."""
+    b = np.asarray(bands, np.float64)
+    h, w, n = b.shape
+    trim = np.asarray(trimming_band, np.float64)
+
+    def per_band(v, default):
+        if v is None:
+            return np.full(n, default)
+        v = np.asarray(v, np.float64)
+        return np.full(n, float(v)) if v.ndim == 0 else v
+
+    in_nd = per_band(in_nodata, np.nan)
+    out_nd = per_band(out_nodata, np.nan)
+
+    reduced = np.minimum((1.0 - top_margin) * top_rgb / trim, 1.0)
+    r = b[:, :, red_band]
+    g = b[:, :, green_band]
+    bl = b[:, :, blue_band]
+    valid = (~(trim == trimming_nodata) & ~(r == in_nd[red_band])
+             & ~(g == in_nd[green_band]) & ~(bl == in_nd[blue_band]))
+    max_rgb = np.maximum(np.maximum(r, g), bl)
+    inv_tone_max = np.maximum(max_rgb / tone_ceil, 1.0)
+    k = reduced * inv_tone_max
+    out = np.empty_like(b)
+    out[:, :, red_band] = np.minimum(np.minimum(r, tone_ceil) * k, top_rgb)
+    out[:, :, green_band] = np.minimum(np.minimum(g, tone_ceil) * k,
+                                       top_rgb)
+    out[:, :, blue_band] = np.minimum(np.minimum(bl, tone_ceil) * k,
+                                      top_rgb)
+    for i in range(n):
+        if i in (red_band, green_band, blue_band):
+            continue
+        src = b[:, :, i]
+        out[:, :, i] = reduced * src
+        valid &= ~(src == in_nd[i])
+    for i in range(n):
+        out[:, :, i] = np.where(valid, out[:, :, i], out_nd[i])
+    return out

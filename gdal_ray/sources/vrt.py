@@ -75,16 +75,111 @@ def open_vrt(path: str) -> dict:
     root = ET.parse(path).getroot()
     if root.tag != "VRTDataset":
         raise ValueError("not a VRTDataset")
-    w = int(root.attrib["rasterXSize"])
-    h = int(root.attrib["rasterYSize"])
     gt_el = root.find("GeoTransform")
     gt = _gt_of(gt_el.text) if gt_el is not None else None
 
-    if root.attrib.get("subClass") == "VRTWarpedDataset":
+    sub = root.attrib.get("subClass") or root.attrib.get("subclass")
+    if sub == "VRTProcessedDataset":
+        px = _render_processed(root, vrt_dir)
+        return {"pixels": px, "gt": gt, "epsg": None, "driver": "VRT"}
+    w = int(root.attrib["rasterXSize"])
+    h = int(root.attrib["rasterYSize"])
+    if sub == "VRTWarpedDataset":
         px = _render_warped(root, vrt_dir, w, h, gt)
     else:
         px = _render_plain(root, vrt_dir, w, h)
     return {"pixels": px, "gt": gt, "epsg": None, "driver": "VRT"}
+
+
+def _step_args(step) -> dict:
+    return {a.attrib["name"]: (a.text or "")
+            for a in step.findall("Argument")}
+
+
+def _render_processed(root, vrt_dir: str) -> np.ndarray:
+    """subclass='VRTProcessedDataset' (frmts/vrt/vrtprocesseddataset
+    .cpp): the Input dataset flows through the ProcessingSteps chain
+    in Float64 working type, then converts to the output band type
+    (defaults to the input's). Algorithms: BandAffineCombination,
+    Trimming, LUT, LocalScaleOffset subset."""
+    from ..functions.pixelfuncs import (band_affine_combination,
+                                        trimming)
+    from ..functions.resample import apply_lut
+
+    src_el = root.find("Input/SourceFilename")
+    if src_el is None:
+        raise ValueError("VRTProcessedDataset without Input")
+    src_path = _resolve(src_el.text, vrt_dir,
+                        src_el.attrib.get("relativeToVRT") == "1")
+    src, src_gt = _open_source(src_path)
+    in_dtype = src.dtype
+    if src.ndim == 2:
+        src = src[:, :, None]
+    cur = np.asarray(src, np.float64)
+
+    for step in root.findall("ProcessingSteps/Step"):
+        alg = step.findtext("Algorithm")
+        args = _step_args(step)
+        nin = cur.shape[2]
+        if alg == "BandAffineCombination":
+            coefs = []
+            j = 1
+            while f"coefficients_{j}" in args:
+                coefs.append([float(v) for v in
+                              args[f"coefficients_{j}"].split(",")])
+                j += 1
+            cur = band_affine_combination(
+                cur, coefs,
+                src_nodata=(float(args["src_nodata"])
+                            if "src_nodata" in args else None),
+                dst_nodata=(float(args["dst_nodata"])
+                            if "dst_nodata" in args else None),
+                replacement_nodata=(float(args["replacement_nodata"])
+                                    if "replacement_nodata" in args
+                                    else None),
+                dst_intended_datatype=args.get("dst_intended_datatype",
+                                               "Float64"),
+                clamp_min=float(args.get("min", "-inf")),
+                clamp_max=float(args.get("max", "inf")))
+        elif alg == "Trimming":
+            tp = _resolve(args["trimming_dataset_filename"], vrt_dir,
+                          args.get("relativeToVRT") == "true")
+            trim, _ = _open_source(tp)
+            if trim.ndim == 3:
+                trim = trim[:, :, 0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cur = trimming(
+                    cur, trim,
+                    top_rgb=float(args["top_rgb"]),
+                    tone_ceil=float(args["tone_ceil"]),
+                    top_margin=float(args["top_margin"]),
+                    red_band=int(args.get("red_band", "1")) - 1,
+                    green_band=int(args.get("green_band", "2")) - 1,
+                    blue_band=int(args.get("blue_band", "3")) - 1,
+                    in_nodata=(float(args["nodata"])
+                               if "nodata" in args else None),
+                    out_nodata=(float(args["nodata"])
+                                if "nodata" in args else None),
+                    trimming_nodata=float(args.get("trimming_nodata",
+                                                   "nan")))
+        elif alg == "LUT":
+            out = np.empty_like(cur)
+            for i in range(nin):
+                pairs = [p.split(":") for p in
+                         args[f"lut_{i + 1}"].split(",")]
+                sv = np.array([float(a) for a, _ in pairs])
+                dv = np.array([float(b) for _, b in pairs])
+                out[:, :, i] = apply_lut(cur[:, :, i], sv, dv)
+            cur = out
+        else:
+            raise NotImplementedError(
+                f"VRTProcessedDataset algorithm {alg!r}")
+
+    band_el = root.find("VRTRasterBand")
+    dtype = (_DTYPES.get(band_el.attrib.get("dataType"), in_dtype)
+             if band_el is not None else in_dtype)
+    out = _clamp_cast(cur, dtype)
+    return out[:, :, 0] if out.shape[2] == 1 else out
 
 
 def _render_warped(root, vrt_dir: str, w: int, h: int, gt) -> np.ndarray:
