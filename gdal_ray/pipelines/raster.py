@@ -1995,6 +1995,68 @@ def q_binary_raster(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_rat(sf_dir: str):
+    """Raster attribute tables (gcore/gdal_rat.cpp re-derivation in
+    functions/rat.py; HFA Descriptor_Table reader in sources/hfa.py
+    read_hfa_rat). Rows (case, value): the reference's published
+    i8u_c_i.img RAT facts (autotest/gdrivers/hfa.py:1191-1219 — 6
+    columns, col0 Real/MinMax, BinValues[2]=4, Histogram[4]=656)
+    plus the gcore/rat.py synthetic-table semantics (clone,
+    GetRowOfValue, value lookup) and an Arrow roundtrip flag."""
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.rat import (GFT_Integer, GFT_Real, GFU_MinMax,
+                                     GFU_PixelCount,
+                                     RasterAttributeTable)
+        from ..sources.hfa import read_hfa_rat
+
+        cases, values = [], []
+
+        def add(c, v):
+            cases.append(c)
+            values.append(int(v))
+
+        for rec in t.to_pylist():
+            if rec["which"] == "hfa":
+                rat = read_hfa_rat(open(
+                    "/root/reference/autotest/gdrivers/data/hfa/"
+                    "i8u_c_i.img", "rb").read())
+                add("hfa_n_cols", len(rat.columns))
+                add("hfa_col0_real", rat.columns[0].type == GFT_Real)
+                add("hfa_col0_minmax", rat.columns[0].usage == GFU_MinMax)
+                add("hfa_binvalue_2", rat.get_value(2, 0))
+                add("hfa_hist_4", rat.get_value(4, 5))
+                back = RasterAttributeTable.from_arrow(rat.to_arrow())
+                add("hfa_arrow_roundtrip",
+                    all(back.columns[i].values == rat.columns[i].values
+                        and back.columns[i].usage == rat.columns[i].usage
+                        for i in range(len(rat.columns))))
+            else:
+                # gcore/rat.py test_rat_1 synthetic table semantics
+                rat = RasterAttributeTable()
+                rat.create_column("Value", GFT_Integer, GFU_MinMax)
+                rat.create_column("Count", GFT_Integer, GFU_PixelCount)
+                rat.set_row_count(3)
+                for r, (v, n) in enumerate([(10, 100), (11, 200),
+                                            (12, 90)]):
+                    rat.set_value(r, 0, v)
+                    rat.set_value(r, 1, n)
+                c2 = rat.clone()
+                add("synth_clone_cols", len(c2.columns))
+                add("synth_clone_rows", c2.row_count)
+                add("synth_usage_count",
+                    c2.columns[1].usage == GFU_PixelCount)
+                add("synth_row_of_11", c2.get_row_of_value(11.0))
+                add("synth_value_1_1", c2.get_value(1, 1))
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    return ray.data.from_items(
+        [{"which": w} for w in ("hfa", "synth")]
+    ).map_batches(f, batch_format="pyarrow", batch_size=1)
+
+
 def q_hfa(sf_dir: str):
     """HFA (Erdas Imagine) conformance: one task per reference .img
     fixture (autotest/gcore/hfa_read.py init_list + gdrivers/hfa.py
@@ -4123,6 +4185,7 @@ QUERIES = {
     "q_ascii_raster": q_ascii_raster,
     "q_binary_raster": q_binary_raster,
     "q_hfa": q_hfa,
+    "q_rat": q_rat,
     "q_nitf": q_nitf,
     "q_netcdf": q_netcdf,
     "q_envi_ehdr": q_envi_ehdr,

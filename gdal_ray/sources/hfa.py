@@ -405,3 +405,115 @@ def decode_hfa(data: bytes, ige: bytes | None = None):
         raise ValueError("HFA: no Eimg_Layer found")
     px = bands[0] if len(bands) == 1 else np.stack(bands, axis=2)
     return px, gt, {"projection": proj_name, "n_bands": len(bands)}
+
+
+def read_hfa_rat(data: bytes, band: int = 0):
+    """Raster attribute table of an HFA layer -> RasterAttributeTable
+    (None when the layer has no Descriptor_Table).
+
+    Re-derives frmts/hfa/hfadataset.cpp HFARasterAttributeTable():
+    Edsc_Column children typed by their dataType field with usages
+    inferred from the column name (Histogram -> PixelCount, RGBA ->
+    color, Class_Names -> Name); an Edsc_BinFunction840 of type
+    BFUnique contributes the leading 'BinValues' Real/MinMax column
+    (hfaband.cpp HFAReadBFUniqueBins: F64 basedata, doubles at
+    signature+24); a plain Edsc_BinFunction sets linear binning."""
+    from ..functions.rat import (GFT_Integer, GFT_Real, GFT_String,
+                                 GFU_Alpha, GFU_Blue, GFU_Generic,
+                                 GFU_Green, GFU_MinMax, GFU_Name,
+                                 GFU_PixelCount, GFU_Red,
+                                 RasterAttributeTable)
+
+    if not sniff_hfa(data):
+        raise ValueError("not an HFA file")
+    header_pos = struct.unpack_from("<I", data, 16)[0]
+    root_pos = struct.unpack_from("<I", data, header_pos + 8)[0]
+    dict_pos = struct.unpack_from("<I", data, header_pos + 14)[0]
+    dend = data.index(b".", dict_pos)
+    types = parse_dictionary(data[dict_pos:dend].decode("latin-1"))
+    root, _ = _read_tree(data, root_pos)
+
+    layers = [n for n in root.children if n.type == "Eimg_Layer"]
+    if band >= len(layers):
+        return None
+    dt = layers[band].find(type_="Edsc_Table", name="Descriptor_Table")
+    if dt is None:
+        return None
+    tab, _ = _decode_instance(
+        data[dt.data_pos:dt.data_pos + dt.data_size], 0,
+        types["Edsc_Table"], types)
+    nrows = int(tab.get("numrows", tab.get("numRows", 0)))
+
+    rat = RasterAttributeTable()
+    rat.row_count = nrows
+
+    usage_by_name = {"Histogram": GFU_PixelCount, "Red": GFU_Red,
+                     "Green": GFU_Green, "Blue": GFU_Blue,
+                     "Opacity": GFU_Alpha, "Class_Names": GFU_Name}
+    for child in dt.children:
+        raw = data[child.data_pos:child.data_pos + child.data_size]
+        if child.type == "Edsc_BinFunction840":
+            # BFUnique basedata: scan for the F64 signature the
+            # reference checks at MIFObject[20:22] == 0a 00
+            if b"BFUnique" not in raw:
+                continue
+            start = raw.index(b"BFUnique")
+            for off in range(start, len(raw) - 24 - 8 * nrows + 1):
+                if (raw[off + 20] == 0x0A and raw[off + 21] == 0
+                        and struct.unpack_from("<i", raw, off)[0] == nrows):
+                    vals = np.frombuffer(raw, "<f8", nrows, off + 24)
+                    i = rat.create_column("BinValues", GFT_Real,
+                                          GFU_MinMax)
+                    rat.columns[i].values = vals.tolist()
+                    break
+        elif child.type == "Edsc_BinFunction":
+            try:
+                bf, _ = _decode_instance(raw, 0,
+                                         types["Edsc_BinFunction"],
+                                         types)
+            except struct.error:
+                # the reference writes truncated 30-byte
+                # Edsc_BinFunction records (hfadataset.cpp
+                # MakeData(30)); decode what fits
+                bf = {}
+                if len(raw) >= 16:
+                    bf = {"numBins": struct.unpack_from("<i", raw, 4)[0],
+                          "minLimit": struct.unpack_from("<d", raw, 8)[0] if len(raw) >= 16 else 0.0,
+                          "maxLimit": struct.unpack_from("<d", raw, 16)[0] if len(raw) >= 24 else 0.0}
+            nbins = int(bf.get("numBins", 0))
+            mn = float(bf.get("minLimit", 0.0))
+            mx = float(bf.get("maxLimit", 0.0))
+            if nbins == nrows and mx != mn and nbins > 1:
+                rat.set_linear_binning(mn, (mx - mn) / (nbins - 1))
+        elif child.type == "Edsc_Column":
+            col, _ = _decode_instance(raw, 0, types["Edsc_Column"],
+                                      types)
+            off = int(col.get("columnDataPtr", 0))
+            dtcode = col.get("dataType")
+            if not off or dtcode is None:
+                continue
+            name = child.name
+            usage = usage_by_name.get(name, GFU_Generic)
+            if dtcode == 0:        # integer
+                vals = np.frombuffer(data, "<i4", nrows, off).tolist()
+                ftype = GFT_Integer
+            elif dtcode == 1:      # real
+                vals = np.frombuffer(data, "<f8", nrows, off).tolist()
+                ftype = GFT_Real
+            elif dtcode == 2:      # string
+                w = int(col.get("maxNumChars", 1)) or 1
+                vals = [data[off + i * w:off + (i + 1) * w]
+                        .split(b"\x00")[0].decode("latin-1")
+                        for i in range(nrows)]
+                ftype = GFT_String
+            else:
+                continue
+            if name in ("Red", "Green", "Blue", "Opacity"):
+                # color columns read as ints regardless of storage
+                # (255 * stored 0..1 real, hfadataset.cpp)
+                if ftype == GFT_Real:
+                    vals = [int(v * 255 + 0.5) for v in vals]
+                ftype = GFT_Integer
+            i = rat.create_column(name, ftype, usage)
+            rat.columns[i].values = vals
+    return rat if rat.columns else None

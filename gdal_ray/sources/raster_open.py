@@ -309,9 +309,15 @@ def open_raster(path: str) -> dict:
             wf = _worldfile(path)
             gt = worldfile_to_gt(wf) if wf else None
         prj = _sidecar(path, ".prj")
-        return {"pixels": px, "gt": gt,
-                "epsg": epsg_from_wkt(prj) if prj else None,
-                "driver": "HFA", "hfa_meta": meta}
+        out = {"pixels": px, "gt": gt,
+               "epsg": epsg_from_wkt(prj) if prj else None,
+               "driver": "HFA", "hfa_meta": meta}
+        from .hfa import read_hfa_rat
+
+        rat = read_hfa_rat(data)
+        if rat is not None:
+            out["rat"] = rat.to_arrow()
+        return out
     if data[:4] == b"GRIB":
         if len(data) > 7 and data[7] == 2:
             from .grib2 import read_grib2

@@ -1020,3 +1020,17 @@ def _q_lineref(sf):
             ("get_coord", -1.435097, 51.950080),
             ("get_subline", 1.0, 0.0)]
     return pd.DataFrame(rows, columns=["case", "value_a", "value_b"])
+
+
+@builder("q_rat")
+def _q_rat(sf):
+    # autotest/gdrivers/hfa.py:1191-1219 published RAT facts +
+    # gcore/rat.py synthetic-table expectations
+    return cv([
+        ("hfa_n_cols", 6), ("hfa_col0_real", 1), ("hfa_col0_minmax", 1),
+        ("hfa_binvalue_2", 4), ("hfa_hist_4", 656),
+        ("hfa_arrow_roundtrip", 1),
+        ("synth_clone_cols", 2), ("synth_clone_rows", 3),
+        ("synth_usage_count", 1), ("synth_row_of_11", 1),
+        ("synth_value_1_1", 200),
+    ])
