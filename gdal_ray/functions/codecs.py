@@ -131,6 +131,11 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return _decode_raw(data)
     if data[:4] == _RAW0_MAGIC:
         return _decode_raw0(data)
+    if (data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            or data[:2] == b"\xff\x4f"):
+        from .jp2k import decode_jp2
+
+        return decode_jp2(data)[0]
     raise NotImplementedError(f"unrecognized image payload (fmt hint {fmt!r})")
 
 

@@ -1,0 +1,1029 @@
+"""JPEG 2000 (JP2 / J2K) decoder — pure numpy/Python (VERDICT r3
+directive #2).
+
+Re-derives the decode path the reference gets from OpenJPEG
+(frmts/openjpeg/openjpegdataset.cpp) from the ITU-T T.800 spec:
+
+- JP2 box parse (jp2h/ihdr/colr/pclr, jp2c codestream; the GeoJP2
+  uuid box is handled by the caller);
+- codestream: SIZ/COD/COC/QCD/QCC/SOT/SOD, multiple tiles and
+  tile-parts, progression orders LRCP/RLCP/RPCL/PCRL/CPRL, custom
+  precincts, SOP/EPH resync markers;
+- Tier-2: tag-tree decoded packet headers (inclusion, zero
+  bit-planes, pass counts, Lblock length coding);
+- Tier-1: MQ arithmetic decoder (T.800 Annex C software conventions)
+  + EBCOT three-pass bit-plane coding (significance propagation,
+  magnitude refinement, cleanup with run-length mode) over 4-row
+  stripes;
+- dequantization (reversible shift / scalar expounded-exponent
+  step sizes) and inverse DWT 5/3 (reversible) / 9/7 (irreversible,
+  Annex F lifting) with symmetric extension;
+- RCT / ICT multi-component transforms.
+
+Conformance anchors: the reference's own jp2openjpeg.py fixtures
+(byte.jp2 checksum 50054 etc.) in tests/test_jp2k.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------- MQ decoder
+
+# T.800 Table C.2 (Qe, NMPS, NLPS, SWITCH)
+_MQ = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+_QE = [q for q, _, _, _ in _MQ]
+_NMPS = [v for _, v, _, _ in _MQ]
+_NLPS = [v for _, _, v, _ in _MQ]
+_SW = [v for _, _, _, v in _MQ]
+
+N_CTX = 19
+CTX_UNI = 18
+CTX_RL = 17
+
+
+class MQDecoder:
+    __slots__ = ("data", "bp", "n", "c", "a", "ct", "I", "MPS")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.I = [0] * N_CTX
+        self.MPS = [0] * N_CTX
+        self.I[0] = 4          # ZC all-zero neighborhood
+        self.I[CTX_RL] = 3
+        self.I[CTX_UNI] = 46
+        self.bp = 0
+        b = data[0] if self.n else 0xFF
+        self.c = b << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self):
+        data, bp, n = self.data, self.bp, self.n
+        b = data[bp] if bp < n else 0xFF
+        if b == 0xFF:
+            b1 = data[bp + 1] if bp + 1 < n else 0xFF
+            if b1 > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            b1 = data[bp + 1] if bp + 1 < n else 0xFF
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, cx: int) -> int:
+        i = self.I[cx]
+        qe = _QE[i]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = self.MPS[cx]
+                self.I[cx] = _NMPS[i]
+            else:
+                d = 1 - self.MPS[cx]
+                if _SW[i]:
+                    self.MPS[cx] = 1 - self.MPS[cx]
+                self.I[cx] = _NLPS[i]
+            self.a = qe
+            # RENORMD
+            while True:
+                if self.ct == 0:
+                    self._bytein()
+                self.a <<= 1
+                self.c = (self.c << 1) & 0xFFFFFFFF
+                self.ct -= 1
+                if self.a & 0x8000:
+                    break
+            return d
+        self.c -= qe << 16
+        if self.a & 0x8000:
+            return self.MPS[cx]
+        # MPS exchange path
+        if self.a < qe:
+            d = 1 - self.MPS[cx]
+            if _SW[i]:
+                self.MPS[cx] = 1 - self.MPS[cx]
+            self.I[cx] = _NLPS[i]
+        else:
+            d = self.MPS[cx]
+            self.I[cx] = _NMPS[i]
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+# ------------------------------------------------------------ tag trees
+
+
+class TagTree:
+    def __init__(self, w: int, h: int):
+        self.levels = []
+        while True:
+            self.levels.append((w, h))
+            if w <= 1 and h <= 1:
+                break
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+        self.nlv = len(self.levels)
+        self.UNK = 1 << 30
+        self.value = [np.full((lh, lw), self.UNK, np.int32)
+                      for lw, lh in self.levels]
+        self.low = [np.zeros((lh, lw), np.int32)
+                    for lw, lh in self.levels]
+
+    def decode(self, bits: "_BitReader", x: int, y: int,
+               threshold: int) -> int:
+        """Annex B.10.2 (opj_tgt_decode shape): a run of 0-bits lifts
+        the node's lower bound, a 1-bit pins value = bound; returns
+        the leaf value, or >= threshold when still undetermined."""
+        idxs = []
+        xx, yy = x, y
+        for lv in range(self.nlv):
+            idxs.append((lv, yy, xx))
+            xx >>= 1
+            yy >>= 1
+        low = 0
+        for lv, yy, xx in reversed(idxs):
+            lo = self.low[lv]
+            va = self.value[lv]
+            if low > lo[yy, xx]:
+                lo[yy, xx] = low
+            else:
+                low = lo[yy, xx]
+            while lo[yy, xx] < threshold and lo[yy, xx] < va[yy, xx]:
+                if bits.bit():
+                    va[yy, xx] = lo[yy, xx]
+                else:
+                    lo[yy, xx] += 1
+            low = min(lo[yy, xx], va[yy, xx])
+        return int(self.value[0][y, x])
+
+
+class _BitReader:
+    """Packet-header bit reader with 0xFF bit-stuffing (B.10.1)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.cnt = 0
+        self.last = 0
+
+    def bit(self) -> int:
+        if self.cnt == 0:
+            if self.last == 0xFF:
+                self.buf = self.data[self.pos]
+                self.pos += 1
+                self.cnt = 7
+            else:
+                self.buf = self.data[self.pos]
+                self.pos += 1
+                self.cnt = 8
+            self.last = self.buf
+        self.cnt -= 1
+        return (self.buf >> self.cnt) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self):
+        self.cnt = 0
+        if self.last == 0xFF:
+            # stuffed zero bit byte is consumed
+            self.pos += 1
+        self.last = 0
+
+
+# --------------------------------------------------------------- T1 EBCOT
+
+# zero-coding context tables per orientation, indexed by
+# (h, v, d) neighbor significance counts — T.800 Table D.1
+def _zc_table(orient: int) -> np.ndarray:
+    tab = np.zeros((3, 3, 5), np.int8)
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                hh, vv = h, v
+                if orient == 1:        # HL: transpose
+                    hh, vv = v, h
+                if orient == 2:        # HH
+                    hv = hh + vv
+                    if d >= 3:
+                        cx = 8
+                    elif d == 2:
+                        cx = 7 if hv >= 1 else 6
+                    elif d == 1:
+                        cx = 5 if hv >= 2 else (4 if hv == 1 else 3)
+                    else:
+                        cx = 2 if hv >= 2 else (1 if hv == 1 else 0)
+                else:                  # LL / LH
+                    if hh == 2:
+                        cx = 8
+                    elif hh == 1:
+                        cx = 7 if vv >= 1 else (6 if d >= 1 else 5)
+                    else:
+                        if vv == 2:
+                            cx = 4
+                        elif vv == 1:
+                            cx = 3
+                        else:
+                            cx = 2 if d >= 2 else (1 if d == 1 else 0)
+                tab[h, v, d] = cx
+    return tab
+
+
+_ZC = [_zc_table(0), _zc_table(1), _zc_table(2)]
+
+# sign-coding: contribution in {-1,0,1} per direction pair ->
+# (context 9..13, xor) — T.800 Table D.3
+_SC_CTX = {}
+for _hc in (-1, 0, 1):
+    for _vc in (-1, 0, 1):
+        if _hc == 1:
+            _cx, _xr = {1: (13, 0), 0: (12, 0), -1: (11, 0)}[_vc]
+        elif _hc == 0:
+            _cx, _xr = {1: (10, 0), 0: (9, 0), -1: (10, 1)}[_vc]
+        else:
+            _cx, _xr = {1: (11, 1), 0: (12, 1), -1: (13, 1)}[_vc]
+        _SC_CTX[(_hc, _vc)] = (_cx, _xr)
+
+
+def _t1_decode_block(data: bytes, w: int, h: int, zbp: int, npasses: int,
+                     orient: int, mb: int) -> np.ndarray:
+    """EBCOT Tier-1 for one code-block -> int32 signed coefficients.
+
+    Pass sequence (D.4): cleanup of the first decoded bit-plane, then
+    (SPP, MRP, CUP) per remaining plane, over 4-row stripes."""
+    mag = np.zeros((h + 2, w + 2), np.int32)
+    sig = np.zeros((h + 2, w + 2), np.int8)
+    sgn = np.zeros((h + 2, w + 2), np.int8)
+    pi = np.zeros((h + 2, w + 2), np.int8)       # coded in current SPP
+    refined = np.zeros((h + 2, w + 2), np.int8)
+    mq = MQDecoder(data)
+    zc = _ZC[orient]
+
+    nplanes = mb - zbp
+    if nplanes <= 0 or npasses <= 0:
+        return np.zeros((h, w), np.int32)
+
+    def neigh(y, x):
+        hsum = int(sig[y, x - 1]) + int(sig[y, x + 1])
+        vsum = int(sig[y - 1, x]) + int(sig[y + 1, x])
+        dsum = (int(sig[y - 1, x - 1]) + int(sig[y - 1, x + 1])
+                + int(sig[y + 1, x - 1]) + int(sig[y + 1, x + 1]))
+        return hsum, vsum, dsum
+
+    def decode_sign(y, x):
+        hc = (int(sig[y, x - 1]) * (1 - 2 * int(sgn[y, x - 1]))
+              + int(sig[y, x + 1]) * (1 - 2 * int(sgn[y, x + 1])))
+        vc = (int(sig[y - 1, x]) * (1 - 2 * int(sgn[y - 1, x]))
+              + int(sig[y + 1, x]) * (1 - 2 * int(sgn[y + 1, x])))
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        cx, xr = _SC_CTX[(hc, vc)]
+        return mq.decode(cx) ^ xr
+
+    def spp(bit):
+        # midpoint reconstruction in a x2-scaled domain (openjpeg
+        # opj_t1: oneplushalf, final truncating halve) — exact for
+        # fully decoded blocks, half-LSB recon for truncated ones
+        ophalf = (bit << 1) | bit
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if sig[y, x]:
+                        continue
+                    hs, vs, ds = neigh(y, x)
+                    if hs + vs + ds == 0:
+                        continue
+                    cx = zc[min(hs, 2), min(vs, 2), min(ds, 4)]
+                    pi[y, x] = 1
+                    if mq.decode(int(cx)):
+                        sgn[y, x] = decode_sign(y, x)
+                        sig[y, x] = 1
+                        mag[y, x] = ophalf
+
+    def mrp(bit):
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if not sig[y, x] or pi[y, x]:
+                        continue
+                    if not refined[y, x]:
+                        hs, vs, ds = neigh(y, x)
+                        cx = 15 if hs + vs + ds else 14
+                        refined[y, x] = 1
+                    else:
+                        cx = 16
+                    if mq.decode(cx):
+                        mag[y, x] += bit
+                    else:
+                        mag[y, x] -= bit
+
+    def cup(bit):
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                y = y0
+                if (y0 + 3 <= h and not pi[y0:y0 + 4, x].any()
+                        and not sig[y0:y0 + 4, x].any()
+                        and not sig[y0 - 1:y0 + 5, x - 1:x + 2].any()):
+                    if not mq.decode(CTX_RL):
+                        continue
+                    r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI)
+                    y = y0 + r
+                    sgn[y, x] = decode_sign(y, x)
+                    sig[y, x] = 1
+                    mag[y, x] = (bit << 1) | bit
+                    y += 1
+                for y in range(y, min(y0 + 4, h + 1)):
+                    if pi[y, x] or sig[y, x]:
+                        continue
+                    hs, vs, ds = neigh(y, x)
+                    cx = zc[min(hs, 2), min(vs, 2), min(ds, 4)]
+                    if mq.decode(int(cx)):
+                        sgn[y, x] = decode_sign(y, x)
+                        sig[y, x] = 1
+                        mag[y, x] = (bit << 1) | bit
+        pi[:] = 0
+
+    schedule = [("cup", nplanes - 1)]
+    for p in range(nplanes - 2, -1, -1):
+        schedule += [("spp", p), ("mrp", p), ("cup", p)]
+    for kind, p in schedule[:npasses]:
+        bit = 1 << p
+        if kind == "spp":
+            spp(bit)
+        elif kind == "mrp":
+            mrp(bit)
+        else:
+            cup(bit)
+
+    # returns the x2-scaled domain (half-LSB midpoint preserved);
+    # the caller halves: truncating for reversible, folded into the
+    # float step size for irreversible (openjpeg clbl processor)
+    core = mag[1:h + 1, 1:w + 1].astype(np.int32)
+    ss = sgn[1:h + 1, 1:w + 1]
+    return np.where(ss == 1, -core, core)
+
+
+# ------------------------------------------------------------------ DWT
+
+
+def _dwt53_1d(a: np.ndarray, axis: int) -> np.ndarray:
+    """Inverse 5/3 along axis (interleaved lowpass even / highpass
+    odd indices), symmetric extension (T.800 F.3.8.2)."""
+    a = np.moveaxis(a, axis, 0).astype(np.int32)
+    n = a.shape[0]
+    if n == 1:
+        return np.moveaxis(a, 0, axis)
+    x = a.copy()
+    even = x[0::2]
+    odd = x[1::2]
+
+    def at(i):
+        # symmetric extension on the full signal
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return x[i]
+
+    # x[2i] -= floor((x[2i-1] + x[2i+1] + 2) / 4)
+    out = x.copy()
+    for i in range(0, n, 2):
+        out[i] = x[i] - ((at(i - 1) + at(i + 1) + 2) >> 2)
+    x2 = out.copy()
+
+    def at2(i):
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return x2[i]
+
+    for i in range(1, n, 2):
+        out[i] = x[i] + ((at2(i - 1) + at2(i + 1)) >> 1)
+    return np.moveaxis(out, 0, axis)
+
+
+def _interleave(ll, hl, lh, hh, n0, n1):
+    """Subbands -> interleaved array of shape (n0, n1) (rows, cols)."""
+    out = np.zeros((n0, n1), ll.dtype)
+    out[0::2, 0::2] = ll
+    out[0::2, 1::2] = hl
+    out[1::2, 0::2] = lh
+    out[1::2, 1::2] = hh
+    return out
+
+
+def _idwt53(ll, hl, lh, hh):
+    n0 = ll.shape[0] + lh.shape[0]
+    n1 = ll.shape[1] + hl.shape[1]
+    x = _interleave(ll.astype(np.int32), hl.astype(np.int32),
+                    lh.astype(np.int32), hh.astype(np.int32), n0, n1)
+    x = _dwt53_1d(x, 1)
+    x = _dwt53_1d(x, 0)
+    return x
+
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _dwt97_1d(x: np.ndarray, axis: int) -> np.ndarray:
+    # single-precision like openjpeg's v4dwt path — bit-compatible
+    # reconstruction requires float32 arithmetic end to end
+    x = np.moveaxis(x, axis, 0).astype(np.float32)
+    n = x.shape[0]
+    if n == 1:
+        return np.moveaxis(x, 0, axis)
+    out = x.copy()
+    # openjpeg's exact v4dwt constants: K and c13318/2 (c13318 =
+    # 1.625732422f is opj's high-pass scale, NOT exactly 2/K — the
+    # 3e-5 divergence is visible at the +-1 pixel level)
+    out[0::2] *= np.float32(1.230174104914)
+    out[1::2] *= np.float32(1.625732422 / 2.0)
+
+    def sym(i):
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return i
+
+    for coef, par in ((np.float32(-_D97), 0), (np.float32(-_G97), 1),
+                      (np.float32(-_B97), 0), (np.float32(-_A97), 1)):
+        upd = out.copy()
+        for i in range(par, n, 2):
+            upd[i] = out[i] + coef * (out[sym(i - 1)] + out[sym(i + 1)])
+        out = upd
+    return np.moveaxis(out, 0, axis)
+
+
+def _idwt97(ll, hl, lh, hh):
+    n0 = ll.shape[0] + lh.shape[0]
+    n1 = ll.shape[1] + hl.shape[1]
+    x = _interleave(ll.astype(np.float32), hl.astype(np.float32),
+                    lh.astype(np.float32), hh.astype(np.float32), n0, n1)
+    x = _dwt97_1d(x, 1)
+    x = _dwt97_1d(x, 0)
+    return x
+
+
+def ceil_div(a, b):
+    return -(-a // b)
+
+
+# ----------------------------------------------------------- codestream
+
+
+class _Band:
+    __slots__ = ("orient", "x0", "y0", "x1", "y1", "coeffs", "eps",
+                 "mant", "blocks", "inc_tree", "zbp_tree", "cb_grid")
+
+
+class _CodeBlock:
+    __slots__ = ("x0", "y0", "x1", "y1", "data", "npasses", "zbp",
+                 "lblock", "included", "seen_zbp")
+
+    def __init__(self):
+        self.data = b""
+        self.npasses = 0
+        self.zbp = 0
+        self.lblock = 3
+        self.included = False
+        self.seen_zbp = False
+
+
+def decode_j2k(data: bytes):
+    """Raw codestream -> (components list of 2-D int/float arrays,
+    info dict)."""
+    if data[:2] != b"\xff\x4f":
+        raise ValueError("not a JPEG2000 codestream (missing SOC)")
+    pos = 2
+    siz = None
+    cod = None
+    coc = {}
+    qcd = None
+    qcc = {}
+    tiles = {}  # index -> list of tile-part byte ranges
+    tile_cod = {}
+    n = len(data)
+    while pos < n - 1:
+        marker = struct.unpack_from(">H", data, pos)[0]
+        if marker == 0xFFD9:  # EOC
+            break
+        if marker == 0xFF93:
+            raise ValueError("SOD outside tile")
+        ln = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4:pos + 2 + ln]
+        if marker == 0xFF51:  # SIZ
+            (rsiz, xs, ys, xo, yo, xt, yt, xto, yto,
+             csiz) = struct.unpack_from(">HIIIIIIIIH", seg)
+            comps = []
+            for i in range(csiz):
+                ssiz, xr, yr = struct.unpack_from(
+                    "BBB", seg, 36 + 3 * i)
+                comps.append(((ssiz & 0x7F) + 1, bool(ssiz & 0x80),
+                              xr, yr))
+            siz = dict(xs=xs, ys=ys, xo=xo, yo=yo, xt=xt, yt=yt,
+                       xto=xto, yto=yto, comps=comps)
+        elif marker == 0xFF52:  # COD
+            cod = _parse_cod(seg)
+        elif marker == 0xFF53:  # COC
+            ci = seg[0] if len(siz["comps"]) < 257 else None
+            coc[ci] = seg
+        elif marker == 0xFF5C:  # QCD
+            qcd = seg
+        elif marker == 0xFF5D:  # QCC
+            qcc[seg[0]] = seg[1:]
+        elif marker == 0xFF90:  # SOT
+            isot, psot, tpsot, tnsot = struct.unpack_from(
+                ">HIBB", seg)
+            # find SOD
+            p2 = pos + 2 + ln
+            while struct.unpack_from(">H", data, p2)[0] != 0xFF93:
+                m2 = struct.unpack_from(">H", data, p2)[0]
+                l2 = struct.unpack_from(">H", data, p2 + 2)[0]
+                if m2 == 0xFF52:
+                    tile_cod[isot] = _parse_cod(data[p2 + 4:p2 + 2 + l2])
+                p2 += 2 + l2
+            start = p2 + 2
+            end = pos + psot if psot else n
+            tiles.setdefault(isot, []).append((start, end))
+            pos = end
+            continue
+        pos += 2 + ln
+
+    if siz is None or cod is None or qcd is None:
+        raise ValueError("JPEG2000: missing SIZ/COD/QCD")
+
+    ntx = ceil_div(siz["xs"] - siz["xto"], siz["xt"])
+    nty = ceil_div(siz["ys"] - siz["yto"], siz["yt"])
+    ncomp = len(siz["comps"])
+    out = [np.zeros((siz["ys"] - siz["yo"], siz["xs"] - siz["xo"]),
+                    np.float64) for _ in range(ncomp)]
+
+    for t in range(ntx * nty):
+        chunks = b"".join(data[a:b] for a, b in tiles.get(t, []))
+        if not chunks:
+            continue
+        tcod = tile_cod.get(t, cod)
+        _decode_tile(t, chunks, siz, tcod, qcd, out)
+
+    info = dict(width=siz["xs"] - siz["xo"], height=siz["ys"] - siz["yo"],
+                ncomp=ncomp,
+                depths=[c[0] for c in siz["comps"]],
+                signed=[c[1] for c in siz["comps"]],
+                mct=cod["mct"], transform=cod["transform"])
+
+    # multi-component transform
+    if cod["mct"] and ncomp >= 3:
+        if cod["transform"] == 1:  # RCT
+            y, u, v = (out[0].astype(np.int64), out[1].astype(np.int64),
+                       out[2].astype(np.int64))
+            g = y - ((u + v) >> 2)
+            r = v + g
+            b = u + g
+            out[0], out[1], out[2] = (r.astype(np.float64),
+                                      g.astype(np.float64),
+                                      b.astype(np.float64))
+        else:  # ICT
+            y, cb, cr = out[0], out[1], out[2]
+            out[0] = y + 1.402 * cr
+            out[1] = y - 0.344136 * cb - 0.714136 * cr
+            out[2] = y + 1.772 * cb
+
+    # DC shift + clamp per component
+    res = []
+    for i in range(ncomp):
+        depth, signed, _, _ = siz["comps"][i]
+        a = out[i]
+        if cod["transform"] == 0:
+            a = np.round(a)
+        if not signed:
+            a = a + (1 << (depth - 1))
+            lo, hi = 0, (1 << depth) - 1
+        else:
+            lo, hi = -(1 << (depth - 1)), (1 << (depth - 1)) - 1
+        a = np.clip(a, lo, hi)
+        if depth <= 8 and not signed:
+            res.append(a.astype(np.uint8))
+        elif depth <= 16:
+            res.append(a.astype(np.int16 if signed else np.uint16))
+        else:
+            res.append(a.astype(np.int32))
+    return res, info
+
+
+def _parse_cod(seg: bytes) -> dict:
+    scod = seg[0]
+    prog = seg[1]
+    layers = struct.unpack_from(">H", seg, 2)[0]
+    mct = seg[4]
+    levels = seg[5]
+    xcb = (seg[6] & 0xF) + 2
+    ycb = (seg[7] & 0xF) + 2
+    cbstyle = seg[8]
+    transform = seg[9]
+    prec = []
+    if scod & 1:
+        for i in range(levels + 1):
+            v = seg[10 + i]
+            prec.append((v & 0xF, v >> 4))
+    else:
+        prec = [(15, 15)] * (levels + 1)
+    return dict(scod=scod, prog=prog, layers=layers, mct=mct,
+                levels=levels, xcb=xcb, ycb=ycb, cbstyle=cbstyle,
+                transform=transform, prec=prec,
+                sop=bool(scod & 2), eph=bool(scod & 4))
+
+
+def _qcd_params(qcd: bytes, levels: int):
+    style = qcd[0] & 0x1F
+    guard = qcd[0] >> 5
+    nb = 3 * levels + 1
+    if style == 0:       # no quantization: 8-bit exponents
+        exps = [(qcd[1 + i] >> 3) for i in range(nb)]
+        mants = [0] * nb
+        return "none", guard, exps, mants
+    if style == 1:       # scalar derived: single (exp, mant)
+        v = struct.unpack_from(">H", qcd, 1)[0]
+        return "derived", guard, [v >> 11], [v & 0x7FF]
+    exps, mants = [], []
+    for i in range(nb):
+        v = struct.unpack_from(">H", qcd, 1 + 2 * i)[0]
+        exps.append(v >> 11)
+        mants.append(v & 0x7FF)
+    return "expounded", guard, exps, mants
+
+
+def _decode_tile(t: int, cdata: bytes, siz, cod, qcd, out):
+    xt, yt = siz["xt"], siz["yt"]
+    ntx = ceil_div(siz["xs"] - siz["xto"], xt)
+    tx = t % ntx
+    ty = t // ntx
+    tx0 = max(siz["xto"] + tx * xt, siz["xo"])
+    ty0 = max(siz["yto"] + ty * yt, siz["yo"])
+    tx1 = min(siz["xto"] + (tx + 1) * xt, siz["xs"])
+    ty1 = min(siz["yto"] + (ty + 1) * yt, siz["ys"])
+    levels = cod["levels"]
+    nres = levels + 1
+    qstyle, guard, qexps, qmants = _qcd_params(qcd, levels)
+
+    # geometry for every component up front: packets for all
+    # components interleave in ONE stream per tile
+    comp_res = []
+    comp_dims = []
+    for ci, (depth, signed, xr, yr) in enumerate(siz["comps"]):
+        cx0, cy0 = ceil_div(tx0, xr), ceil_div(ty0, yr)
+        cx1, cy1 = ceil_div(tx1, xr), ceil_div(ty1, yr)
+        comp_dims.append((cx0, cy0, cx1, cy1))
+        resolutions = []
+        for r in range(nres):
+            nd = levels - r
+            rx0, ry0 = ceil_div(cx0, 1 << nd), ceil_div(cy0, 1 << nd)
+            rx1, ry1 = ceil_div(cx1, 1 << nd), ceil_div(cy1, 1 << nd)
+            bands = []
+            borients = ([(0, 0, 0)] if r == 0
+                        else [(1, 1, 0), (2, 0, 1), (3, 1, 1)])
+            for bi, xob, yob in borients:
+                if r == 0:
+                    bx0, by0, bx1, by1 = rx0, ry0, rx1, ry1
+                    orient = 0
+                else:
+                    bx0 = ceil_div(cx0 - (1 << nd) * xob, 1 << (nd + 1))
+                    by0 = ceil_div(cy0 - (1 << nd) * yob, 1 << (nd + 1))
+                    bx1 = ceil_div(cx1 - (1 << nd) * xob, 1 << (nd + 1))
+                    by1 = ceil_div(cy1 - (1 << nd) * yob, 1 << (nd + 1))
+                    orient = {1: 1, 2: 0, 3: 2}[bi]
+                b = _Band()
+                b.orient = orient
+                b.x0, b.y0, b.x1, b.y1 = bx0, by0, bx1, by1
+                b.coeffs = np.zeros((max(0, by1 - by0),
+                                     max(0, bx1 - bx0)), np.int32)
+                bands.append((bi, b))
+            res = dict(r=r, rx0=rx0, ry0=ry0, rx1=rx1, ry1=ry1,
+                       bands=bands)
+            ppx, ppy = cod["prec"][r]
+            res["ppx"], res["ppy"] = ppx, ppy
+            res["npw"] = (ceil_div(rx1, 1 << ppx) - (rx0 >> ppx)
+                          if rx1 > rx0 else 0)
+            res["nph"] = (ceil_div(ry1, 1 << ppy) - (ry0 >> ppy)
+                          if ry1 > ry0 else 0)
+            xcb = min(cod["xcb"], ppx if r == 0 else ppx - 1)
+            ycb = min(cod["ycb"], ppy if r == 0 else ppy - 1)
+            for bi, b in bands:
+                b.blocks = {}
+                b.inc_tree = {}
+                b.zbp_tree = {}
+                if b.x1 > b.x0 and b.y1 > b.y0:
+                    gx0 = b.x0 >> xcb
+                    gx1 = ceil_div(b.x1, 1 << xcb)
+                    gy0 = b.y0 >> ycb
+                    gy1 = ceil_div(b.y1, 1 << ycb)
+                else:
+                    gx0 = gx1 = gy0 = gy1 = 0
+                b.cb_grid = (gx0, gy0, gx1, gy1, xcb, ycb)
+            resolutions.append(res)
+        comp_res.append(resolutions)
+
+    _decode_tile_packets(cdata, cod, comp_res, levels)
+
+    def band_q(r, bi):
+        if qstyle == "derived":
+            exp = qexps[0] - (levels - r) if r else qexps[0]
+            mant = qmants[0]
+        else:
+            idx = 0 if r == 0 else 1 + 3 * (r - 1) + (bi - 1)
+            exp = qexps[idx]
+            mant = qmants[idx]
+        return exp, mant
+
+    trans = cod["transform"]
+    for ci, (depth, signed, xr, yr) in enumerate(siz["comps"]):
+        resolutions = comp_res[ci]
+        cx0, cy0, cx1, cy1 = comp_dims[ci]
+        for res in resolutions:
+            r = res["r"]
+            for bi, b in res["bands"]:
+                exp, mant = band_q(r, bi)
+                mb = exp + guard - 1
+                for (cbx, cby), cb in sorted(b.blocks.items()):
+                    if not cb.data or cb.npasses == 0:
+                        continue
+                    w = cb.x1 - cb.x0
+                    h = cb.y1 - cb.y0
+                    coeff = _t1_decode_block(cb.data, w, h, cb.zbp,
+                                             cb.npasses, b.orient, mb)
+                    b.coeffs[cb.y0 - b.y0:cb.y1 - b.y0,
+                             cb.x0 - b.x0:cb.x1 - b.x0] = coeff
+
+        planes = {}
+        for res in resolutions:
+            for bi, b in res["bands"]:
+                planes[(res["r"], bi)] = b
+
+        def dequant(b, r, bi):
+            c = b.coeffs
+            if qstyle == "none":
+                # reversible: truncating halve out of the x2 domain
+                return np.sign(c) * (np.abs(c) >> 1)
+            exp, mant = band_q(r, bi)
+            gain = {0: 0, 1: 1, 2: 1, 3: 2}[bi]
+            delta = np.float32((2.0 ** (depth + gain - exp))
+                               * (1 + mant / 2048.0))
+            return (c.astype(np.float32) * delta
+                    * np.float32(0.5)).astype(np.float32)
+
+        cur = dequant(planes[(0, 0)], 0, 0)
+        for r in range(1, nres):
+            hl = dequant(planes[(r, 1)], r, 1)
+            lh = dequant(planes[(r, 2)], r, 2)
+            hh = dequant(planes[(r, 3)], r, 3)
+            if trans == 1:
+                cur = _idwt53(cur, hl, lh, hh)
+            else:
+                cur = _idwt97(cur, hl, lh, hh)
+
+        oy0 = cy0 - ceil_div(siz["yo"], yr)
+        ox0 = cx0 - ceil_div(siz["xo"], xr)
+        out[ci][oy0:oy0 + cur.shape[0], ox0:ox0 + cur.shape[1]] = cur
+
+
+_PASSES_PER_PLANE = 3
+
+
+def _decode_tile_packets(cdata: bytes, cod, comp_res, levels):
+    """Tier-2: iterate packets in the tile's progression order over
+    (layer, resolution, component, precinct), decoding headers and
+    attaching body bytes to code-blocks."""
+    br = _BitReader(cdata)
+    layers = cod["layers"]
+    nres = levels + 1
+    ncomp = len(comp_res)
+
+    def trees(res, p):
+        if p in res["bands"][0][1].inc_tree:
+            return
+        ppx, ppy = res["ppx"], res["ppy"]
+        r = res["r"]
+        px = p % max(res["npw"], 1)
+        py = p // max(res["npw"], 1)
+        prx0 = ((res["rx0"] >> ppx) + px) << ppx
+        pry0 = ((res["ry0"] >> ppy) + py) << ppy
+        prx1 = min(prx0 + (1 << ppx), res["rx1"])
+        pry1 = min(pry0 + (1 << ppy), res["ry1"])
+        if r == 0:
+            bpx0, bpy0, bpx1, bpy1 = prx0, pry0, prx1, pry1
+        else:
+            bpx0, bpy0 = prx0 >> 1, pry0 >> 1
+            bpx1, bpy1 = ceil_div(prx1, 2), ceil_div(pry1, 2)
+        for bi, band in res["bands"]:
+            gx0, gy0, gx1, gy1, xcb, ycb = band.cb_grid
+            x0 = max(band.x0, bpx0)
+            y0 = max(band.y0, bpy0)
+            x1 = min(band.x1, bpx1)
+            y1 = min(band.y1, bpy1)
+            if x1 <= x0 or y1 <= y0:
+                band.inc_tree[p] = None
+                band.zbp_tree[p] = None
+                continue
+            cgx0 = x0 >> xcb
+            cgx1 = ceil_div(x1, 1 << xcb)
+            cgy0 = y0 >> ycb
+            cgy1 = ceil_div(y1, 1 << ycb)
+            nw = cgx1 - cgx0
+            nh = cgy1 - cgy0
+            band.inc_tree[p] = (TagTree(nw, nh), cgx0, cgy0, nw, nh,
+                                x0, y0, x1, y1)
+            band.zbp_tree[p] = TagTree(nw, nh)
+
+    def finish_header():
+        br.align()
+        if cod["eph"] and br.data[br.pos:br.pos + 2] == b"\xff\x92":
+            br.pos += 2
+
+    def decode_packet(layer, res, p):
+        trees(res, p)
+        if cod["sop"]:
+            if (br.cnt == 0
+                    and br.data[br.pos:br.pos + 2] == b"\xff\x91"):
+                br.pos += 6
+                br.last = 0
+        if not br.bit():
+            finish_header()
+            return
+        bodies = []
+        for bi, band in res["bands"]:
+            ti = band.inc_tree.get(p)
+            if ti is None:
+                continue
+            tree, cgx0, cgy0, nw, nh, x0, y0, x1, y1 = ti
+            ztree = band.zbp_tree[p]
+            gx0, gy0, gx1, gy1, xcb, ycb = band.cb_grid
+            for iy in range(nh):
+                for ix in range(nw):
+                    cbx = cgx0 + ix
+                    cby = cgy0 + iy
+                    key = (cbx, cby)
+                    cb = band.blocks.get(key)
+                    if cb is None:
+                        cb = _CodeBlock()
+                        cb.x0 = max(x0, cbx << xcb)
+                        cb.y0 = max(y0, cby << ycb)
+                        cb.x1 = min(x1, (cbx + 1) << xcb)
+                        cb.y1 = min(y1, (cby + 1) << ycb)
+                        band.blocks[key] = cb
+                    if not cb.included:
+                        v = tree.decode(br, ix, iy, layer + 1)
+                        inc = v <= layer
+                    else:
+                        inc = bool(br.bit())
+                    if not inc:
+                        continue
+                    if not cb.seen_zbp:
+                        k = 1
+                        while True:
+                            v = ztree.decode(br, ix, iy, k)
+                            if v < k:
+                                break
+                            k += 1
+                        cb.zbp = v
+                        cb.seen_zbp = True
+                        cb.included = True
+                    npasses = _decode_npasses(br)
+                    while br.bit():
+                        cb.lblock += 1
+                    nbits = cb.lblock + int(np.floor(np.log2(npasses)))
+                    length = br.bits(nbits)
+                    bodies.append((cb, npasses, length))
+        finish_header()
+        for cb, npasses, length in bodies:
+            cb.data += br.data[br.pos:br.pos + length]
+            cb.npasses += npasses
+            br.pos += length
+
+    prog = cod["prog"]
+    if prog == 0:  # LRCP
+        for layer in range(layers):
+            for r in range(nres):
+                for ci in range(ncomp):
+                    res = comp_res[ci][r]
+                    for p in range(max(res["npw"] * res["nph"], 0)):
+                        decode_packet(layer, res, p)
+    elif prog == 1:  # RLCP
+        for r in range(nres):
+            for layer in range(layers):
+                for ci in range(ncomp):
+                    res = comp_res[ci][r]
+                    for p in range(max(res["npw"] * res["nph"], 0)):
+                        decode_packet(layer, res, p)
+    elif prog in (2, 3, 4):  # RPCL / PCRL / CPRL
+        entries = []
+        for ci in range(ncomp):
+            for res in comp_res[ci]:
+                r = res["r"]
+                nd = levels - r
+                ppx, ppy = res["ppx"], res["ppy"]
+                for p in range(max(res["npw"] * res["nph"], 0)):
+                    px = p % max(res["npw"], 1)
+                    py = p // max(res["npw"], 1)
+                    x = ((res["rx0"] >> ppx) + px) << (ppx + nd)
+                    y = ((res["ry0"] >> ppy) + py) << (ppy + nd)
+                    entries.append((y, x, r, ci, res, p))
+        if prog == 2:    # RPCL: r, y, x, c
+            entries.sort(key=lambda e: (e[2], e[0], e[1], e[3]))
+        elif prog == 3:  # PCRL: y, x, c, r
+            entries.sort(key=lambda e: (e[0], e[1], e[3], e[2]))
+        else:            # CPRL: c, y, x, r
+            entries.sort(key=lambda e: (e[3], e[0], e[1], e[2]))
+        for y, x, r, ci, res, p in entries:
+            for layer in range(layers):
+                decode_packet(layer, res, p)
+    else:
+        raise NotImplementedError(f"progression order {prog}")
+
+
+def _decode_npasses(br) -> int:
+    if not br.bit():
+        return 1
+    if not br.bit():
+        return 2
+    v = br.bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.bits(7)
+
+
+# ------------------------------------------------------------- JP2 layer
+
+
+def decode_jp2(data: bytes):
+    """JP2 container or raw codestream -> (pixels, info)."""
+    if data[:2] == b"\xff\x4f":
+        comps, info = decode_j2k(data)
+    else:
+        pos = 0
+        cs = None
+        n = len(data)
+        while pos + 8 <= n:
+            ln, typ = struct.unpack_from(">I4s", data, pos)
+            if typ == b"jp2c":
+                cs = pos + 8
+                end = pos + ln if ln else n
+                break
+            if ln == 1:
+                ln = struct.unpack_from(">Q", data, pos + 8)[0]
+            if ln == 0:
+                break
+            pos += ln
+        if cs is None:
+            raise ValueError("JP2: no jp2c codestream box")
+        comps, info = decode_j2k(data[cs:end if ln else n])
+    if len(comps) == 1:
+        return comps[0], info
+    return np.stack(comps, axis=2), info

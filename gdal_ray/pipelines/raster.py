@@ -1995,6 +1995,52 @@ def q_binary_raster(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_jp2(sf_dir: str):
+    """JPEG2000 decoder conformance (functions/jp2k.py — pure-numpy
+    MQ/EBCOT/DWT re-derivation of the OpenJPEG decode path): one ray
+    task per fixture, emitting our checksum against the reference's
+    PUBLISHED expectation (jp2openjpeg.py:76,233,3059,3688 +
+    jp2kak.py:53) — all equal."""
+    import os
+
+    import ray.data
+
+    cases = [
+        ("byte.jp2", 0, 50054), ("int16.jp2", 0, 4587),
+        ("byte_tile_2048.jp2", 0, 4610), ("tile_size_16.jp2", 0, 44216),
+        ("3_13bit_and_1bit.jp2", 0, 64570),
+        ("3_13bit_and_1bit.jp2", 1, 57277),
+        ("3_13bit_and_1bit.jp2", 2, 56048),
+        ("3_13bit_and_1bit.jp2", 3, 61292),
+        ("byte_lossless_openjp2_golden.jp2", 0, 4672),
+        ("int16_lossless.jp2", 0, 4672),
+    ]
+    D = "/root/reference/autotest/gdrivers/data/jpeg2000"
+    if not os.path.exists(f"{D}/byte.jp2"):
+        return pa.table({"case": pa.array([], pa.string()),
+                         "checksum": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.int64())})
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.jp2k import decode_jp2
+
+        names, cks, exps = [], [], []
+        for r in t.to_pylist():
+            px, _ = decode_jp2(
+                open(f"{D}/{r['file']}", "rb").read())
+            b = px if px.ndim == 2 else px[:, :, r["band"]]
+            names.append(f"{r['file']}:{r['band'] + 1}")
+            cks.append(checksum_image(b))
+            exps.append(r["expected"])
+        return pa.table({"case": pa.array(names, pa.string()),
+                         "checksum": pa.array(cks, pa.int64()),
+                         "expected": pa.array(exps, pa.int64())})
+
+    ds = ray.data.from_items(
+        [{"file": f_, "band": b, "expected": e} for f_, b, e in cases])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2)
+
+
 def q_rat(sf_dir: str):
     """Raster attribute tables (gcore/gdal_rat.cpp re-derivation in
     functions/rat.py; HFA Descriptor_Table reader in sources/hfa.py
@@ -4186,6 +4232,7 @@ QUERIES = {
     "q_binary_raster": q_binary_raster,
     "q_hfa": q_hfa,
     "q_rat": q_rat,
+    "q_jp2": q_jp2,
     "q_nitf": q_nitf,
     "q_netcdf": q_netcdf,
     "q_envi_ehdr": q_envi_ehdr,

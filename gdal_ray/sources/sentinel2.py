@@ -19,9 +19,11 @@ Pure-Python re-derivation of the reference driver's semantics
 - per-granule source placements (the reference builds a VRT of
   SimpleSources; this module returns the same placements as dicts).
 
-The granule imagery is JPEG2000, which this engine cannot decode
-(no JP2 codec in the environment) — subdataset opens return the full
-geometry/band/source surface with ``pixels: None``.
+Granule imagery decodes through the engine's pure-numpy JPEG2000
+codec (functions/jp2k.py); subdataset opens mosaic whatever granule
+payloads exist on disk (the reference's fake fixtures ship TIFFs or
+empty stubs under .jp2 names — tolerated, pixels stays None when
+nothing decodes).
 
 Conformance: autotest/gdrivers/sentinel2.py (test_sentinel2_l1c_1/2:
 metadata dicts, subdataset names, 10m mosaic geometry 20984x20980,
@@ -33,7 +35,10 @@ from __future__ import annotations
 
 import os
 import re
+import struct
 import xml.etree.ElementTree as ET
+
+import numpy as np
 
 from .vsi import vsi_open_bytes
 
@@ -286,8 +291,45 @@ def read_sentinel2_subdataset(name: str) -> dict:
             })
             if preview:
                 break                       # one RGB PVI per granule
+    # mosaic the granule JP2 payloads when they exist on disk (the
+    # reference's fake_l1c fixtures ship without imagery; real
+    # products decode through functions/jp2k.py)
+    pixels = None
+    have = [s for s in sources if os.path.exists(s["file"])]
+    decoded_any = False
+    if have:
+        from ..functions.jp2k import decode_jp2
+
+        nb = 3 if preview else len(band_names)
+        buf = np.zeros((h, w, nb), np.uint16)
+        for s in have:
+            try:
+                data = open(s["file"], "rb").read()
+                if not data:
+                    continue
+                if data[:4] in (b"II*\x00", b"MM\x00*"):
+                    # the reference's fake fixtures ship TIFFs under
+                    # .jp2 names; real products are JP2
+                    from .tiff import decode_tiff
+
+                    px = decode_tiff(data)[0]
+                else:
+                    px, _ = decode_jp2(data)
+            except (ValueError, NotImplementedError, KeyError,
+                    struct.error):
+                continue
+            decoded_any = True
+            x0, y0 = s["dst_xoff"], s["dst_yoff"]
+            if preview and px.ndim == 3:
+                buf[y0:y0 + px.shape[0], x0:x0 + px.shape[1], :] = px
+            else:
+                bi = band_names.index(s["band"])
+                buf[y0:y0 + px.shape[0], x0:x0 + px.shape[1],
+                    bi] = px if px.ndim == 2 else px[:, :, 0]
+        if decoded_any:
+            pixels = buf[:, :, 0] if nb == 1 else buf
     return {
-        "pixels": None, "driver": "SENTINEL2",
+        "pixels": pixels, "driver": "SENTINEL2",
         "width": w, "height": h, "epsg": epsg,
         "gt": (ulx, float(res), 0.0, uly, 0.0, -float(res)),
         "bands": bands, "sources": sources, "metadata": md,

@@ -1034,3 +1034,19 @@ def _q_rat(sf):
         ("synth_usage_count", 1), ("synth_row_of_11", 1),
         ("synth_value_1_1", 200),
     ])
+
+
+@builder("q_jp2")
+def _q_jp2(sf):
+    # jp2openjpeg.py:76,233,3059,3688 + jp2kak.py:53 published
+    # checksums; the lossless pair equals the canonical byte 4672
+    pairs = [("byte.jp2:1", 50054), ("int16.jp2:1", 4587),
+             ("byte_tile_2048.jp2:1", 4610),
+             ("tile_size_16.jp2:1", 44216),
+             ("3_13bit_and_1bit.jp2:1", 64570),
+             ("3_13bit_and_1bit.jp2:2", 57277),
+             ("3_13bit_and_1bit.jp2:3", 56048),
+             ("3_13bit_and_1bit.jp2:4", 61292),
+             ("byte_lossless_openjp2_golden.jp2:1", 4672),
+             ("int16_lossless.jp2:1", 4672)]
+    return cce(pairs)

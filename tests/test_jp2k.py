@@ -1,0 +1,82 @@
+"""JPEG2000 decoder (functions/jp2k.py) vs the reference's own
+published fixture checksums (autotest/gdrivers/jp2openjpeg.py,
+jp2kak.py) — every value below is the reference's own assertion."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from gdal_ray.functions.checksum import checksum_image
+from gdal_ray.functions.jp2k import decode_jp2
+
+D = "/root/reference/autotest/gdrivers/data/jpeg2000/"
+
+PUBLISHED = [
+    # (file, band, checksum, source assertion)
+    ("byte.jp2", 0, 50054),            # jp2openjpeg.py:76
+    ("int16.jp2", 0, 4587),            # jp2kak.py:53
+    ("byte_tile_2048.jp2", 0, 4610),   # jp2openjpeg.py:3059
+    ("tile_size_16.jp2", 0, 44216),    # jp2openjpeg.py:3688
+    ("3_13bit_and_1bit.jp2", 0, 64570),  # jp2openjpeg.py:233
+    ("3_13bit_and_1bit.jp2", 1, 57277),
+    ("3_13bit_and_1bit.jp2", 2, 56048),
+    ("3_13bit_and_1bit.jp2", 3, 61292),
+]
+
+
+@pytest.mark.parametrize("fname,band,want", PUBLISHED,
+                         ids=[f"{f}:{b}" for f, b, _ in PUBLISHED])
+def test_published_checksums(fname, band, want):
+    px, info = decode_jp2(open(D + fname, "rb").read())
+    b = px if px.ndim == 2 else px[:, :, band]
+    assert checksum_image(b) == want
+
+
+def test_lossless_roundtrips_byte_exact():
+    # reversible 5/3 decodes must equal the canonical byte.tif
+    from gdal_ray.sources.tiff import decode_tiff
+
+    ref, _ = decode_tiff(open(
+        "/root/reference/autotest/gcore/data/byte.tif", "rb").read())
+    for f in ("byte_lossless_openjp2_golden.jp2", "int16_lossless.jp2",
+              "byte_one_poc.j2k"):
+        px, _ = decode_jp2(open(D + f, "rb").read())
+        assert np.array_equal(np.asarray(px, np.int32),
+                              ref.astype(np.int32)), f
+
+
+def test_13bit_dtype_and_mct():
+    px, info = decode_jp2(open(D + "3_13bit_and_1bit.jp2", "rb").read())
+    assert px.dtype == np.uint16
+    assert info["mct"] == 1 and info["depths"] == [13, 13, 13, 1]
+    assert px[:, :, 3].max() <= 1
+
+
+def test_fixture_sweep_no_crashes():
+    """Every well-formed jp2/j2k fixture decodes; the deliberately
+    broken ones (truncated, >31-bit dims) raise cleanly."""
+    ok = 0
+    for p in sorted(glob.glob(D + "*.jp2") + glob.glob(D + "*.j2k")):
+        name = os.path.basename(p)
+        if name == "single_block_32769_16385.jp2":
+            continue        # decodes (537 Mpx single block) but slow
+        if name in ("dimensions_above_31bit.jp2", "truncated.jp2",
+                    "small_world_truncated.jp2"):
+            with pytest.raises((ValueError, IndexError, MemoryError)):
+                decode_jp2(open(p, "rb").read())
+            continue
+        px, info = decode_jp2(open(p, "rb").read())
+        assert px.shape[0] == info["height"]
+        assert px.shape[1] == info["width"]
+        ok += 1
+    assert ok >= 30
+
+
+def test_multi_tile_and_sizes():
+    px, _ = decode_jp2(open(D + "513x513.jp2", "rb").read())
+    assert px.shape == (513, 513)
+    px, _ = decode_jp2(open(D + "uint32_2x2_lossless_nbits_20.j2k",
+                            "rb").read())
+    assert px.shape == (2, 2)
