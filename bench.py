@@ -31,9 +31,15 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # headline pipelines: the north-star geo path + the heavy relational /
 # training-data operators. Each is (name, fn(sf_dir) -> consumable).
+# warp_compose_tiles (the pixel-shuffling exchange path) is NOT a
+# headline: BASELINE.md measured Ray's sort exchange anti-scaling on
+# binary-heavy rows, so the path exists only as the bit-identity
+# cross-check of the partitioned plan (tests/test_partitioned_tiling
+# + --exchange-check here). Headline numbers track the production
+# plan at two sizes so round-over-round deltas are meaningful.
 HEADLINE = [
-    "warp_compose_tiles",   # decode+warp actor pool -> tile-key shuffle -> mosaic
     "warp_partitioned",     # metadata-shuffle tiling (quadtree leaves + salting)
+    "warp_partitioned_3072",  # same plan at 2x size (VERDICT r3 #8)
     "flagship_images",      # decode actor pool -> tile/cell keys -> PIP join
     "q_groupby_agg",        # TPC-H Q1 shape, combiner partials
     "q_join_hash_large",    # partitioned hash join lineitem x orders
@@ -179,12 +185,13 @@ def main() -> None:
                 dt, _ = run_flagship(NUM_CPUS)
                 times[name] = round(dt, 3)
                 continue
-            if name == "warp_compose_tiles":
-                dt, _ = run_warp_compose(NUM_CPUS, FLAGSHIP_IMAGES)
-                times[name] = round(dt, 3)
-                continue
             if name == "warp_partitioned":
                 dt, _ = run_warp_compose_partitioned(NUM_CPUS, FLAGSHIP_IMAGES)
+                times[name] = round(dt, 3)
+                continue
+            if name == "warp_partitioned_3072":
+                dt, _ = run_warp_compose_partitioned(NUM_CPUS,
+                                                     2 * FLAGSHIP_IMAGES)
                 times[name] = round(dt, 3)
                 continue
             consume(qs[name](SF_DIR))
@@ -257,9 +264,27 @@ def scaling() -> None:
     }))
 
 
+def exchange_check() -> None:
+    """The demoted pixel-shuffle path, runnable on demand as the
+    bit-identity cross-check (NOT part of the headline)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             log_to_driver=False)
+    try:
+        dt, rows = run_warp_compose(NUM_CPUS, FLAGSHIP_IMAGES)
+        print(json.dumps({"metric": "warp_compose_tiles_exchange_sec",
+                          "value": round(dt, 3), "rows": rows,
+                          "num_cpus": NUM_CPUS}))
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--exchange-check" in sys.argv:
+        exchange_check()
     elif "--_child" in sys.argv:
         scaling_child(int(sys.argv[sys.argv.index("--_child") + 1]))
     else:

@@ -309,3 +309,206 @@ def write_kml(path: str, table: pa.Table, *, layer_name: str = "layer",
     parts += ["</Folder>", "</Document>", "</kml>"]
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(parts))
+
+
+# ------------------------------------------------------- libkml subset
+# (VERDICT r3 directive #9: StyleMap / NetworkLink / Schema — the
+# libkml-driver features beyond the basic KML layer model; reference
+# ogr/ogrsf_frmts/libkml, conformance anchors autotest/ogr/
+# ogr_libkml.py:1216-1330 (StyleMap resolution), :1652-1728
+# (NetworkLink element set + defaults), r22127 (Schema typing).)
+
+_STYLE_PARTS = ("IconStyle", "LineStyle", "PolyStyle", "LabelStyle",
+                "BalloonStyle")
+
+
+def _parse_style(el) -> dict:
+    out: dict[str, dict] = {}
+    for part in el:
+        pname = _local(part.tag)
+        if pname not in _STYLE_PARTS:
+            continue
+        d: dict[str, str] = {}
+        for sub in part.iter():
+            t = _local(sub.tag)
+            if t in (pname, "Icon"):
+                continue
+            if sub.text and sub.text.strip():
+                d[t] = sub.text.strip()
+        out[pname] = d
+    return out
+
+
+def read_kml_styles(path_or_bytes, key: str = "normal") -> dict:
+    """Document style table with StyleMap resolution: every
+    ``<StyleMap id=X>`` resolves its ``<Pair>`` whose ``<key>``
+    matches (normal/highlight — the LIBKML_STYLEMAP_KEY config of the
+    reference) to a concrete style — inline ``<Style>`` or a
+    ``#styleUrl`` lookup — and the result replaces the map under the
+    map's own id (ogr_libkml.py resolved_stylemap semantics)."""
+    if isinstance(path_or_bytes, bytes):
+        data = path_or_bytes
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    root = ET.fromstring(data)
+    styles: dict[str, dict] = {}
+    maps = []
+    for el in root.iter():
+        t = _local(el.tag)
+        if t == "Style" and el.attrib.get("id"):
+            styles[el.attrib["id"]] = _parse_style(el)
+        elif t == "StyleMap" and el.attrib.get("id"):
+            maps.append(el)
+    # second pass: Style elements nested inside StyleMap Pairs are
+    # NOT standalone entries
+    for m in maps:
+        for pair in m:
+            st = _find(pair, "Style")
+            if st is not None and st.attrib.get("id") in styles:
+                del styles[st.attrib["id"]]
+    for m in maps:
+        resolved = None
+        for pair in m:
+            if _local(pair.tag) != "Pair":
+                continue
+            if (_text(pair, "key", "normal") or "normal") != key:
+                continue
+            inline = _find(pair, "Style")
+            if inline is not None:
+                resolved = _parse_style(inline)
+            else:
+                url = _text(pair, "styleUrl", "") or ""
+                resolved = styles.get(url.lstrip("#"))
+        if resolved is not None:
+            styles[m.attrib["id"]] = resolved
+    return styles
+
+
+_NL_FIELDS = ("refreshVisibility", "flyToView", "refreshMode",
+              "refreshInterval", "viewRefreshMode", "viewRefreshTime",
+              "viewBoundScale", "viewFormat", "httpQuery")
+
+
+def read_kml_networklinks(path_or_bytes) -> list[dict]:
+    """NetworkLink features: name, href (from Link/Url) + the Link
+    refresh/view fields."""
+    if isinstance(path_or_bytes, bytes):
+        data = path_or_bytes
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    root = ET.fromstring(data)
+    out = []
+    for el in root.iter():
+        if _local(el.tag) != "NetworkLink":
+            continue
+        row: dict = {"name": _text(el, "name")}
+        link = _find(el, "Link") or _find(el, "Url")
+        row["href"] = _text(link, "href") if link is not None else None
+        for f in ("refreshVisibility", "flyToView"):
+            row[f] = _text(el, f)
+        if link is not None:
+            for f in _NL_FIELDS[2:]:
+                row[f] = _text(link, f)
+        out.append(row)
+    return out
+
+
+def write_kml_networklinks(rows: list[dict]) -> str:
+    """LIBKML NetworkLink writer semantics incl. the implied-mode
+    defaults: a refreshInterval without refreshMode writes
+    ``onInterval``; a viewRefreshTime without viewRefreshMode writes
+    ``onStop`` (ogr_libkml.py write_networklink expectations)."""
+    parts = ['<?xml version="1.0" encoding="utf-8"?>',
+             '<kml xmlns="http://www.opengis.net/kml/2.2">',
+             "<Document>"]
+    for r in rows:
+        parts.append("<NetworkLink>")
+        if r.get("name"):
+            parts.append(f"<name>{r['name']}</name>")
+        for f in ("refreshVisibility", "flyToView"):
+            if r.get(f) is not None:
+                parts.append(f"<{f}>{int(r[f])}</{f}>")
+        parts.append("<Link>")
+        parts.append(f"<href>{r['href']}</href>")
+        mode = r.get("refreshMode")
+        if mode is None and r.get("refreshInterval") is not None:
+            mode = "onInterval"
+        if mode:
+            parts.append(f"<refreshMode>{mode}</refreshMode>")
+        if r.get("refreshInterval") is not None:
+            parts.append("<refreshInterval>%g</refreshInterval>"
+                         % r["refreshInterval"])
+        vmode = r.get("viewRefreshMode")
+        if vmode is None and r.get("viewRefreshTime") is not None:
+            vmode = "onStop"
+        if vmode:
+            parts.append(f"<viewRefreshMode>{vmode}</viewRefreshMode>")
+        if r.get("viewRefreshTime") is not None:
+            parts.append("<viewRefreshTime>%g</viewRefreshTime>"
+                         % r["viewRefreshTime"])
+        if r.get("viewBoundScale") is not None:
+            parts.append("<viewBoundScale>%g</viewBoundScale>"
+                         % r["viewBoundScale"])
+        if r.get("viewFormat"):
+            parts.append(f"<viewFormat>{r['viewFormat']}</viewFormat>")
+        if r.get("httpQuery"):
+            parts.append(f"<httpQuery>{r['httpQuery']}</httpQuery>")
+        parts.append("</Link>")
+        parts.append("</NetworkLink>")
+    parts += ["</Document>", "</kml>"]
+    return "\n".join(parts)
+
+
+_SCHEMA_CAST = {"int": pa.int32(), "uint": pa.uint32(),
+                "short": pa.int16(), "ushort": pa.uint16(),
+                "float": pa.float32(), "double": pa.float64(),
+                "bool": pa.bool_(), "string": pa.string()}
+
+
+def read_kml_schemas(path_or_bytes) -> dict[str, dict[str, str]]:
+    """``<Schema>`` declarations: {schema id/name: {field: kml type}}
+    (the libkml driver types layer fields from these)."""
+    if isinstance(path_or_bytes, bytes):
+        data = path_or_bytes
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    root = ET.fromstring(data)
+    out: dict[str, dict[str, str]] = {}
+    for el in root.iter():
+        if _local(el.tag) != "Schema":
+            continue
+        fields = {}
+        for sf in el:
+            if _local(sf.tag) == "SimpleField":
+                fields[sf.attrib.get("name", "")] = \
+                    sf.attrib.get("type", "string")
+        sid = el.attrib.get("id") or el.attrib.get("name") or "schema"
+        out[sid] = fields
+    return out
+
+
+def apply_kml_schema(table: pa.Table, fields: dict[str, str]) -> pa.Table:
+    """Cast SchemaData string columns to their declared KML types."""
+    import pyarrow.compute as pc2
+
+    for name, kt in fields.items():
+        if name not in table.column_names:
+            continue
+        want = _SCHEMA_CAST.get(kt, pa.string())
+        if want == pa.string():
+            continue
+        col = table[name]
+        if pa.types.is_boolean(want):
+            lowered = pc2.utf8_lower(col)
+            cast = pc2.is_in(lowered, value_set=pa.array(["1", "true"]))
+            cast = pc2.if_else(pc2.is_null(col),
+                               pa.nulls(len(table), pa.bool_()), cast)
+        else:
+            cast = col.cast(pa.float64()).cast(want) \
+                if pa.types.is_integer(want) and False else col.cast(want)
+        table = table.set_column(
+            table.column_names.index(name), name, cast)
+    return table
