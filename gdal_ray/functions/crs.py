@@ -426,8 +426,16 @@ class Transformer:
         # datum hop through WGS84 (null for the WGS84-equivalent
         # family: NAD83/ETRS89/RGF93/NZGD2000)
         sd, dd = _datum_fn(self.src), _datum_fn(self.dst)
-        self._src_datum = sd if sd is not dd else None
-        self._dst_datum = dd if sd is not dd else None
+        # cancel the WGS84 hop when both sides sit on the SAME datum —
+        # by equality key, not object identity (distinct instances of
+        # one datum appear across registry-cache generations, and the
+        # Helmert geodetic iteration would otherwise inject ~0.5 mm
+        # into what must be an exact no-op)
+        same = (sd is dd or (sd is not None and dd is not None
+                             and getattr(sd, "datum_key", 0)
+                             == getattr(dd, "datum_key", 1)))
+        self._src_datum = None if same else sd
+        self._dst_datum = None if same else dd
 
     def transform(self, x, y):
         if self.src == self.dst:

@@ -441,6 +441,10 @@ def datum_shift(name: str | None):
         grid = _find_grid(name)
         if grid is not None:
             _DATUMS[name] = NTv2Shift(grid, _DATUMS[name])
+        # equality key so Transformer can cancel a same-datum hop even
+        # across distinct instances (cache generations): datum name +
+        # backing grid file
+        _DATUMS[name].datum_key = (name, grid)
     return _DATUMS[name]
 
 

@@ -70,10 +70,13 @@ def grid_dir(tmp_path, monkeypatch):
     d = tmp_path / "grids"
     d.mkdir()
     monkeypatch.setenv("GDAL_RAY_GRID_DIR", str(d))
-    # datum cache must not leak grid-backed entries across tests
+    # datum + registry caches must not leak grid-backed entries (a
+    # registry _CACHE tuple holds the datum instance too)
     cr._DATUMS.clear()
+    cr._CACHE.clear()
     yield d
     cr._DATUMS.clear()
+    cr._CACHE.clear()
 
 
 def test_beta2007_published_point(grid_dir):
