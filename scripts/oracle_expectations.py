@@ -1050,3 +1050,138 @@ def _q_jp2(sf):
              ("byte_lossless_openjp2_golden.jp2:1", 4672),
              ("int16_lossless.jp2:1", 4672)]
     return cce(pairs)
+
+
+@builder("q_tile_geodetic")
+def _q_tile_geodetic(sf):
+    # the reference's small_world geodetic z0 expectations
+    # (test_gdalalg_raster_tile_small_world_geodetic), abs=1 bar
+    import pandas as pd
+
+    exp = {(0, 0): [1315, 63955, 5106], (1, 0): [24456, 25846, 15674]}
+    rows = []
+    for (tx, ty), cks in exp.items():
+        for b, e in enumerate(cks):
+            rows.append((f"0/{tx}/{ty}:b{b + 1}", e, 1))
+    return pd.DataFrame(rows, columns=["case", "expected",
+                                       "within_ref_tolerance"])
+
+
+@builder("q_gdaltindex")
+def _q_gdaltindex(sf):
+    # footprints derive purely from the synthetic gt/size metadata
+    # (no decode): per image k, gt=(1000+40k, 2, 0, 900-10k, 0, -2),
+    # raster dims = generator image size (k%3==0: full; else the
+    # ::4 subsample) -> footprint area = (w*2)*(h*2); grouped by
+    # extension exactly like the query
+    import pandas as pd
+
+    from gdal_ray.sources.images import image_size
+
+    rows = []
+    for k in range(18):
+        n = image_size(k)
+        if k % 3 == 0:
+            w = h = n
+            ext = ".tif"
+        else:
+            w = h = len(range(0, n, 4))
+            ext = ".asc" if k % 3 == 1 else ".xyz"
+        rows.append((ext, (w * 2.0) * (h * 2.0), w * h))
+    df = pd.DataFrame(rows, columns=["ext", "area", "cells"])
+    g = df.groupby("ext").agg(n=("cells", "count"),
+                              area_sum=("area", "sum"),
+                              cells_sum=("cells", "sum")).reset_index()
+    g["n"] = g["n"].astype("int64")
+    g["cells_sum"] = g["cells_sum"].astype("int64")
+    g["area_sum"] = _round_away(g["area_sum"], 3)
+    return g[["ext", "n", "area_sum", "cells_sum"]]
+
+
+@builder("q_crs_transform")
+def _q_crs_transform(sf):
+    # the independent claim: every CRS round-trips its in-domain
+    # points under 1 cm on the full sf0.01 events table (n = 10000);
+    # exact projection pins live in tests/test_crs_projections.py
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf}/events.parquet").num_rows
+    epsgs = [2154, 2193, 3035, 3395, 3413, 5070, 25832, 27700,
+             31467, 32633, 32661, 3857]
+    df = pd.DataFrame({"epsg": sorted(epsgs), "n": n,
+                       "roundtrip_under_cm": 1})
+    df["epsg"] = df["epsg"].astype("int32")
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+@builder("q_cell_index")
+def _q_cell_index(sf):
+    # scalar per-point re-derivation of the documented S2-style cell
+    # id (functions/s2cell.py module doc: face formulas, quadratic
+    # u->s, classic xy2d Hilbert, 3+2L+1 bit layout) — no engine
+    # import, plain math
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_id", "value"])
+    level = 10
+
+    def cell(lon, lat):
+        lam = math.radians(lon)
+        phi = math.radians(lat)
+        x = math.cos(phi) * math.cos(lam)
+        y = math.cos(phi) * math.sin(lam)
+        z = math.sin(phi)
+        ax, ay, az = abs(x), abs(y), abs(z)
+        if ax >= ay and ax >= az:
+            face = 0 if x >= 0 else 3
+        elif ay >= az:
+            face = 1 if y >= 0 else 4
+        else:
+            face = 2 if z >= 0 else 5
+        u, v = [
+            (y / x, z / x), (-x / y, z / y), (-x / z, -y / z),
+            (z / x, y / x), (z / y, -x / y), (-y / z, -x / z),
+        ][face]
+
+        def st(w):
+            return (0.5 * math.sqrt(1 + 3 * w) if w >= 0
+                    else 1.0 - 0.5 * math.sqrt(1 - 3 * w))
+
+        s, tt = st(u), st(v)
+        n = 1 << level
+        i = min(max(int(math.floor(s * n)), 0), n - 1)
+        j = min(max(int(math.floor(tt * n)), 0), n - 1)
+        d = 0
+        sbit = n >> 1
+        xx, yy = i, j
+        while sbit > 0:
+            rx = 1 if (xx & sbit) else 0
+            ry = 1 if (yy & sbit) else 0
+            d += sbit * sbit * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    xx = sbit - 1 - xx
+                    yy = sbit - 1 - yy
+                xx, yy = yy, xx
+            sbit >>= 1
+        shift = 2 * (30 - level) + 1
+        val = ((face << 61) | (d << shift) | (1 << (shift - 1))) \
+            & ((1 << 64) - 1)
+        # two's-complement int64 wrap (the id rides int64 columns)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    ids = t["event_id"].to_pylist()
+    vals = t["value"].to_pylist()
+    cells = []
+    for v in vals:
+        lon = math.fmod(v * 7.0, 360.0) - 180.0
+        lat = math.fmod(v * 3.0, 170.0) - 85.0
+        cells.append(cell(lon, lat))
+    return pd.DataFrame({"cell": pd.array(cells, dtype="int64"),
+                         "event_id": ids})
