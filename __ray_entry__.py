@@ -30,11 +30,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Ordered so that operators without a green CORRECTNESS_r01 row
-    come FIRST: the round-1 driver recorded only the first 50 keys, so
-    never-yet-verified pipelines (raster, vector_ops, multimodal, the
-    rows-only sketches) lead, and the 42 round-1-green queries fill the
-    tail. scripts/check_correctness.py mirrors the full set."""
+    """Ordered so never-driver-recorded / this-round-changed operators
+    come FIRST (the driver samples a prefix); the full surface is
+    mirrored by scripts/check_correctness.py."""
     from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed, vector_ops
     from gdal_ray.stages.multimodal import audio_features_query, video_frames_query
 
@@ -48,59 +46,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged["q_video_frames"] = video_frames_query
     merged["q_multidim"] = _q_multidim
 
-    # priority tiers (highest first):
-    # 2 = implementation OR oracle changed this round (round 3): the
-    #     29 queries that gained literal-VALUES oracles, the ExecuteSQL
-    #     planner family (string-literal masking touched every plan),
-    #     the reworked distributed folds, and every corpus-decoding
-    #     query (JPEG codec rewritten; pixels should be unchanged —
-    #     the driver hash is the proof)
-    # 1 = rows-only (driver row exists, no oracle)
-    # 0 = hash-green and untouched this round
-    # everything NOT listed (never driver-rowed / new) leads at tier 3
+    # priority tiers (highest first) — round 4:
+    # 3 = never recorded by a driver gate (not a key in
+    #     CORRECTNESS_r03.json): the queries added this round
+    # 2 = output schema or oracle CHANGED this round (independence
+    #     rework restructures + the bucketed TIN / dedup-fix queries)
+    # 1 = rows-only (no oracle)
+    # 0 = hash-green and untouched
+    import json
+    import os
+
+    recorded: set[str] = set()
+    try:
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "CORRECTNESS_r03.json")
+        recorded = set(json.load(open(p)))
+    except Exception:
+        pass
     from gdal_ray.pipelines.literal_oracles import ORACLE as _LIT
 
     oracled = set(_LIT) | set(computed_oracles())
     tier = {}
     for k in merged:
-        tier[k] = 0 if k in oracled else 1   # default: green < rows-only
-    for k in _LIT:
-        tier[k] = 2
-    for k in ("q_sql_execute", "q_sql_join", "q_sql_union", "q_sql_having",
-              "q_count_distinct", "q_jaccard_verify", "q_contour_lines",
-              "q_polygonize", "q_proximity", "q_minhash_lsh",
-              "q_raster_stats", "q_raster_stats_approx", "q_histogram",
-              "q_pixel_info", "q_tile_counts", "q_tile_assign",
-              "q_pyramid", "q_footprint"):
-        tier[k] = 2
-    for k in ("q_gnm", "q_lineref", "q_sosi_layer",
-              "q_sql_left_join", "q_sql_count_distinct", "q_sql_multi_join",
-              "q_sql_subquery", "q_geoloc_warp", "q_zfield_precision",
-              "q_gpkg_layer", "q_geojson_layer", "q_fgb_layer",
-              "q_viewshed", "q_viewshed_cumulative", "q_zarr",
-              "q_csv_layer", "q_nearblack", "q_ascii_raster",
-              "q_kml_gml_layer", "q_gdaltindex", "q_vector_reproject",
-              "q_layer_info", "q_cog", "q_vrt", "q_arrow_layer",
-              "q_netcdf", "q_envi_ehdr", "q_terrain", "q_gpx_layer",
-              "q_sqlite_layer", "q_grib", "q_tile_geodetic",
-              "q_rgb_to_palette", "q_color_merge", "q_grid_linear",
-              "q_raster_open", "q_gcp_warp", "q_binary_raster",
-              "q_shp_layer", "q_hfa", "q_nitf", "q_mif_layer",
-              "q_spreadsheet", "q_fgdb_layer", "q_osm_layer",
-              "q_grid_formats", "q_s57_layer", "q_feed_formats",
-              "q_mvt_layer", "q_pmtiles_layer", "q_dgn_layer",
-              "q_avc_layer", "q_json_layer", "q_feed_vector",
-              "q_esric", "q_mrf", "q_military_formats",
-              "q_miramon_layer", "q_vfk_layer", "q_pds_table",
-              "q_lvbag_layer", "q_hdf5", "q_grib2",
-              "q_simple_formats", "q_srp_nwt", "q_fits",
-              "q_sg_vct_layers", "q_slf_wasp_kmz", "q_sxf_layer",
-              "q_mitab_tab", "q_mapml_pgdump", "q_cad_layer",
-              "q_snap_tiff", "q_webp_codec", "q_duckdb_layer",
-              "q_pdf_raster", "q_exr_codec", "q_rasterlite2",
-              "q_xodr_layers", "q_sar_product_formats", "q_sar_ceos",
-              "q_hex_join"):
-        tier[k] = 3                           # new this round, never rowed
+        if k not in recorded:
+            tier[k] = 3
+        elif k not in oracled:
+            tier[k] = 1
+        else:
+            tier[k] = 0
+    for k in ("q_crs_transform", "q_tile_geodetic", "q_gdaltindex",
+              "q_grid_linear", "q_vrt", "q_warp_goldens", "q_lineref",
+              "q_hdf5", "q_raster_open", "q_esric", "q_snap_tiff",
+              "q_military_formats", "q_grid_formats", "q_quality_full",
+              "q_cell_index", "q_alg_goldens"):
+        if tier.get(k, 0) < 2:
+            tier[k] = 2
+    for k in ("q_sql_spatial", "q_rat", "q_jp2"):
+        tier[k] = 4                     # brand-new operators lead
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}
 
