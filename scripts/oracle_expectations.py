@@ -1185,3 +1185,100 @@ def _q_cell_index(sf):
         cells.append(cell(lon, lat))
     return pd.DataFrame({"cell": pd.array(cells, dtype="int64"),
                          "event_id": ids})
+
+
+@builder("q_polygonize")
+def _q_polygonize(sf):
+    # independent local recomputation: rebuild the 64x64 quantized
+    # events grid straight from the parquet and label 4-connected
+    # regions with a plain BFS — the distributed tile-merge under
+    # test must reproduce these regions exactly
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n = 64
+    v = pq.read_table(f"{sf}/events.parquet",
+                      columns=["value"])["value"].to_numpy()
+    lon = np.fmod(v * 7.0, 360.0) - 180.0
+    lat = np.fmod(v * 3.0, 170.0) - 85.0
+    cx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    cy = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1).astype(int)
+    grid = np.zeros((n, n), np.int64)
+    np.add.at(grid, (cy, cx), 1)
+    grid //= 4
+
+    seen = np.zeros((n, n), bool)
+    rows = []
+    for y0 in range(n):
+        for x0 in range(n):
+            if seen[y0, x0]:
+                continue
+            val = grid[y0, x0]
+            q = collections.deque([(y0, x0)])
+            seen[y0, x0] = True
+            npx = 0
+            xmin = xmax = x0
+            ymin = ymax = y0
+            while q:
+                y, x = q.popleft()
+                npx += 1
+                xmin = min(xmin, x); xmax = max(xmax, x)
+                ymin = min(ymin, y); ymax = max(ymax, y)
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    yy, xx = y + dy, x + dx
+                    if (0 <= yy < n and 0 <= xx < n and not seen[yy, xx]
+                            and grid[yy, xx] == val):
+                        seen[yy, xx] = True
+                        q.append((yy, xx))
+            rows.append((int(val), npx, xmin, xmax, ymin, ymax))
+    df = pd.DataFrame(rows, columns=["value", "n_pixels", "xmin",
+                                     "xmax", "ymin", "ymax"])
+    return df
+
+
+def _events_grid_indep(sf, n=64):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    v = pq.read_table(f"{sf}/events.parquet",
+                      columns=["value"])["value"].to_numpy()
+    lon = np.fmod(v * 7.0, 360.0) - 180.0
+    lat = np.fmod(v * 3.0, 170.0) - 85.0
+    cx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    cy = np.clip(np.floor((lat + 85.0) / 170.0 * n), 0, n - 1).astype(int)
+    grid = np.zeros((n, n), np.int64)
+    np.add.at(grid, (cy, cx), 1)
+    return grid // 4
+
+
+@builder("q_contour")
+def _q_contour(sf):
+    # independent marching-squares segment count straight from the
+    # parquet-derived grid: the reference's case table (0/15 -> 0,
+    # saddles 5/10 -> 2, else 1) applied scalar per cell
+    import numpy as np
+    import pandas as pd
+
+    z = _events_grid_indep(sf).astype(float)
+    zmin, zmax = z.min(), z.max()
+    interval = max(1.0, (zmax - zmin) / 8.0)
+    k0 = int(np.ceil(zmin / interval))
+    k1 = int(np.floor(zmax / interval))
+    levels = [k * interval for k in range(k0, k1 + 1)]
+    rows = []
+    h, w = z.shape
+    for lv in levels:
+        segs = 0
+        for y in range(h - 1):
+            for x in range(w - 1):
+                code = ((z[y, x] >= lv) | ((z[y, x + 1] >= lv) << 1)
+                        | ((z[y + 1, x + 1] >= lv) << 2)
+                        | ((z[y + 1, x] >= lv) << 3))
+                if code in (0, 15):
+                    continue
+                segs += 2 if code in (5, 10) else 1
+        rows.append((float(lv), segs))
+    return pd.DataFrame(rows, columns=["level", "n_segments"])
