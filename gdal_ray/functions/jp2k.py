@@ -535,9 +535,11 @@ class _CodeBlock:
         self.seen_zbp = False
 
 
-def decode_j2k(data: bytes):
+def decode_j2k(data: bytes, reduce: int = 0):
     """Raw codestream -> (components list of 2-D int/float arrays,
-    info dict)."""
+    info dict).  ``reduce`` drops that many highest resolution levels
+    (the openjpeg/GDAL overview read: output dims = ceil(dim/2^r),
+    Tier-1 + DWT skipped for the dropped levels)."""
     if data[:2] != b"\xff\x4f":
         raise ValueError("not a JPEG2000 codestream (missing SOC)")
     pos = 2
@@ -601,17 +603,19 @@ def decode_j2k(data: bytes):
     ntx = ceil_div(siz["xs"] - siz["xto"], siz["xt"])
     nty = ceil_div(siz["ys"] - siz["yto"], siz["yt"])
     ncomp = len(siz["comps"])
-    out = [np.zeros((siz["ys"] - siz["yo"], siz["xs"] - siz["xo"]),
-                    np.float64) for _ in range(ncomp)]
+    den = 1 << reduce
+    ow = ceil_div(siz["xs"], den) - ceil_div(siz["xo"], den)
+    oh = ceil_div(siz["ys"], den) - ceil_div(siz["yo"], den)
+    out = [np.zeros((oh, ow), np.float64) for _ in range(ncomp)]
 
     for t in range(ntx * nty):
         chunks = b"".join(data[a:b] for a, b in tiles.get(t, []))
         if not chunks:
             continue
         tcod = tile_cod.get(t, cod)
-        _decode_tile(t, chunks, siz, tcod, qcd, out)
+        _decode_tile(t, chunks, siz, tcod, qcd, out, reduce)
 
-    info = dict(width=siz["xs"] - siz["xo"], height=siz["ys"] - siz["yo"],
+    info = dict(width=ow, height=oh,
                 ncomp=ncomp,
                 depths=[c[0] for c in siz["comps"]],
                 signed=[c[1] for c in siz["comps"]],
@@ -698,7 +702,8 @@ def _qcd_params(qcd: bytes, levels: int):
     return "expounded", guard, exps, mants
 
 
-def _decode_tile(t: int, cdata: bytes, siz, cod, qcd, out):
+def _decode_tile(t: int, cdata: bytes, siz, cod, qcd, out,
+                 reduce: int = 0):
     xt, yt = siz["xt"], siz["yt"]
     ntx = ceil_div(siz["xs"] - siz["xto"], xt)
     tx = t % ntx
@@ -781,11 +786,14 @@ def _decode_tile(t: int, cdata: bytes, siz, cod, qcd, out):
         return exp, mant
 
     trans = cod["transform"]
+    keep_res = max(1, nres - reduce)
     for ci, (depth, signed, xr, yr) in enumerate(siz["comps"]):
         resolutions = comp_res[ci]
         cx0, cy0, cx1, cy1 = comp_dims[ci]
         for res in resolutions:
             r = res["r"]
+            if r >= keep_res:
+                continue                 # dropped overview level
             for bi, b in res["bands"]:
                 exp, mant = band_q(r, bi)
                 mb = exp + guard - 1
@@ -817,7 +825,7 @@ def _decode_tile(t: int, cdata: bytes, siz, cod, qcd, out):
                     * np.float32(0.5)).astype(np.float32)
 
         cur = dequant(planes[(0, 0)], 0, 0)
-        for r in range(1, nres):
+        for r in range(1, keep_res):
             hl = dequant(planes[(r, 1)], r, 1)
             lh = dequant(planes[(r, 2)], r, 2)
             hh = dequant(planes[(r, 3)], r, 3)
@@ -826,8 +834,9 @@ def _decode_tile(t: int, cdata: bytes, siz, cod, qcd, out):
             else:
                 cur = _idwt97(cur, hl, lh, hh)
 
-        oy0 = cy0 - ceil_div(siz["yo"], yr)
-        ox0 = cx0 - ceil_div(siz["xo"], xr)
+        den = 1 << reduce
+        oy0 = ceil_div(cy0, den) - ceil_div(ceil_div(siz["yo"], yr), den)
+        ox0 = ceil_div(cx0, den) - ceil_div(ceil_div(siz["xo"], xr), den)
         out[ci][oy0:oy0 + cur.shape[0], ox0:ox0 + cur.shape[1]] = cur
 
 
@@ -1002,10 +1011,10 @@ def _decode_npasses(br) -> int:
 # ------------------------------------------------------------- JP2 layer
 
 
-def decode_jp2(data: bytes):
+def decode_jp2(data: bytes, reduce: int = 0):
     """JP2 container or raw codestream -> (pixels, info)."""
     if data[:2] == b"\xff\x4f":
-        comps, info = decode_j2k(data)
+        comps, info = decode_j2k(data, reduce)
     else:
         pos = 0
         cs = None
@@ -1023,7 +1032,7 @@ def decode_jp2(data: bytes):
             pos += ln
         if cs is None:
             raise ValueError("JP2: no jp2c codestream box")
-        comps, info = decode_j2k(data[cs:end if ln else n])
+        comps, info = decode_j2k(data[cs:end if ln else n], reduce)
     if len(comps) == 1:
         return comps[0], info
     return np.stack(comps, axis=2), info

@@ -2014,6 +2014,8 @@ def q_jp2(sf_dir: str):
         ("3_13bit_and_1bit.jp2", 3, 61292),
         ("byte_lossless_openjp2_golden.jp2", 0, 4672),
         ("int16_lossless.jp2", 0, 4672),
+        ("513x513.jp2@1", 0, 29642),
+        ("tile_size_16.jp2@1", 0, 61711),
     ]
     D = "/root/reference/autotest/gdrivers/data/jpeg2000"
     if not os.path.exists(f"{D}/byte.jp2"):
@@ -2026,8 +2028,9 @@ def q_jp2(sf_dir: str):
 
         names, cks, exps = [], [], []
         for r in t.to_pylist():
-            px, _ = decode_jp2(
-                open(f"{D}/{r['file']}", "rb").read())
+            fn, _, red = r["file"].partition("@")
+            px, _ = decode_jp2(open(f"{D}/{fn}", "rb").read(),
+                               reduce=int(red or 0))
             b = px if px.ndim == 2 else px[:, :, r["band"]]
             names.append(f"{r['file']}:{r['band'] + 1}")
             cks.append(checksum_image(b))

@@ -1048,7 +1048,9 @@ def _q_jp2(sf):
              ("3_13bit_and_1bit.jp2:3", 56048),
              ("3_13bit_and_1bit.jp2:4", 61292),
              ("byte_lossless_openjp2_golden.jp2:1", 4672),
-             ("int16_lossless.jp2:1", 4672)]
+             ("int16_lossless.jp2:1", 4672),
+             ("513x513.jp2@1:1", 29642),
+             ("tile_size_16.jp2@1:1", 61711)]
     return cce(pairs)
 
 

@@ -80,3 +80,19 @@ def test_multi_tile_and_sizes():
     px, _ = decode_jp2(open(D + "uint32_2x2_lossless_nbits_20.j2k",
                             "rb").read())
     assert px.shape == (2, 2)
+
+
+def test_reduced_resolution_published_overviews():
+    # jp2openjpeg.py:3650 (513x513 overview 29642) and :3689
+    # (tile_size_16 overview 61711)
+    px, info = decode_jp2(open(D + "513x513.jp2", "rb").read(),
+                          reduce=1)
+    assert px.shape == (257, 257)
+    assert checksum_image(px) == 29642
+    px, _ = decode_jp2(open(D + "tile_size_16.jp2", "rb").read(),
+                       reduce=1)
+    assert px.shape == (128, 128)
+    assert checksum_image(px) == 61711
+    # reduce on a lossless file halves dims per step
+    px, _ = decode_jp2(open(D + "byte.jp2", "rb").read(), reduce=2)
+    assert px.shape == (25, 25)
