@@ -34,7 +34,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     come FIRST (the driver samples a prefix); the full surface is
     mirrored by scripts/check_correctness.py."""
     from gdal_ray.pipelines import raster, relational, spatial_sql, text_embed, vector_ops
-    from gdal_ray.stages.multimodal import audio_features_query, video_frames_query
+    from gdal_ray.stages.multimodal import (audio_features_query,
+                                            multimodal_real_query,
+                                            video_frames_query)
 
     merged: dict[str, Callable[[str], Any]] = {}
     merged.update(relational.QUERIES)
@@ -43,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged.update(raster.QUERIES)
     merged.update(vector_ops.QUERIES)
     merged["q_audio_features"] = audio_features_query
+    merged["q_multimodal_real"] = multimodal_real_query
     merged["q_video_frames"] = video_frames_query
     merged["q_multidim"] = _q_multidim
 
@@ -81,7 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
               "q_cell_index", "q_alg_goldens"):
         if tier.get(k, 0) < 2:
             tier[k] = 2
-    for k in ("q_sql_spatial", "q_rat", "q_jp2"):
+    for k in ("q_sql_spatial", "q_rat", "q_jp2", "q_multimodal_real"):
         tier[k] = 4                     # brand-new operators lead
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}

@@ -1284,3 +1284,37 @@ def _q_contour(sf):
                 segs += 2 if code in (5, 10) else 1
         rows.append((float(lv), segs))
     return pd.DataFrame(rows, columns=["level", "n_segments"])
+
+
+@builder("q_multimodal_real")
+def _q_multimodal_real(sf):
+    # wav rows: fresh quantization recompute (3-line PCM16 path);
+    # avi rows: crc32 of the blake2-seeded payloads (container
+    # extraction must be byte-exact) — no container/codec import
+    import hashlib
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    for i in range(8):
+        rng = np.random.default_rng(5150 + i)
+        sr = 8000
+        dur = int(sr * rng.uniform(0.25, 0.75))
+        tt = np.arange(dur) / sr
+        f0 = rng.uniform(200, 1500)
+        x = 0.6 * np.sin(2 * np.pi * f0 * tt)
+        q = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+        y = q.astype(np.float64) / 32767.0
+        rms = float(np.sqrt(np.mean(y * y)))
+        zcr = float(np.mean(np.signbit(y[1:]) != np.signbit(y[:-1])))
+        rows += [(f"wav{i:03d}:n", len(y)),
+                 (f"wav{i:03d}:rms4", round(rms * 1e4)),
+                 (f"wav{i:03d}:zcr4", round(zcr * 1e4))]
+    for i in range(4):
+        for k in range(4):
+            payload = hashlib.blake2b(
+                f"avi{i}:{k}".encode(), digest_size=32).digest() * 8
+            rows.append((f"avi{i:03d}:{k}", zlib.crc32(payload)))
+    return pd.DataFrame(rows, columns=["case", "value"])

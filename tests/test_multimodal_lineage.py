@@ -95,3 +95,60 @@ def test_stage_metrics_instrument(ray_session):
         time.sleep(0.2)
     assert snap["double"]["rows"] == 1000
     assert snap["double"]["batches"] >= 1
+
+
+def test_wav_pcm_decode_real():
+    """RIFF/WAVE is a REAL format path now: 8/16-bit + stereo mixdown
+    + float32 decode exactly."""
+    import struct as _struct
+
+    from gdal_ray.stages.multimodal import decode_wav, encode_wav
+
+    x = np.sin(np.arange(4000) / 15.0) * 0.5
+    y, sr = decode_wav(encode_wav(x, 8000))
+    q = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    assert sr == 8000
+    assert np.array_equal(y, q.astype(np.float64) / 32767.0)
+    y8, _ = decode_wav(encode_wav(x, 8000, bits=8))
+    assert np.abs(y8 - x).max() < 1 / 64
+    # stereo float32 mixes to mono
+    inter = np.empty(200, np.float32)
+    inter[0::2] = 0.25
+    inter[1::2] = 0.75
+    fmt = _struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 8, 8, 32)
+    body = (b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", inter.nbytes)
+            + inter.tobytes())
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    ym, _ = decode_wav(wav)
+    assert np.allclose(ym, 0.5)
+
+
+def test_avi_mjpeg_real_video_path():
+    """AVI/MJPEG end to end: container roundtrip is byte-exact and
+    frames decode through the engine's real JPEG codec."""
+    from gdal_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from gdal_ray.stages.multimodal import (_decode_frame,
+                                            build_avi_mjpeg,
+                                            parse_avi_mjpeg)
+
+    rng = np.random.default_rng(9)
+    raws = [rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+            for _ in range(4)]
+    frames = [encode_jpeg(r, quality=90) for r in raws]
+    avi = build_avi_mjpeg(frames, 48, 32, fps=24)
+    assert parse_avi_mjpeg(avi) == frames
+    fr = _decode_frame(avi, 2)
+    ref = decode_jpeg(frames[2])
+    lum = (0.299 * ref[:, :, 0] + 0.587 * ref[:, :, 1]
+           + 0.114 * ref[:, :, 2]).astype(np.uint8)
+    assert np.array_equal(fr, lum)
+
+
+def test_unsupported_codecs_still_raise():
+    from gdal_ray.stages.multimodal import _decode_audio, _decode_frame
+
+    with pytest.raises(NotImplementedError):
+        _decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 64, "mp3")
+    with pytest.raises(NotImplementedError):
+        _decode_frame(b"\x00\x00\x00\x20ftypisom" + b"\x00" * 64, 0)
