@@ -84,7 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
               "q_cell_index", "q_alg_goldens"):
         if tier.get(k, 0) < 2:
             tier[k] = 2
-    for k in ("q_sql_spatial", "q_rat", "q_jp2", "q_multimodal_real"):
+    for k in ("q_sql_spatial", "q_rat", "q_jp2", "q_multimodal_real",
+              "q_sentinel2"):
         tier[k] = 4                     # brand-new operators lead
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}

@@ -1318,3 +1318,14 @@ def _q_multimodal_real(sf):
                 f"avi{i}:{k}".encode(), digest_size=32).digest() * 8
             rows.append((f"avi{i:03d}:{k}", zlib.crc32(payload)))
     return pd.DataFrame(rows, columns=["case", "value"])
+
+
+@builder("q_sentinel2")
+def _q_sentinel2(sf):
+    # geometry facts from the synthesized SAFE constants; per-band
+    # mosaic checksums = the reference's published byte.jp2 50054
+    # (jp2openjpeg.py:76 — the granule payload IS that file)
+    return cv([("w", 100), ("h", 100), ("epsg", 32632),
+               ("gt0", 699960), ("nbits", 12), ("has_pixels", 1),
+               ("cs_B2", 50054), ("cs_B3", 50054), ("cs_B4", 50054),
+               ("cs_B8", 50054)])
