@@ -1036,3 +1036,475 @@ def decode_jp2(data: bytes, reduce: int = 0):
     if len(comps) == 1:
         return comps[0], info
     return np.stack(comps, axis=2), info
+
+
+# ---------------------------------------------------------------- encoder
+# (round 4: lossless write path — reversible 5/3, single layer, LRCP,
+# default precincts, one codeword segment per code-block. The decoder
+# above round-trips every output bit-exactly; jp2openjpeg CreateCopy
+# parity lives in the roundtrip tests.)
+
+
+class MQEncoder:
+    """T.800 Annex C software-conventions encoder (CODEMPS/CODELPS,
+    BYTEOUT with 0xFF stuffing and carry propagation, SETBITS flush).
+    The MPS subinterval sits above Qe (C += Qe), matching the
+    decoder's chigh < Qe LPS test; conditional exchange swaps when
+    the MPS interval shrinks below Qe."""
+
+    def __init__(self):
+        self.I = [0] * N_CTX
+        self.MPS = [0] * N_CTX
+        self.I[0] = 4
+        self.I[CTX_RL] = 3
+        self.I[CTX_UNI] = 46
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+        self.b = -1          # pending byte; -1 = none yet
+
+    def _push(self, newb: int, mask: int, ct: int):
+        if self.b >= 0:
+            self.out.append(self.b)
+        self.b = newb
+        self.c &= mask
+        self.ct = ct
+
+    def _byteout(self):
+        if self.b == 0xFF:
+            # stuffed byte: 7 data bits, MSB = pending carry (T.88
+            # E.8 extracts C >> 20 UNMASKED — do not drop bit 27)
+            self._push(self.c >> 20, 0xFFFFF, 7)
+        elif self.c < 0x8000000:
+            self._push((self.c >> 19) & 0xFF, 0x7FFFF, 8)
+        else:
+            self.b += 1
+            if self.b == 0xFF:
+                self.c &= 0x7FFFFFF
+                self._push(self.c >> 20, 0xFFFFF, 7)
+            else:
+                self._push((self.c >> 19) & 0xFF, 0x7FFFF, 8)
+
+    def _renorm(self):
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: int, d: int):
+        i = self.I[cx]
+        qe = _QE[i]
+        if d == self.MPS[cx]:
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            self.I[cx] = _NMPS[i]
+            self._renorm()
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if _SW[i]:
+                self.MPS[cx] = 1 - self.MPS[cx]
+            self.I[cx] = _NLPS[i]
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # opj_mqc_setbits: fill the low bits, step back if past C+A
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        if self.b >= 0 and self.b != 0xFF:
+            self.out.append(self.b)
+        return bytes(self.out)
+
+
+def _t1_encode_block(coeff: np.ndarray, orient: int, mb: int):
+    """EBCOT Tier-1 encode (all passes, lossless) ->
+    (data, npasses, zbp)."""
+    h, w = coeff.shape
+    mag = np.zeros((h + 2, w + 2), np.int64)
+    sgn = np.zeros((h + 2, w + 2), np.int8)
+    mag[1:h + 1, 1:w + 1] = np.abs(coeff.astype(np.int64))
+    sgn[1:h + 1, 1:w + 1] = (coeff < 0).astype(np.int8)
+    maxmag = int(mag.max())
+    if maxmag == 0:
+        return b"", 0, mb
+    nplanes = maxmag.bit_length()
+    zbp = mb - nplanes
+    sig = np.zeros((h + 2, w + 2), np.int8)
+    pi = np.zeros((h + 2, w + 2), np.int8)
+    refined = np.zeros((h + 2, w + 2), np.int8)
+    mq = MQEncoder()
+    zc = _ZC[orient]
+
+    def neigh(y, x):
+        return (int(sig[y, x - 1]) + int(sig[y, x + 1]),
+                int(sig[y - 1, x]) + int(sig[y + 1, x]),
+                int(sig[y - 1, x - 1]) + int(sig[y - 1, x + 1])
+                + int(sig[y + 1, x - 1]) + int(sig[y + 1, x + 1]))
+
+    def encode_sign(y, x):
+        hc = (int(sig[y, x - 1]) * (1 - 2 * int(sgn[y, x - 1]))
+              + int(sig[y, x + 1]) * (1 - 2 * int(sgn[y, x + 1])))
+        vc = (int(sig[y - 1, x]) * (1 - 2 * int(sgn[y - 1, x]))
+              + int(sig[y + 1, x]) * (1 - 2 * int(sgn[y + 1, x])))
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        cxn, xr = _SC_CTX[(hc, vc)]
+        mq.encode(cxn, int(sgn[y, x]) ^ xr)
+
+    def spp(bit):
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if sig[y, x]:
+                        continue
+                    hs, vs, ds = neigh(y, x)
+                    if hs + vs + ds == 0:
+                        continue
+                    cxn = int(zc[min(hs, 2), min(vs, 2), min(ds, 4)])
+                    pi[y, x] = 1
+                    v = 1 if (mag[y, x] & bit) else 0
+                    mq.encode(cxn, v)
+                    if v:
+                        encode_sign(y, x)
+                        sig[y, x] = 1
+
+    def mrp(bit):
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                for y in range(y0, min(y0 + 4, h + 1)):
+                    if not sig[y, x] or pi[y, x]:
+                        continue
+                    if not refined[y, x]:
+                        hs, vs, ds = neigh(y, x)
+                        cxn = 15 if hs + vs + ds else 14
+                        refined[y, x] = 1
+                    else:
+                        cxn = 16
+                    mq.encode(cxn, 1 if (mag[y, x] & bit) else 0)
+
+    def cup(bit):
+        for y0 in range(1, h + 1, 4):
+            for x in range(1, w + 1):
+                y = y0
+                if (y0 + 3 <= h and not pi[y0:y0 + 4, x].any()
+                        and not sig[y0:y0 + 4, x].any()
+                        and not sig[y0 - 1:y0 + 5, x - 1:x + 2].any()):
+                    hits = [yy for yy in range(y0, y0 + 4)
+                            if mag[yy, x] & bit]
+                    if not hits:
+                        mq.encode(CTX_RL, 0)
+                        continue
+                    mq.encode(CTX_RL, 1)
+                    r = hits[0] - y0
+                    mq.encode(CTX_UNI, (r >> 1) & 1)
+                    mq.encode(CTX_UNI, r & 1)
+                    y = hits[0]
+                    encode_sign(y, x)
+                    sig[y, x] = 1
+                    y += 1
+                for y in range(y, min(y0 + 4, h + 1)):
+                    if pi[y, x] or sig[y, x]:
+                        continue
+                    hs, vs, ds = neigh(y, x)
+                    cxn = int(zc[min(hs, 2), min(vs, 2), min(ds, 4)])
+                    v = 1 if (mag[y, x] & bit) else 0
+                    mq.encode(cxn, v)
+                    if v:
+                        encode_sign(y, x)
+                        sig[y, x] = 1
+        pi[:] = 0
+
+    schedule = [("cup", nplanes - 1)]
+    for p in range(nplanes - 2, -1, -1):
+        schedule += [("spp", p), ("mrp", p), ("cup", p)]
+    for kind, p in schedule:
+        bit = 1 << p
+        if kind == "spp":
+            spp(bit)
+        elif kind == "mrp":
+            mrp(bit)
+        else:
+            cup(bit)
+    return mq.flush(), len(schedule), zbp
+
+
+class _BitWriterPH:
+    """Packet-header bit writer with 0xFF stuffing (the byte after an
+    0xFF carries 7 bits — width fixed when the byte STARTS)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+        self.lim = 8
+
+    def bit(self, v: int):
+        if self.cnt == 0:
+            self.lim = 7 if (self.out and self.out[-1] == 0xFF) else 8
+        self.buf = (self.buf << 1) | (v & 1)
+        self.cnt += 1
+        if self.cnt == self.lim:
+            self.out.append(self.buf)
+            self.buf = 0
+            self.cnt = 0
+
+    def bits(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def flush(self) -> bytes:
+        if self.cnt:
+            self.out.append(self.buf << (self.lim - self.cnt))
+            self.buf = 0
+            self.cnt = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class TagTreeEnc:
+    """Tag-tree encoder with persistent per-tree state (mirror of the
+    decoder's low/value walk: 0-bits lift the bound, 1 pins it)."""
+
+    def __init__(self, w: int, h: int, values):
+        self.levels = [np.asarray(values, np.int64).reshape(h, w)]
+        lw, lh = w, h
+        while lw > 1 or lh > 1:
+            lw2, lh2 = (lw + 1) // 2, (lh + 1) // 2
+            nxt = np.full((lh2, lw2), 1 << 30, np.int64)
+            cur = self.levels[-1]
+            for y in range(lh):
+                for x in range(lw):
+                    nxt[y // 2, x // 2] = min(nxt[y // 2, x // 2],
+                                              cur[y, x])
+            self.levels.append(nxt)
+            lw, lh = lw2, lh2
+        self.nlv = len(self.levels)
+        self.low = [np.zeros_like(lv) for lv in self.levels]
+        self.done = [np.zeros(lv.shape, bool) for lv in self.levels]
+
+    def encode(self, bw: _BitWriterPH, x: int, y: int, threshold: int):
+        lo = 0
+        path = []
+        xx, yy = x, y
+        for lv in range(self.nlv):
+            path.append((lv, yy, xx))
+            xx >>= 1
+            yy >>= 1
+        for lv, yy, xx in reversed(path):
+            low = self.low[lv]
+            if lo > low[yy, xx]:
+                low[yy, xx] = lo
+            else:
+                lo = int(low[yy, xx])
+            val = int(self.levels[lv][yy, xx])
+            while low[yy, xx] < threshold:
+                if low[yy, xx] >= val:
+                    if not self.done[lv][yy, xx]:
+                        bw.bit(1)
+                        self.done[lv][yy, xx] = True
+                    break
+                bw.bit(0)
+                low[yy, xx] += 1
+            lo = min(int(low[yy, xx]), val)
+
+
+def _encode_npasses(bw, n):
+    if n == 1:
+        bw.bit(0)
+        return
+    bw.bit(1)
+    if n == 2:
+        bw.bit(0)
+        return
+    bw.bit(1)
+    if n <= 5:
+        bw.bits(n - 3, 2)
+        return
+    bw.bits(3, 2)
+    if n <= 36:
+        bw.bits(n - 6, 5)
+        return
+    bw.bits(31, 5)
+    bw.bits(n - 37, 7)
+
+
+def encode_j2k(img: np.ndarray, levels: int = 5) -> bytes:
+    """Lossless reversible encode: 5/3 DWT, single tile / layer /
+    quality, LRCP, 64x64 code-blocks, no custom precincts."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        comps = [img]
+    else:
+        comps = [img[:, :, i] for i in range(img.shape[2])]
+    h, w = comps[0].shape
+    signed = img.dtype.kind == "i"
+    depth = img.dtype.itemsize * 8
+    if img.dtype == np.uint8:
+        depth = 8
+    levels = max(0, min(levels, (min(h, w) - 1).bit_length() - 1))
+    guard = 2
+
+    out = bytearray(b"\xff\x4f")  # SOC
+    ncomp = len(comps)
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+    for _ in range(ncomp):
+        siz += bytes([(depth - 1) | (0x80 if signed else 0), 1, 1])
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes(
+        [0, levels, 4, 4, 0, 1])
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    # QCD: no quantization, exponents per band (depth + gain)
+    exps = [depth] + [e for r in range(levels)
+                      for e in (depth + 1, depth + 1, depth + 2)]
+    qcd = bytes([(guard << 5)]) + bytes([e << 3 for e in exps])
+    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+
+    body = bytearray()
+    comp_bands = []
+    for ci, comp in enumerate(comps):
+        arr = comp.astype(np.int64)
+        if not signed:
+            arr = arr - (1 << (depth - 1))
+        bands = {}
+        cur = arr
+        for r in range(levels, 0, -1):
+            cur, hl, lh, hh = _fdwt53(cur)
+            bands[(r, 1)] = hl
+            bands[(r, 2)] = lh
+            bands[(r, 3)] = hh
+        bands[(0, 0)] = cur
+        comp_bands.append(bands)
+
+    # LRCP: one packet per (resolution, component)
+    for r in range(levels + 1):
+        for ci in range(ncomp):
+            bands = comp_bands[ci]
+            blist = [(0, 0)] if r == 0 else [(r, 1), (r, 2), (r, 3)]
+            bw_hdr = _BitWriterPH()
+            bw_hdr.bit(1)                      # non-empty packet
+            bodies = []
+            for (rr, bi) in blist:
+                band = bands[(rr, bi)]
+                exp = depth if bi == 0 else (
+                    depth + 2 if bi == 3 else depth + 1)
+                mb = exp + guard - 1
+                orient = {0: 0, 1: 1, 2: 0, 3: 2}[bi]
+                bh, bwd = band.shape
+                if bh == 0 or bwd == 0:
+                    continue
+                nbx = ceil_div(bwd, 64)
+                nby = ceil_div(bh, 64)
+                datas = []
+                for cby in range(nby):
+                    for cbx in range(nbx):
+                        blk = band[cby * 64:(cby + 1) * 64,
+                                   cbx * 64:(cbx + 1) * 64]
+                        datas.append(_t1_encode_block(
+                            blk.astype(np.int32), orient, mb))
+                incl = [[0 if datas[y * nbx + x][1] > 0 else 1
+                         for x in range(nbx)] for y in range(nby)]
+                itree = TagTreeEnc(nbx, nby, incl)
+                ztree = TagTreeEnc(
+                    nbx, nby,
+                    [[datas[y * nbx + x][2] for x in range(nbx)]
+                     for y in range(nby)])
+                for y in range(nby):
+                    for x in range(nbx):
+                        data, npass, zbp = datas[y * nbx + x]
+                        itree.encode(bw_hdr, x, y, 1)
+                        if npass == 0:
+                            continue
+                        k = 1
+                        while True:
+                            ztree.encode(bw_hdr, x, y, k)
+                            if zbp < k:
+                                break
+                            k += 1
+                        _encode_npasses(bw_hdr, npass)
+                        nbits = 3 + int(np.floor(np.log2(npass)))
+                        ln = len(data)
+                        while ln >= (1 << nbits):
+                            bw_hdr.bit(1)
+                            nbits += 1
+                        bw_hdr.bit(0)
+                        bw_hdr.bits(ln, nbits)
+                        bodies.append(data)
+            body += bw_hdr.flush() + b"".join(bodies)
+
+    sot = struct.pack(">HIBB", 0, 12 + len(body) + 2, 0, 1)
+    out += b"\xff\x90" + struct.pack(">H", len(sot) + 2) + sot
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _fdwt53(a: np.ndarray):
+    """One forward 5/3 level -> (ll, hl, lh, hh)."""
+    x = _fdwt53_1d(a, 0)
+    x = _fdwt53_1d(x, 1)
+    ll = x[0::2, 0::2]
+    hl = x[0::2, 1::2]
+    lh = x[1::2, 0::2]
+    hh = x[1::2, 1::2]
+    return ll, hl, lh, hh
+
+
+def _fdwt53_1d(a: np.ndarray, axis: int) -> np.ndarray:
+    x = np.moveaxis(a, axis, 0).astype(np.int64)
+    n = x.shape[0]
+    if n == 1:
+        return np.moveaxis(x, 0, axis)
+
+    def at(arr, i):
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * n - 2 - i
+        return arr[i]
+
+    out = x.copy()
+    for i in range(1, n, 2):
+        out[i] = x[i] - ((at(x, i - 1) + at(x, i + 1)) >> 1)
+    out2 = out.copy()
+    for i in range(0, n, 2):
+        out2[i] = out[i] + ((at(out, i - 1) + at(out, i + 1) + 2) >> 2)
+    return np.moveaxis(out2, 0, axis)
+
+
+def encode_jp2(img: np.ndarray, levels: int = 5) -> bytes:
+    """JP2 container around encode_j2k."""
+    cs = encode_j2k(img, levels)
+    nc = 1 if img.ndim == 2 else img.shape[2]
+    depth = img.dtype.itemsize * 8
+    signed = img.dtype.kind == "i"
+    ihdr = struct.pack(">IIHBBBB", img.shape[0], img.shape[1], nc,
+                       (depth - 1) | (0x80 if signed else 0), 7, 0, 0)
+    colr = b"\x01\x00\x00" + struct.pack(">I", 17 if nc == 1 else 16)
+    jp2h = (struct.pack(">I", 8 + len(ihdr)) + b"ihdr" + ihdr
+            + struct.pack(">I", 8 + len(colr)) + b"colr" + colr)
+    out = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+           + struct.pack(">I", 20) + b"ftypjp2 \x00\x00\x00\x00jp2 "
+           + struct.pack(">I", 8 + len(jp2h)) + b"jp2h" + jp2h
+           + struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs)
+    return out

@@ -2111,6 +2111,8 @@ def q_jp2(sf_dir: str):
         ("int16_lossless.jp2", 0, 4672),
         ("513x513.jp2@1", 0, 29642),
         ("tile_size_16.jp2@1", 0, 61711),
+        ("WRITE:byte.tif", 0, 4672),
+        ("WRITE:small_world.tif", 1, 32302),
     ]
     D = "/root/reference/autotest/gdrivers/data/jpeg2000"
     if not os.path.exists(f"{D}/byte.jp2"):
@@ -2123,9 +2125,24 @@ def q_jp2(sf_dir: str):
 
         names, cks, exps = [], [], []
         for r in t.to_pylist():
-            fn, _, red = r["file"].partition("@")
-            px, _ = decode_jp2(open(f"{D}/{fn}", "rb").read(),
-                               reduce=int(red or 0))
+            if r["file"].startswith("WRITE:"):
+                # lossless write->read roundtrip of a reference
+                # fixture: decoded checksum = the published source
+                # checksum (jp2openjpeg CreateCopy parity shape)
+                from ..functions.jp2k import encode_jp2
+                from ..sources.tiff import decode_tiff
+
+                name = r["file"].split(":", 1)[1]
+                root = ("/root/reference/autotest/gcore/data"
+                        if name != "small_world.tif"
+                        else "/root/reference/autotest/gdrivers/data")
+                src, _ = decode_tiff(
+                    open(f"{root}/{name}", "rb").read())
+                px, _ = decode_jp2(encode_jp2(src, levels=2))
+            else:
+                fn, _, red = r["file"].partition("@")
+                px, _ = decode_jp2(open(f"{D}/{fn}", "rb").read(),
+                                   reduce=int(red or 0))
             b = px if px.ndim == 2 else px[:, :, r["band"]]
             names.append(f"{r['file']}:{r['band'] + 1}")
             cks.append(checksum_image(b))

@@ -1050,7 +1050,9 @@ def _q_jp2(sf):
              ("byte_lossless_openjp2_golden.jp2:1", 4672),
              ("int16_lossless.jp2:1", 4672),
              ("513x513.jp2@1:1", 29642),
-             ("tile_size_16.jp2@1:1", 61711)]
+             ("tile_size_16.jp2@1:1", 61711),
+             ("WRITE:byte.tif:1", 4672),
+             ("WRITE:small_world.tif:2", 32302)]
     return cce(pairs)
 
 

@@ -96,3 +96,62 @@ def test_reduced_resolution_published_overviews():
     # reduce on a lossless file halves dims per step
     px, _ = decode_jp2(open(D + "byte.jp2", "rb").read(), reduce=2)
     assert px.shape == (25, 25)
+
+
+def test_encoder_lossless_roundtrips():
+    """The write path (reversible 5/3, LRCP single layer): decode of
+    our encode is bit-identical across dtypes, odd sizes,
+    multi-code-block bands and RGB."""
+    from gdal_ray.functions.jp2k import (decode_j2k, decode_jp2,
+                                         encode_j2k, encode_jp2)
+
+    rng = np.random.default_rng(7)
+    for a, lv in [
+        (np.arange(64, dtype=np.uint8).reshape(8, 8), 1),
+        (rng.integers(0, 256, (70, 90)).astype(np.uint8), 3),
+        (rng.integers(0, 256, (130, 150)).astype(np.uint8), 1),
+        (rng.integers(0, 65535, (40, 60)).astype(np.uint16), 2),
+        ((rng.integers(0, 65535, (30, 30)) - 32768).astype(np.int16),
+         2),
+    ]:
+        back, _ = decode_j2k(encode_j2k(a, levels=lv))
+        assert np.array_equal(back[0], a)
+    rgb = rng.integers(0, 256, (50, 66, 3)).astype(np.uint8)
+    px, _ = decode_jp2(encode_jp2(rgb, levels=2))
+    assert np.array_equal(px, rgb)
+
+
+def test_encoder_reference_fixtures_roundtrip():
+    """CreateCopy parity shape (jp2openjpeg_4/_5): the reference's
+    own byte/int16 content encodes+decodes to its published
+    checksum."""
+    from gdal_ray.functions.jp2k import decode_jp2, encode_jp2
+    from gdal_ray.sources.tiff import decode_tiff
+
+    for name, cs in (("byte.tif", 4672), ("int16.tif", 4672)):
+        src, _ = decode_tiff(open(
+            f"/root/reference/autotest/gcore/data/{name}", "rb").read())
+        px, _ = decode_jp2(encode_jp2(src, levels=2))
+        assert checksum_image(px) == cs
+    sw, _ = decode_tiff(open(
+        "/root/reference/autotest/gdrivers/data/small_world.tif",
+        "rb").read())
+    px, _ = decode_jp2(encode_jp2(sw, levels=3))
+    assert [checksum_image(px[:, :, b]) for b in range(3)] == \
+        [30111, 32302, 40026]
+
+
+def test_mq_encoder_decoder_fuzz():
+    from gdal_ray.functions.jp2k import MQDecoder, MQEncoder
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        n = 8000
+        p = rng.uniform(0.02, 0.98)
+        bits = (rng.random(n) < p).astype(int).tolist()
+        ctxs = rng.integers(0, 19, n).tolist()
+        enc = MQEncoder()
+        for c, b in zip(ctxs, bits):
+            enc.encode(int(c), int(b))
+        dec = MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in ctxs] == bits, seed
