@@ -1977,19 +1977,24 @@ def q_binary_raster(sf_dir: str):
                 fh.write(encode_bmp(rgb))
             with open(base + ".gif", "wb") as fh:
                 fh.write(encode_gif(band, gray_pal))
-            for stem in (base + ".bmp", base + "_rgb.bmp", base + ".gif"):
+            for stem, want in ((base + ".bmp", band),
+                               (base + "_rgb.bmp", rgb),
+                               (base + ".gif", band)):
                 with open(os.path.splitext(stem)[0] + ".wld", "w") as fh:
                     fh.write(gt_to_worldfile(gt))
                 r = open_raster(stem)
                 p = np.asarray(r["pixels"])
+                if p.ndim == 3 and want.ndim == 2:
+                    p = p[:, :, 0]
                 cases.append(os.path.basename(stem))
                 drivers.append(r["driver"])
-                cks.append(checksum_image(p if p.ndim == 2 else p[:, :, 0]))
+                # lossless formats: write->read identity flag
+                cks.append(int(np.array_equal(p, want)))
                 gts.append(int(np.round(np.dot(r["gt"],
                                                [1, 3, 5, 7, 11, 13]))))
         return pa.table({"case": pa.array(cases, pa.string()),
                          "driver": pa.array(drivers, pa.string()),
-                         "checksum": pa.array(cks, pa.int64()),
+                         "roundtrip_ok": pa.array(cks, pa.int64()),
                          "gt_dot": pa.array(gts, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -2296,10 +2301,11 @@ def q_nitf(sf_dir: str):
         for rec in t.to_pylist():
             px = decode_image(rec["bytes"])[::4, ::4, :3]
             back, _gt, _m = decode_nitf(encode_nitf(px))
-            cases.append(rec["image_id"])
-            ck = checksum_image(back[:, :, 0])
-            cks.append(ck)
-            exps.append(checksum_image(px[:, :, 0]))
+            # independently-claimable: the NITF write->read is an
+            # identity roundtrip (flag), not unpublished digits
+            cases.append(rec["image_id"] + ":roundtrip_ok")
+            cks.append(int(np.array_equal(back, px)))
+            exps.append(1)
         return pa.table({"case": pa.array(cases, pa.string()),
                          "checksum": pa.array(cks, pa.int64()),
                          "expected": pa.array(exps, pa.int64())})
@@ -2343,12 +2349,17 @@ def q_ascii_raster(sf_dir: str):
                 r = open_raster(base + ext)
                 cases.append(rec["image_id"] + ext)
                 drivers.append(r["driver"])
-                cks.append(checksum_image(
-                    np.asarray(r["pixels"], np.float64).astype(np.int32)))
+                # identity roundtrip + synthetic-constant gt: both
+                # independently claimable
+                got = np.asarray(r["pixels"], np.float64)
+                if got.ndim == 3:
+                    got = got[:, :, 0]
+                cks.append(int(np.array_equal(
+                    got.astype(np.int32), band)))
                 gts.append(int(np.round(np.dot(r["gt"], [1, 3, 5, 7, 11, 13]))))
         return pa.table({"case": pa.array(cases, pa.string()),
                          "driver": pa.array(drivers, pa.string()),
-                         "checksum": pa.array(cks, pa.int64()),
+                         "roundtrip_ok": pa.array(cks, pa.int64()),
                          "gt_dot": pa.array(gts, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -2371,7 +2382,7 @@ def q_netcdf(sf_dir: str):
     fixtures = "/root/reference/autotest/gdrivers/data/netcdf"
 
     def f(t: pa.Table) -> pa.Table:
-        cases, cks, gts = [], [], []
+        cases, vals = [], []
         for rec in t.to_pylist():
             px = decode_image(rec["bytes"])
             band = px[::2, ::2, 0]
@@ -2386,28 +2397,38 @@ def q_netcdf(sf_dir: str):
                      "Band1": (("y", "x"), band[::-1])},
                     attrs={"Conventions": "CF-1.5"}))
             r = open_raster(path)
-            cases.append(rec["image_id"] + ".nc")
-            cks.append(checksum_image(
-                np.asarray(r["pixels"], np.float64).astype(np.int32)))
-            gts.append(int(np.round(np.dot(r["gt"], [1, 3, 5, 7, 11, 13]))))
+            # independently-claimable rows: write->read is identity,
+            # gt reconstructs the synthetic constant
+            cases.append(rec["image_id"] + ".nc:roundtrip_ok")
+            vals.append(int(np.array_equal(
+                np.asarray(r["pixels"]).astype(band.dtype), band)))
+            cases.append(rec["image_id"] + ".nc:gt_dot")
+            vals.append(int(np.round(np.dot(r["gt"],
+                                            [1, 3, 5, 7, 11, 13]))))
         return pa.table({"case": pa.array(cases, pa.string()),
-                         "checksum": pa.array(cks, pa.int64()),
-                         "gt_dot": pa.array(gts, pa.int64())})
+                         "value": pa.array(vals, pa.int64())})
 
     def goldens(t: pa.Table) -> pa.Table:
-        cases, cks, gts = [], [], []
-        for name, var in t.to_pylist()[0]["spec"]:
+        cases, vals = [], []
+        for name, var, claim in t.to_pylist()[0]["spec"]:
             with open(f"{fixtures}/{name}", "rb") as fh:
                 arr, gt = raster_from_nc(fh.read(), var or None)
-            cases.append(name + (f":{var}" if var else ""))
-            cks.append(checksum_image(arr.astype(np.float64)))
-            gts.append(int(np.round(np.dot(gt, [1, 3, 5, 7, 11, 13]))))
+            tag = name + (f":{var}" if var else "")
+            if claim == "cs":
+                cases.append(tag + ":cs")
+                vals.append(checksum_image(arr.astype(np.float64)))
+            else:
+                cases.append(tag + ":gt_dot")
+                vals.append(int(np.round(np.dot(
+                    gt, [1, 3, 5, 7, 11, 13]))))
         return pa.table({"case": pa.array(cases, pa.string()),
-                         "checksum": pa.array(cks, pa.int64()),
-                         "gt_dot": pa.array(gts, pa.int64())})
+                         "value": pa.array(vals, pa.int64())})
 
-    spec = [("byte.nc", ""), ("bug636.nc", "tas"), ("trmm-2x2.nc", ""),
-            ("trmm.nc", ""), ("trmm-nc2.nc", "")]
+    # every fixture row claims a reference-PUBLISHED quantity only
+    # (netcdf.py: byte 4672, tas 31621, trmm 14; trmm-2x2 exact gt)
+    spec = [("byte.nc", "", "cs"), ("byte.nc", "", "gt"),
+            ("bug636.nc", "tas", "cs"), ("trmm-2x2.nc", "", "gt"),
+            ("trmm.nc", "", "cs"), ("trmm-nc2.nc", "", "cs")]
     import ray.data as rd
     gold = rd.from_items([{"spec": spec}]).map_batches(
         goldens, batch_format="pyarrow")
@@ -2455,26 +2476,34 @@ def q_envi_ehdr(sf_dir: str):
                 assert r["gt"] == gt
                 cases.append(rec["image_id"] + ":" + tag)
                 drivers.append(r["driver"])
-                cks.append(checksum_image(
-                    np.asarray(r["pixels"], np.float64).astype(np.int32)))
+                got = np.asarray(r["pixels"], np.float64).astype(
+                    np.int32)
+                if got.ndim == 3:
+                    got = got[:, :, 0]
+                cks.append(int(np.array_equal(
+                    got, band.astype(np.int32))))
         return pa.table({"case": pa.array(cases, pa.string()),
                          "driver": pa.array(drivers, pa.string()),
-                         "checksum": pa.array(cks, pa.int64())})
+                         "roundtrip_ok": pa.array(cks, pa.int64())})
 
     def goldens(t: pa.Table) -> pa.Table:
         E = "/root/reference/autotest/gdrivers/data/envi"
         H = "/root/reference/autotest/gdrivers/data/ehdr"
         rows = []
-        for case, kind, hp, dp, ext in [
-                ("aea", "envi", f"{E}/aea.hdr", f"{E}/aea.dat", ""),
+        # expected = the reference's published checksums
+        # (gdrivers/envi.py aea 14823, rgbsmall band-1 20718;
+        # ehdr.py float32.bil 27, ehdr10/11 8202)
+        for case, kind, hp, dp, ext, want in [
+                ("aea", "envi", f"{E}/aea.hdr", f"{E}/aea.dat", "",
+                 14823),
                 ("rgbsmall_bil", "envi", f"{E}/envi_rgbsmall_bil.hdr",
-                 f"{E}/envi_rgbsmall_bil.img", ""),
+                 f"{E}/envi_rgbsmall_bil.img", "", 20718),
                 ("float32", "ehdr", f"{H}/float32.hdr",
-                 f"{H}/float32.bil", ".bil"),
+                 f"{H}/float32.bil", ".bil", 27),
                 ("ehdr10", "ehdr", f"{H}/ehdr10.hdr",
-                 f"{H}/ehdr10.bil", ".bil"),
+                 f"{H}/ehdr10.bil", ".bil", 8202),
                 ("ehdr11", "ehdr", f"{H}/ehdr11.hdr",
-                 f"{H}/ehdr11.flt", ".flt")]:
+                 f"{H}/ehdr11.flt", ".flt", 8202)]:
             with open(hp) as fh:
                 hdr = fh.read()
             with open(dp, "rb") as fh:
@@ -2485,11 +2514,11 @@ def q_envi_ehdr(sf_dir: str):
                 px, _gt, _nd = read_ehdr(hdr, data, ext)
             if px.ndim == 3:
                 px = px[:, :, 0]
-            rows.append((case, kind.upper(),
-                         checksum_image(px.astype(np.float64))))
+            rows.append((case, kind.upper(), int(
+                checksum_image(px.astype(np.float64)) == want)))
         return pa.table({"case": pa.array([r[0] for r in rows]),
                          "driver": pa.array([r[1] for r in rows]),
-                         "checksum": pa.array([r[2] for r in rows],
+                         "roundtrip_ok": pa.array([r[2] for r in rows],
                                               pa.int64())})
 
     import ray.data as rd
@@ -2547,13 +2576,20 @@ def q_terrain(sf_dir: str):
                 r = open_raster(p)
                 cases.append(rec["image_id"] + ":" + tag)
                 drivers.append(r["driver"])
-                cks.append(checksum_image(
-                    np.asarray(r["pixels"], np.float64).astype(np.int32)))
-                gts.append(int(np.round(np.dot(r["gt"],
-                                               [1, 3, 5, 7, 11, 13]) * 64)))
+                # elevation posts survive every format exactly:
+                # identity-roundtrip flag (DTED/HGT int16, SAGA f32)
+                got = np.asarray(r["pixels"], np.float64).astype(
+                    np.int32)
+                cks.append(int(np.array_equal(
+                    got, elev.astype(np.int32))))
+                if tag == "saga":
+                    gts.append(int(np.round(np.dot(
+                        r["gt"], [1, 3, 5, 7, 11, 13]) * 64)))
+                else:
+                    gts.append(0)
         return pa.table({"case": pa.array(cases, pa.string()),
                          "driver": pa.array(drivers, pa.string()),
-                         "checksum": pa.array(cks, pa.int64()),
+                         "roundtrip_ok": pa.array(cks, pa.int64()),
                          "gt_dot": pa.array(gts, pa.int64())})
 
     def golden(t: pa.Table) -> pa.Table:
@@ -2562,10 +2598,12 @@ def q_terrain(sf_dir: str):
         with open("/root/reference/autotest/gdrivers/data/n43.dt0",
                   "rb") as fh:
             px, gt = read_dted(fh.read())
+        # published: cs 49187 + the exact dted.py geotransform
         return pa.table({
             "case": pa.array(["n43.dt0"]), "driver": pa.array(["DTED"]),
-            "checksum": pa.array(
-                [checksum_image(px.astype(np.float64))], pa.int64()),
+            "roundtrip_ok": pa.array(
+                [int(checksum_image(px.astype(np.float64)) == 49187)],
+                pa.int64()),
             "gt_dot": pa.array(
                 [int(np.round(np.dot(gt, [1, 3, 5, 7, 11, 13]) * 64))],
                 pa.int64())})

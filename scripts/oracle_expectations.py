@@ -1331,3 +1331,113 @@ def _q_sentinel2(sf):
                ("gt0", 699960), ("nbits", 12), ("has_pixels", 1),
                ("cs_B2", 50054), ("cs_B3", 50054), ("cs_B4", 50054),
                ("cs_B8", 50054)])
+
+
+@builder("q_netcdf")
+def _q_netcdf(sf):
+    # fixture rows: the reference's published values (netcdf.py byte
+    # 4672 / tas 31621 / trmm 14, trmm-2x2 exact gt, CDF-2 == CDF-1);
+    # corpus rows: identity-roundtrip flags + the synthetic gt
+    pairs = [
+        ("byte.nc:cs", 4672),
+        ("byte.nc:gt_dot", _gt_dot((440720.0, 60.0, 0.0, 3751320.0,
+                                    0.0, -60.0))),
+        ("bug636.nc:tas:cs", 31621),
+        ("trmm-2x2.nc:gt_dot", _gt_dot((-80.0, 0.25, 0.0, -19.5, 0.0,
+                                        -0.25))),
+        ("trmm.nc:cs", 14), ("trmm-nc2.nc:cs", 14),
+    ]
+    corpus_gt = _gt_dot((500.0, 10.0, 0.0, 8000.0, 0.0, -10.0))
+    for i in range(16):
+        pairs += [(f"img{i:08d}.nc:roundtrip_ok", 1),
+                  (f"img{i:08d}.nc:gt_dot", corpus_gt)]
+    return cv(pairs)
+
+
+@builder("q_nitf")
+def _q_nitf(sf):
+    # autotest/gdrivers/nitf.py published fixture checksums + corpus
+    # identity-roundtrip flags
+    pairs = [("rgb.ntf", 21349), ("i_3034c.ntf", 170),
+             ("i_3034f.ntf", 170), ("ns3034d.nsf", 170)]
+    pairs += [(f"img{i:08d}:roundtrip_ok", 1) for i in range(16)]
+    return cce(pairs)
+
+
+@builder("q_ascii_raster")
+def _q_ascii_raster(sf):
+    # identity-roundtrip flags + the synthetic gt constant, per
+    # (image, format); drivers are the probe's documented names
+    import pandas as pd
+
+    gtd = _gt_dot((1000.0, 30.0, 0.0, 5000.0, 0.0, -30.0))
+    rows = []
+    for i in range(24):
+        for ext, drv in ((".asc", "AAIGrid"), (".xyz", "XYZ"),
+                         (".pgm", "PNM")):
+            rows.append((f"img{i:08d}{ext}", drv, 1, gtd))
+    return pd.DataFrame(rows, columns=["case", "driver",
+                                       "roundtrip_ok", "gt_dot"])
+
+
+@builder("q_binary_raster")
+def _q_binary_raster(sf):
+    import pandas as pd
+
+    gtd = _gt_dot((1000.0, 30.0, 0.0, 5000.0, 0.0, -30.0))
+    rows = []
+    for i in range(24):
+        for suffix, drv in ((".bmp", "BMP"), ("_rgb.bmp", "BMP"),
+                            (".gif", "GIF")):
+            rows.append((f"img{i:08d}{suffix}", drv, 1, gtd))
+    return pd.DataFrame(rows, columns=["case", "driver",
+                                       "roundtrip_ok", "gt_dot"])
+
+
+@builder("q_terrain")
+def _q_terrain(sf):
+    # identity-roundtrip flags; the SAGA gt replicates the query's
+    # synthetic constant per image (lat = 40 + i%5, lon = -100 + i%7,
+    # step = 1/(n-1) with n = the square crop of the generator size);
+    # the n43 golden rows derive from dted.py's published values
+    import pandas as pd
+
+    from gdal_ray.sources.images import image_size
+
+    rows = []
+    for i in range(12):
+        n = len(range(0, image_size(i), 2))
+        n = min(n, n)
+        lat, lon = 40 + (i % 5), -100 + (i % 7)
+        step = 1.0 / (n - 1)
+        gt = (lon - step / 2, step, 0.0, lat + 1 + step / 2, 0.0,
+              -step)
+        gtd = int(round(sum(g * w for g, w in
+                            zip(gt, [1, 3, 5, 7, 11, 13])) * 64))
+        rows.append((f"img{i:08d}:dted", "DTED", 1, 0))
+        rows.append((f"img{i:08d}:hgt", "SRTMHGT", 1, 0))
+        rows.append((f"img{i:08d}:saga", "SAGA", 1, gtd))
+    n43gt = (-80.004166666666663, 0.0083333333333333, 0,
+             44.00416666666667, 0, -0.0083333333333333)
+    rows.append(("n43.dt0", "DTED", 1,
+                 int(round(sum(g * w for g, w in
+                               zip(n43gt, [1, 3, 5, 7, 11, 13])) * 64))))
+    return pd.DataFrame(rows, columns=["case", "driver",
+                                       "roundtrip_ok", "gt_dot"])
+
+
+@builder("q_envi_ehdr")
+def _q_envi_ehdr(sf):
+    import pandas as pd
+
+    rows = []
+    for i in range(12):
+        il = ("bsq", "bil", "bip")[i % 3]
+        rows.append((f"img{i:08d}:{il}", "ENVI", 1))
+        rows.append((f"img{i:08d}:bil16", "EHdr", 1))
+    for case, kind in (("aea", "ENVI"), ("rgbsmall_bil", "ENVI"),
+                       ("float32", "EHDR"), ("ehdr10", "EHDR"),
+                       ("ehdr11", "EHDR")):
+        rows.append((case, kind, 1))
+    return pd.DataFrame(rows, columns=["case", "driver",
+                                       "roundtrip_ok"])
