@@ -1441,3 +1441,53 @@ def _q_envi_ehdr(sf):
         rows.append((case, kind, 1))
     return pd.DataFrame(rows, columns=["case", "driver",
                                        "roundtrip_ok"])
+
+
+@builder("q_tile_db")
+def _q_tile_db(sf):
+    # world_l1/byte values are the reference's published checksums
+    # (mbtiles.py:63,82,275; gpkg byte 4672/26711); the bounds rows
+    # recompute analytically from the file's own bounds metadata
+    # (stdlib sqlite3 + spherical-mercator forward, no pixel snap);
+    # rt rows are the 6-tile roundtrip invariant
+    import math
+    import sqlite3
+
+    R = 20037508.342789244
+    res = 2 * R / 512.0            # z1 world in 512 px
+    con = sqlite3.connect(
+        "/root/reference/autotest/gdrivers/data/mbtiles/"
+        "world_l1.mbtiles")
+    bounds = dict(con.execute(
+        "SELECT name, value FROM metadata").fetchall())["bounds"]
+    con.close()
+    lonmin, latmin, lonmax, latmax = (float(v)
+                                      for v in bounds.split(","))
+
+    def mx(lon):
+        return R * math.radians(lon) / math.pi
+
+    def my(lat):
+        return (6378137.0
+                * math.log(math.tan(math.pi / 4
+                                    + math.radians(lat) / 2)))
+
+    w = int((mx(lonmax) - mx(lonmin)) / res + 1e-9)
+    h = int((my(latmax) - my(latmin)) / res + 1e-9)
+    full_gt = (-R, res, 0.0, R, 0.0, -res)
+    pairs = [
+        ("world_l1_b1", 6324), ("world_l1_b2", 19386),
+        ("world_l1_b3", 45258),
+        ("world_l1_gt_dot", _gt_dot(full_gt)),
+        ("world_l1_ov_b1", 16642), ("world_l1_ov_b2", 15772),
+        ("world_l1_ov_b3", 10029),
+        ("world_l1_bounds_w", w), ("world_l1_bounds_h", h),
+        ("world_l1_bounds_ymax", round(my(latmax))),
+        ("byte_mbtiles_cs", 4118),
+        ("byte_gpkg_cs", 4672), ("byte_gpkg_epsg", 26711),
+        ("byte_gpkg_gt_dot", _gt_dot((440720.0, 60.0, 0.0,
+                                      3751320.0, 0.0, -60.0))),
+        ("rt_mbtiles_tiles", 6), ("rt_mbtiles_cs_match", 6),
+        ("rt_gpkg_tiles", 6), ("rt_gpkg_cs_match", 6),
+    ]
+    return cv(pairs)
