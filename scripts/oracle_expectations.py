@@ -1491,3 +1491,100 @@ def _q_tile_db(sf):
         ("rt_gpkg_tiles", 6), ("rt_gpkg_cs_match", 6),
     ]
     return cv(pairs)
+
+
+def _lsh_pairs_indep(sf):
+    """Fresh single-machine reimplementation of the MinHash-LSH
+    candidate set (functions/text.py constants: 5-byte FNV-power
+    rolling shingles, 64 perms a*x+b mod 2^61-1 seeded 12345, 16
+    blake2b band hashes, sim >= 0.5) — no engine import; the
+    distributed banding/shuffle under test must reproduce it."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    M = np.uint64((1 << 61) - 1)
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    rng = np.random.default_rng(12345)
+    A = rng.integers(1, (1 << 61) - 1, 64, dtype=np.uint64)
+    B = rng.integers(0, (1 << 61) - 1, 64, dtype=np.uint64)
+    coeff = np.power(np.uint64(1099511628211),
+                     np.arange(5, dtype=np.uint64))
+    sigs = {}
+    for did, txt in zip(ids, texts):
+        s = " ".join(txt.split()).lower()
+        if len(s) < 5:
+            s = s.ljust(5)
+        view = np.frombuffer(s.encode("utf-8", "ignore"), np.uint8)
+        if len(view) < 5:
+            view = np.pad(view, (0, 5 - len(view)))
+        win = np.lib.stride_tricks.sliding_window_view(view, 5) \
+            .astype(np.uint64)
+        sh = (win * coeff).sum(axis=1, dtype=np.uint64)
+        x = (sh % M)[None, :]
+        hv = (A[:, None] * x + B[:, None]) % M
+        sigs[did] = hv.min(axis=1)
+    buckets = {}
+    for did in ids:
+        sig = sigs[did]
+        for b in range(16):
+            blob = sig[b * 4:(b + 1) * 4].tobytes()
+            h = int.from_bytes(hashlib.blake2b(
+                blob, digest_size=8,
+                person=b.to_bytes(8, "little")).digest(), "little",
+                signed=True)
+            buckets.setdefault((b, h), []).append(did)
+    best = {}
+    for members in buckets.values():
+        members = sorted(set(members))
+        if len(members) < 2:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, c = members[i], members[j]
+                sim = float((sigs[a] == sigs[c]).mean())
+                if sim >= 0.5:
+                    k = (a, c)
+                    if sim > best.get(k, -1.0):
+                        best[k] = sim
+    return best
+
+
+@builder("q_minhash_lsh")
+def _q_minhash_lsh(sf):
+    import pandas as pd
+
+    best = _lsh_pairs_indep(sf)
+    rows = sorted(best.items())
+    return pd.DataFrame(
+        {"doc_a": [k[0] for k, _ in rows],
+         "doc_b": [k[1] for k, _ in rows],
+         "sig_sim": [v for _, v in rows]})
+
+
+@builder("q_jaccard_verify")
+def _q_jaccard_verify(sf):
+    # the independent LSH pair set + exact 3-gram Jaccard straight
+    # from the parquet texts
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    best = _lsh_pairs_indep(sf)
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def grams(s):
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    rows = []
+    for (a, b), sim in sorted(best.items()):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        j = len(ga & gb) / max(len(ga | gb), 1)
+        rows.append((a, b, float(_round_away(j, 4)), sim))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard",
+                                       "sig_sim"])
