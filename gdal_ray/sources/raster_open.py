@@ -34,7 +34,8 @@ from .vsi import vsi_open_bytes
 def worldfile_to_gt(text: str) -> tuple:
     """Six world-file lines (A, D, B, E, C, F) -> GDAL geotransform
     (corner-origin; C/F name the top-left pixel CENTER)."""
-    a, d, b, e, c, f = (float(v) for v in text.split()[:6])
+    # CPLAtof tolerance: trailing commas/semicolons on the six lines
+    a, d, b, e, c, f = (float(v.rstrip(",;")) for v in text.split()[:6])
     return (c - a * 0.5 - b * 0.5, a, b, f - d * 0.5 - e * 0.5, d, e)
 
 
@@ -318,6 +319,43 @@ def open_raster(path: str) -> dict:
         if rat is not None:
             out["rat"] = rat.to_arrow()
         return out
+    if (data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            or data[:2] == b"\xff\x4f"):
+        import struct as _struct
+
+        from ..functions.jp2k import decode_jp2
+
+        px, _info = decode_jp2(data)
+        gt = None
+        epsg = None
+        # GeoJP2: the uuid box payload is a degenerate GeoTIFF whose
+        # tags georeference the codestream (gt_wkt_srs.cpp semantics)
+        pos = 0
+        while pos + 8 <= len(data):
+            ln, typ = _struct.unpack_from(">I4s", data, pos)
+            if typ == b"uuid" and data[pos + 8:pos + 24].startswith(
+                    b"\xb1\x4b\xf8\xbd\x08\x3d\x4b\x43"):
+                payload = data[pos + 24:pos + ln]
+                try:
+                    gt = decode_tiff(payload)[1]
+                    epsg = tiff_epsg(payload)
+                except (ValueError, KeyError, NotImplementedError):
+                    pass
+                break
+            if ln <= 0:
+                break
+            pos += ln
+        if gt is None:
+            for ext in (".j2w", ".wld"):
+                wf = _sidecar(path, ext)
+                if wf:
+                    gt = worldfile_to_gt(wf)
+                    break
+        prj = _sidecar(path, ".prj")
+        if epsg is None and prj:
+            epsg = epsg_from_wkt(prj)
+        return {"pixels": px, "gt": gt, "epsg": epsg,
+                "driver": "JP2OpenJPEG"}
     if data[:4] == b"GRIB":
         if len(data) > 7 and data[7] == 2:
             from .grib2 import read_grib2

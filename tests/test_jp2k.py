@@ -155,3 +155,18 @@ def test_mq_encoder_decoder_fuzz():
             enc.encode(int(c), int(b))
         dec = MQDecoder(enc.flush())
         assert [dec.decode(int(c)) for c in ctxs] == bits, seed
+
+
+def test_open_raster_jp2_geojp2():
+    """JP2 rides the unified open probe: pixels via the decoder,
+    georef from the GeoJP2 uuid box (the published byte.jp2 facts)."""
+    from gdal_ray.sources.raster_open import open_raster
+
+    r = open_raster(D + "byte.jp2")
+    assert r["driver"] == "JP2OpenJPEG"
+    assert checksum_image(r["pixels"]) == 50054
+    assert r["gt"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    assert r["epsg"] == 26711
+    # world-file georef fallback for nogeoref + .j2w
+    r2 = open_raster(D + "byte_nogeoref.jp2")
+    assert checksum_image(r2["pixels"]) == 4940
