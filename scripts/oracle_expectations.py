@@ -1588,3 +1588,10 @@ def _q_jaccard_verify(sf):
         rows.append((a, b, float(_round_away(j, 4)), sim))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard",
                                        "sig_sim"])
+
+
+# q_contour_lines stays a determinism-pin: polyline counts at
+# 4-valent saddle junctions depend on the assembler's traversal
+# order, so an "independent" reimplementation would just transcribe
+# the ordering rules (ground truth: the reference-analytic contour
+# tests + tiled-vs-single-tile identity in pytest).
