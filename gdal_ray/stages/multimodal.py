@@ -171,8 +171,15 @@ def audio_corpus(n: int) -> pa.Table:
         f0, f1 = rng.uniform(100, 2000, 2)
         x = 0.5 * np.sin(2 * np.pi * f0 * tt) + 0.3 * np.sin(2 * np.pi * f1 * tt)
         rows["media_id"].append(f"aud{i:06d}")
-        rows["bytes"].append(encode_pcm16(x, sr))
-        rows["fmt"].append("pcm16")
+        # alternate the engine's compact PCM container with REAL
+        # RIFF/WAVE — identical 16-bit quantization, so features are
+        # container-invariant (and the oracle stays format-blind)
+        if i % 2:
+            rows["bytes"].append(encode_wav(x, sr))
+            rows["fmt"].append("wav")
+        else:
+            rows["bytes"].append(encode_pcm16(x, sr))
+            rows["fmt"].append("pcm16")
         rows["sample_rate"].append(sr)
         rows["caption"].append(f"audio clip {i} f0={f0:.0f}")
     return pa.table({f.name: pa.array(rows[f.name], f.type) for f in AUDIO_SCHEMA})
