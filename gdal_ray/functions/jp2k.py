@@ -539,7 +539,15 @@ def decode_j2k(data: bytes, reduce: int = 0):
     """Raw codestream -> (components list of 2-D int/float arrays,
     info dict).  ``reduce`` drops that many highest resolution levels
     (the openjpeg/GDAL overview read: output dims = ceil(dim/2^r),
-    Tier-1 + DWT skipped for the dropped levels)."""
+    Tier-1 + DWT skipped for the dropped levels).  Truncated or
+    corrupt streams raise ValueError/IndexError."""
+    try:
+        return _decode_j2k(data, reduce)
+    except struct.error as ex:
+        raise ValueError(f"JPEG2000: truncated codestream ({ex})")
+
+
+def _decode_j2k(data: bytes, reduce: int = 0):
     if data[:2] != b"\xff\x4f":
         raise ValueError("not a JPEG2000 codestream (missing SOC)")
     pos = 2
