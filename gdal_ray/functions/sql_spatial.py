@@ -69,13 +69,32 @@ def _scalar_fn(fn, out_type):
     return wrapper
 
 
+def _strip_srid(v: bytes) -> bytes:
+    """EWKB -> plain WKB (drop the 0x20000000 SRID flag + 4 bytes)."""
+    if len(v) > 9 and v[0] == 1 and (v[4] & 0x20):
+        import struct
+
+        gtype = struct.unpack_from("<I", v, 1)[0] & ~0x20000000
+        return v[:1] + struct.pack("<I", gtype) + v[9:]
+    return v
+
+
+def geom_srid(v) -> int:
+    """SRID of an EWKB blob (0 when absent) — ST_SRID semantics."""
+    if isinstance(v, (bytes, bytearray)) and len(v) > 9             and v[0] == 1 and (v[4] & 0x20):
+        import struct
+
+        return struct.unpack_from("<i", v, 5)[0]
+    return 0
+
+
 def _geom(v):
     if v is None:
         return None
     try:
         if isinstance(v, str):
             return wkt_to_geom(v)
-        return wkb_to_geom(v)
+        return wkb_to_geom(_strip_srid(bytes(v)))
     except (ValueError, IndexError, NotImplementedError, Exception):
         return None
 
@@ -236,9 +255,18 @@ def _st_geomfromtext(wkt, srid=None):
     if wkt is None:
         return None
     try:
-        return geom_to_wkb(wkt_to_geom(wkt))
+        wkb = geom_to_wkb(wkt_to_geom(wkt))
     except (ValueError, IndexError):
         return None
+    if srid:
+        # EWKB: set the SRID flag and splice the id in (the SQLite
+        # dialect keeps the SRID with the geometry; ST_SRID reads it)
+        import struct
+
+        gtype = struct.unpack_from("<I", wkb, 1)[0] | 0x20000000
+        wkb = (wkb[:1] + struct.pack("<I", gtype)
+               + struct.pack("<i", int(srid)) + wkb[5:])
+    return wkb
 
 
 def _st_astext(v):
@@ -345,8 +373,9 @@ def _st_issimple(v):
 
 
 def _st_srid(v):
-    g = _geom(v)
-    return None if g is None else 0
+    if v is None or _geom(v) is None:
+        return None
+    return geom_srid(v)
 
 
 def _st_makevalid(v):

@@ -124,3 +124,15 @@ def test_through_execute_sql(ray_session):
         "/root/testdata/sf0.001")
     assert t.num_rows == 64
     assert set(t["inside"].to_pylist()) <= {0, 1}
+
+
+def test_srid_carried_in_ewkb():
+    # ogr_sql_sqlite.py:1771: ST_SRID(ST_GeomFromText('POINT(0 0)',
+    # 4326)) == 4326; srid-less construction reads 0
+    assert one("ST_SRID", one("ST_GEOMFROMTEXT", "POINT(0 0)",
+                              4326)) == 4326
+    assert one("ST_SRID", g("POINT(0 0)")) == 0
+    # geometry ops strip the EWKB header transparently
+    p = one("ST_GEOMFROMTEXT", "POLYGON((0 0,0 2,2 2,2 0,0 0))", 31370)
+    assert one("ST_AREA", p) == pytest.approx(4.0)
+    assert one("ST_ASTEXT", one("ST_CENTROID", p)) == "POINT (1 1)"
