@@ -1049,7 +1049,7 @@ def q_warp_goldens(sf_dir: str):
         from ..functions.warpkernels import warp_affine
         from ..sources.tiff import decode_tiff
 
-        rows = {"golden": [], "algo": [], "maxdiff": [], "cksum": []}
+        rows = {"golden": [], "algo": [], "within": [], "cksum": []}
         for rec in t.to_pylist():
             with open(os.path.join(ref_root, rec["src"]), "rb") as fh:
                 src, sgt = decode_tiff(fh.read())
@@ -1060,12 +1060,16 @@ def q_warp_goldens(sf_dir: str):
             md = int(np.abs(out.astype(np.int64) - ref.astype(np.int64)).max())
             rows["golden"].append(os.path.basename(rec["golden"]))
             rows["algo"].append(rec["algo"])
-            # pin the reference's own compare_ds <= 1 bar; exact
-            # render pins (checksums) live in the pytest goldens
-            rows["maxdiff"].append(int(md <= 1))
+            # the independent claim is the reference's own compare_ds
+            # <= 1 bar; the exact render checksum rides along as a
+            # determinism-pin so the driver gate still detects silent
+            # drift (ADVICE round-4)
+            rows["within"].append(int(md <= 1))
+            rows["cksum"].append(int(checksum_image(out)))
         return pa.table({"golden": pa.array(rows["golden"], pa.string()),
                          "algo": pa.array(rows["algo"], pa.string()),
-                         "within_bar": pa.array(rows["maxdiff"], pa.int64())})
+                         "within_bar": pa.array(rows["within"], pa.int64()),
+                         "cksum": pa.array(rows["cksum"], pa.int64())})
 
     items = [{"src": s, "golden": g, "algo": a} for s, g, a in _GOLDENS
              if os.path.exists(os.path.join(ref_root, g))]
@@ -1634,12 +1638,18 @@ def q_raster_open(sf_dir: str):
                 rows["px_cksum"].append(int(psnr >= 40.0))
             else:
                 rows["px_cksum"].append(checksum_image(band))
+            # exact decoded-pixel checksum for EVERY row — a
+            # determinism-pin ride-along so the driver gate detects
+            # silent codec drift even where the independent claim is
+            # only the PSNR bar (ADVICE round-4)
+            rows.setdefault("px_exact", []).append(checksum_image(band))
         return pa.table({
             "case": pa.array(rows["case"]),
             "driver": pa.array(rows["driver"]),
             "epsg": pa.array(rows["epsg"], pa.int64()),
             "gt_cksum": pa.array(rows["gt_cksum"], pa.int64()),
             "px_cksum": pa.array(rows["px_cksum"], pa.int64()),
+            "px_exact": pa.array(rows["px_exact"], pa.int64()),
         })
 
     ds = ray.data.from_arrow(pa.table(
@@ -1813,12 +1823,14 @@ def q_vrt(sf_dir: str):
             names.append(row["vrt"])
             # the reference's own comparator bar for these renders is
             # maxdiff <= 1 vs its shipped goldens (autotest alg warp
-            # tests); pin the bar, not digits beyond the published
-            # tolerance (exact render pins live in tests/)
+            # tests); the exact render checksum rides along as a
+            # determinism-pin for drift detection (ADVICE round-4)
             diffs.append(int(np.abs(r["pixels"].astype(np.int64)
                                     - ref.astype(np.int64)).max() <= 1))
+            cks.append(int(checksum_image(r["pixels"])))
         return pa.table({"case": pa.array(names, pa.string()),
-                         "within_bar": pa.array(diffs, pa.int64())})
+                         "within_bar": pa.array(diffs, pa.int64()),
+                         "cksum": pa.array(cks, pa.int64())})
 
     items = [{"vrt": v, "golden": g} for v, g in cases]
     return (ray.data.from_items(items, override_num_blocks=4)

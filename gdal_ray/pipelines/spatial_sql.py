@@ -164,18 +164,28 @@ def q_crs_transform(sf_dir: str):
             # paths sit at ~1 mm, the pure projections at ~nm); exact
             # coordinate pins live in tests/test_crs_projections.py
             rows["max_err"].append(int(err < 0.01))
-            rows["cksum"].append(int(np.round(np.abs(x) + np.abs(y)).sum()
-                                     % 4294967291))
+            # exact engine-value ride-along (ADVICE round-4): the
+            # independence claim stays on the flag column; this
+            # per-point-rounded coordinate checksum is a
+            # determinism-pin that keeps the driver gate sensitive to
+            # silent drift.  Raw per-batch sums; mod applied after
+            # the aggregation so batch layout cannot shift the value.
+            rows["cksum"].append(int(np.round(np.abs(x) + np.abs(y)).sum()))
         return pa.table({"epsg": pa.array(rows["epsg"], pa.int32()),
                          "n": pa.array(rows["n"], pa.int64()),
                          "roundtrip_under_cm": pa.array(
-                             rows["max_err"], pa.int64())})
+                             rows["max_err"], pa.int64()),
+                         "cksum": pa.array(rows["cksum"], pa.int64())})
 
     part = ds.map_batches(f, batch_format="pyarrow")
     out = partial_groupby_agg(
         part, ["epsg"],
         [("n", "n", "sum"),
-         ("roundtrip_under_cm", "roundtrip_under_cm", "min")])
+         ("roundtrip_under_cm", "roundtrip_under_cm", "min"),
+         ("cksum", "cksum", "sum")])
+    out = out.set_column(
+        out.column_names.index("cksum"), "cksum",
+        pa.array(out["cksum"].to_numpy() % 4294967291, pa.int64()))
     idx = np.argsort(out["epsg"].to_numpy())
     return out.take(pa.array(idx))
 

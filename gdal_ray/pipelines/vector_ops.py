@@ -2059,7 +2059,7 @@ def q_lineref(sf_dir: str):
 
     data = "/root/reference/autotest/utilities/data"
     schema = pa.schema([("case", pa.string()), ("value_a", pa.float64()),
-                        ("value_b", pa.float64())])
+                        ("value_b", pa.float64()), ("pin", pa.float64())])
     if not os.path.exists(f"{data}/path.shp"):
         return pa.table({f.name: pa.array([], f.type) for f in schema})
 
@@ -2078,24 +2078,29 @@ def q_lineref(sf_dir: str):
                            float(pg.rings[0][0, 0]),
                            float(pg.rings[0][0, 1])))
         parts = lr.create_parts(g.rings[0], repers, 1000.0, geographic=True)
-        cases, va, vb = [], [], []
+        cases, va, vb, pin = [], [], [], []
         for rec in t.to_pylist():
             op = rec["op"]
             if op == "n_parts":
-                # test_ogrlineref.py publishes the part count (9);
-                # unpublished internals live in pytest, not the pin
+                # test_ogrlineref.py publishes the part count (9); the
+                # summed part extent rides along in the `pin` column
+                # as an exact determinism-pin (ADVICE round-4)
                 cases.append(op)
                 va.append(float(len(parts)))
                 vb.append(0.0)
+                pin.append(round(sum(p[lr.FIELD_FINISH] - p[lr.FIELD_START]
+                                     for p in parts), 3))
             elif op == "get_pos":
                 cases.append(op)
                 va.append(round(lr.get_position(parts, -1.4345, 51.9497), 6))
                 vb.append(0.0)
+                pin.append(0.0)
             elif op == "get_coord":
                 x, y, _z = lr.get_coordinates(parts, 15977.724709)
                 cases.append(op)
                 va.append(round(x, 6))
                 vb.append(round(y, 6))
+                pin.append(0.0)
             elif op == "get_subline":
                 # the reference publishes feature_count == 1 for the
                 # -mb 13300 -me 17400 subline (test_ogrlineref_4)
@@ -2103,9 +2108,13 @@ def q_lineref(sf_dir: str):
                 cases.append(op)
                 va.append(1.0 if len(sub) else 0.0)
                 vb.append(0.0)
+                # exact vertex count of the assembled subline — a
+                # determinism-pin ride-along (ADVICE round-4)
+                pin.append(float(len(sub)))
         return pa.table({"case": pa.array(cases, pa.string()),
                          "value_a": pa.array(va, pa.float64()),
-                         "value_b": pa.array(vb, pa.float64())})
+                         "value_b": pa.array(vb, pa.float64()),
+                         "pin": pa.array(pin, pa.float64())})
 
     ds = ray.data.from_items(
         [{"op": o} for o in ("n_parts", "get_pos", "get_coord",

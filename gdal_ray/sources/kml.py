@@ -506,9 +506,18 @@ def apply_kml_schema(table: pa.Table, fields: dict[str, str]) -> pa.Table:
             cast = pc2.is_in(lowered, value_set=pa.array(["1", "true"]))
             cast = pc2.if_else(pc2.is_null(col),
                                pa.nulls(len(table), pa.bool_()), cast)
+        elif pa.types.is_integer(want):
+            # int-typed SimpleFields may carry float-formatted strings
+            # ("1.0"); go through float64 so the cast doesn't raise
+            try:
+                cast = col.cast(want)
+            except pa.ArrowInvalid:
+                try:
+                    cast = col.cast(pa.float64()).cast(want)
+                except pa.ArrowInvalid:
+                    continue  # leave as string rather than fail the read
         else:
-            cast = col.cast(pa.float64()).cast(want) \
-                if pa.types.is_integer(want) and False else col.cast(want)
+            cast = col.cast(want)
         table = table.set_column(
             table.column_names.index(name), name, cast)
     return table

@@ -333,16 +333,26 @@ def open_raster(path: str) -> dict:
         pos = 0
         while pos + 8 <= len(data):
             ln, typ = _struct.unpack_from(">I4s", data, pos)
-            if typ == b"uuid" and data[pos + 8:pos + 24].startswith(
+            # ISO 15444-1 box framing: LBox==1 -> a 64-bit XLBox
+            # length follows the type; LBox==0 -> box runs to EOF
+            hdr = 8
+            if ln == 1:
+                if pos + 16 > len(data):
+                    break
+                ln = _struct.unpack_from(">Q", data, pos + 8)[0]
+                hdr = 16
+            elif ln == 0:
+                ln = len(data) - pos
+            if typ == b"uuid" and data[pos + hdr:pos + hdr + 16].startswith(
                     b"\xb1\x4b\xf8\xbd\x08\x3d\x4b\x43"):
-                payload = data[pos + 24:pos + ln]
+                payload = data[pos + hdr + 16:pos + ln]
                 try:
                     gt = decode_tiff(payload)[1]
                     epsg = tiff_epsg(payload)
                 except (ValueError, KeyError, NotImplementedError):
                     pass
                 break
-            if ln <= 0:
+            if ln < hdr:
                 break
             pos += ln
         if gt is None:

@@ -158,6 +158,33 @@ def extract_tuple_pairs(fn, var: str, case_idx: int = 0,
     raise ValueError(f"no literal table {var} in {fn.__name__}")
 
 
+def ref_check(pairs, ref_files, derived=()):
+    """Cross-check extracted (case, expected) literals against the
+    cited reference autotest sources (ADVICE round-4): every expected
+    value must appear verbatim in at least one of `ref_files`
+    (relative to /root/reference), EXCEPT cases listed in `derived`
+    (values computed from reference constants — e.g. scaled
+    geotransform digits — whose derivation is cited at the query).
+    A literal that is in neither aborts oracle generation, so a
+    mistranscribed constant can no longer self-validate."""
+    import os
+
+    blob = []
+    for f in ref_files:
+        p = os.path.join("/root/reference", f)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"ref_check: missing {p}")
+        with open(p, errors="replace") as fh:
+            blob.append(fh.read())
+    blob = "\n".join(blob)
+    missing = [(c, e) for c, e in pairs
+               if c not in derived and str(e) not in blob]
+    if missing:
+        raise AssertionError(
+            f"expected literals not found in {ref_files}: {missing}")
+    return pairs
+
+
 # ------------------------------------------------------------------
 # wave 1: conformance sweeps whose expected literals sit inline in
 # the query source (each a transcription of the reference autotest
@@ -171,12 +198,23 @@ def _raster():
 
 @builder("q_fits")
 def _q_fits(sf):
-    return cev(extract_add_pairs(_raster().q_fits))
+    # derived cases: scaled geotransform/BSCALE digits computed from
+    # fits.py constants (cited at the query's add() sites)
+    return cev(ref_check(
+        extract_add_pairs(_raster().q_fits),
+        ["autotest/gdrivers/fits.py"],
+        derived={"merc:gt1_x1e6", "merc:cs", "offscale:scale_x1e9",
+                 "table:I_scaled_x10"}))
 
 
 @builder("q_s100")
 def _q_s100(sf):
-    return cev(extract_add_pairs(_raster().q_s100))
+    return cev(ref_check(
+        extract_add_pairs(_raster().q_s100),
+        ["autotest/gdrivers/s102.py", "autotest/gdrivers/s104.py",
+         "autotest/gdrivers/s111.py", "autotest/gdrivers/bag.py"],
+        derived={"s102:gt3_x100", "s102:flip_gt3_x100", "s102q:sum",
+                 "s104:trend_vals"}))
 
 
 @builder("q_grib2")
@@ -184,12 +222,20 @@ def _q_grib2(sf):
     r = _raster()
     pairs = (extract_tuple_pairs(r.q_grib2, "cs_cases")
              + extract_tuple_pairs(r.q_grib2, "gt_cases"))
-    return cev(pairs)
+    # gtx_* rows are round(gt[0]*1000) digits derived from grib.py's
+    # published geotransforms, not verbatim literals
+    return cev(ref_check(
+        pairs, ["autotest/gdrivers/grib.py"],
+        derived={c for c, _ in pairs if c.startswith("gtx_")}))
 
 
 @builder("q_hdf5")
 def _q_hdf5(sf):
-    return cce(extract_tuple_pairs(_raster().q_hdf5, "cases"))
+    return cce(ref_check(
+        extract_tuple_pairs(_raster().q_hdf5, "cases"),
+        ["autotest/gdrivers/hdf5.py", "autotest/gdrivers/bag.py",
+         "autotest/gdrivers/netcdf.py"],
+        derived={"eos_chunked"}))
 
 
 @builder("q_hfa")
@@ -206,7 +252,10 @@ def _q_hfa(sf):
 
 @builder("q_srp_nwt")
 def _q_srp_nwt(sf):
-    pairs = extract_add_pairs(_raster().q_srp_nwt)
+    pairs = ref_check(
+        extract_add_pairs(_raster().q_srp_nwt),
+        ["autotest/gdrivers/srp.py", "autotest/gdrivers/nwt_grd.py",
+         "autotest/gdrivers/nwt_grc.py"])
     # dynamic loops in the query (same literals, loop-generated cases):
     # USRP PCB variants (gdrivers/srp.py) and Northwood GRD bands
     # (gdrivers/northwood.py)
@@ -219,7 +268,14 @@ def _q_srp_nwt(sf):
 
 @builder("q_simple_formats")
 def _q_simple_formats(sf):
-    pairs = extract_add_pairs(_raster().q_simple_formats)
+    pairs = ref_check(
+        extract_add_pairs(_raster().q_simple_formats),
+        ["autotest/gdrivers/tga.py", "autotest/gdrivers/zmap.py",
+         "autotest/gdrivers/hf2.py", "autotest/gdrivers/sigdem.py",
+         "autotest/gdrivers/ngsgeoid.py",
+         "autotest/gdrivers/nsidcbin.py", "autotest/gdrivers/til.py",
+         "autotest/gdrivers/cals.py", "autotest/gcore/tiff_read.py"],
+        derived={"ngsgeoid:gt0"})
     # tga loop literals (gdrivers/tga.py ref_test_suite goldens)
     for name, ics in [("cbw8.tga", [43089]), ("ccm8.tga", [38151]),
                       ("utc16.tga", [64747, 64839, 64796]),
@@ -560,7 +616,12 @@ def _q_vrt(sf):
 def _q_product_formats(sf):
     # inline literal expected args (autotest hdf4/sentinel2/rs2/rcm/
     # stacta/stacit published values) + the hdf4 fixture loop table
-    pairs = extract_add_pairs(_raster().q_product_formats)
+    pairs = ref_check(
+        extract_add_pairs(_raster().q_product_formats),
+        ["autotest/gcore/hdf4_read.py", "autotest/gdrivers/sentinel2.py",
+         "autotest/gdrivers/rs2.py", "autotest/gdrivers/rcm.py",
+         "autotest/gdrivers/stacta.py", "autotest/gdrivers/stacit.py"],
+        derived={"hdf4:palette_rows"})
     pairs += [("hdf4:byte_3.hdf", 4672), ("hdf4:float64_3.hdf", 4672),
               ("hdf4:utmsmall_3.hdf", 50054), ("hdf4:byte_2.hdf", 4672),
               ("hdf4:float32_2.hdf", 4672),
