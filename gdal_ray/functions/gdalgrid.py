@@ -305,3 +305,108 @@ def tri_circumcircles(tri, px, py):
     uy = (a2 * (cx_ - bx) + b2 * (ax - cx_) + c2 * (bx - ax)) / d
     r = np.hypot(ax - ux, ay - uy)
     return ux, uy, r
+
+
+# ------------------------------------------------------------------
+# convex-hull machinery for the bucketed linear gridder's exactness
+# gates (VERDICT r4 directive #2).  All points live inside the global
+# convex hull, so (a) a local-Delaunay triangle whose circumcircle's
+# intersection WITH THE HULL lies inside the bucket's collection
+# region is provably global-Delaunay even when the circle itself
+# bulges far outside the region (hull-boundary slivers), and (b) a
+# node strictly outside the hull provably misses every global
+# triangle (barycentric reach of the eps=-1e-10 containment test is
+# <= eps * triangle height <= ~4e-8 for this domain), so its value
+# is the nearest-point fallback and can be computed distributed.
+
+
+def convex_hull(px, py) -> np.ndarray:
+    """Monotone-chain convex hull -> (H, 2) CCW vertices.  Hull of a
+    union of per-batch hulls equals the hull of all points, so this
+    runs per batch with a small driver-side merge."""
+    pts = np.unique(np.c_[np.asarray(px, np.float64),
+                          np.asarray(py, np.float64)], axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out = []
+        for q in seq:
+            while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (q[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (q[0] - out[-2][0])) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lo = half(pts)
+    hi = half(pts[::-1])
+    return np.asarray(lo[:-1] + hi[:-1], np.float64)
+
+
+def dist_outside_poly(qx, qy, poly) -> np.ndarray:
+    """Distance from each query point to a convex CCW polygon
+    (0 inside).  Vectorized over queries; O(H) edge passes."""
+    qx = np.asarray(qx, np.float64)
+    qy = np.asarray(qy, np.float64)
+    h = len(poly)
+    if h == 0:
+        return np.full(qx.shape, np.inf)
+    if h == 1:
+        return np.hypot(qx - poly[0, 0], qy - poly[0, 1])
+    inside = np.ones(qx.shape, bool)
+    d_edge = np.full(qx.shape, np.inf)
+    for i in range(h):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % h]
+        cross = (bx - ax) * (qy - ay) - (by - ay) * (qx - ax)
+        inside &= cross >= 0
+        vx, vy = bx - ax, by - ay
+        l2 = vx * vx + vy * vy
+        t = (np.clip(((qx - ax) * vx + (qy - ay) * vy) / l2, 0.0, 1.0)
+             if l2 > 0 else 0.0)
+        d_edge = np.minimum(d_edge, np.hypot(qx - (ax + t * vx),
+                                             qy - (ay + t * vy)))
+    if h == 2:
+        return d_edge
+    return np.where(inside, 0.0, d_edge)
+
+
+def clip_poly_halfplane(poly, a, b, c) -> np.ndarray:
+    """Convex polygon ∩ {a*x + b*y <= c} (Sutherland–Hodgman)."""
+    out = []
+    h = len(poly)
+    for i in range(h):
+        p = poly[i]
+        q = poly[(i + 1) % h]
+        fp = a * p[0] + b * p[1] - c
+        fq = a * q[0] + b * q[1] - c
+        if fp <= 0:
+            out.append((p[0], p[1]))
+        if (fp < 0) != (fq < 0) and fp != fq:
+            t = fp / (fp - fq)
+            out.append((p[0] + t * (q[0] - p[0]),
+                        p[1] + t * (q[1] - p[1])))
+    return (np.asarray(out, np.float64) if out
+            else np.empty((0, 2), np.float64))
+
+
+def disc_hull_inside_rect(ux, uy, r, hull, rx0, rx1, ry0, ry1,
+                          eps=1e-9) -> np.ndarray:
+    """Per-disc test: does (disc ∩ hull) lie inside the rectangle?
+    True iff no part of the hull outside the rect comes within r of
+    the disc center.  The hull\\rect remainder is covered by the four
+    outer half-plane clips (overlapping at corners — harmless for an
+    emptiness test)."""
+    ux = np.asarray(ux, np.float64)
+    uy = np.asarray(uy, np.float64)
+    r = np.asarray(r, np.float64)
+    ok = np.isfinite(r)
+    for a, b, c in ((1.0, 0.0, rx0), (-1.0, 0.0, -rx1),
+                    (0.0, 1.0, ry0), (0.0, -1.0, -ry1)):
+        piece = clip_poly_halfplane(hull, a, b, c)
+        if len(piece) == 0:
+            continue
+        d = dist_outside_poly(ux, uy, piece)
+        ok &= d > r + eps
+    return ok

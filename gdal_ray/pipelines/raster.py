@@ -107,37 +107,55 @@ LIN_GRID_N = 48   # q_grid_linear output nodes per axis
 LIN_MOD = 8       # event_id % LIN_MOD == 0 -> TIN vertex sample
 
 
-def q_grid_linear(sf_dir: str, *, buckets=(2, 2), halo_cells=4.0):
+def q_grid_linear(sf_dir: str, *, buckets=(2, 2), halo_cells=4.0,
+                  stats: dict | None = None):
     """GGA_Linear TIN gridding (alg/gdalgrid.cpp:2459 GDALGridLinear;
     exact n43 golden in tests/test_grid_linear.py), distributed the
-    cell-bucketed way (VERDICT r3 directive #4 — the 100-TB path):
+    cell-bucketed way with NO driver-side point materialization and
+    NO global-TIN stage (VERDICT r4 directive #2 — the 100-TB path):
 
-    1. points shuffle ONCE by output bucket (each point lands in
-       every bucket whose halo-expanded node region contains it);
-    2. each bucket triangulates ITS OWN points and evaluates its own
-       node block (map_groups — TIN build cost is per-bucket, never
-       global);
-    3. exactness gate: a node's value is *certain* iff its winning
-       local triangle's circumcircle lies fully inside the bucket's
-       collection region (the Delaunay empty-circle property was then
-       checked against every point that could violate it), so the
-       triangle provably belongs to the global TIN.  Uncertain nodes
-       (hull fringe + sparse gaps; O(boundary), not O(area)) are
-       re-evaluated in a bounded second pass against the global TIN —
-       output is bit-identical to a single global triangulation BY
-       CONSTRUCTION, not by tuning (tested at forced 1x1/2x2/4x4).
+    1. points stream from parquet (`read_parquet(columns=...)` →
+       map_batches derivation) and shuffle by output bucket (each
+       point lands in every bucket whose halo-expanded node region
+       contains it);
+    2. the global CONVEX HULL is computed streaming (per-batch hull
+       candidates; hull-of-hulls == global hull, merged driver-side —
+       O(sqrt(batch)) candidates, never the point set);
+    3. each bucket triangulates ITS OWN points and evaluates its own
+       node block (map_groups).  Exactness gates, both *proofs* not
+       heuristics:
+       - a winning local triangle is global-Delaunay iff its
+         circumcircle ∩ hull lies inside the bucket's collection
+         region (all points live in the hull, so the empty-circle
+         property was checked against every point that could violate
+         it — this also certifies hull-boundary slivers whose circles
+         bulge far outside the region);
+       - a node > 1e-6 outside the hull provably misses every global
+         triangle (the eps=-1e-10 barycentric containment reaches at
+         most eps × triangle height ≈ 4e-8 for this domain), so its
+         nearest-point fallback value is computed by a DISTRIBUTED
+         partial-min over point batches (ties broken by event order,
+         matching np.argmin on the file-ordered array);
+    4. still-uncertain nodes (sparse gaps whose winning circle's
+       hull part exceeds the region) re-evaluate per-bucket against
+       escalating halo regions (×4 per round); a bucket whose region
+       reaches the hull's bbox holds every point and is exact by
+       construction.  At realistic point densities escalation never
+       fires — only the sf0.01 test sparsity (1 250 points under a
+       48×48 grid) reaches it.
+
+    Output is bit-identical to a single global triangulation at
+    forced 1x1/2x2/4x4/3x2 bucketings (tests/test_grid_linear.py);
+    `stats`, when passed, records max_group_pts / total_pts /
+    rounds / final_fired for the no-full-materialization test.
     """
-    import ray
     import ray.data
 
-    from ..functions.gdalgrid import (build_tin, linear_eval,
+    from ..functions.gdalgrid import (build_tin, convex_hull,
+                                      disc_hull_inside_rect,
+                                      dist_outside_poly,
                                       linear_eval_assign,
                                       tri_circumcircles)
-
-    pts = arrow_table(sf_dir, "events", ["event_id", "value"])
-    eid = pts["event_id"].to_numpy()
-    v = pts["value"].to_numpy()[eid % LIN_MOD == 0]
-    lon, lat = derive_lonlat(v)
 
     n = LIN_GRID_N
     cx = -180.0 + 360.0 * (np.arange(n) + 0.5) / n
@@ -145,130 +163,241 @@ def q_grid_linear(sf_dir: str, *, buckets=(2, 2), halo_cells=4.0):
     dx = 360.0 / n
     dy = 170.0 / n
     nbx, nby = buckets
-
-    # node-column/row ranges per bucket
     xs = np.linspace(0, n, nbx + 1).astype(int)
     ys = np.linspace(0, n, nby + 1).astype(int)
 
-    def regions():
+    def pts_ds():
+        ds = read_table(sf_dir, "events", ["event_id", "value"])
+
+        def to_pts(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy()
+            keep = eid % LIN_MOD == 0
+            vv = t["value"].to_numpy()[keep]
+            lo, la = derive_lonlat(vv)
+            return pa.table({"x": pa.array(lo), "y": pa.array(la),
+                             "z": pa.array(vv),
+                             "eid": pa.array(eid[keep])})
+
+        return ds.map_batches(to_pts, batch_format="pyarrow")
+
+    # ---- streaming global hull + point count
+    def hull_batch(t: pa.Table) -> pa.Table:
+        h = convex_hull(t["x"].to_numpy(), t["y"].to_numpy())
+        return pa.table({"x": pa.array(h[:, 0]), "y": pa.array(h[:, 1]),
+                         "n": pa.array([len(t)] + [0] * (len(h) - 1)
+                                       if len(h) else [],
+                                       pa.int64())})
+
+    cand = pa.concat_tables(
+        pts_ds().map_batches(hull_batch, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    hull = convex_hull(cand["x"].to_numpy(), cand["y"].to_numpy())
+    total_pts = int(cand["n"].to_numpy().sum())
+    if stats is not None:
+        stats.update(total_pts=total_pts, max_group_pts=0, rounds=0,
+                     final_fired=False)
+
+    jj_all, ii_all = np.meshgrid(np.arange(n), np.arange(n),
+                                 indexing="ij")
+    node_x = cx[ii_all.ravel()]
+    node_y = cy[jj_all.ravel()]
+    vals_full = np.zeros(n * n, np.float64)
+    have = np.zeros(n * n, bool)
+
+    # ---- certified global-miss nodes -> distributed nearest fallback
+    MISS_MARGIN = 1e-6
+    d_out = dist_outside_poly(node_x, node_y, hull)
+    miss = d_out > MISS_MARGIN
+    if miss.any() and total_pts:
+        mx = node_x[miss]
+        my = node_y[miss]
+        mcell = np.nonzero(miss)[0]
+
+        def near_batch(t: pa.Table) -> pa.Table:
+            px = t["x"].to_numpy()
+            py = t["y"].to_numpy()
+            pz = t["z"].to_numpy()
+            pe = t["eid"].to_numpy()
+            if not len(px):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "d2": pa.array([], pa.float64()),
+                                 "eid": pa.array([], pa.int64()),
+                                 "z": pa.array([], pa.float64())})
+            d2 = ((px[None, :] - mx[:, None]) ** 2
+                  + (py[None, :] - my[:, None]) ** 2)
+            # first-min index within the (event-ordered) batch ==
+            # np.argmin tie semantics; cross-batch ties fold below
+            order = np.argsort(pe, kind="stable")
+            d2o = d2[:, order]
+            k = np.argmin(d2o, axis=1)
+            rows = np.arange(len(mx))
+            return pa.table({"node": pa.array(mcell, pa.int64()),
+                             "d2": pa.array(d2o[rows, k]),
+                             "eid": pa.array(pe[order][k]),
+                             "z": pa.array(pz[order][k])})
+
+        part = pa.concat_tables(
+            pts_ds().map_batches(near_batch, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        df = part.to_pandas().sort_values(["node", "d2", "eid"],
+                                          kind="stable")
+        best = df.groupby("node", sort=True).first()
+        vals_full[best.index.to_numpy()] = best["z"].to_numpy()
+        have[mcell] = True
+
+    # ---- bucketed TIN passes with escalating halo regions
+    hx0, hx1 = (hull[:, 0].min(), hull[:, 0].max()) if len(hull) else (0, 0)
+    hy0, hy1 = (hull[:, 1].min(), hull[:, 1].max()) if len(hull) else (0, 0)
+
+    def regions(round_no: int, active: set[int]):
         out = []
+        halo = halo_cells * (4.0 ** round_no)
         for bj in range(nby):
             for bi in range(nbx):
+                b = bj * nbx + bi
+                if b not in active:
+                    continue
                 i0, i1 = xs[bi], xs[bi + 1]
                 j0, j1 = ys[bj], ys[bj + 1]
-                rx0 = cx[i0] - (0.5 + halo_cells) * dx
-                rx1 = cx[i1 - 1] + (0.5 + halo_cells) * dx
-                ry0 = cy[j0] - (0.5 + halo_cells) * dy
-                ry1 = cy[j1 - 1] + (0.5 + halo_cells) * dy
-                out.append((bj * nbx + bi, i0, i1, j0, j1,
-                            rx0, rx1, ry0, ry1))
+                rx0 = cx[i0] - (0.5 + halo) * dx
+                rx1 = cx[i1 - 1] + (0.5 + halo) * dx
+                ry0 = cy[j0] - (0.5 + halo) * dy
+                ry1 = cy[j1 - 1] + (0.5 + halo) * dy
+                final = (rx0 <= hx0 and rx1 >= hx1
+                         and ry0 <= hy0 and ry1 >= hy1)
+                out.append((b, i0, i1, j0, j1, rx0, rx1, ry0, ry1,
+                            final))
         return out
 
-    regs = regions()
-    pts_tab = pa.table({"x": pa.array(lon), "y": pa.array(lat),
-                        "z": pa.array(v)})
+    uncertain = ~have  # in-hull(ish) nodes still needing a value
+    round_no = 0
+    while uncertain.any():
+        active = {int(bj) * nbx + int(bi)
+                  for c in np.nonzero(uncertain)[0]
+                  for bi in [np.searchsorted(xs, c % n, "right") - 1]
+                  for bj in [np.searchsorted(ys, c // n, "right") - 1]}
+        regs = regions(round_no, active)
+        reg_by_id = {r[0]: r for r in regs}
+        unc = uncertain.copy()
 
-    def assign(t: pa.Table) -> pa.Table:
-        x = t["x"].to_numpy()
-        y = t["y"].to_numpy()
-        z = t["z"].to_numpy()
-        bs, xs_, ys_, zs_ = [], [], [], []
-        for (b, _i0, _i1, _j0, _j1, rx0, rx1, ry0, ry1) in regs:
-            m = (x >= rx0) & (x <= rx1) & (y >= ry0) & (y <= ry1)
-            if m.any():
-                bs.append(np.full(m.sum(), b, np.int64))
-                xs_.append(x[m])
-                ys_.append(y[m])
-                zs_.append(z[m])
-        return pa.table({"bucket": pa.array(np.concatenate(bs)),
-                         "x": pa.array(np.concatenate(xs_)),
-                         "y": pa.array(np.concatenate(ys_)),
-                         "z": pa.array(np.concatenate(zs_))})
+        def assign(t: pa.Table, _regs=regs) -> pa.Table:
+            x = t["x"].to_numpy()
+            y = t["y"].to_numpy()
+            z = t["z"].to_numpy()
+            e = t["eid"].to_numpy()
+            bs, xs_, ys_, zs_, es_ = [], [], [], [], []
+            for (b, _i0, _i1, _j0, _j1, rx0, rx1, ry0, ry1,
+                 _fin) in _regs:
+                m = (x >= rx0) & (x <= rx1) & (y >= ry0) & (y <= ry1)
+                if m.any():
+                    bs.append(np.full(m.sum(), b, np.int64))
+                    xs_.append(x[m])
+                    ys_.append(y[m])
+                    zs_.append(z[m])
+                    es_.append(e[m])
+            if not bs:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "x": pa.array([], pa.float64()),
+                                 "y": pa.array([], pa.float64()),
+                                 "z": pa.array([], pa.float64()),
+                                 "eid": pa.array([], pa.int64())})
+            return pa.table({"bucket": pa.array(np.concatenate(bs)),
+                             "x": pa.array(np.concatenate(xs_)),
+                             "y": pa.array(np.concatenate(ys_)),
+                             "z": pa.array(np.concatenate(zs_)),
+                             "eid": pa.array(np.concatenate(es_))})
 
-    reg_by_id = {r[0]: r for r in regs}
+        def eval_bucket(g: "pd.DataFrame",
+                        _reg_by_id=reg_by_id, _unc=unc) -> "pd.DataFrame":
+            import pandas as pd
 
-    def eval_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        b = int(g["bucket"].iloc[0])
-        _, i0, i1, j0, j1, rx0, rx1, ry0, ry1 = reg_by_id[b]
-        real = ~np.isnan(g["x"].to_numpy())
-        px = g["x"].to_numpy()[real]
-        py = g["y"].to_numpy()[real]
-        pz = g["z"].to_numpy()[real]
-        bcx = cx[i0:i1]
-        bcy = cy[j0:j1]
-        if len(px) >= 3:
-            tri = build_tin(px, py)
-            vals, who = linear_eval_assign(tri, px, py, pz, bcx, bcy,
-                                           -1.0, 0.0)
-            if len(tri):
-                ux, uy, r = tri_circumcircles(tri, px, py)
-                ok_tri = ((ux - r >= rx0) & (ux + r <= rx1)
-                          & (uy - r >= ry0) & (uy + r <= ry1))
-                ok_tri &= np.isfinite(r)
+            b = int(g["bucket"].iloc[0])
+            _, i0, i1, j0, j1, rx0, rx1, ry0, ry1, final = _reg_by_id[b]
+            real = ~np.isnan(g["x"].to_numpy())
+            px = g["x"].to_numpy()[real]
+            py = g["y"].to_numpy()[real]
+            pz = g["z"].to_numpy()[real]
+            pe = g["eid"].to_numpy()[real]
+            # deterministic FILE order regardless of shuffle layout:
+            # build_tin's insertion/scan order and the nearest-argmin
+            # tie semantics then match a single driver-ordered array
+            o = np.argsort(pe, kind="stable")
+            px, py, pz = px[o], py[o], pz[o]
+            bcx = cx[i0:i1]
+            bcy = cy[j0:j1]
+            if len(px) >= 3:
+                tri = build_tin(px, py)
+                vals, who = linear_eval_assign(tri, px, py, pz, bcx,
+                                               bcy, -1.0, 0.0)
+                if final:
+                    certain = np.ones(who.shape, bool)
+                elif len(tri):
+                    ux, uy, r = tri_circumcircles(tri, px, py)
+                    ok_tri = ((ux - r >= rx0) & (ux + r <= rx1)
+                              & (uy - r >= ry0) & (uy + r <= ry1))
+                    ok_tri &= np.isfinite(r)
+                    need = ~ok_tri & np.isfinite(r)
+                    if need.any():
+                        ok_tri[need] = disc_hull_inside_rect(
+                            ux[need], uy[need], r[need], hull,
+                            rx0, rx1, ry0, ry1)
+                    certain = np.zeros(who.shape, bool)
+                    hit = who >= 0
+                    certain[hit] = ok_tri[who[hit]]
+                else:
+                    certain = np.zeros(who.shape, bool)
             else:
-                ok_tri = np.zeros(0, bool)
-            certain = np.zeros(who.shape, bool)
-            hit = who >= 0
-            certain[hit] = ok_tri[who[hit]]
-        else:
-            vals = np.zeros((len(bcy), len(bcx)))
-            certain = np.zeros(vals.shape, bool)
-        jj, ii = np.meshgrid(np.arange(j0, j1), np.arange(i0, i1),
-                             indexing="ij")
-        return pd.DataFrame({
-            "cell_id": (jj * n + ii).ravel().astype(np.int64),
-            "lin": vals.ravel(),
-            "certain": certain.ravel(),
+                vals = np.zeros((len(bcy), len(bcx)))
+                certain = np.full(vals.shape, bool(final))
+            jj, ii = np.meshgrid(np.arange(j0, j1), np.arange(i0, i1),
+                                 indexing="ij")
+            cell = (jj * n + ii).ravel().astype(np.int64)
+            want = _unc[cell]
+            return pd.DataFrame({
+                "cell_id": cell[want],
+                "lin": vals.ravel()[want],
+                "certain": certain.ravel()[want],
+                "n_pts": np.full(int(want.sum()), len(px), np.int64),
+            })
+
+        sentinels = pa.table({
+            "bucket": pa.array([r[0] for r in regs], pa.int64()),
+            "x": pa.array([np.nan] * len(regs)),
+            "y": pa.array([np.nan] * len(regs)),
+            "z": pa.array([np.nan] * len(regs)),
+            "eid": pa.array([-1] * len(regs), pa.int64()),
         })
+        ds = (pts_ds().map_batches(assign, batch_format="pyarrow")
+              .union(ray.data.from_arrow(sentinels)))
+        out_ds = (ds.groupby("bucket")
+                  .map_groups(eval_bucket, batch_format="pandas"))
+        tab = pa.concat_tables(
+            b_ for b_ in out_ds.iter_batches(batch_size=None,
+                                             batch_format="pyarrow"))
+        cells = tab["cell_id"].to_numpy()
+        vv = tab["lin"].to_numpy()
+        cert = tab["certain"].to_numpy(zero_copy_only=False)
+        got = cells[cert]
+        vals_full[got] = vv[cert]
+        have[got] = True
+        uncertain[got] = False
+        if stats is not None:
+            npts = tab["n_pts"].to_numpy()
+            stats["max_group_pts"] = max(stats["max_group_pts"],
+                                         int(npts.max()) if len(npts)
+                                         else 0)
+            stats["rounds"] = round_no + 1
+            stats["final_fired"] = (stats["final_fired"]
+                                    or any(r[-1] for r in regs))
+        if all(r[-1] for r in regs):
+            # every active region held the full hull -> exact by
+            # construction; anything still uncertain is impossible
+            break
+        round_no += 1
 
-    # one sentinel row per bucket so a points-empty bucket still
-    # forms a group and emits its node block (all-uncertain -> the
-    # exact pass evaluates it); eval_bucket drops the NaN sentinels
-    sentinels = pa.table({
-        "bucket": pa.array([r[0] for r in regs], pa.int64()),
-        "x": pa.array([np.nan] * len(regs)),
-        "y": pa.array([np.nan] * len(regs)),
-        "z": pa.array([np.nan] * len(regs)),
-    })
-    ds = (ray.data.from_arrow(pts_tab).repartition(8)
-          .map_batches(assign, batch_format="pyarrow")
-          .union(ray.data.from_arrow(sentinels)))
-    out_ds = (ds.groupby("bucket")
-              .map_groups(eval_bucket, batch_format="pandas"))
-    tab = pa.concat_tables(
-        b_ for b_ in out_ds.iter_batches(batch_size=None,
-                                         batch_format="pyarrow"))
-
-    # bounded exact pass: re-evaluate the uncertain fringe against the
-    # global TIN (one task; O(fringe) nodes)
-    certain_mask = tab["certain"].to_numpy(zero_copy_only=False)
-    cells = tab["cell_id"].to_numpy()
-    vals = tab["lin"].to_numpy().copy()
-    bad = ~certain_mask
-    if bad.any():
-        bad_cells = cells[bad]
-
-        @ray.remote
-        def exact(cell_ids):
-            tri = build_tin(lon, lat)
-            rows = np.unique(cell_ids // n)
-            fixed = {}
-            for j in rows:
-                row_vals = linear_eval(tri, lon, lat, v, cx,
-                                       cy[j:j + 1], -1.0, 0.0)[0]
-                for i in range(n):
-                    fixed[j * n + i] = row_vals[i]
-            return fixed
-
-        fixed = ray.get(exact.remote(bad_cells))
-        vals[bad] = [fixed[c] for c in bad_cells]
-
-    order = np.argsort(cells)
     return pa.table({
-        "cell_id": pa.array(cells[order]),
-        "lin": pa.array(round_away_np(vals[order], 4)),
+        "cell_id": pa.array(np.arange(n * n, dtype=np.int64)),
+        "lin": pa.array(round_away_np(vals_full, 4)),
     })
 
 

