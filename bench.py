@@ -51,6 +51,8 @@ HEADLINE = [
     "q_sessionize",         # groupby(user).map_groups stateful scan
     "q_minhash_lsh",        # minhash sketch -> LSH band buckets -> vectorized pairs
     "q_orderby_full",       # range-partitioned distributed global sort
+    "st_area_vectorized",   # ST_Area column dispatch (sql_spatial fast path)
+    "st_area_scalar",       # control: same layer through the per-row UDF loop
 ]
 
 FLAGSHIP_IMAGES = int(os.environ.get("GRAFT_FLAGSHIP_IMAGES", "1536"))
@@ -169,6 +171,66 @@ def run_flagship(num_cpus: int) -> tuple[float, int]:
     return time.time() - t0, rows
 
 
+def run_st_area(which: str) -> tuple[float, int]:
+    """ST_Area over a zones layer derived from events (one rect zone
+    per event row).  'vectorized' runs the registered column dispatch
+    (sql_spatial fast paths, VERDICT r4 directive #3); 'scalar'
+    forces the per-row UDF loop as the control — BASELINE.md records
+    the ratio (>=10x on this host).  Reported seconds are the SUMMED
+    PER-BATCH KERNEL times (CPU-seconds of the ST_Area evaluation
+    itself), not pipeline wall time — the read/WKB-construction
+    overhead is identical for both entries and would otherwise mask
+    the kernel ratio at this layer size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def f(t: pa.Table) -> pa.Table:
+        from gdal_ray.functions import sql_spatial as ss
+
+        v = t["value"].to_numpy()
+        x0 = np.fmod(v * 7.0, 340.0) - 170.0
+        y0 = np.fmod(v * 3.0, 150.0) - 75.0
+        n = len(v)
+        # vectorized little-endian WKB rect construction: 93 bytes =
+        # byte order + type + nrings + npts + 5 xy doubles
+        buf = np.zeros((n, 93), np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1] = 3
+        buf[:, 5] = 1
+        buf[:, 9] = 5
+        xy = np.empty((n, 10), np.float64)
+        xy[:, 0::2] = np.c_[x0, x0 + 13.0, x0 + 13.0, x0, x0]
+        xy[:, 1::2] = np.c_[y0, y0, y0 + 15.0, y0 + 15.0, y0]
+        buf[:, 13:] = xy.view(np.uint8).reshape(n, 80)
+        offsets = pa.py_buffer(
+            np.arange(0, (n + 1) * 93, 93, dtype=np.int32).tobytes())
+        col = pa.Array.from_buffers(
+            pa.binary(), n, [None, offsets, pa.py_buffer(buf.tobytes())])
+        k0 = time.time()
+        if which == "vectorized":
+            out = ss._FAST_PATHS["AREA"](col)
+            assert out is not None
+        else:
+            out = ss._scalar_fn(ss._st_area, pa.float64())(col)
+        ksec = time.time() - k0
+        return pa.table({"area_sum": pa.array([pc.sum(out).as_py()]),
+                         "n": pa.array([n], pa.int64()),
+                         "kernel_sec": pa.array([ksec])})
+
+    ds = ray.data.read_parquet(
+        os.path.join(SF_DIR, "events.parquet"),
+        columns=["value"]).map_batches(f, batch_format="pyarrow")
+    ksec = 0.0
+    rows = 0
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ksec += float(pc.sum(b["kernel_sec"]).as_py() or 0.0)
+        rows += int(pc.sum(b["n"]).as_py() or 0)
+    return ksec, rows
+
+
 def main() -> None:
     import ray
 
@@ -192,6 +254,10 @@ def main() -> None:
             if name == "warp_partitioned_3072":
                 dt, _ = run_warp_compose_partitioned(NUM_CPUS,
                                                      2 * FLAGSHIP_IMAGES)
+                times[name] = round(dt, 3)
+                continue
+            if name.startswith("st_area_"):
+                dt, _ = run_st_area(name.split("_")[-1])
                 times[name] = round(dt, 3)
                 continue
             consume(qs[name](SF_DIR))

@@ -393,6 +393,337 @@ def _st_makevalid(v):
     return geom_to_wkb(Geom(k, rings))
 
 
+# ---------------------------------------------------- vectorized fast paths
+# VERDICT r4 directive #3: when a hot ST_* accessor / predicate is
+# applied to a FULL geometry column, dispatch to vectorized kernels
+# instead of the per-row python scalars.  Each fast path reproduces
+# the scalar path BIT-FOR-BIT (same formulas, same per-row summation
+# shapes — asserted in tests/test_sql_spatial.py) and returns None
+# for any layout it does not recognize (big-endian rows, multi-ring
+# polygons, Z coordinates, mixed types), which falls back to the
+# scalar loop.  `SELECT ST_Area(geom) FROM zones` over a billion rows
+# then runs at numpy speed (bench.py st_vectorized entry).
+
+
+def _as_binary_array(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and (pa.types.is_binary(col.type)
+                                      or pa.types.is_large_binary(col.type)):
+        return col
+    return None
+
+
+def _wkb_col_layout(col):
+    """(data, starts, lens, rows, valid) for a binary column; rows =
+    indices of the non-null non-empty rows.  None if nothing usable."""
+    bufs = col.buffers()
+    odt = (np.int64 if pa.types.is_large_binary(col.type) else np.int32)
+    offs = np.frombuffer(bufs[1], odt)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    starts = offs[:-1]
+    lens = np.diff(offs)
+    rows = np.nonzero(valid & (lens >= 5))[0]
+    if not len(rows) or len(rows) != int(valid.sum()):
+        return None  # some non-null row is too short -> scalar path
+    return data, starts, lens, rows, valid
+
+
+def _u32_at(data, at):
+    return (data[at].astype(np.uint32)
+            | data[at + 1].astype(np.uint32) << 8
+            | data[at + 2].astype(np.uint32) << 16
+            | data[at + 3].astype(np.uint32) << 24)
+
+
+def _f64_gather(data, at, count_per_row=1):
+    idx = at[:, None] + np.arange(8)[None, :]
+    return data[idx].copy().view(np.float64).ravel()
+
+
+def _wkb_points_col(col):
+    """All non-null rows are little-endian 2-D points -> (rows, px,
+    py, valid, n); else None."""
+    lay = _wkb_col_layout(col)
+    if lay is None:
+        return None
+    data, starts, lens, rows, valid = lay
+    s = starts[rows]
+    if (data[s] != 1).any():
+        return None
+    g = _u32_at(data, s + 1)
+    hdr = np.where((g & 0x20000000) != 0, 9, 5).astype(np.int64)
+    if ((g & 0x1FFFFFFF) != 1).any() or (lens[rows] != hdr + 16).any():
+        return None
+    px = _f64_gather(data, s + hdr)
+    py = _f64_gather(data, s + hdr + 8)
+    return rows, px, py, valid, len(col)
+
+
+def _wkb_single_ring_col(col):
+    """All non-null rows are little-endian single-ring polygons ->
+    (rows, npts, x, y, valid, n) with x/y the concatenated ring
+    coordinates; else None."""
+    lay = _wkb_col_layout(col)
+    if lay is None:
+        return None
+    data, starts, lens, rows, valid = lay
+    s = starts[rows]
+    if (data[s] != 1).any():
+        return None
+    g = _u32_at(data, s + 1)
+    hdr = np.where((g & 0x20000000) != 0, 9, 5).astype(np.int64)
+    if ((g & 0x1FFFFFFF) != 3).any() or (lens[rows] < hdr + 8).any():
+        return None
+    if (_u32_at(data, s + hdr) != 1).any():
+        return None
+    npts = _u32_at(data, s + hdr + 4).astype(np.int64)
+    if (lens[rows] != hdr + 8 + npts * 16).any() or not npts.sum():
+        return None
+    cs = s + hdr + 8
+    total = int(npts.sum())
+    seg0 = np.cumsum(npts * 16) - npts * 16
+    big = (np.arange(total * 16, dtype=np.int64)
+           - np.repeat(seg0, npts * 16) + np.repeat(cs, npts * 16))
+    coords = data[big].copy().view(np.float64).reshape(-1, 2)
+    return rows, npts, coords[:, 0], coords[:, 1], valid, len(col)
+
+
+def _seg_roll(a, lo, hi):
+    """np.roll(seg, -1) applied within each [lo, hi) segment of the
+    concatenated array — elementwise identical to per-row np.roll."""
+    out = np.empty_like(a)
+    out[:-1] = a[1:]
+    out[hi - 1] = a[lo]
+    return out
+
+
+def _rowsum_by_count(terms, lo, counts):
+    """Per-segment np.sum, vectorized by grouping equal-length
+    segments into a (m, k) matrix and reducing axis=1 — numpy's
+    pairwise reduction over a contiguous row is bit-identical to
+    np.sum of the standalone slice (asserted in tests)."""
+    out = np.empty(len(lo))
+    for k in np.unique(counts):
+        sel = counts == k
+        if k == 0:
+            out[sel] = 0.0
+            continue
+        idx = lo[sel][:, None] + np.arange(k)[None, :]
+        out[sel] = terms[idx].sum(axis=1)
+    return out
+
+
+def _fast_area(col):
+    col = _as_binary_array(col)
+    parsed = _wkb_single_ring_col(col) if col is not None else None
+    if parsed is None:
+        return None
+    rows, npts, x, y, valid, n = parsed
+    hi = np.cumsum(npts)
+    lo = hi - npts
+    terms = x * _seg_roll(y, lo, hi) - _seg_roll(x, lo, hi) * y
+    vals = np.full(n, np.nan)
+    vals[rows] = np.abs(0.5 * _rowsum_by_count(terms, lo, npts))
+    return pa.array(vals, pa.float64(), mask=~valid)
+
+
+def _fast_length(col):
+    col = _as_binary_array(col)
+    parsed = _wkb_single_ring_col(col) if col is not None else None
+    if parsed is None:
+        return None
+    rows, npts, x, y, valid, n = parsed
+    hi = np.cumsum(npts)
+    lo = hi - npts
+    # np.diff within segments: drop the last element of each segment
+    keep = np.ones(len(x), bool)
+    keep[hi - 1] = False
+    hyp = np.hypot((x[1:] - x[:-1])[keep[:-1]],
+                   (y[1:] - y[:-1])[keep[:-1]])
+    vals = np.full(n, np.nan)
+    vals[rows] = _rowsum_by_count(hyp, (hi - npts) - np.arange(len(npts)),
+                                  np.maximum(npts - 1, 0))
+    return pa.array(vals, pa.float64(), mask=~valid)
+
+
+def _fast_xy(which):
+    def f(col):
+        col = _as_binary_array(col)
+        parsed = _wkb_points_col(col) if col is not None else None
+        if parsed is None:
+            return None
+        rows, px, py, valid, n = parsed
+        vals = np.full(n, np.nan)
+        vals[rows] = px if which == "x" else py
+        return pa.array(vals, pa.float64(), mask=~valid)
+
+    return f
+
+
+def _split_col_literal(a, b):
+    """(point_column, literal_bytes, point_is_a) when one side is a
+    multi-row binary column and the other a broadcastable literal."""
+    A, B = _as_binary_array(a), _as_binary_array(b)
+
+    def lit(v):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        arr = _as_binary_array(v)
+        if arr is not None and len(arr) == 1:
+            return None if arr[0].as_py() is None else arr[0].as_py()
+        return "NO"
+
+    if A is not None and len(A) > 1:
+        lv = lit(b)
+        if lv != "NO":
+            return A, lv, True
+    if B is not None and len(B) > 1:
+        lv = lit(a)
+        if lv != "NO":
+            return B, lv, False
+    return None
+
+
+def _points_vs_poly(px, py, poly: Geom):
+    """(inside, on_edge) per point, reproducing _point_in /
+    _min_ring_dist bit-for-bit (per-ring even-odd OR; vertex+segment
+    distances <= 1e-7)."""
+    from .geom import PreparedPolygon
+
+    inside = np.zeros(px.shape, bool)
+    on_edge = np.zeros(px.shape, bool)
+    for r in poly.rings:
+        inside |= PreparedPolygon(Geom(3, [r])).contains_points(px, py)
+        dv = np.hypot(px[:, None] - r[:, 0][None, :],
+                      py[:, None] - r[:, 1][None, :]).min(axis=1)
+        d = dv
+        if len(r) > 1:
+            x1, y1 = r[:-1, 0][None, :], r[:-1, 1][None, :]
+            x2, y2 = r[1:, 0][None, :], r[1:, 1][None, :]
+            dx, dy = x2 - x1, y2 - y1
+            ll = dx * dx + dy * dy
+            tt = np.where(ll > 0,
+                          ((px[:, None] - x1) * dx
+                           + (py[:, None] - y1) * dy)
+                          / np.where(ll > 0, ll, 1), 0.0)
+            tt = np.clip(tt, 0.0, 1.0)
+            ds = np.hypot(px[:, None] - (x1 + tt * dx),
+                          py[:, None] - (y1 + tt * dy)).min(axis=1)
+            d = np.minimum(dv, ds)
+        on_edge |= d <= 1e-7
+    return inside, on_edge
+
+
+def _fast_predicate(op):
+    def f(a, b):
+        split = _split_col_literal(a, b)
+        if split is None:
+            return None
+        col, litv, pt_is_a = split
+        n = len(col)
+        if litv is None:
+            return pa.array([None] * n, pa.int64())
+        g = _geom(litv)
+        if g is None:
+            return pa.array([None] * n, pa.int64())
+        if g.kind not in (3, 6):
+            return None
+        parsed = _wkb_points_col(col)
+        if parsed is None:
+            return None
+        rows, px, py, valid, _ = parsed
+        inside, on_edge = _points_vs_poly(px, py, g)
+        inter = inside | on_edge
+        false = np.zeros(inter.shape, bool)
+        table = {
+            "INTERSECTS": inter, "EQUALS": false, "DISJOINT": ~inter,
+            "TOUCHES": on_edge & ~inside, "CROSSES": false,
+            "WITHIN": inside if pt_is_a else false,
+            "CONTAINS": inside if not pt_is_a else false,
+            "OVERLAPS": false,
+        }
+        vals = np.zeros(n, np.int64)
+        vals[rows] = table[op].astype(np.int64)
+        return pa.array(vals, pa.int64(), mask=~valid)
+
+    return f
+
+
+def _fast_distance(a, b):
+    split = _split_col_literal(a, b)
+    if split is None:
+        return None
+    col, litv, _pt_is_a = split
+    n = len(col)
+    if litv is None:
+        return pa.array([None] * n, pa.float64())
+    g = _geom(litv)
+    if g is None:
+        return pa.array([None] * n, pa.float64())
+    parsed = _wkb_points_col(col)
+    if parsed is None:
+        return None
+    rows, px, py, valid, _ = parsed
+    if g.kind == 1:
+        bx, by = g.rings[0][0]
+        # np.allclose(pt, pt, atol=_EPS) elementwise (default rtol)
+        inter = ((np.abs(px - bx) <= _EPS + 1e-5 * np.abs(bx))
+                 & (np.abs(py - by) <= _EPS + 1e-5 * np.abs(by)))
+        dist = np.hypot(px - bx, py - by)
+    elif g.kind in (3, 6):
+        inside, on_edge = _points_vs_poly(px, py, g)
+        inter = inside | on_edge
+        dist = np.full(px.shape, np.inf)
+        for r in g.rings:
+            dv = np.hypot(px[:, None] - r[:, 0][None, :],
+                          py[:, None] - r[:, 1][None, :]).min(axis=1)
+            dist = np.minimum(dist, dv)
+            if len(r) > 1:
+                x1, y1 = r[:-1, 0][None, :], r[:-1, 1][None, :]
+                x2, y2 = r[1:, 0][None, :], r[1:, 1][None, :]
+                dx, dy = x2 - x1, y2 - y1
+                ll = dx * dx + dy * dy
+                tt = np.where(ll > 0,
+                              ((px[:, None] - x1) * dx
+                               + (py[:, None] - y1) * dy)
+                              / np.where(ll > 0, ll, 1), 0.0)
+                tt = np.clip(tt, 0.0, 1.0)
+                ds = np.hypot(px[:, None] - (x1 + tt * dx),
+                              py[:, None] - (y1 + tt * dy)).min(axis=1)
+                dist = np.minimum(dist, ds)
+    else:
+        return None
+    vals = np.zeros(n, np.float64)
+    vals[rows] = np.where(inter, 0.0, dist)
+    return pa.array(vals, pa.float64(), mask=~valid)
+
+
+_FAST_PATHS = {
+    "AREA": _fast_area,
+    "LENGTH": _fast_length,
+    "X": _fast_xy("x"),
+    "Y": _fast_xy("y"),
+    "DISTANCE": _fast_distance,
+}
+for _op in ("INTERSECTS", "EQUALS", "DISJOINT", "TOUCHES", "CROSSES",
+            "WITHIN", "CONTAINS", "OVERLAPS"):
+    _FAST_PATHS[_op] = _fast_predicate(_op)
+
+
+def _dispatch(fast, slow):
+    def wrapper(*args):
+        try:
+            r = fast(*args)
+        except Exception:
+            r = None
+        return slow(*args) if r is None else r
+
+    return wrapper
+
+
 def register_all() -> None:
     """Register every dialect function (idempotent)."""
     pairs = {
@@ -435,6 +766,8 @@ def register_all() -> None:
 
     for name, (fn, typ) in pairs.items():
         wrapped = _scalar_fn(fn, typ)
+        if name in _FAST_PATHS:
+            wrapped = _dispatch(_FAST_PATHS[name], wrapped)
         register_function("ST_" + name, wrapped)
         # bare alias, like REGISTER_ST_op registers both spellings —
         # except LENGTH, where the bare name must stay the swq string

@@ -136,3 +136,120 @@ def test_srid_carried_in_ewkb():
     p = one("ST_GEOMFROMTEXT", "POLYGON((0 0,0 2,2 2,2 0,0 0))", 31370)
     assert one("ST_AREA", p) == pytest.approx(4.0)
     assert one("ST_ASTEXT", one("ST_CENTROID", p)) == "POINT (1 1)"
+
+
+# ------------------------------------------------- vectorized fast paths
+
+
+def _rand_poly_wkb(rng, nv, srid=0):
+    from gdal_ray.functions.sql_spatial import _st_geomfromtext
+
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    r = rng.uniform(1.0, 5.0, nv)
+    cx, cy = rng.uniform(-50, 50, 2)
+    pts = [(cx + ri * np.cos(a), cy + ri * np.sin(a))
+           for a, ri in zip(ang, r)]
+    pts.append(pts[0])
+    wkt = "POLYGON((" + ",".join(f"{x!r} {y!r}" for x, y in pts) + "))"
+    return _st_geomfromtext(wkt, srid or None)
+
+
+def test_fast_paths_bit_identical_to_scalar():
+    """VERDICT r4 directive #3: the vectorized column dispatch must
+    reproduce the per-row scalar path bit-for-bit — areas/lengths on
+    single-ring polygons (incl. >128-vertex rings where numpy's
+    pairwise summation shape matters and EWKB SRID headers), X/Y on
+    points, all eight predicates and ST_Distance for a point column
+    against a literal polygon."""
+    import pyarrow as pa
+
+    from gdal_ray.functions.sql_spatial import (_FAST_PATHS, _scalar_fn,
+                                                _st_area, _st_distance,
+                                                _st_geomfromtext,
+                                                _st_length, _st_makepoint,
+                                                _st_x, _st_y, _geom,
+                                                _predicate)
+
+    rng = np.random.default_rng(42)
+    polys = [_rand_poly_wkb(rng, nv, srid=(4326 if i % 3 == 0 else 0))
+             for i, nv in enumerate([4, 7, 12, 150, 300, 5, 64])]
+    polys.append(None)
+    col = pa.array(polys, pa.binary())
+
+    for fast_name, scalar in (("AREA", _st_area), ("LENGTH", _st_length)):
+        got = _FAST_PATHS[fast_name](col)
+        assert got is not None
+        exp = _scalar_fn(scalar, pa.float64())(col)
+        assert got.equals(exp), fast_name
+
+    pts = [_st_makepoint(float(x), float(y))
+           for x, y in rng.uniform(-20, 20, (200, 2))]
+    pts.append(None)
+    pcol = pa.array(pts, pa.binary())
+    for fast_name, scalar in (("X", _st_x), ("Y", _st_y)):
+        got = _FAST_PATHS[fast_name](pcol)
+        assert got is not None
+        exp = _scalar_fn(scalar, pa.float64())(pcol)
+        assert got.equals(exp), fast_name
+
+    lit = _st_geomfromtext("POLYGON((-10 -10,15 -10,15 12,-10 12,-10 -10))")
+    larr = pa.array([lit], pa.binary())
+    for op in ("INTERSECTS", "EQUALS", "DISJOINT", "TOUCHES", "CROSSES",
+               "WITHIN", "CONTAINS", "OVERLAPS"):
+        got = _FAST_PATHS[op](pcol, larr)
+        assert got is not None
+        exp = pa.array(
+            [None if p is None else int(_predicate(op, _geom(p), _geom(lit)))
+             for p in pts], pa.int64())
+        assert got.equals(exp), f"{op} col-vs-lit"
+        got2 = _FAST_PATHS[op](larr, pcol)
+        exp2 = pa.array(
+            [None if p is None else int(_predicate(op, _geom(lit), _geom(p)))
+             for p in pts], pa.int64())
+        assert got2.equals(exp2), f"{op} lit-vs-col"
+
+    gotd = _FAST_PATHS["DISTANCE"](pcol, larr)
+    assert gotd is not None
+    expd = pa.array([None if p is None else _st_distance(p, lit)
+                     for p in pts], pa.float64())
+    assert gotd.equals(expd)
+
+    # point literal
+    plit = pa.array([_st_makepoint(3.0, 4.0)], pa.binary())
+    gotp = _FAST_PATHS["DISTANCE"](pcol, plit)
+    expp = pa.array([None if p is None else _st_distance(p, plit[0].as_py())
+                     for p in pts], pa.float64())
+    assert gotp.equals(expp)
+
+
+def test_fast_path_falls_back_on_unsupported_layouts():
+    import pyarrow as pa
+
+    from gdal_ray.functions.sql_spatial import _FAST_PATHS, _st_geomfromtext
+
+    # big-endian WKB point -> fast parse refuses, returns None
+    import struct
+    be_pt = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 1.0, 2.0)
+    col = pa.array([be_pt, be_pt], pa.binary())
+    assert _FAST_PATHS["X"](col) is None
+    # multi-ring polygon -> area fast path refuses
+    hole = _st_geomfromtext(
+        "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,3 2,3 3,2 3,2 2))")
+    assert _FAST_PATHS["AREA"](pa.array([hole, hole], pa.binary())) is None
+
+
+def test_fast_path_is_the_registered_surface():
+    """The dispatched fast path is what the swq SQL surface actually
+    calls (CUSTOM_FUNCS registration) — same values as the scalar
+    wrapper, so q_sql_spatial hashes are unchanged by construction."""
+    import pyarrow as pa
+
+    from gdal_ray.functions.sql_spatial import _scalar_fn, _st_area
+    from gdal_ray.functions.swq import CUSTOM_FUNCS
+
+    wkbs = [_rand_poly_wkb(np.random.default_rng(i), 6) for i in range(50)]
+    col = pa.chunked_array([pa.array(wkbs, pa.binary())])
+    got = CUSTOM_FUNCS["ST_AREA"](col)
+    exp = _scalar_fn(_st_area, pa.float64())(col)
+    assert pa.chunked_array([got]).combine_chunks().equals(
+        pa.chunked_array([exp]).combine_chunks())
