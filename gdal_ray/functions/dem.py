@@ -363,3 +363,87 @@ def color_relief(z: np.ndarray, levels, colors) -> np.ndarray:
     t = np.clip(t, 0.0, 1.0)[..., None]
     out = colors[idx] * (1 - t) + colors[idx + 1] * t
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------
+# `gdal raster color-map` step (apps/gdalalg_raster_color_map.cpp):
+# expand a single band to RGB(A) through a gdaldem color file or the
+# band's own color table (autotest/utilities/
+# test_gdalalg_raster_color_map.py published checksums).
+
+_NAMED_COLORS = {
+    "white": (255, 255, 255), "black": (0, 0, 0), "red": (255, 0, 0),
+    "green": (0, 255, 0), "blue": (0, 0, 255), "yellow": (255, 255, 0),
+    "magenta": (255, 0, 255), "cyan": (0, 255, 255),
+    "aqua": (0, 255, 255), "grey": (128, 128, 128),
+    "gray": (128, 128, 128), "orange": (255, 165, 0),
+    "brown": (165, 42, 42), "purple": (128, 0, 128),
+    "violet": (238, 130, 238), "indigo": (75, 0, 130),
+}
+
+
+def parse_color_file(text: str):
+    """gdaldem color file -> (levels, colors, alphas).  Supports
+    numeric 'elev R G B [A]' rows, single-value grey rows, named
+    colors and comma separators (GDALColorReliefParseColorFile,
+    apps/gdaldem_lib.cpp).  'nv' rows return level None."""
+    levels, colors, alphas = [], [], []
+    for line in text.splitlines():
+        line = line.split("#")[0].strip().replace(",", " ")
+        if not line:
+            continue
+        parts = line.split()
+        lv = None if parts[0].lower() == "nv" else float(parts[0])
+        rest = parts[1:]
+        if len(rest) == 1 and rest[0].lower() in _NAMED_COLORS:
+            rgb = list(_NAMED_COLORS[rest[0].lower()])
+            a = 255
+        else:
+            nums = [int(float(p)) for p in rest]
+            if len(nums) == 1:
+                rgb = [nums[0]] * 3
+                a = 255
+            else:
+                rgb = nums[:3]
+                a = nums[3] if len(nums) > 3 else 255
+        levels.append(lv)
+        colors.append(tuple(rgb))
+        alphas.append(a)
+    return levels, colors, alphas
+
+
+def color_map(band: np.ndarray, levels, colors, alphas=None,
+              color_selection: str = "interpolate",
+              add_alpha: bool = False,
+              src_nodata: float | None = None) -> np.ndarray:
+    """'gdal raster color-map' with a color file: returns (h, w, 3|4)
+    uint8.  color_selection: interpolate | exact | nearest (mapped to
+    the gdaldem color-relief modes; the alpha channel interpolates
+    with the same rule)."""
+    mode = {"interpolate": "linear_interpolation",
+            "exact": "exact_color_entry",
+            "nearest": "nearest_color_entry"}[color_selection]
+    keep = [i for i, lv in enumerate(levels) if lv is not None]
+    lv = [levels[i] for i in keep]
+    co = [colors[i] for i in keep]
+    al = [alphas[i] if alphas else 255 for i in keep]
+    rgb = color_relief_gdal(band, lv, co, mode, src_nodata=src_nodata)
+    if not add_alpha:
+        return rgb
+    a = color_relief_gdal(band, lv, [(x, x, x) for x in al], mode,
+                          src_nodata=src_nodata)[:, :, 0]
+    return np.dstack([rgb, a])
+
+
+def color_map_from_table(idx: np.ndarray, palette: np.ndarray,
+                         add_alpha: bool = False) -> np.ndarray:
+    """'gdal raster color-map' without a color file: expand the
+    band's color table (gdal_translate -expand rgb/rgba semantics).
+    palette: (n, 3|4) uint8; indices beyond the table map to 0."""
+    pal = np.asarray(palette, np.uint8)
+    if pal.shape[1] == 3:
+        pal = np.c_[pal, np.full(len(pal), 255, np.uint8)]
+    safe = np.clip(idx, 0, len(pal) - 1)
+    out = pal[safe]
+    out[idx >= len(pal)] = 0
+    return out[:, :, :4] if add_alpha else out[:, :, :3]

@@ -373,3 +373,30 @@ def trimming(bands: np.ndarray, trimming_band: np.ndarray, *,
     for i in range(n):
         out[:, :, i] = np.where(valid, out[:, :, i], out_nd[i])
     return out
+
+
+def nodata_to_alpha(px: np.ndarray, nodata=None) -> np.ndarray:
+    """`gdal raster nodata-to-alpha` step
+    (apps/gdalalg_raster_nodata_to_alpha.cpp; autotest
+    test_gdalalg_raster_nodata_to_alpha.py): append an alpha band
+    that is 0 where EVERY band equals its nodata value, 255
+    elsewhere.  ``nodata`` is a scalar applied to all bands or a
+    per-band sequence; None is a no-op (the reference returns the
+    input unchanged when no nodata is set)."""
+    if nodata is None:
+        return px
+    bands = px[:, :, None] if px.ndim == 2 else px
+    nb = bands.shape[2]
+    nd = list(nodata) if hasattr(nodata, "__len__") else [nodata] * nb
+    if len(nd) != nb:
+        raise ValueError(
+            f"There should be {nb} nodata values for {nb} bands")
+    mask = np.ones(bands.shape[:2], bool)
+    for b in range(nb):
+        ndv = float(nd[b])
+        if np.isnan(ndv):
+            mask &= np.isnan(bands[:, :, b].astype(np.float64))
+        else:
+            mask &= bands[:, :, b] == np.asarray(ndv).astype(bands.dtype)
+    alpha = np.where(mask, 0, 255).astype(np.uint8)
+    return np.dstack([bands, alpha])

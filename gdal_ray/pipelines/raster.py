@@ -1230,6 +1230,16 @@ def q_dem_goldens(sf_dir: str):
         ("tpi", 60504), ("tri_wilson", 61143), ("tri_riley", 41233),
         ("roughness", 38624), ("color_relief_linear", 55066),
         ("color_relief_nearest", 57296), ("color_relief_exact", 8073),
+        # `gdal raster color-map` / `nodata-to-alpha` steps (VERDICT
+        # r4 #6; autotest/utilities/test_gdalalg_raster_color_map.py
+        # + test_gdalalg_raster_nodata_to_alpha.py published values)
+        ("color_map_b2", 37594), ("color_map_b3", 47768),
+        ("color_map_alpha", 48613),
+        ("color_map_exact_b2", 53707), ("color_map_exact_b3", 59536),
+        ("color_map_nearest_b2", 42926), ("color_map_nearest_b3", 47181),
+        ("color_map_table_b1", 4672), ("color_map_table_b2", 4672),
+        ("color_map_table_b3", 4672), ("color_map_table_alpha", 4873),
+        ("nodata_to_alpha_noop", 4672),
     ]
     if not os.path.exists(n43):
         return pa.table({"case": pa.array([], pa.string()),
@@ -1286,6 +1296,40 @@ def q_dem_goldens(sf_dir: str):
                                               alg="zevenbergen-thorne")))
             elif case == "aspect_zt":
                 ck = checksum_image(i32(aspect(z, alg="zevenbergen-thorne")))
+            elif case.startswith("color_map") or case == "nodata_to_alpha_noop":
+                from ..functions.dem import (color_map,
+                                             color_map_from_table,
+                                             parse_color_file)
+                from ..functions.pixelfuncs import nodata_to_alpha
+
+                ref = "/root/reference/autotest"
+                if case == "nodata_to_alpha_noop":
+                    bpx, _ = decode_tiff(
+                        open(f"{ref}/gcore/data/byte.tif", "rb").read())
+                    ck = checksum_image(nodata_to_alpha(bpx, None))
+                elif case.startswith("color_map_table"):
+                    from ..sources.bmp import decode_bmp
+
+                    idx, palette = decode_bmp(
+                        open(f"{ref}/gcore/data/8bit_pal.bmp", "rb").read())
+                    out4 = color_map_from_table(idx, palette,
+                                                add_alpha=True)
+                    band = {"color_map_table_b1": 0,
+                            "color_map_table_b2": 1,
+                            "color_map_table_b3": 2,
+                            "color_map_table_alpha": 3}[case]
+                    ck = checksum_image(out4[:, :, band])
+                else:
+                    levels, colors, alphas = parse_color_file(
+                        open(f"{ref}/utilities/data/color_file.txt").read())
+                    sel = ("exact" if "exact" in case
+                           else "nearest" if "nearest" in case
+                           else "interpolate")
+                    cm = color_map(z, levels, colors, alphas,
+                                   color_selection=sel, add_alpha=True)
+                    band = 3 if case.endswith("alpha") else \
+                        int(case[-1]) - 1
+                    ck = checksum_image(cm[:, :, band])
             elif case.startswith("color_relief"):
                 from ..functions.dem import color_relief_gdal
 

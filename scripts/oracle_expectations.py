@@ -569,7 +569,12 @@ def _q_dem_goldens(sf):
     # test_gdaldem_lib.py published checksums
     import pandas as pd
 
-    pairs = extract_tuple_pairs(_raster().q_dem_goldens, "cases")
+    pairs = ref_check(
+        extract_tuple_pairs(_raster().q_dem_goldens, "cases"),
+        ["autotest/utilities/test_gdaldem_lib.py",
+         "autotest/utilities/test_gdalalg_raster_color_map.py",
+         "autotest/utilities/test_gdalalg_raster_nodata_to_alpha.py",
+         "autotest/gcore/tiff_read.py"])
     return pd.DataFrame({"case": [c for c, _ in pairs],
                          "cksum": [e for _, e in pairs],
                          "expected": [e for _, e in pairs]})
