@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged.update(text_embed.QUERIES)
     merged.update(raster.QUERIES)
     merged.update(vector_ops.QUERIES)
+    from gdal_ray.pipelines.flagship import q_phash_neardup
+
+    merged["q_phash_neardup"] = q_phash_neardup
     merged["q_audio_features"] = audio_features_query
     merged["q_multimodal_real"] = multimodal_real_query
     merged["q_video_frames"] = video_frames_query

@@ -1661,3 +1661,35 @@ def _q_jaccard_verify(sf):
 # order, so an "independent" reimplementation would just transcribe
 # the ordering rules (ground truth: the reference-analytic contour
 # tests + tiled-vs-single-tile identity in pytest).
+
+
+@builder("q_phash_neardup")
+def _q_phash_neardup(sf):
+    """Engine-free single-machine banded-hamming reimplementation
+    (VERDICT r4 directive #7): phashes come from the synthesis
+    manifest (sources/images.py phash64 over the raw synthesized
+    pixels — source class 2), candidates from 8x8-bit band
+    collisions, verification by exact popcount <= 6.  Shares no code
+    with the distributed pipeline."""
+    import numpy as np
+
+    from gdal_ray.pipelines.flagship import PHASH_BANDS, PHASH_N, PHASH_T
+    from gdal_ray.sources.images import image_pixels, phash64
+
+    ph = np.array([phash64(image_pixels(i)) for i in range(PHASH_N)],
+                  np.int64).view(np.uint64)
+    cand = set()
+    for b in range(PHASH_BANDS):
+        byte = (ph >> np.uint64(8 * b)) & np.uint64(0xFF)
+        order = np.argsort(byte, kind="stable")
+        for v in np.unique(byte):
+            members = np.nonzero(byte == v)[0]
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    cand.add((int(members[i]), int(members[j])))
+    rows = []
+    for a, b in sorted(cand):
+        ham = int(bin(int(ph[a] ^ ph[b])).count("1"))
+        if ham <= PHASH_T:
+            rows.append((f"img{a:08d}", f"img{b:08d}", ham))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
