@@ -2745,6 +2745,64 @@ def q_sar_ceos(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=1)
 
 
+def q_simplify_coverage(sf_dir: str):
+    """`gdal vector simplify-coverage` (VERDICT r4 directive #4;
+    apps/gdalalg_vector_simplify_coverage.cpp, GEOS CoverageSimplifier
+    contract) over the synthetic jagged-grid coverage: per-cell rows
+    (fid, pts_before, pts_after, area_q, topo_ok) plus a fid=-1
+    summary row.  topo_ok asserts the coverage CONTRACT after
+    simplification — feature count preserved, every interior segment
+    still shared by exactly two cells, exterior segments unshared,
+    vertex count reduced, total area exactly the frame area (the
+    partition sums to 96^2 bit-for-bit because shared arcs are
+    replaced identically on both sides).  The oracle pins fid /
+    pts_before / topo_ok independently (coverage synthesis
+    arithmetic); pts_after / area_q ride along as determinism pins.
+    """
+    from collections import Counter
+
+    from ..functions.geom import geom_area
+    from ..functions.wkb import wkb_to_geom
+    from ..stages.coverage import (COV_TOL, jagged_coverage,
+                                   segments_table,
+                                   simplify_coverage_table)
+
+    fids, wkbs = jagged_coverage()
+    pts_before = np.array([len(wkb_to_geom(w).rings[0]) for w in wkbs],
+                          np.int64)
+    out = simplify_coverage_table(fids, wkbs, COV_TOL,
+                                  preserve_boundary=True)
+    wo = [w.as_py() for w in out["geometry"]]
+    fo = out["fid"].to_numpy()
+    pts_after = out["n_pts"].to_numpy()
+    areas = np.array([geom_area(wkb_to_geom(w)) for w in wo])
+
+    before_mult = Counter(
+        Counter(segments_table(fids, wkbs)["seg"].to_numpy().tolist())
+        .values())
+    s2 = segments_table(fo, wo)
+    after_mult = Counter(Counter(s2["seg"].to_numpy().tolist()).values())
+    topo = (len(fo) == len(fids)
+            and set(after_mult) <= {1, 2}
+            and int(pts_after.sum()) < int(pts_before.sum())
+            and abs(float(areas.sum()) - 9216.0) < 1e-6)
+
+    rows_fid = np.concatenate([fo, [-1]])
+    rows_pb = np.concatenate([pts_before, [int(pts_before.sum())]])
+    rows_pa = np.concatenate([pts_after, [int(pts_after.sum())]])
+    rows_ar = np.concatenate([np.round(areas, 6),
+                              [round(float(areas.sum()), 6)]])
+    rows_ok = np.concatenate([np.ones(len(fo), np.int64),
+                              [int(topo)]])
+    return pa.table({
+        "fid": pa.array(rows_fid, pa.int64()),
+        "pts_before": pa.array(rows_pb, pa.int64()),
+        "pts_after": pa.array(rows_pa, pa.int64()),
+        "area_q": pa.array(rows_ar, pa.float64()),
+        "topo_ok": pa.array(rows_ok, pa.int64()),
+    })
+
+
 QUERIES = {
     "q_xodr_layers": q_xodr_layers,
     "q_sar_product_formats": q_sar_product_formats,
@@ -2798,4 +2856,5 @@ QUERIES = {
     "q_sqlite_layer": q_sqlite_layer,
     "q_arrow_layer": q_arrow_layer,
     "q_zfield_precision": q_zfield_precision,
+    "q_simplify_coverage": q_simplify_coverage,
 }

@@ -1693,3 +1693,22 @@ def _q_phash_neardup(sf):
         if ham <= PHASH_T:
             rows.append((f"img{a:08d}", f"img{b:08d}", ham))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
+@builder("q_simplify_coverage")
+def _q_simplify_coverage(sf):
+    """Independent columns: fid / pts_before come from the coverage
+    synthesis arithmetic (4 jagged arcs of 24 unit steps per cell ->
+    97 ring points incl. closure), topo_ok pins the coverage contract
+    (any topology break in the engine flips the flag to 0 and fails
+    the gate).  pts_after / area_q are engine determinism pins
+    (partial-builder mixed provenance)."""
+    from gdal_ray.stages.coverage import COV_G
+
+    n = COV_G * COV_G
+    pb = 4 * 24 + 1
+    return pd.DataFrame({
+        "fid": list(range(n)) + [-1],
+        "pts_before": [pb] * n + [pb * n],
+        "topo_ok": [1] * (n + 1),
+    })
