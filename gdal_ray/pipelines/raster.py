@@ -2303,6 +2303,11 @@ def q_jp2(sf_dir: str):
         ("tile_size_16.jp2@1", 0, 61711),
         ("WRITE:byte.tif", 0, 4672),
         ("WRITE:small_world.tif", 1, 32302),
+        # lossy 9/7 encode->decode roundtrips at the GDAL JP2OpenJPEG
+        # default QUALITY=25: value = the input_hint's PSNR>=40dB
+        # gate (jp2openjpeg.py lossy CreateCopy cases)
+        ("LOSSY:byte.tif", 0, 1),
+        ("LOSSY:rgbsmall.tif", 1, 1),
     ]
     D = "/root/reference/autotest/gdrivers/data/jpeg2000"
     if not os.path.exists(f"{D}/byte.jp2"):
@@ -2315,6 +2320,25 @@ def q_jp2(sf_dir: str):
 
         names, cks, exps = [], [], []
         for r in t.to_pylist():
+            if r["file"].startswith("LOSSY:"):
+                from ..functions.jp2k import encode_jp2_lossy
+                from ..sources.tiff import decode_tiff
+
+                name = r["file"].split(":", 1)[1]
+                src, _ = decode_tiff(open(
+                    f"/root/reference/autotest/gcore/data/{name}",
+                    "rb").read())
+                dec, _ = decode_jp2(encode_jp2_lossy(
+                    src.astype(np.uint8), quality=25.0))
+                err = (dec.astype(np.float64)
+                       - src.astype(np.float64))
+                mse = float(np.mean(err * err))
+                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2
+                                                           / mse)
+                names.append(f"{r['file']}:{r['band'] + 1}")
+                cks.append(int(psnr >= 40.0))
+                exps.append(r["expected"])
+                continue
             if r["file"].startswith("WRITE:"):
                 # lossless write->read roundtrip of a reference
                 # fixture: decoded checksum = the published source

@@ -458,18 +458,47 @@ _EMPTY_SUMMARY = pa.table({
 })
 
 
-def _write_block(t: pa.Table, out_dir: str) -> pa.Table:
+def _write_block(t: pa.Table, out_dir: str,
+                 codec: str = "raw") -> pa.Table:
     """Task-side writer: one parquet file + one manifest shard per
     block; returns a tiny per-zoom summary row set. Write order
     (tmp parquet -> atomic rename -> shard) keeps partial failures
     recoverable: a parquet without its shard is an orphan that
-    ``clean_orphans`` removes on resume."""
+    ``clean_orphans`` removes on resume.
+
+    ``codec``: payload encoding for the pixels column — "raw"
+    (default), "png", or "jp2[:QUALITY]" (9/7 lossy through
+    functions/jp2k.py encode_jp2_lossy; QUALITY defaults to the GDAL
+    JP2OpenJPEG 25)."""
     import uuid
 
     import pyarrow.parquet as pq
 
     if t.num_rows == 0:
         return _EMPTY_SUMMARY
+    if codec != "raw":
+        from ..functions.codecs import decode_image
+
+        blobs = []
+        if codec.startswith("jp2"):
+            from ..functions.jp2k import encode_jp2_lossy
+
+            q = float(codec.split(":", 1)[1]) if ":" in codec else 25.0
+            for payload in t["pixels"].to_pylist():
+                blobs.append(encode_jp2_lossy(decode_image(payload),
+                                              quality=q))
+        elif codec == "png":
+            from ..functions.codecs import encode_image
+
+            for payload in t["pixels"].to_pylist():
+                blobs.append(encode_image(decode_image(payload), "png"))
+        else:
+            raise ValueError(f"unknown tile codec {codec!r}")
+        t = t.set_column(t.column_names.index("pixels"), "pixels",
+                         pa.array(blobs, pa.binary()))
+        t = t.append_column("codec",
+                            pa.array([codec.split(":")[0]] * t.num_rows,
+                                     pa.string()))
     sink = _SinkFS(out_dir)
     zs = t["z"].to_numpy()
     keys = t["tile_key"].to_numpy()
@@ -494,7 +523,7 @@ def _write_block(t: pa.Table, out_dir: str) -> pa.Table:
     })
 
 
-def write_tiles(tiles, out_dir: str) -> dict:
+def write_tiles(tiles, out_dir: str, codec: str = "raw") -> dict:
     """Write composed tiles to partitioned parquet + per-partition
     lineage manifest — FROM THE TASKS, not the driver: each block's
     task writes its own parquet file and a manifest shard; only the
@@ -506,7 +535,7 @@ def write_tiles(tiles, out_dir: str) -> dict:
     _SinkFS(out_dir).mkdirs()
 
     summaries = tiles.map_batches(
-        lambda t: _write_block(t, out_dir), batch_format="pyarrow")
+        lambda t: _write_block(t, out_dir, codec), batch_format="pyarrow")
     stats = {"n_tiles": 0, "n_valid_px": 0, "by_zoom": {}}
     for s in summaries.iter_batches(batch_size=None, batch_format="pyarrow"):
         for z, n, npx in zip(s["z"].to_numpy(), s["n_tiles"].to_numpy(),

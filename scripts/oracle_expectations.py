@@ -1118,7 +1118,9 @@ def _q_jp2(sf):
              ("513x513.jp2@1:1", 29642),
              ("tile_size_16.jp2@1:1", 61711),
              ("WRITE:byte.tif:1", 4672),
-             ("WRITE:small_world.tif:2", 32302)]
+             ("WRITE:small_world.tif:2", 32302),
+             # lossy 9/7 roundtrips: the input_hint PSNR>=40dB gate
+             ("LOSSY:byte.tif:1", 1), ("LOSSY:rgbsmall.tif:2", 1)]
     return cce(pairs)
 
 
