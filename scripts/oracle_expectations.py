@@ -1714,3 +1714,802 @@ def _q_simplify_coverage(sf):
         "pts_before": [pb] * n + [pb * n],
         "topo_ok": [1] * (n + 1),
     })
+
+
+def check_pairs(rows, cols, check_cols, ref_files, derived=()):
+    """ref_check for row-tuples: every value in `check_cols` must
+    appear verbatim in one of the cited reference autotest sources,
+    except cells listed in `derived` as (row_label, col) — counts the
+    reference exercises without printing (cited at the query).  The
+    first column is the row label."""
+    import os
+
+    blob = []
+    for f in ref_files:
+        p = os.path.join("/root/reference/autotest", f)
+        if os.path.exists(p):
+            with open(p, errors="replace") as fh:
+                blob.append(fh.read())
+    blob = "\n".join(blob)
+    derived = set(tuple(d) for d in derived)
+    missing = []
+    for r in rows:
+        label = r[0]
+        for c in check_cols:
+            if any((r[k], c) in derived
+                   for k in range(min(2, len(r)))):
+                continue
+            v = r[cols.index(c)]
+            if str(v) not in blob:
+                missing.append((label, c, v))
+    if missing:
+        raise AssertionError(
+            f"claims not found in {ref_files}: {missing}")
+    return rows
+# (appended by round-5 oracle-independence conversion)
+
+
+@builder('q_avc_layer')
+def _q_avc_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_avc.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('test.e00', 'LAB', 2),
+        ('testpoly.e00', 'LAB', 2),
+        ('test.e00', 'ARC', 7),
+        ('testpoly.e00', 'ARC', 7),
+        ('testpoint.e00', 'LAB', 80),
+        ('testpoly.e00', 'CNT', 4),
+        ('testpoly.e00', 'PAL', 3),
+    ]
+    cols = ['file', 'layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_avc.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_cad_layer')
+def _q_cad_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_cad.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('line_r2000:0', 1),
+        ('triple_circles_r2000:0', 1),
+        ('triple_circles_r2000:2', 1),
+        ('triple_circles_r2000:1', 1),
+        ('point2d_r2000:0', 1),
+        ('ellipse_r2000:0', 1),
+        ('text_mtext_attdef_r2000:0', 3),
+    ]
+    cols = ['layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_cad.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_dxf_layer')
+def _q_dxf_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_dxf.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('3dface', 2),
+        ('LWPOLYLINE-OCS', 13),
+        ('assorted', 22),
+        ('circle', 2),
+        ('closed_polyline_with_bulge', 1),
+        ('entities_only', 2),
+        ('insert_only', 1),
+        ('polyline_smooth', 1),
+        ('solid', 1),
+    ]
+    cols = ['layer', 'n_feats']
+    check_pairs(rows, cols, ['n_feats'], ['ogr/ogr_dxf.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_duckdb_layer')
+def _q_duckdb_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_adbc.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('spatial_index', 10),
+        ('sql', 5),
+        ('table', 10),
+    ]
+    cols = ['case', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_adbc.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_fgdb_layer')
+def _q_fgdb_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_openfilegdb.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('polygon_golden.gdb', 'OGRGeoJSON', 1),
+        ('testopenfilegdb.gdb', 'linestring', 5),
+        ('testopenfilegdb.gdb', 'multilinestring_multipart', 5),
+        ('testopenfilegdb.gdb', 'multipoint', 5),
+        ('testopenfilegdb.gdb', 'multipolygon', 5),
+        ('testopenfilegdb.gdb', 'point', 5),
+        ('testopenfilegdb.gdb', 'point25D', 5),
+        ('testopenfilegdb.gdb', 'polygon', 5),
+        ('testopenfilegdb.gdb', 'polygon25D', 5),
+        ('testopenfilegdb.gdb', 'linestringzm', 1),
+        ('testopenfilegdb.gdb', 'multipointzm', 1),
+        ('testopenfilegdb.gdb', 'pointzm', 1),
+        ('testopenfilegdb.gdb', 'polygonzm', 1),
+        ('testopenfilegdb.gdb', 'big_layer', 341),
+        ('arcgis_pro_32_types.gdb', 'big_int', 2),
+        ('testopenfilegdb.gdb', 'hole', 12),
+        ('arcgis_pro_32_types.gdb', 'date_types', 3),
+        ('testopenfilegdb.gdb', 'several_polygons', 9),
+    ]
+    cols = ['gdb', 'layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_openfilegdb.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_json_layer')
+def _q_json_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_geojson.py', 'ogr/ogr_jsonfg.py', 'ogr/ogr_esrijson.py', 'ogr/ogr_topojson.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('crs_32631_fc_only.json', 'features', 1),
+        ('topojson2.topojson', 'a_layer', 1),
+        ('topojson2.topojson', 'TopoJSON', 1),
+        ('topojson3.topojson', 'TopoJSON', 1),
+        ('two_feature_types.json', 'type2', 1),
+        ('esrizmmultipoint.json', 'layer', 1),
+        ('two_feature_types.json', 'type1', 2),
+        ('topojson1.topojson', 'TopoJSON', 35),
+        ('esrilinestring.json', 'layer', 1),
+        ('esripolygon.json', 'layer', 1),
+        ('esripoint.json', 'layer', 1),
+        ('topojson1.topojson', 'a_layer', 1),
+        ('topojson3.topojson', 'a_layer', 1),
+    ]
+    cols = ['file', 'layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_geojson.py', 'ogr/ogr_jsonfg.py', 'ogr/ogr_esrijson.py', 'ogr/ogr_topojson.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_mif_layer')
+def _q_mif_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_mitab.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('all_geoms', 1, 16),
+        ('all_possible_fields', 11, 2),
+        ('empty_first_field_with_tab_delimiter', 3, 1),
+        ('multilinemid', 4, 2),
+        ('nomid', 1, 2),
+        ('single_field', 2, 3),
+        ('small', 8, 2),
+    ]
+    cols = ['layer', 'n_cols', 'n_rows']
+    check_pairs(rows, cols, ['n_cols', 'n_rows'], ['ogr/ogr_mitab.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_mitab_tab')
+def _q_mitab_tab_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_mitab.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('poly_indexed', 4, 10),
+        ('aspatial', 2, 3),
+        ('all_geoms', 2, 16),
+        ('polygon_without_index', 17, 4),
+        ('all_possible_fields', 10, 2),
+        ('aspatial-table', 4, 2),
+        ('first_table', 3, 1),
+    ]
+    cols = ['layer', 'n_cols', 'n_rows']
+    check_pairs(rows, cols, ['n_cols', 'n_rows'], ['ogr/ogr_mitab.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_mvt_layer')
+def _q_mvt_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_mvt.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('datatypes/0/0/0.pbf', 'datatypes', 1),
+        ('mixed/0/0/0.pbf', 'mixed', 2),
+        ('point_polygon/0', 'polygon2', 1),
+        ('linestring/0/0/0.pbf', 'linestring', 1),
+        ('multilinestring/0/0/0.pbf', 'multilinestring', 1),
+        ('point_polygon/0', 'point', 1),
+        ('polygon/0/0/0.pbf', 'polygon', 1),
+    ]
+    cols = ['file', 'layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_mvt.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_osm_layer')
+def _q_osm_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_osm.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('base-64.osm.pbf', 'lines', 166),
+        ('base-64.osm.pbf', 'multilinestrings', 0),
+        ('base-64.osm.pbf', 'multipolygons', 60),
+        ('base-64.osm.pbf', 'other_relations', 0),
+        ('base-64.osm.pbf', 'points', 14),
+        ('test.osm', 'lines', 2),
+        ('test.osm', 'multilinestrings', 1),
+        ('test.osm', 'multipolygons', 3),
+        ('test.osm', 'other_relations', 1),
+        ('test.osm', 'points', 1),
+        ('test.pbf', 'lines', 2),
+        ('test.pbf', 'multilinestrings', 1),
+        ('test.pbf', 'multipolygons', 3),
+        ('test.pbf', 'other_relations', 1),
+        ('test.pbf', 'points', 1),
+        ('test_uncompressed_dense_false.pbf', 'lines', 2),
+        ('test_uncompressed_dense_false.pbf', 'multilinestrings', 1),
+        ('test_uncompressed_dense_false.pbf', 'multipolygons', 3),
+        ('test_uncompressed_dense_false.pbf', 'other_relations', 1),
+        ('test_uncompressed_dense_false.pbf', 'points', 1),
+    ]
+    cols = ['file', 'layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_osm.py'],
+                derived=[('lines', 'n_rows')])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_s57_layer')
+def _q_s57_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_s57.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('1B5X02NE.000', 'COALNE', 1),
+        ('1B5X02NE.000', 'DEPARE', 4),
+        ('1B5X02NE.000', 'DEPCNT', 4),
+        ('1B5X02NE.000', 'DSID', 1),
+        ('1B5X02NE.000', 'LNDARE', 1),
+        ('1B5X02NE.000', 'LNDELV', 2),
+        ('1B5X02NE.000', 'M_COVR', 1),
+        ('1B5X02NE.000', 'M_NSYS', 1),
+        ('1B5X02NE.000', 'M_QUAL', 1),
+        ('1B5X02NE.000', 'SBDARE', 2),
+        ('1B5X02NE.000', 'SLCONS', 1),
+        ('1B5X02NE.000', 'SLOTOP', 1),
+        ('1B5X02NE.000', 'SOUNDG', 2),
+        ('bug1526.000', 'BOYCAR', 5),
+        ('bug1526.000', 'DRGARE', 7),
+        ('bug1526.000', 'DSID', 1),
+        ('bug1526.000', 'FAIRWY', 2),
+        ('bug1526.000', 'FOGSIG', 1),
+        ('bug1526.000', 'LIGHTS', 7),
+        ('bug1526.000', 'RIVERS', 1),
+        ('bug1526.000', 'SOUNDG', 4),
+        ('bug1526.000', 'TOPMAR', 5),
+        ('bug1526.000', 'UWTROC', 35),
+        ('bug2147_3R7D0889.000', 'BUAARE', 5),
+        ('bug2147_3R7D0889.000', 'DEPARE', 3),
+        ('bug2147_3R7D0889.000', 'DSID', 1),
+        ('bug2147_3R7D0889.000', 'FAIRWY', 1),
+        ('bug2147_3R7D0889.000', 'LAKARE', 1),
+        ('bug2147_3R7D0889.000', 'LIGHTS', 6),
+        ('bug2147_3R7D0889.000', 'LNDARE', 12),
+        ('bug2147_3R7D0889.000', 'M_COVR', 1),
+        ('bug2147_3R7D0889.000', 'ROADWY', 1),
+        ('bug2147_3R7D0889.000', 'SEAARE', 1),
+        ('bug2147_3R7D0889.000', 'bcnwtw', 3),
+        ('bug2147_3R7D0889.000', 'boywtw', 4),
+        ('bug2147_3R7D0889.000', 'dismar', 22),
+        ('bug2147_3R7D0889.000', 'notmrk', 2),
+        ('bug2147_3R7D0889.000', 'rivbnk', 14),
+        ('bug2147_3R7D0889.000', 'topmar', 3),
+        ('bug2147_3R7D0889.000', 'wtwaxs', 1),
+    ]
+    cols = ['file', 'layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_s57.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_sg_vct_layers')
+def _q_sg_vct_layers_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['gdrivers/netcdf_cf.py', 'gdrivers/netcdf.py', 'ogr/ogr_idrisi.py', 'gdrivers/idrisi.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('points.vct', 'points', 2),
+        ('lines.vct', 'lines', 2),
+        ('multipolygon3D_test.nc', 'names_geometry', 2),
+        ('cf1.8_states.nc', 'geometry_container', 49),
+        ('multiple_containers.nc', 'serpenski_outline', 1),
+        ('Yahara_alb.nc', 'geometry_container', 71),
+        ('polygons.vct', 'polygons', 2),
+        ('multiple_containers.nc', 'serpenski', 1),
+    ]
+    cols = ['file', 'layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['gdrivers/netcdf_cf.py', 'gdrivers/netcdf.py', 'ogr/ogr_idrisi.py', 'gdrivers/idrisi.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_spreadsheet')
+def _q_spreadsheet_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_xlsx.py', 'ogr/ogr_ods.py', 'ogr/ogr_csv.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('ods', 'Feuille1', 6, 26),
+        ('ods', 'Feuille7', 12, 2),
+        ('ods_roundtrip', 'rt', 12, 2),
+        ('xls', 'Feuille1', 5, 3),
+        ('xlsx', 'Feuille1', 6, 26),
+        ('xlsx', 'Feuille7', 12, 2),
+        ('xlsx_roundtrip', 'rt', 12, 2),
+    ]
+    cols = ['fmt', 'layer', 'n_cols', 'n_rows']
+    check_pairs(rows, cols, ['n_cols', 'n_rows'], ['ogr/ogr_xlsx.py', 'ogr/ogr_ods.py', 'ogr/ogr_csv.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_sxf_layer')
+def _q_sxf_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_sxf.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('full:ЗЕМЛЕПОЛЬЗОВАНИЕ', 1),
+        ('short:landuses', 1),
+        ('norsc:SYSTEM', 1),
+        ('full:Not_Classified', 28),
+        ('short:Not_Classified', 28),
+        ('full:НАСЕЛЕННЫЕ ПУНКТЫ', 1),
+        ('short:city', 1),
+        ('full:ВОДНЫЕ ОБЪЕКТЫ', 6),
+        ('short:water', 6),
+        ('full:РЕЛЬЕФ СУШИ', 6),
+        ('short:Relief', 6),
+        ('full:ИНФРАСТРУКТУРА', 15),
+        ('short:poi', 15),
+        ('norsc:Not_Classified', 77),
+        ('full:ГИДРОГРАФИЯ (РЕЛЬЕФ)', 1),
+        ('short:LAYER16', 1),
+        ('full:СИСТЕМНЫЙ', 1),
+        ('short:SYSTEM', 1),
+        ('full:МАТЕМАТИЧЕСКАЯ ОСНОВА', 19),
+        ('short:LAYER17', 19),
+    ]
+    cols = ['layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_sxf.py'],
+                derived=[('full:Not_Classified', 'n_rows'), ('full:ИНФРАСТРУКТУРА', 'n_rows'), ('full:МАТЕМАТИЧЕСКАЯ ОСНОВА', 'n_rows'), ('norsc:Not_Classified', 'n_rows'), ('short:LAYER17', 'n_rows'), ('short:Not_Classified', 'n_rows'), ('short:poi', 'n_rows')])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_xodr_layers')
+def _q_xodr_layers_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_xodr.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('LaneBorder', 230),
+        ('ReferenceLine', 41),
+        ('Lane', 174),
+        ('RoadMark', 424),
+        ('RoadSignal', 50),
+        ('RoadObject', 273),
+    ]
+    cols = ['layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_xodr.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_sar_ceos')
+def _q_sar_ceos_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['gdrivers/ehdr.py', 'gdrivers/sar_ceos.py', 'gdrivers/esric.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('ottawa_patch.img', 1827, 1790, 4, 3),
+        ('R1_26161_FN1_F164.D', 8192, 8192, 3, 0),
+    ]
+    cols = ['file', 'h', 'w', 'lines_avail', 'n_gcps']
+    check_pairs(rows, cols, ['h', 'w', 'lines_avail', 'n_gcps'], ['gdrivers/ehdr.py', 'gdrivers/sar_ceos.py', 'gdrivers/esric.py'],
+                derived=[('ottawa_patch.img', 'h'), ('ottawa_patch.img', 'w')])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_sosi_layer')
+def _q_sosi_layer_partial(sf):
+    """Partial builder (round-5 independence conversion): the layer
+    identity and feature/field COUNTS below are the reference's own
+    autotest assertions (ref_check against ['ogr/ogr_sosi.py']); the crc/render
+    columns stay engine determinism pins via the mixed-provenance
+    mechanism."""
+    rows = [
+        ('comma', 'lines', 17),
+        ('default', 'lines', 17),
+        ('semicolon', 'lines', 17),
+        ('default', 'polygons', 1),
+        ('comma', 'polygons', 1),
+        ('semicolon', 'polygons', 1),
+    ]
+    cols = ['variant', 'layer', 'n_rows']
+    check_pairs(rows, cols, ['n_rows'], ['ogr/ogr_sosi.py'],
+                derived=[])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_vfk_layer')
+def _q_vfk_layer_rows(sf):
+    """Row-subset builder (round-5 independence conversion,
+    3/6 rows): every value below appears verbatim in
+    ['ogr/ogr_vfk.py'] — the remaining rows of the query (engine-rendered
+    crcs) ride along as determinism pins via the row-subset
+    mixed-provenance mechanism."""
+    rows = [
+        ('n_layers', 61),
+        ('par_fields', 28),
+        ('par_rows', 1),
+    ]
+    cols = ['case', 'value']
+    check_pairs(rows, cols, ['value'], ['ogr/ogr_vfk.py'])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_pds_table')
+def _q_pds_table_rows(sf):
+    """Row-subset builder (round-5 independence conversion,
+    3/8 rows): every value below appears verbatim in
+    ['ogr/ogr_pds.py', 'gdrivers/pds.py', 'gdrivers/pds4.py'] — the remaining rows of the query (engine-rendered
+    crcs) ride along as determinism pins via the row-subset
+    mixed-provenance mechanism."""
+    rows = [
+        ('ascii_cols', 26),
+        ('ascii_rows', 74786),
+        ('noise_counts_1', 96),
+    ]
+    cols = ['case', 'value']
+    check_pairs(rows, cols, ['value'], ['ogr/ogr_pds.py', 'gdrivers/pds.py', 'gdrivers/pds4.py'])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_pmtiles_layer')
+def _q_pmtiles_layer_rows(sf):
+    """Row-subset builder (round-5 independence conversion,
+    10/12 rows): every value below appears verbatim in
+    ['ogr/ogr_pmtiles.py', 'alg/los.py'] — the remaining rows of the query (engine-rendered
+    crcs) ride along as determinism pins via the row-subset
+    mixed-provenance mechanism."""
+    rows = [
+        ('los_below_a', 0),
+        ('los_block_x', 1),
+        ('los_blocked', 0),
+        ('los_diag_x', 4),
+        ('los_diag_y', 4),
+        ('los_flat', 1),
+        ('pm_france_rows', 19),
+        ('pm_leaf_rows', 8),
+        ('pm_maxzoom', 5),
+        ('pm_rows', 8),
+    ]
+    cols = ['case', 'value']
+    check_pairs(rows, cols, ['value'], ['ogr/ogr_pmtiles.py', 'alg/los.py'])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_slf_wasp_kmz')
+def _q_slf_wasp_kmz_rows(sf):
+    """Row-subset builder (round-5 independence conversion,
+    7/8 rows): every value below appears verbatim in
+    ['ogr/ogr_selafin.py', 'ogr/ogr_wasp.py', 'gdrivers/kmlsuperoverlay.py'] — the remaining rows of the query (engine-rendered
+    crcs) ride along as determinism pins via the row-subset
+    mixed-provenance mechanism."""
+    rows = [
+        ('kmz_cs_band1', 30111),
+        ('kmz_h', 200),
+        ('kmz_w', 400),
+        ('slf_elem5_mean_x100', 900),
+        ('slf_elements', 16),
+        ('slf_points', 25),
+        ('wasp_boundaries', 6),
+    ]
+    cols = ['case', 'value']
+    check_pairs(rows, cols, ['value'], ['ogr/ogr_selafin.py', 'ogr/ogr_wasp.py', 'gdrivers/kmlsuperoverlay.py'])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_lvbag_layer')
+def _q_lvbag_layer_rows(sf):
+    """Row-subset builder (round-5 independence conversion,
+    16/24 rows): every value below appears verbatim in
+    ['ogr/ogr_lvbag.py'] — the remaining rows of the query (engine-rendered
+    crcs) ride along as determinism pins via the row-subset
+    mixed-provenance mechanism."""
+    rows = [
+        ('lig.xml_cols', 18),
+        ('lig.xml_rows', 3),
+        ('num.xml_cols', 22),
+        ('num.xml_rows', 3),
+        ('opr.xml_cols', 19),
+        ('opr.xml_rows', 4),
+        ('pnd.xml_cols', 17),
+        ('pnd.xml_rows', 6),
+        ('sta.xml_cols', 18),
+        ('sta.xml_rows', 2),
+        ('vbo.xml_cols', 21),
+        ('vbo.xml_rows', 3),
+        ('wpl.xml_cols', 17),
+        ('wpl.xml_rows', 2),
+        ('zip_mixed_layers', 2),
+        ('zip_pnd_rows', 4),
+    ]
+    cols = ['case', 'value']
+    check_pairs(rows, cols, ['value'], ['ogr/ogr_lvbag.py'])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_feed_vector')
+def _q_feed_vector_rows(sf):
+    """Row-subset builder (round-5 independence conversion,
+    9/18 rows): every value below appears verbatim in
+    ['ogr/ogr_gml_fgd_read.py', 'ogr/ogr_gmt.py', 'ogr/ogr_vdv.py', 'ogr/ogr_georss.py', 'ogr/ogr_jml.py'] — the remaining rows of the query (engine-rendered
+    crcs) ride along as determinism pins via the row-subset
+    mixed-provenance mechanism."""
+    rows = [
+        ('fgd_BldA_rows', 1),
+        ('fgd_ElevPt_rows', 1),
+        ('gmt_rows', 2),
+        ('idf_LinkCoordinate_rows', 3),
+        ('idf_Link_rows', 4),
+        ('idf_Node_rows', 2),
+        ('idf_Other_rows', 1),
+        ('test_georss_gml.xml_rows', 4),
+        ('test_georss_simple.xml_rows', 4),
+    ]
+    cols = ['case', 'value']
+    check_pairs(rows, cols, ['value'], ['ogr/ogr_gml_fgd_read.py', 'ogr/ogr_gmt.py', 'ogr/ogr_vdv.py', 'ogr/ogr_georss.py', 'ogr/ogr_jml.py'])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_feed_formats')
+def _q_feed_formats_rows(sf):
+    """Row-subset builder (round-5 independence conversion,
+    17/24 rows): every value below appears verbatim in
+    ['gdrivers/pds4.py', 'gdrivers/dimap.py', 'ogr/ogr_gtfs.py', 'ogr/ogr_jml.py'] — the remaining rows of the query (engine-rendered
+    crcs) ride along as determinism pins via the row-subset
+    mixed-provenance mechanism."""
+    rows = [
+        ('byte_pds4_cart_1700_cs', 4672),
+        ('byte_pds4_cart_1700_gt0', -59280),
+        ('byte_pds4_cart_1b00_cs', 4672),
+        ('byte_pds4_cart_1b00_gt0', -59280),
+        ('byte_pds4_cart_1d00_1933_cs', 4672),
+        ('byte_pds4_cart_1d00_1933_gt0', -59280),
+        ('byte_pds4_cart_1g00_1950_cs', 4672),
+        ('byte_pds4_cart_1g00_1950_gt0', -59280),
+        ('dimap2_b1_cs', 7024),
+        ('dimap2_nbands', 4),
+        ('dimap_cs100', 21586),
+        ('dimap_ngcps', 4),
+        ('gtfs_layers', 9),
+        ('gtfs_routes', 34),
+        ('gtfs_stops', 35),
+        ('jml_cols', 13),
+        ('jml_rows', 3),
+    ]
+    cols = ['case', 'value']
+    check_pairs(rows, cols, ['value'], ['gdrivers/pds4.py', 'gdrivers/dimap.py', 'ogr/ogr_gtfs.py', 'ogr/ogr_jml.py'])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder('q_mapml_pgdump')
+def _q_mapml_pgdump_rows(sf):
+    """Row-subset builder (round-5 independence conversion,
+    2/8 rows): every value below appears verbatim in
+    ['ogr/ogr_mapml.py', 'ogr/ogr_pgdump.py'] — the remaining rows of the query (engine-rendered
+    crcs) ride along as determinism pins via the row-subset
+    mixed-provenance mechanism."""
+    rows = [
+        ('mapml:poly_rows', 10),
+        ('mapml:roundtrip_wkt_same', 1),
+    ]
+    cols = ['case', 'value']
+    check_pairs(rows, cols, ['value'], ['ogr/ogr_mapml.py', 'ogr/ogr_pgdump.py'])
+    return pd.DataFrame(rows, columns=cols)
+
+
+@builder("q_gcp_warp")
+def _q_gcp_warp(sf):
+    """Independent columns: case labels, the exactness claim
+    (polynomial/TPS warps of GCPs sampled from an affine reproduce
+    the affine render exactly -> maxdiff 0; the *_dist cases have no
+    affine ground truth -> sentinel -1 by query contract,
+    alg/gdal_crs.c semantics), and the fragment count (query
+    partitioning config).  n_valid pixel counts are engine
+    determinism pins."""
+    return pd.DataFrame({
+        "case": ["order1", "order2", "order2_dist", "order3", "tps",
+                 "tps_dist"],
+        "maxdiff": [0, 0, -1, 0, 0, -1],
+        "n_frags": [4] * 6,
+    })
+
+
+@builder("q_geoloc_warp")
+def _q_geoloc_warp(sf):
+    """Same contract as q_gcp_warp for the geolocation-array warp
+    (alg/gdalgeoloc.cpp): affine geoloc arrays reproduce the affine
+    render exactly; distorted arrays have no closed-form ground
+    truth (sentinel -1)."""
+    return pd.DataFrame({
+        "case": ["affine", "affine_coarse", "distorted",
+                 "distorted_coarse"],
+        "maxdiff": [0, 0, -1, -1],
+        "n_frags": [4] * 4,
+    })
+
+
+@builder("q_color_merge")
+def _q_color_merge(sf):
+    """Independent columns: the corpus slice identity (img0..img23,
+    synthesis manifest) and the HSV merge round-trip invariant
+    (merging a grayscale of V back into HSV must reproduce V exactly
+    -> flag 1, apps/gdal_color_merge semantics).  Band checksums are
+    engine determinism pins."""
+    return pd.DataFrame({
+        "image_id": [f"img{i:08d}" for i in range(24)],
+        "round_trip": [1] * 24,
+    })
+
+
+@builder("q_viewshed")
+def _q_viewshed(sf):
+    """Independent columns: the observer grid (every 24 cells of the
+    VS_N=96 synthetic DEM — query config arithmetic).  Visibility
+    counts and checksums are engine determinism pins (the per-kernel
+    ground truth is the transcribed reference fixtures in
+    tests/test_viewshed.py)."""
+    obs = [(x, y) for x in (0, 24, 48, 72) for y in (0, 24, 48, 72)]
+    return pd.DataFrame({"obs_x": [o[0] for o in obs],
+                         "obs_y": [o[1] for o in obs]})
+
+
+@builder("q_grib")
+def _q_grib(sf):
+    """Independent columns: case identity + the nodata declarations
+    published in autotest/gdrivers/grib.py ('none' = the band
+    declares no nodata — an absence claim the file does not print).
+    Band checksums are engine determinism pins."""
+    rows = [("Sample_QuikSCAT.grb:1", "9999"),
+            ("Sample_QuikSCAT.grb:2", "9999"),
+            ("Sample_QuikSCAT.grb:3", "9999"),
+            ("Sample_QuikSCAT.grb:4", "undef"),
+            ("bug3246.grb:1", "9999"), ("bug3246.grb:2", "9999"),
+            ("bug3246.grb:3", "none"), ("bug3246.grb:4", "none"),
+            ("bug3246.grb:5", "none"), ("bug3246.grb:6", "9999"),
+            ("bug3246.grb:7", "9999"), ("bug3246.grb:8", "9999"),
+            ("bug3246.grb:9", "9999"), ("bug3246.grb:10", "9999"),
+            ("bug3246.grb:11", "9999"), ("bug3246.grb:12", "9999")]
+    check_pairs(rows, ["case", "nodata"], ["nodata"],
+                ["gdrivers/grib.py"],
+                derived=[("bug3246.grb:3", "nodata"),
+                         ("bug3246.grb:4", "nodata"),
+                         ("bug3246.grb:5", "nodata")])
+    return pd.DataFrame(rows, columns=["case", "nodata"])
+
+
+@builder("q_ogrvrt_layer")
+def _q_ogrvrt_layer(sf):
+    """Independent columns: case identity + expected values from
+    autotest/ogr/ogr_vrt.py (poly_eas / warped_x / warped_y are sums
+    and reprojected coordinates derived from poly.shp constants the
+    file asserts piecewise — cited at the query).  The engine value
+    column rides along as the determinism pin."""
+    rows = [("vrt:clip_wkt", 1), ("vrt:poly_eas", 1686),
+            ("vrt:poly_rows", 10), ("vrt:test2_fids", 1),
+            ("vrt:test2_wkt", 1), ("vrt:test3_fids", 3),
+            ("vrt:test4_rows", 2), ("vrt:test6_cols", 2),
+            ("vrt:union_id2_nulls", 25), ("vrt:union_rows", 50),
+            ("vrt:union_xmax_x10", 48), ("vrt:warped_x", 426858),
+            ("vrt:warped_y", 5427938)]
+    check_pairs(rows, ["case", "expected"], ["expected"],
+                ["ogr/ogr_vrt.py"],
+                derived=[("vrt:poly_eas", "expected"),
+                         ("vrt:warped_x", "expected"),
+                         ("vrt:warped_y", "expected")])
+    return pd.DataFrame(rows, columns=["case", "expected"])
+
+
+@builder("q_translate")
+def _q_translate(sf):
+    """Independent columns: corpus identity + the 50%% bilinear
+    resize output dimensions, derived from the synthesis manifest's
+    image sizes (sources/images.py image_size — class-2 source).
+    Per-band checksums of the render are engine determinism pins."""
+    from gdal_ray.sources.images import image_size
+
+    ids, ws, hs = [], [], []
+    for i in range(96):
+        n = image_size(i)
+        ids.append(f"img{i:08d}")
+        ws.append(max(1, n // 2))
+        hs.append(max(1, n // 2))
+    return pd.DataFrame({"image_id": ids, "w": ws, "h": hs})
+
+
+@builder("q_sar_product_formats")
+def _q_sar_product_formats(sf):
+    """Independent columns: driver identity + item counts published
+    in the driver autotests (gff.py / ers.py / rik.py /
+    ogr_edigeo.py; COASP/RIK counts are fixture-derived — cited at
+    the query).  Checksums are engine determinism pins."""
+    rows = [("AIRSAR", 432), ("COASP", 408), ("COSAR", 204),
+            ("EDIGEO", 3), ("ESAT", 143), ("GFF", 204),
+            ("PALSAR", 204), ("RIK", 1024), ("TSX", 108)]
+    check_pairs(rows, ["driver", "n_items"], ["n_items"],
+                ["gdrivers/gff.py", "gdrivers/ers.py",
+                 "gdrivers/rik.py", "ogr/ogr_edigeo.py"],
+                derived=[("COASP", "n_items"), ("RIK", "n_items")])
+    return pd.DataFrame(rows, columns=["driver", "n_items"])
+
+
+@builder("q_dgn_layer")
+def _q_dgn_layer(sf):
+    """Row-subset builder: the feature count is the ogr_dgn.py
+    assertion; the style/type/wkt crcs ride along as engine
+    determinism pins."""
+    rows = [("n_rows", 4)]
+    check_pairs(rows, ["case", "value"], ["value"], ["ogr/ogr_dgn.py"])
+    return pd.DataFrame(rows, columns=["case", "value"])
