@@ -275,16 +275,28 @@ def main() -> None:
         ray.shutdown()
 
 
-def scaling_child(num_cpus: int) -> None:
+def scaling_child(num_cpus: int, n_images: int | None = None) -> None:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              log_to_driver=False)
     try:
-        dt, rows = run_warp_compose_partitioned(num_cpus, SCALING_IMAGES)
+        dt, rows = run_warp_compose_partitioned(
+            num_cpus, n_images or SCALING_IMAGES)
         print(json.dumps({"sec": dt, "rows": rows, "num_cpus": num_cpus}))
     finally:
         ray.shutdown()
+
+
+def _scaling_run(cpus: int, n_images: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--_child",
+         str(cpus), str(n_images)],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def scaling() -> None:
@@ -292,15 +304,15 @@ def scaling() -> None:
     and 32 on identical input (the sandbox stand-in for the north
     rule's N- vs 4N-node clusters), plus a Ray-free multiprocessing
     control of the same per-image kernel that measures the host's own
-    scaling ceiling (turbo/memory bandwidth)."""
+    scaling ceiling (turbo/memory bandwidth).  The efficiency is
+    measured at TWO job sizes (VERDICT r4 directive #9: the quarter
+    job guards against the fixed metadata preamble flattering one
+    size)."""
     results = {}
     for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--_child", str(cpus)],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        results[cpus] = _scaling_run(cpus, SCALING_IMAGES)
+    small = {cpus: _scaling_run(cpus, SCALING_IMAGES // 4)
+             for cpus in (8, 32)}
     hw = {}
     for cpus in (8, 32):
         out = subprocess.run(
@@ -315,6 +327,9 @@ def scaling() -> None:
     thr8 = n_img / results[8]["sec"]
     thr32 = n_img / results[32]["sec"]
     eff = thr32 / (4.0 * thr8)
+    sthr8 = (n_img // 4) / small[8]["sec"]
+    sthr32 = (n_img // 4) / small[32]["sec"]
+    seff = sthr32 / (4.0 * sthr8)
     hw_eff = hw[8] / (4.0 * hw[32])
     print(json.dumps({
         "metric": "scaling_efficiency_8_to_32_cpus",
@@ -325,6 +340,14 @@ def scaling() -> None:
         "sec": {"8": round(results[8]["sec"], 3), "32": round(results[32]["sec"], 3)},
         "num_images": n_img,
         "tiles": results[32]["rows"],
+        "second_size": {
+            "num_images": n_img // 4,
+            "value": round(seff, 3),
+            "throughput_images_per_sec": {"8": round(sthr8, 2),
+                                          "32": round(sthr32, 2)},
+            "sec": {"8": round(small[8]["sec"], 3),
+                    "32": round(small[32]["sec"], 3)},
+        },
         "hardware_ceiling_efficiency": round(hw_eff, 3),
         "software_efficiency_vs_hardware": round(eff / hw_eff, 3) if hw_eff else None,
     }))
@@ -352,6 +375,9 @@ if __name__ == "__main__":
     elif "--exchange-check" in sys.argv:
         exchange_check()
     elif "--_child" in sys.argv:
-        scaling_child(int(sys.argv[sys.argv.index("--_child") + 1]))
+        i = sys.argv.index("--_child")
+        scaling_child(int(sys.argv[i + 1]),
+                      int(sys.argv[i + 2]) if len(sys.argv) > i + 2
+                      else None)
     else:
         main()

@@ -2803,6 +2803,69 @@ def q_simplify_coverage(sf_dir: str):
     })
 
 
+def q_gmlas_layer(sf_dir: str):
+    """GMLAS schema-driven flattening subset (VERDICT r4 directive
+    #8; ogr/ogrsf_frmts/gmlas re-derivation in sources/gmlas.py) over
+    the reference's own autotest/ogr/data/gmlas fixtures: the
+    choice_*_inlined list-field family (ogr_gmlas.py:3503-3506
+    published values), no-namespace open, independent-child linking
+    and the geosciml composition/compositionPart junction shape.
+    Every value is either an ogr_gmlas.py assertion or fixture-file
+    content — the oracle builder transcribes them engine-free."""
+    import ray.data
+
+    D = "/root/reference/autotest/ogr/data/gmlas"
+    items = [{"case": c} for c in (
+        "choice_str", "choice_int", "choice_int64", "choice_double",
+        "no_namespace_foo", "link_second_my_id",
+        "comp_junction_rows", "comp_part_rows", "comp_part_ids",
+        "comp_part_a", "comp_links_set")]
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..sources.gmlas import read_gmlas
+
+        cases, values = [], []
+        for rec in t.to_pylist():
+            c = rec["case"]
+            if c.startswith("choice_"):
+                kind = c.split("_", 1)[1]
+                out = read_gmlas(f"{D}/choice_{kind}_inlined.xml")
+                vals = out["main"][f"a_b_{kind}_attr"][0].as_py()
+                v = "|".join(str(x) for x in vals)
+            elif c == "no_namespace_foo":
+                v = read_gmlas(
+                    f"{D}/gmlas_no_namespace.xml")["main_elt"]["foo"][0].as_py()
+            elif c == "link_second_my_id":
+                v = read_gmlas(
+                    f"{D}/gmlas_link_nested_independant_child.xml"
+                )["first"]["second_my_id"][0].as_py()
+            else:
+                out = read_gmlas(
+                    f"{D}/gmlas_composition_compositionPart.xml")
+                junction = out["first_composition"]
+                part = out["CompositionPart"]
+                if c == "comp_junction_rows":
+                    v = str(junction.num_rows)
+                elif c == "comp_part_rows":
+                    v = str(part.num_rows)
+                elif c == "comp_part_ids":
+                    v = "|".join(part["my_id"].to_pylist())
+                elif c == "comp_part_a":
+                    v = "|".join(part["a"].to_pylist())
+                else:  # both link fields set on every junction row
+                    ok = (junction["parent_ogr_pkid"].null_count == 0
+                          and junction["CompositionPart_pkid"]
+                          .null_count == 0)
+                    v = str(int(ok))
+            cases.append(c)
+            values.append(v)
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.string())})
+
+    return (ray.data.from_items(items)
+            .map_batches(f, batch_format="pyarrow", batch_size=3))
+
+
 QUERIES = {
     "q_xodr_layers": q_xodr_layers,
     "q_sar_product_formats": q_sar_product_formats,
@@ -2857,4 +2920,5 @@ QUERIES = {
     "q_arrow_layer": q_arrow_layer,
     "q_zfield_precision": q_zfield_precision,
     "q_simplify_coverage": q_simplify_coverage,
+    "q_gmlas_layer": q_gmlas_layer,
 }

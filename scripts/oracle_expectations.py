@@ -2513,3 +2513,37 @@ def _q_dgn_layer(sf):
     rows = [("n_rows", 4)]
     check_pairs(rows, ["case", "value"], ["value"], ["ogr/ogr_dgn.py"])
     return pd.DataFrame(rows, columns=["case", "value"])
+
+
+@builder("q_gmlas_layer")
+def _q_gmlas_layer(sf):
+    """Fully independent: the choice_* list values and field
+    expectations are ogr_gmlas.py assertions (ref_check); the
+    composition ids/values are the fixture file's own content
+    (gmlas_composition_compositionPart.xml), junction row count = the
+    two <composition> property instances."""
+    rows = [
+        ("choice_str", "val1|val2"),
+        ("choice_int", "1|2"),
+        ("choice_int64", "123456789123|2"),
+        ("choice_double", "1.5|2.5"),
+        ("no_namespace_foo", "bar"),
+        ("link_second_my_id", "second_id"),
+        ("comp_junction_rows", "2"),
+        ("comp_part_rows", "2"),
+        ("comp_part_ids", "id1|id2"),
+        ("comp_part_a", "a1|a2"),
+        ("comp_links_set", "1"),
+    ]
+    blob_vals = {"val1", "val2", "1", "2", "123456789123", "1.5",
+                 "2.5", "bar", "second_id", "id1", "id2", "a1", "a2"}
+    import os
+    ref = "/root/reference/autotest/ogr"
+    blob = open(f"{ref}/ogr_gmlas.py", errors="replace").read()
+    for f in ("gmlas_composition_compositionPart.xml",
+              "gmlas_no_namespace.xml",
+              "gmlas_link_nested_independant_child.xml"):
+        blob += open(f"{ref}/data/gmlas/{f}", errors="replace").read()
+    missing = [v for v in blob_vals if v not in blob]
+    assert not missing, missing
+    return pd.DataFrame(rows, columns=["case", "value"])
