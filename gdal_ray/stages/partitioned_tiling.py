@@ -158,10 +158,13 @@ def footprint_dataset(num_images: int):
             gt, epsg = georef(i)
             n = image_size(i)
             bbs[j] = src_bounds_3857(gt, epsg, n, n)
+        px = np.array([image_size(i) ** 2 for i in idxs.tolist()],
+                      np.int64)
         return pa.table({
             "image_idx": pa.array(idxs.astype(np.int64)),
             "xmin": pa.array(bbs[:, 0]), "ymin": pa.array(bbs[:, 1]),
             "xmax": pa.array(bbs[:, 2]), "ymax": pa.array(bbs[:, 3]),
+            "px": pa.array(px),
         })
 
     return ray.data.range(num_images).map_batches(f, batch_format="pyarrow")
@@ -170,7 +173,9 @@ def footprint_dataset(num_images: int):
 def quadtree_leaves_fast(fp, base_zoom: int = 10,
                          max_images_per_part: int = 64,
                          max_part_zoom: int = 18,
-                         cells_cap: int = 64) -> dict[int, int] | None:
+                         cells_cap: int = 64,
+                         px_out: dict | None = None
+                         ) -> dict[int, int] | None:
     """Single-pass variant of ``quadtree_leaves``: every image emits
     its touched cells for ALL levels base..max in ONE map_batches +
     ONE combiner (cells at level z+1 partition their parents, so the
@@ -189,22 +194,31 @@ def quadtree_leaves_fast(fp, base_zoom: int = 10,
     def f(t: pa.Table) -> pa.Table:
         xmin, ymin = t["xmin"].to_numpy(), t["ymin"].to_numpy()
         xmax, ymax = t["xmax"].to_numpy(), t["ymax"].to_numpy()
-        keys = []
+        px = (t["px"].to_numpy() if "px" in t.column_names
+              else np.ones(len(xmin), np.int64))
+        keys, pxs = [], []
         for z in levels:
             tx0, tx1, ty0, ty1 = _cell_range_vec(xmin, ymin, xmax, ymax, z)
             if (((tx1 - tx0 + 1) * (ty1 - ty0 + 1)) > cells_cap).any():
                 return pa.table({"cell": pa.array([-1], pa.int64()),
-                                 "one": pa.array([1], pa.int64())})
-            _, tx, ty = _expand_ranges(tx0, tx1, ty0, ty1)
+                                 "one": pa.array([1], pa.int64()),
+                                 "px": pa.array([0], pa.int64())})
+            own, tx, ty = _expand_ranges(tx0, tx1, ty0, ty1)
             keys.append(tile_key(tx, ty, z))
+            pxs.append(px[own])
         cells = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        cpx = np.concatenate(pxs) if pxs else np.empty(0, np.int64)
         return pa.table({"cell": pa.array(cells, pa.int64()),
-                         "one": pa.array(np.ones(len(cells), np.int64))})
+                         "one": pa.array(np.ones(len(cells), np.int64)),
+                         "px": pa.array(cpx, pa.int64())})
 
     counts = partial_groupby_agg(fp.map_batches(f, batch_format="pyarrow"),
-                                 ["cell"], [("n", "one", "sum")])
+                                 ["cell"], [("n", "one", "sum"),
+                                            ("px", "px", "sum")])
     cmap = dict(zip(counts["cell"].to_numpy().tolist(),
                     counts["n"].to_numpy().tolist()))
+    pmap = dict(zip(counts["cell"].to_numpy().tolist(),
+                    counts["px"].to_numpy().tolist()))
     if -1 in cmap:
         return None  # some image exceeded the cap: use the iterative path
     # recursion over the in-memory table (driver holds O(cells-touched))
@@ -218,6 +232,8 @@ def quadtree_leaves_fast(fp, base_zoom: int = 10,
             return
         if n <= max_images_per_part or z >= max_part_zoom:
             leaf_map[k] = int(n)
+            if px_out is not None:
+                px_out[k] = int(pmap.get(k, 0))
             return
         for dy in (0, 1):
             for dx in (0, 1):
@@ -277,12 +293,17 @@ def quadtree_leaves(fp, base_zoom: int = 10, max_images_per_part: int = 64,
 
 
 def pack_buckets(leaf_map: dict[int, int], max_images_per_part: int,
-                 num_buckets: int) -> dict[tuple[int, int], int]:
+                 num_buckets: int,
+                 leaf_px: dict[int, int] | None = None
+                 ) -> dict[tuple[int, int], int]:
     """Greedy weighted bin-packing of (leaf, salt) work items into
-    ``num_buckets`` compose buckets, weight = image count (decode +
-    warp dominate). Driver-side over O(leaves) metadata — the same
-    state quadtree_leaves already holds. Replaces hash bucketing,
-    whose unweighted collisions produced 5x straggler buckets."""
+    ``num_buckets`` compose buckets.  Weight = summed PIXEL AREA of
+    the leaf's images when ``leaf_px`` is available (decode + warp
+    cost scales with pixels, and the corpus mixes 20px..512px images
+    — count-weighted packing left 2.5x straggler tasks), else image
+    count.  Driver-side over O(leaves) metadata — the same state
+    quadtree_leaves already holds. Replaces hash bucketing, whose
+    unweighted collisions produced 5x straggler buckets."""
     import heapq
 
     plain, salted = [], []
@@ -290,7 +311,12 @@ def pack_buckets(leaf_map: dict[int, int], max_images_per_part: int,
         ns = max(1, -(-cnt // max_images_per_part))
         base, extra = divmod(cnt, ns)
         for s in range(ns):
-            w = base + (1 if s < extra else 0)
+            if leaf_px is not None and k in leaf_px:
+                # salt ranks spread the leaf's images round-robin, so
+                # each part carries ~1/ns of the leaf's pixel mass
+                w = max(1, leaf_px[k] // ns)
+            else:
+                w = base + (1 if s < extra else 0)
             (salted if ns > 1 else plain).append((w, int(k), s))
     # salted and plain leaves run in separate pools (the salted path
     # adds a merge shuffle), so pack them into DISJOINT bucket ranges
@@ -544,11 +570,13 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
     import pyarrow.compute as pc
 
     fp = footprint_dataset(num_images).materialize()  # metadata only
+    leaf_px: dict[int, int] = {}
     leaf_map = quadtree_leaves_fast(fp, base_zoom, max_images_per_part,
-                                    max_part_zoom)
+                                    max_part_zoom, px_out=leaf_px)
     if leaf_map is None:  # footprints too large for the one-pass plan
         leaf_map = quadtree_leaves(fp, base_zoom, max_images_per_part,
                                    max_part_zoom)
+        leaf_px = {}
     # bucket granularity: >= 6 tasks per actor for pipeline smoothing,
     # and no bucket much heavier than ~32 images so the last wave's
     # straggler is bounded — but never more buckets than work items
@@ -556,7 +584,8 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
     total_w = sum(leaf_map.values())
     nb = num_buckets or max(1, min(n_items,
                                    max(concurrency * 6, total_w // 32)))
-    bucket_of = pack_buckets(leaf_map, max_images_per_part, nb)
+    bucket_of = pack_buckets(leaf_map, max_images_per_part, nb,
+                             leaf_px=leaf_px or None)
     assign = assignment_dataset(fp, leaf_map, base_zoom,
                                 max_images_per_part, nb,
                                 bucket_of=bucket_of).materialize()
