@@ -52,24 +52,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged["q_video_frames"] = video_frames_query
     merged["q_multidim"] = _q_multidim
 
-    # priority tiers (highest first) — round 4:
+    # priority tiers (highest first) — round 5:
+    # 4 = brand-new operators this round
     # 3 = never recorded by a driver gate (not a key in
-    #     CORRECTNESS_r03.json): the queries added this round
-    # 2 = output schema or oracle CHANGED this round (independence
-    #     rework restructures + the bucketed TIN / dedup-fix queries)
+    #     CORRECTNESS_r04.json)
+    # 2 = output schema or oracle CHANGED this round (drift-pin
+    #     ride-along columns + the independence-conversion mixed
+    #     oracles + the rewritten TIN gridder + new q_jp2/q_dem rows)
     # 1 = rows-only (no oracle)
     # 0 = hash-green and untouched
     import json
     import os
 
     recorded: set[str] = set()
-    try:
-        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "CORRECTNESS_r03.json")
-        recorded = set(json.load(open(p)))
-    except Exception:
-        pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    for rnd in ("r01", "r02", "r03", "r04"):
+        try:
+            recorded |= set(json.load(open(
+                os.path.join(here, f"CORRECTNESS_{rnd}.json"))))
+        except Exception:
+            pass
     from gdal_ray.pipelines.literal_oracles import ORACLE as _LIT
+    from gdal_ray.pipelines.literal_oracles import PROVENANCE as _PROV
 
     oracled = set(_LIT) | set(computed_oracles())
     tier = {}
@@ -80,15 +84,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tier[k] = 1
         else:
             tier[k] = 0
-    for k in ("q_crs_transform", "q_tile_geodetic", "q_gdaltindex",
-              "q_grid_linear", "q_vrt", "q_warp_goldens", "q_lineref",
-              "q_hdf5", "q_raster_open", "q_esric", "q_snap_tiff",
-              "q_military_formats", "q_grid_formats", "q_quality_full",
-              "q_cell_index", "q_alg_goldens"):
+    # round-5 changed oracles/outputs: every mixed-provenance entry
+    # (independence conversion restructured its VALUES this round)
+    # plus the queries whose output schema gained pin columns
+    for k, v in _PROV.items():
+        if v.startswith("mixed") and tier.get(k, 0) < 2:
+            tier[k] = 2
+    for k in ("q_crs_transform", "q_grid_linear", "q_jp2",
+              "q_dem_goldens", "q_sql_spatial"):
         if tier.get(k, 0) < 2:
             tier[k] = 2
-    for k in ("q_sql_spatial", "q_rat", "q_jp2", "q_multimodal_real",
-              "q_sentinel2"):
+    for k in ("q_simplify_coverage", "q_phash_neardup",
+              "q_gmlas_layer"):
         tier[k] = 4                     # brand-new operators lead
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}
