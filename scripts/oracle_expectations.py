@@ -2547,3 +2547,57 @@ def _q_gmlas_layer(sf):
     missing = [v for v in blob_vals if v not in blob]
     assert not missing, missing
     return pd.DataFrame(rows, columns=["case", "value"])
+
+
+@builder("q_cog")
+def _q_cog(sf):
+    """Row-subset builder: level-0 COG reads of the PNG-coded
+    (lossless) corpus images equal the raw synthesized pixels, so
+    their band-0 checksums recompute engine-free from the synthesis
+    manifest via the independent checksum transcription.  JPEG rows
+    (codec-dependent) and the overview levels (engine 2x2 average
+    renders) stay determinism pins."""
+    from gdal_ray.sources.images import image_fmt, image_pixels
+
+    rows = []
+    for i in range(24):
+        if image_fmt(i) != "png":
+            continue
+        rows.append((ref_checksum(image_pixels(i)[:, :, 0]),
+                     f"img{i:08d}", 0))
+    return pd.DataFrame(rows, columns=["checksum", "image_id", "level"])
+
+
+def _stats_rows(n, step):
+    """Engine-free band-0 statistics of the PNG-coded (lossless)
+    corpus rows: plain numpy over the synthesis manifest pixels with
+    the documented round-half-away-from-zero at 4 decimals.  JPEG
+    rows are codec-dependent and stay determinism pins."""
+    import numpy as np
+
+    from gdal_ray.sources.images import image_fmt, image_pixels
+
+    def round_away(x):
+        s = 10.0 ** 4
+        return float(np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s)
+
+    rows = []
+    for i in range(n):
+        if image_fmt(i) != "png":
+            continue
+        px = image_pixels(i)[::step, ::step, 0].astype(np.float64)
+        rows.append((f"img{i:08d}", round_away(px.mean()),
+                     float(px.max()), float(px.min()),
+                     round_away(px.std())))
+    return pd.DataFrame(rows, columns=["image_id", "mean", "px_max",
+                                       "px_min", "std"])
+
+
+@builder("q_raster_stats")
+def _q_raster_stats(sf):
+    return _stats_rows(96, 1)
+
+
+@builder("q_raster_stats_approx")
+def _q_raster_stats_approx(sf):
+    return _stats_rows(96, 4)
