@@ -2601,3 +2601,35 @@ def _q_raster_stats(sf):
 @builder("q_raster_stats_approx")
 def _q_raster_stats_approx(sf):
     return _stats_rows(96, 4)
+
+
+@builder("q_pixel_functions")
+def _q_pixel_functions(sf):
+    """Row-subset builder: the three VRT pixel-function chains are
+    one-line documented formulas (frmts/vrt/pixelfunctions.cpp:
+    norm_diff=(a-b)/(a+b) zero-safe, intensity=mean, dB=20*log10,
+    sqrt, mul) — recomputed here with plain numpy over the PNG rows'
+    manifest pixels and the independent checksum transcription.
+    JPEG rows stay determinism pins."""
+    import numpy as np
+
+    from gdal_ray.sources.images import image_fmt, image_pixels
+
+    rows = []
+    for i in range(64):
+        if image_fmt(i) != "png":
+            continue
+        px = image_pixels(i).astype(np.float64)
+        b0, b1, b2 = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        den = b0 + b1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ndv = np.where(den == 0, 0.0, (b0 - b1) / den)
+        intensity = (b0 + b1 + b2) / 3.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            db = 20.0 * np.log10(intensity + 1.0)
+        rows.append((ref_checksum(np.round(db)),
+                     ref_checksum(np.round(ndv * 1000)),
+                     ref_checksum(np.round(np.sqrt(b0 * b1))),
+                     f"img{i:08d}"))
+    return pd.DataFrame(rows, columns=["cksum_db", "cksum_norm_diff",
+                                       "cksum_sqrt_mul", "image_id"])
