@@ -2633,3 +2633,142 @@ def _q_pixel_functions(sf):
                      f"img{i:08d}"))
     return pd.DataFrame(rows, columns=["cksum_db", "cksum_norm_diff",
                                        "cksum_sqrt_mul", "image_id"])
+
+
+def _bilinear_resize_u8(src, out_h, out_w):
+    """gdal_translate -outsize bilinear semantics, re-derived for the
+    builders: destination pixel centers through the scale transform,
+    center-offset bilinear with edge clamp, round-half-up cast
+    (apps/gdal_translate_lib.cpp + alg/gdalwarpkernel.cpp
+    GWKBilinear documented behavior; shares no code with
+    functions/resample.py)."""
+    import numpy as np
+
+    h, w = src.shape[:2]
+    px = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    py = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    x0 = np.clip(np.floor(px), 0, w - 1).astype(np.int64)
+    y0 = np.clip(np.floor(py), 0, h - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = np.clip(px - x0, 0.0, 1.0)[None, :, None]
+    wy = np.clip(py - y0, 0.0, 1.0)[:, None, None]
+    s = src.astype(np.float64)
+    v = (s[y0][:, x0] * (1 - wx) * (1 - wy)
+         + s[y0][:, x1] * wx * (1 - wy)
+         + s[y1][:, x0] * (1 - wx) * wy
+         + s[y1][:, x1] * wx * wy)
+    return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
+
+
+@builder("q_translate")
+def _q_translate_rows(sf):
+    """Row-subset builder (supersedes the dims-only partial): the
+    PNG rows' full translate chain recomputed engine-free from the
+    manifest — BGR reorder, min/max linear scale with round-half-up,
+    50%% bilinear downsample (destination centers land mid-2x2 at
+    even sizes -> exact quad mean), independent per-band checksums.
+    JPEG rows stay determinism pins."""
+    import numpy as np
+
+    from gdal_ray.sources.images import image_fmt, image_pixels
+
+    rows = []
+    for i in range(96):
+        if image_fmt(i) != "png":
+            continue
+        px = image_pixels(i)[:, :, ::-1]
+        h, w = px.shape[:2]
+        lo, hi = float(px.min()), float(px.max())
+        scaled = (px.astype(np.float64) - lo) * (255.0 / max(hi - lo,
+                                                             1e-9))
+        u8 = np.clip(np.floor(scaled + 0.5), 0, 255).astype(np.uint8)
+        m = u8.reshape(h // 2, 2, w // 2, 2, 3).astype(np.float64) \
+            .mean(axis=(1, 3))
+        out = np.clip(np.floor(m + 0.5), 0, 255).astype(np.uint8)
+        rows.append((ref_checksum(out[:, :, 0]),
+                     ref_checksum(out[:, :, 1]),
+                     ref_checksum(out[:, :, 2]),
+                     h // 2, f"img{i:08d}", w // 2))
+    return pd.DataFrame(rows, columns=["b0", "b1", "b2", "h",
+                                       "image_id", "w"])
+
+
+@builder("q_pansharpen")
+def _q_pansharpen(sf):
+    """Row-subset builder: the weighted-Brovey chain
+    (alg/gdalpansharpen.cpp:90-100 published formula: pseudo_pan =
+    sum(w_i ms_i), out_i = ms_i * pan / pseudo_pan) recomputed
+    engine-free over the PNG rows — pan from the manifest pixels,
+    MS 2x down (quad mean) and back up through the re-derived
+    bilinear, round-half-up byte cast."""
+    import numpy as np
+
+    from gdal_ray.sources.images import image_fmt, image_pixels
+
+    w3 = np.array([0.25, 0.5, 0.25])
+    rows = []
+    for i in range(32):
+        if image_fmt(i) != "png":
+            continue
+        px = image_pixels(i).astype(np.float64)
+        h, w = px.shape[:2]
+        pan = (px * w3[None, None, :]).sum(axis=2)
+        lo = px.astype(np.uint8)
+        ms_lo = np.clip(np.floor(
+            lo.reshape(h // 2, 2, w // 2, 2, 3).astype(np.float64)
+            .mean(axis=(1, 3)) + 0.5), 0, 255).astype(np.uint8)
+        ms_up = _bilinear_resize_u8(ms_lo, h, w).astype(np.float64)
+        pseudo = (ms_up * w3[None, None, :]).sum(axis=2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = pan / pseudo
+        ratio = np.where(pseudo == 0, 0.0, ratio)
+        sharp = ms_up * ratio[:, :, None]
+        out = np.clip(np.floor(sharp + 0.5), 0, 255).astype(np.uint8)
+        rows.append((ref_checksum(out[:, :, 0]),
+                     ref_checksum(out[:, :, 1]),
+                     ref_checksum(out[:, :, 2]), f"img{i:08d}"))
+    return pd.DataFrame(rows, columns=["b0", "b1", "b2", "image_id"])
+
+
+@builder("q_hillshade")
+def _q_hillshade(sf):
+    """Row-subset builder: Horn hillshade re-derived from the
+    reference's published formula (apps/gdaldem_lib.cpp
+    GDALHillshadeAlg, the sin_altRadians_mul_254 optimized form with
+    afWin[0]+afWin[3]+afWin[3]+afWin[6] gradient sums) with plain
+    numpy over the PNG rows' manifest pixels; border (no
+    compute_edges) is nodata 0.  JPEG rows stay determinism pins."""
+    import numpy as np
+
+    from gdal_ray.sources.images import image_fmt, image_pixels
+
+    ewres, nsres, zfactor, az_deg, alt_deg = 5.0, -5.0, 2.0, 315.0, 45.0
+    zf = zfactor / 8.0
+    alt = np.radians(alt_deg)
+    az = np.radians(az_deg)
+    sin_alt_254 = 254.0 * np.sin(alt)
+    cos_az_cos_alt_z_254 = 254.0 * np.cos(az) * np.cos(alt) * zf
+    sin_az_cos_alt_z_254 = 254.0 * np.sin(az) * np.cos(alt) * zf
+    rows = []
+    for i in range(96):
+        if image_fmt(i) != "png":
+            continue
+        z = image_pixels(i)[:, :, 0].astype(np.float64)
+        w = [z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:],
+             z[1:-1, :-2], z[1:-1, 1:-1], z[1:-1, 2:],
+             z[2:, :-2], z[2:, 1:-1], z[2:, 2:]]
+        x = ((w[0] + w[3] + w[3] + w[6])
+             - (w[2] + w[5] + w[5] + w[8])) * (1.0 / ewres)
+        y = ((w[6] + w[7] + w[7] + w[8])
+             - (w[0] + w[1] + w[1] + w[2])) * (1.0 / nsres)
+        cang_254 = (sin_alt_254
+                    - (y * cos_az_cos_alt_z_254
+                       - x * sin_az_cos_alt_z_254)) \
+            / np.sqrt(1.0 + zf * zf * (x * x + y * y))
+        cang = np.where(cang_254 <= 0.0, 1.0, 1.0 + cang_254)
+        hs = np.full(z.shape, 0.0)
+        hs[1:-1, 1:-1] = np.clip(np.floor(cang + 0.5), 1, 255)
+        rows.append((f"img{i:08d}",
+                     ref_checksum(hs.astype(np.uint8))))
+    return pd.DataFrame(rows, columns=["image_id", "shade_checksum"])
