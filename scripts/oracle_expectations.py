@@ -2772,3 +2772,58 @@ def _q_hillshade(sf):
         rows.append((f"img{i:08d}",
                      ref_checksum(hs.astype(np.uint8))))
     return pd.DataFrame(rows, columns=["image_id", "shade_checksum"])
+
+
+@builder("q_reclassify_lut")
+def _q_reclassify_lut(sf):
+    """Row-subset builder: interval reclassify (value in
+    [bounds[i], bounds[i+1]) -> class, vrtreclassifier.h), VRT LUT
+    piecewise-linear interpolation, and the center sample through
+    the published GDALInvGeoTransform + bilinear pixel-center
+    conventions — all recomputed with plain numpy over the PNG
+    rows' manifest pixels.  JPEG rows stay determinism pins."""
+    import numpy as np
+
+    from gdal_ray.sources.images import georef, image_fmt, image_pixels
+
+    bounds = np.array([0.0, 64.0, 128.0, 192.0, 256.0])
+    classes = np.array([0.0, 1.0, 2.0, 3.0])
+    lut_src = np.array([0.0, 128.0, 255.0])
+    lut_dst = np.array([0.0, 200.0, 255.0])
+    rows = []
+    for i in range(48):
+        if image_fmt(i) != "png":
+            continue
+        px = image_pixels(i)[:, :, 0]
+        h, w = px.shape
+        idx = np.searchsorted(bounds, px.astype(np.float64),
+                              side="right") - 1
+        rc = classes[np.clip(idx, 0, 3)].astype(np.int32)
+        lu = np.floor(np.interp(px.astype(np.float64), lut_src,
+                                lut_dst) + 0.5).astype(np.int32)
+        gt, _ = georef(i)
+        cx = gt[0] + (w / 2.0) * gt[1] + (h / 2.0) * gt[2]
+        cy = gt[3] + (w / 2.0) * gt[4] + (h / 2.0) * gt[5]
+        # GDALInvGeoTransform (alg/gdaltransformer.cpp published form)
+        det = gt[1] * gt[5] - gt[2] * gt[4]
+        inv = (( gt[2] * gt[3] - gt[0] * gt[5]) / det,
+               gt[5] / det, -gt[2] / det,
+               (gt[0] * gt[4] - gt[1] * gt[3]) / det,
+               -gt[4] / det, gt[1] / det)
+        sx = inv[0] + cx * inv[1] + cy * inv[2]
+        sy = inv[3] + cx * inv[4] + cy * inv[5]
+        fx, fy = sx - 0.5, sy - 0.5
+        x0 = int(np.clip(np.floor(fx), 0, w - 1))
+        y0 = int(np.clip(np.floor(fy), 0, h - 1))
+        x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+        wx = float(np.clip(fx - x0, 0.0, 1.0))
+        wy = float(np.clip(fy - y0, 0.0, 1.0))
+        v = (px[y0, x0] * (1 - wx) * (1 - wy)
+             + px[y0, x1] * wx * (1 - wy)
+             + px[y1, x0] * (1 - wx) * wy
+             + px[y1, x1] * wx * wy)
+        center = float(np.clip(np.floor(v + 0.5), 0, 255))
+        rows.append((center, ref_checksum(lu), ref_checksum(rc),
+                     f"img{i:08d}"))
+    return pd.DataFrame(rows, columns=["center_value", "cksum_lut",
+                                       "cksum_reclass", "image_id"])
