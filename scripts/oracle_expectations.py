@@ -2827,3 +2827,40 @@ def _q_reclassify_lut(sf):
                      f"img{i:08d}"))
     return pd.DataFrame(rows, columns=["center_value", "cksum_lut",
                                        "cksum_reclass", "image_id"])
+
+
+@builder("q_miramon_layer")
+def _q_miramon_layer(sf):
+    """Partial builder: the fixture identities and feature counts are
+    ogr_miramon_vector.py assertions (GetFeatureCount() == 3 for the
+    simple point/polygon files, == 4 for the arc file); the attribute
+    and wkt crcs stay engine determinism pins."""
+    rows = [("SimpleArcFile.arc", 4), ("SimplePointsFile.pnt", 3),
+            ("SimplePolFile.pol", 3)]
+    check_pairs(rows, ["file", "n_rows"], ["n_rows"],
+                ["ogr/ogr_miramon_vector.py"])
+    return pd.DataFrame(rows, columns=["file", "n_rows"])
+
+
+# ------------------------------------------------------------------
+# Remaining determinism-pins (round 5 close) and why each resists an
+# engine-free builder — every one is a sequential / traversal-order
+# algorithm whose ground truth lives in the pytest reference-fixture
+# goldens, or a render whose exactness is proven by construction:
+#
+#   q_contour_lines       polyline counts depend on junction traversal
+#                         order (documented above); per-level segment
+#                         counts ARE independent via q_contour
+#   q_convolve_sieve      sieve merges small regions in scan order
+#   q_dither_palette      Floyd-Steinberg error diffusion is inherently
+#   q_rgb_to_palette      sequential (+ median-cut split order)
+#   q_fillnodata          8-ray nearest-valid search with IDW weights
+#   q_footprint           boundary ring tracing (run/arc assembly)
+#   q_gnm                 Dijkstra path over the reference GNM fixture
+#                         (graph built by the engine's own readers)
+#   q_grid_linear         TIN render — exactness proven by the forced
+#                         1x1/2x2/4x4/3x2 bit-identity tests instead
+#   q_nearblack           two-pass collar flood scan
+#   q_pyramid             per-zoom tile counts depend on the warped
+#                         footprints (engine warp semantics)
+#   q_viewshed_cumulative viewshed line-sweep accumulation
