@@ -161,20 +161,26 @@ def segments_table(fids: np.ndarray, wkbs: list[bytes]) -> pa.Table:
 
 
 def label_neighbors(g: "pd.DataFrame") -> "pd.DataFrame":
-    """Stage 2 (groupby seg_hash): attach neighbor fid/multiplicity
-    to every segment occurrence."""
-    import pandas as pd
-
+    """Stage 2 (groupby hash-BUCKET of seg_hash): attach neighbor
+    fid/multiplicity to every segment occurrence.  One group holds
+    ~|segments|/NB segments and labels them all vectorized — a
+    per-segment map_groups would dispatch one task per edge (1e9
+    groups at scale), the same trap q_minhash_lsh's bucketed pair
+    generation avoids."""
+    g = g.sort_values(["seg", "fid", "ring", "pos"], kind="stable")
+    seg = g["seg"].to_numpy()
     fids = g["fid"].to_numpy()
-    n = len(g)
-    if n == 1:
-        nb = np.array([-1], np.int64)
-    elif n == 2:
-        nb = fids[::-1].copy()
-        if fids[0] == fids[1]:
-            nb[:] = fids[0]  # self-touching spike
-    else:
-        nb = np.full(n, -2, np.int64)  # junction / invalid coverage
+    nb = np.full(len(g), -1, np.int64)
+    _, start, cnt = np.unique(seg, return_index=True,
+                              return_counts=True)
+    two = start[cnt == 2]
+    nb[two] = fids[two + 1]
+    nb[two + 1] = fids[two]
+    many = cnt > 2
+    if many.any():
+        rows = np.concatenate([np.arange(s, s + c) for s, c in
+                               zip(start[many], cnt[many])])
+        nb[rows] = -2  # junction / invalid coverage
     out = g[["fid", "ring", "pos", "x0", "y0", "x1", "y1"]].copy()
     out["neighbor"] = nb
     return out
@@ -243,12 +249,18 @@ def simplify_coverage_table(fids: np.ndarray, wkbs: list[bytes],
     src = ray.data.from_arrow(pa.table({
         "fid": pa.array(np.asarray(fids, np.int64)),
         "geometry": pa.array(wkbs, pa.binary())}))
-    ds = src.map_batches(
-        lambda t: segments_table(t["fid"].to_numpy(),
-                                 [b.as_py() for b in t["geometry"]]),
-        batch_format="pyarrow")
-    labeled = ds.groupby("seg").map_groups(label_neighbors,
-                                           batch_format="pandas")
+    NB = 256  # segment-shuffle granularity (see label_neighbors)
+
+    def segs_of(t: pa.Table) -> pa.Table:
+        s = segments_table(t["fid"].to_numpy(),
+                           [b.as_py() for b in t["geometry"]])
+        bucket = (s["seg"].to_numpy().view(np.uint64)
+                  % np.uint64(NB)).astype(np.int64)
+        return s.append_column("__bucket__", pa.array(bucket))
+
+    ds = src.map_batches(segs_of, batch_format="pyarrow")
+    labeled = ds.groupby("__bucket__").map_groups(
+        label_neighbors, batch_format="pandas")
     out = labeled.groupby("fid").map_groups(
         lambda g: rebuild_feature(g, tolerance, preserve_boundary),
         batch_format="pandas")
