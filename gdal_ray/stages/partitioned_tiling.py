@@ -603,9 +603,17 @@ def warp_compose_partitioned(num_images: int, *, zoom: int | None = None,
         # pools stall at the floor (reservation), and a task-based
         # salted branch runs as a sequential phase after the plain
         # pool because the pool's reservation starves it.
+        # num_cpus=0.9: the pre-started pools would otherwise reserve
+        # every cluster CPU and starve the task-based shuffle ops of
+        # the OTHER branch (ray.timeline showed the salted branch's
+        # sort waiting ~9s behind the plain pool at the quarter job).
+        # A 10% under-reservation keeps all `conc` workers while
+        # leaving shuffle headroom — measured faster at both 3072
+        # (20.2->18.5s) and 12288 (53.9->48.8s) on 32 CPUs.
         return ds.groupby("__bucket__").map_groups(
             ComposePartition, fn_constructor_kwargs=kwargs,
-            batch_format="pyarrow", concurrency=(conc, conc), num_cpus=1)
+            batch_format="pyarrow", concurrency=(conc, conc),
+            num_cpus=0.9)
 
     # map_groups dispatches ONE TASK PER SORTED BLOCK (batch_size=None
     # over the sort output), and the sort's partition count follows
