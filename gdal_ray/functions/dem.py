@@ -382,18 +382,31 @@ _NAMED_COLORS = {
 }
 
 
-def parse_color_file(text: str):
+def parse_color_file(text: str, band_min: float | None = None,
+                     band_max: float | None = None):
     """gdaldem color file -> (levels, colors, alphas).  Supports
     numeric 'elev R G B [A]' rows, single-value grey rows, named
-    colors and comma separators (GDALColorReliefParseColorFile,
-    apps/gdaldem_lib.cpp).  'nv' rows return level None."""
+    colors, comma separators, and percentage elevations relative to
+    the band range (GDALColorReliefParseColorFile,
+    apps/gdaldem_lib.cpp).  'nv' rows return level None; percentage
+    rows require band_min/band_max."""
     levels, colors, alphas = [], [], []
     for line in text.splitlines():
         line = line.split("#")[0].strip().replace(",", " ")
         if not line:
             continue
         parts = line.split()
-        lv = None if parts[0].lower() == "nv" else float(parts[0])
+        tok = parts[0].lower()
+        if tok == "nv":
+            lv = None
+        elif tok.endswith("%"):
+            if band_min is None or band_max is None:
+                raise ValueError(
+                    "percentage elevation in color file needs the "
+                    "band range (pass band_min/band_max)")
+            lv = band_min + (band_max - band_min) * float(tok[:-1]) / 100.0
+        else:
+            lv = float(tok)
         rest = parts[1:]
         if len(rest) == 1 and rest[0].lower() in _NAMED_COLORS:
             rgb = list(_NAMED_COLORS[rest[0].lower()])
@@ -424,14 +437,27 @@ def color_map(band: np.ndarray, levels, colors, alphas=None,
             "exact": "exact_color_entry",
             "nearest": "nearest_color_entry"}[color_selection]
     keep = [i for i, lv in enumerate(levels) if lv is not None]
+    nv = next((i for i, lv in enumerate(levels) if lv is None), None)
     lv = [levels[i] for i in keep]
     co = [colors[i] for i in keep]
     al = [alphas[i] if alphas else 255 for i in keep]
     rgb = color_relief_gdal(band, lv, co, mode, src_nodata=src_nodata)
+    a = None
+    if add_alpha:
+        a = color_relief_gdal(band, lv, [(x, x, x) for x in al], mode,
+                              src_nodata=src_nodata)[:, :, 0]
+    if nv is not None and src_nodata is not None:
+        # the file's 'nv' entry colors nodata pixels (GDALColorRelief
+        # nv semantics)
+        mask = (np.asarray(band, np.float64) == src_nodata)
+        if mask.any():
+            rgb = rgb.copy()
+            rgb[mask] = np.asarray(colors[nv], np.uint8)
+            if a is not None:
+                a = a.copy()
+                a[mask] = np.uint8(alphas[nv] if alphas else 255)
     if not add_alpha:
         return rgb
-    a = color_relief_gdal(band, lv, [(x, x, x) for x in al], mode,
-                          src_nodata=src_nodata)[:, :, 0]
     return np.dstack([rgb, a])
 
 

@@ -398,5 +398,9 @@ def nodata_to_alpha(px: np.ndarray, nodata=None) -> np.ndarray:
             mask &= np.isnan(bands[:, :, b].astype(np.float64))
         else:
             mask &= bands[:, :, b] == np.asarray(ndv).astype(bands.dtype)
-    alpha = np.where(mask, 0, 255).astype(np.uint8)
+    # opaque = the band type's full range (a uint16 alpha of 255
+    # would be ~0.4% opacity)
+    opaque = (np.iinfo(bands.dtype).max
+              if np.issubdtype(bands.dtype, np.integer) else 255)
+    alpha = np.where(mask, 0, opaque).astype(bands.dtype)
     return np.dstack([bands, alpha])

@@ -480,7 +480,11 @@ def _wkb_single_ring_col(col):
     if (_u32_at(data, s + hdr) != 1).any():
         return None
     npts = _u32_at(data, s + hdr + 4).astype(np.int64)
-    if (lens[rows] != hdr + 8 + npts * 16).any() or not npts.sum():
+    # zero-point rings would make _seg_roll's segment-end fix-up
+    # overwrite the PREVIOUS segment's closing term (duplicate fancy
+    # index, last write wins) — refuse and fall back to the scalar path
+    if ((lens[rows] != hdr + 8 + npts * 16).any()
+            or (npts == 0).any() or not npts.sum()):
         return None
     cs = s + hdr + 8
     total = int(npts.sum())
@@ -669,9 +673,13 @@ def _fast_distance(a, b):
     rows, px, py, valid, _ = parsed
     if g.kind == 1:
         bx, by = g.rings[0][0]
-        # np.allclose(pt, pt, atol=_EPS) elementwise (default rtol)
-        inter = ((np.abs(px - bx) <= _EPS + 1e-5 * np.abs(bx))
-                 & (np.abs(py - by) <= _EPS + 1e-5 * np.abs(by)))
+        # np.allclose(a_pt, b_pt, atol=_EPS) elementwise: rtol scales
+        # the SECOND operand, which is the literal only when the
+        # column is argument `a` (scalar-path parity)
+        rx = np.abs(bx) if _pt_is_a else np.abs(px)
+        ry = np.abs(by) if _pt_is_a else np.abs(py)
+        inter = ((np.abs(px - bx) <= _EPS + 1e-5 * rx)
+                 & (np.abs(py - by) <= _EPS + 1e-5 * ry))
         dist = np.hypot(px - bx, py - by)
     elif g.kind in (3, 6):
         inside, on_edge = _points_vs_poly(px, py, g)

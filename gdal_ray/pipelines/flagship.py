@@ -187,7 +187,11 @@ def q_phash_neardup(sf_dir: str):
         idx, ph = idx[o], ph[o]
         n = len(idx)
         if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            # typed empty frame: an object-dtype block would break
+            # concat against the int64 blocks of non-trivial buckets
+            return pd.DataFrame({"a": np.array([], np.int64),
+                                 "b": np.array([], np.int64),
+                                 "hamming": np.array([], np.int64)})
         ai, bi = np.triu_indices(n, k=1)
         x = ph[ai] ^ ph[bi]
         ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),

@@ -1771,7 +1771,7 @@ def q_raster_open(sf_dir: str):
         from ..sources.tiff import encode_tiff
 
         rows = {"case": [], "driver": [], "epsg": [], "gt_cksum": [],
-                "px_cksum": []}
+                "px_cksum": [], "px_exact": []}
         for case in t["case"].to_pylist():
             idx = {"gtiff": 0, "png_wf": 1, "jpeg_wld": 2}[case]
             px = image_pixels(idx)[:64, :64]
@@ -1815,7 +1815,7 @@ def q_raster_open(sf_dir: str):
             # determinism-pin ride-along so the driver gate detects
             # silent codec drift even where the independent claim is
             # only the PSNR bar (ADVICE round-4)
-            rows.setdefault("px_exact", []).append(checksum_image(band))
+            rows["px_exact"].append(checksum_image(band))
         return pa.table({
             "case": pa.array(rows["case"]),
             "driver": pa.array(rows["driver"]),

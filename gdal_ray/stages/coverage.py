@@ -118,19 +118,24 @@ def _seg_hash(x0, y0, x1, y1) -> np.ndarray:
 
 
 def _rings_of(geom: Geom):
+    """(polygon_index, ring_index, ring) triples — the polygon index
+    preserves MultiPolygon grouping through the segment explode so
+    rebuild_feature can reassemble the right kind."""
     if geom.kind == 3:
-        yield from enumerate(geom.rings)
+        for ri, r in enumerate(geom.rings):
+            yield 0, ri, r
     elif geom.kind == 6:
         i = 0
-        for cnt in (geom.poly_ring_counts or [len(geom.rings)]):
+        for pi, cnt in enumerate(geom.poly_ring_counts
+                                 or [len(geom.rings)]):
             for r in geom.rings[i:i + cnt]:
-                yield i, r
+                yield pi, i, r
                 i += 1
 
 
 def segments_table(fids: np.ndarray, wkbs: list[bytes]) -> pa.Table:
     """Stage 1: polygons -> canonical segment rows."""
-    cols = {"seg": [], "fid": [], "ring": [], "pos": [],
+    cols = {"seg": [], "fid": [], "poly": [], "ring": [], "pos": [],
             "x0": [], "y0": [], "x1": [], "y1": []}
     for fid, blob in zip(fids.tolist(), wkbs):
         g = wkb_to_geom(blob)
@@ -138,7 +143,7 @@ def segments_table(fids: np.ndarray, wkbs: list[bytes]) -> pa.Table:
             raise ValueError(
                 "Coverage simplification can only be performed on "
                 f"polygonal geometries. Feature {fid} does not have one")
-        for ri, r in _rings_of(g):
+        for pi, ri, r in _rings_of(g):
             p = r if not (r[0] == r[-1]).all() else r[:-1]
             if len(p) < 3:
                 continue
@@ -147,6 +152,7 @@ def segments_table(fids: np.ndarray, wkbs: list[bytes]) -> pa.Table:
             cols["seg"].append(_seg_hash(p[:, 0], p[:, 1],
                                          q[:, 0], q[:, 1]))
             cols["fid"].append(np.full(m, fid, np.int64))
+            cols["poly"].append(np.full(m, pi, np.int64))
             cols["ring"].append(np.full(m, ri, np.int64))
             cols["pos"].append(np.arange(m, dtype=np.int64))
             cols["x0"].append(p[:, 0])
@@ -155,7 +161,8 @@ def segments_table(fids: np.ndarray, wkbs: list[bytes]) -> pa.Table:
             cols["y1"].append(q[:, 1])
     return pa.table({k: pa.array(np.concatenate(v) if v else
                                  np.array([], np.int64 if k in
-                                          ("seg", "fid", "ring", "pos")
+                                          ("seg", "fid", "poly",
+                                           "ring", "pos")
                                           else np.float64))
                      for k, v in cols.items()})
 
@@ -181,7 +188,8 @@ def label_neighbors(g: "pd.DataFrame") -> "pd.DataFrame":
         rows = np.concatenate([np.arange(s, s + c) for s, c in
                                zip(start[many], cnt[many])])
         nb[rows] = -2  # junction / invalid coverage
-    out = g[["fid", "ring", "pos", "x0", "y0", "x1", "y1"]].copy()
+    out = g[["fid", "poly", "ring", "pos", "x0", "y0", "x1",
+             "y1"]].copy()
     out["neighbor"] = nb
     return out
 
@@ -194,8 +202,10 @@ def rebuild_feature(g: "pd.DataFrame", tol: float,
 
     fid = int(g["fid"].iloc[0])
     rings_out = []
+    ring_poly = {}
     for ri in sorted(g["ring"].unique()):
         rg = g[g["ring"] == ri].sort_values("pos")
+        ring_poly[ri] = int(rg["poly"].iloc[0])
         xs = rg["x0"].to_numpy()
         ys = rg["y0"].to_numpy()
         nb = rg["neighbor"].to_numpy()
@@ -229,10 +239,15 @@ def rebuild_feature(g: "pd.DataFrame", tol: float,
         rings_out.append((ri, new_ring))
     rings_out.sort(key=lambda t: t[0])
     rings = [r for _, r in rings_out]
-    if len(rings) == 1:
-        wkb = geom_to_wkb(Geom(3, rings))
+    polys = [ring_poly[ri] for ri, _ in rings_out]
+    npolys = max(polys) + 1 if polys else 1
+    if npolys <= 1:
+        wkb = geom_to_wkb(Geom(3, rings) if len(rings) == 1 else
+                          Geom(3, rings,
+                               poly_ring_counts=[len(rings)]))
     else:
-        wkb = geom_to_wkb(Geom(3, rings, poly_ring_counts=[len(rings)]))
+        counts = [polys.count(p) for p in range(npolys)]
+        wkb = geom_to_wkb(Geom(6, rings, poly_ring_counts=counts))
     return pd.DataFrame({"fid": [fid], "geometry": [wkb],
                          "n_pts": [sum(len(r) for r in rings)]})
 

@@ -2472,23 +2472,6 @@ def _q_ogrvrt_layer(sf):
     return pd.DataFrame(rows, columns=["case", "expected"])
 
 
-@builder("q_translate")
-def _q_translate(sf):
-    """Independent columns: corpus identity + the 50%% bilinear
-    resize output dimensions, derived from the synthesis manifest's
-    image sizes (sources/images.py image_size — class-2 source).
-    Per-band checksums of the render are engine determinism pins."""
-    from gdal_ray.sources.images import image_size
-
-    ids, ws, hs = [], [], []
-    for i in range(96):
-        n = image_size(i)
-        ids.append(f"img{i:08d}")
-        ws.append(max(1, n // 2))
-        hs.append(max(1, n // 2))
-    return pd.DataFrame({"image_id": ids, "w": ws, "h": hs})
-
-
 @builder("q_sar_product_formats")
 def _q_sar_product_formats(sf):
     """Independent columns: driver identity + item counts published
@@ -2864,3 +2847,16 @@ def _q_miramon_layer(sf):
 #   q_pyramid             per-zoom tile counts depend on the warped
 #                         footprints (engine warp semantics)
 #   q_viewshed_cumulative viewshed line-sweep accumulation
+
+
+# Builders that intentionally pin a ROW SUBSET (the generator refuses
+# the row-subset mixed-provenance path for any other builder, so an
+# engine query that starts emitting spurious extra rows FAILS
+# generation instead of silently passing as "mixed").
+ROW_SUBSET_BUILDERS = {
+    "q_vfk_layer", "q_pds_table", "q_pmtiles_layer", "q_slf_wasp_kmz",
+    "q_lvbag_layer", "q_feed_vector", "q_feed_formats",
+    "q_mapml_pgdump", "q_dgn_layer", "q_cog", "q_raster_stats",
+    "q_raster_stats_approx", "q_pixel_functions", "q_hillshade",
+    "q_translate", "q_pansharpen", "q_reclassify_lut",
+}

@@ -97,3 +97,25 @@ def test_nodata_to_alpha_per_band():
     assert out[:, :, 3].tobytes() == b"\xff\xff\x00"
     with pytest.raises(ValueError, match="3 nodata values"):
         nodata_to_alpha(px, [3, 2])
+
+
+def test_nodata_to_alpha_uint16_opaque_range():
+    px = np.array([[100, 40000]], np.uint16)
+    out = nodata_to_alpha(px, 100)
+    assert out.dtype == np.uint16
+    assert out[:, :, 1].tolist() == [[0, 65535]]
+
+
+def test_color_file_percentage_and_nv():
+    levels, colors, alphas = parse_color_file(
+        "nv 10 20 30 0\n0% 0 0 0\n50% 100 100 100\n100% 200 200 200\n",
+        band_min=0.0, band_max=200.0)
+    assert levels[0] is None and colors[0] == (10, 20, 30)
+    assert levels[1:] == [0.0, 100.0, 200.0]
+    band = np.array([[0.0, 100.0, 200.0, -1.0]])
+    out = color_map(band, levels, colors, alphas, src_nodata=-1.0)
+    assert out[0, 1, 0] == 100
+    assert tuple(out[0, 3]) == (10, 20, 30)  # nv color on nodata
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="band range"):
+        parse_color_file("50% 1 2 3\n")

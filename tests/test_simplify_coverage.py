@@ -103,3 +103,17 @@ def test_bad_tolerance():
     for tol in (-5.0, float("nan")):
         with pytest.raises(ValueError, match="should be >= 0"):
             simplify_coverage_table(fids, wkbs, tol)
+
+
+def test_multipolygon_feature_keeps_its_parts(ray_session):
+    """A MultiPolygon feature must come back as a MultiPolygon with
+    its shells grouped per part — not one polygon whose extra shells
+    subtract as holes (round-5 review finding)."""
+    sq1 = np.array([[0.0, 0], [1, 0], [1, 1], [0, 1], [0, 0]])
+    sq2 = sq1 + 5.0
+    mp = geom_to_wkb(Geom(6, [sq1, sq2], poly_ring_counts=[1, 1]))
+    out = simplify_coverage_table(np.array([0], np.int64), [mp], 0.1)
+    g = wkb_to_geom(out["geometry"][0].as_py())
+    assert g.kind == 6
+    assert g.poly_ring_counts == [1, 1]
+    assert abs(geom_area(g) - 2.0) < 1e-12

@@ -253,3 +253,50 @@ def test_fast_path_is_the_registered_surface():
     exp = _scalar_fn(_st_area, pa.float64())(col)
     assert pa.chunked_array([got]).combine_chunks().equals(
         pa.chunked_array([exp]).combine_chunks())
+
+
+def test_fast_area_refuses_zero_point_rings():
+    """A polygon with a 0-point ring passes the layout header checks
+    but would corrupt the segment-roll of the PREVIOUS row; the fast
+    parse must refuse the column so the scalar loop answers
+    (round-5 review finding)."""
+    import struct
+
+    import pyarrow as pa
+
+    from gdal_ray.functions.sql_spatial import (_FAST_PATHS, _scalar_fn,
+                                                _st_area,
+                                                _st_geomfromtext)
+
+    square = _st_geomfromtext(
+        "POLYGON((10 20,14 20,14 24,10 24,10 20))")
+    empty = (b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1)
+             + struct.pack("<I", 0))
+    tri = _st_geomfromtext("POLYGON((0 0,3 0,0 3,0 0))")
+    col = pa.array([square, empty, tri], pa.binary())
+    assert _FAST_PATHS["AREA"](col) is None  # falls back
+    slow = _scalar_fn(_st_area, pa.float64())(col)
+    assert slow[0].as_py() == 16.0
+
+
+def test_fast_distance_literal_first_matches_scalar():
+    """np.allclose's rtol scales the SECOND operand; the fast path
+    must pick the same operand as the scalar path for both argument
+    orders (round-5 review finding)."""
+    import pyarrow as pa
+
+    from gdal_ray.functions.sql_spatial import (_FAST_PATHS,
+                                                _st_distance,
+                                                _st_makepoint)
+
+    lit = _st_makepoint(1.0, 0.0)
+    near = _st_makepoint(1.0 + 1.00011e-5, 0.0)
+    pcol = pa.array([near, near], pa.binary())
+    larr = pa.array([lit], pa.binary())
+    for a, b in ((larr, pcol), (pcol, larr)):
+        got = _FAST_PATHS["DISTANCE"](a, b)
+        assert got is not None
+        sa = lit if a is larr else near
+        sb = near if a is larr else lit
+        exp = _st_distance(sa, sb)
+        assert got[0].as_py() == exp, (got[0].as_py(), exp)
