@@ -26,6 +26,7 @@ Conformance anchors: the reference's own jp2openjpeg.py fixtures
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -1357,10 +1358,75 @@ def _encode_npasses(bw, n):
     bw.bits(n - 37, 7)
 
 
+def _emit_packets(comp_bands: list[dict], levels: int, mb_of) -> bytes:
+    """LRCP packet emission shared by the lossless and lossy encoders:
+    one packet per (resolution, component), 64x64 code-blocks,
+    inclusion/zero-bitplane tag trees, npasses + Lblock length
+    signaling.  ``mb_of((r, bi))`` supplies the band's Mb."""
+    body = bytearray()
+    ncomp = len(comp_bands)
+    for r in range(levels + 1):
+        for ci in range(ncomp):
+            bands = comp_bands[ci]
+            blist = [(0, 0)] if r == 0 else [(r, 1), (r, 2), (r, 3)]
+            bw_hdr = _BitWriterPH()
+            bw_hdr.bit(1)                      # non-empty packet
+            bodies = []
+            for key in blist:
+                band = bands[key]
+                mb = mb_of(key)
+                orient = {0: 0, 1: 1, 2: 0, 3: 2}[key[1]]
+                bh, bwd = band.shape
+                if bh == 0 or bwd == 0:
+                    continue
+                nbx = ceil_div(bwd, 64)
+                nby = ceil_div(bh, 64)
+                datas = []
+                for cby in range(nby):
+                    for cbx in range(nbx):
+                        blk = band[cby * 64:(cby + 1) * 64,
+                                   cbx * 64:(cbx + 1) * 64]
+                        datas.append(_t1_encode_block(
+                            blk.astype(np.int32), orient, mb))
+                incl = [[0 if datas[y * nbx + x][1] > 0 else 1
+                         for x in range(nbx)] for y in range(nby)]
+                itree = TagTreeEnc(nbx, nby, incl)
+                ztree = TagTreeEnc(
+                    nbx, nby,
+                    [[datas[y * nbx + x][2] for x in range(nbx)]
+                     for y in range(nby)])
+                for y in range(nby):
+                    for x in range(nbx):
+                        data, npass, zbp = datas[y * nbx + x]
+                        itree.encode(bw_hdr, x, y, 1)
+                        if npass == 0:
+                            continue
+                        k = 1
+                        while True:
+                            ztree.encode(bw_hdr, x, y, k)
+                            if zbp < k:
+                                break
+                            k += 1
+                        _encode_npasses(bw_hdr, npass)
+                        nbits = 3 + int(np.floor(np.log2(npass)))
+                        ln = len(data)
+                        while ln >= (1 << nbits):
+                            bw_hdr.bit(1)
+                            nbits += 1
+                        bw_hdr.bit(0)
+                        bw_hdr.bits(ln, nbits)
+                        bodies.append(data)
+            body += bw_hdr.flush() + b"".join(bodies)
+    return bytes(body)
+
+
 def encode_j2k(img: np.ndarray, levels: int = 5) -> bytes:
     """Lossless reversible encode: 5/3 DWT, single tile / layer /
     quality, LRCP, 64x64 code-blocks, no custom precincts."""
     img = np.asarray(img)
+    if img.dtype.kind not in "iu":
+        raise ValueError(
+            f"encode_j2k needs an integer dtype, got {img.dtype}")
     if img.ndim == 2:
         comps = [img]
     else:
@@ -1404,61 +1470,12 @@ def encode_j2k(img: np.ndarray, levels: int = 5) -> bytes:
         bands[(0, 0)] = cur
         comp_bands.append(bands)
 
-    # LRCP: one packet per (resolution, component)
-    for r in range(levels + 1):
-        for ci in range(ncomp):
-            bands = comp_bands[ci]
-            blist = [(0, 0)] if r == 0 else [(r, 1), (r, 2), (r, 3)]
-            bw_hdr = _BitWriterPH()
-            bw_hdr.bit(1)                      # non-empty packet
-            bodies = []
-            for (rr, bi) in blist:
-                band = bands[(rr, bi)]
-                exp = depth if bi == 0 else (
-                    depth + 2 if bi == 3 else depth + 1)
-                mb = exp + guard - 1
-                orient = {0: 0, 1: 1, 2: 0, 3: 2}[bi]
-                bh, bwd = band.shape
-                if bh == 0 or bwd == 0:
-                    continue
-                nbx = ceil_div(bwd, 64)
-                nby = ceil_div(bh, 64)
-                datas = []
-                for cby in range(nby):
-                    for cbx in range(nbx):
-                        blk = band[cby * 64:(cby + 1) * 64,
-                                   cbx * 64:(cbx + 1) * 64]
-                        datas.append(_t1_encode_block(
-                            blk.astype(np.int32), orient, mb))
-                incl = [[0 if datas[y * nbx + x][1] > 0 else 1
-                         for x in range(nbx)] for y in range(nby)]
-                itree = TagTreeEnc(nbx, nby, incl)
-                ztree = TagTreeEnc(
-                    nbx, nby,
-                    [[datas[y * nbx + x][2] for x in range(nbx)]
-                     for y in range(nby)])
-                for y in range(nby):
-                    for x in range(nbx):
-                        data, npass, zbp = datas[y * nbx + x]
-                        itree.encode(bw_hdr, x, y, 1)
-                        if npass == 0:
-                            continue
-                        k = 1
-                        while True:
-                            ztree.encode(bw_hdr, x, y, k)
-                            if zbp < k:
-                                break
-                            k += 1
-                        _encode_npasses(bw_hdr, npass)
-                        nbits = 3 + int(np.floor(np.log2(npass)))
-                        ln = len(data)
-                        while ln >= (1 << nbits):
-                            bw_hdr.bit(1)
-                            nbits += 1
-                        bw_hdr.bit(0)
-                        bw_hdr.bits(ln, nbits)
-                        bodies.append(data)
-            body += bw_hdr.flush() + b"".join(bodies)
+    def mb_of(key):
+        bi = key[1]
+        exp = depth if bi == 0 else (depth + 2 if bi == 3 else depth + 1)
+        return exp + guard - 1
+
+    body += _emit_packets(comp_bands, levels, mb_of)
 
     sot = struct.pack(">HIBB", 0, 12 + len(body) + 2, 0, 1)
     out += b"\xff\x90" + struct.pack(">H", len(sot) + 2) + sot
@@ -1500,9 +1517,8 @@ def _fdwt53_1d(a: np.ndarray, axis: int) -> np.ndarray:
     return np.moveaxis(out2, 0, axis)
 
 
-def encode_jp2(img: np.ndarray, levels: int = 5) -> bytes:
-    """JP2 container around encode_j2k."""
-    cs = encode_j2k(img, levels)
+def _wrap_jp2(cs: bytes, img: np.ndarray) -> bytes:
+    """JP2 container (jP/ftyp/jp2h/jp2c boxes) around a codestream."""
     nc = 1 if img.ndim == 2 else img.shape[2]
     depth = img.dtype.itemsize * 8
     signed = img.dtype.kind == "i"
@@ -1511,11 +1527,16 @@ def encode_jp2(img: np.ndarray, levels: int = 5) -> bytes:
     colr = b"\x01\x00\x00" + struct.pack(">I", 17 if nc == 1 else 16)
     jp2h = (struct.pack(">I", 8 + len(ihdr)) + b"ihdr" + ihdr
             + struct.pack(">I", 8 + len(colr)) + b"colr" + colr)
-    out = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
-           + struct.pack(">I", 20) + b"ftypjp2 \x00\x00\x00\x00jp2 "
-           + struct.pack(">I", 8 + len(jp2h)) + b"jp2h" + jp2h
-           + struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs)
-    return out
+    return (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            + struct.pack(">I", 20) + b"ftypjp2 \x00\x00\x00\x00jp2 "
+            + struct.pack(">I", 8 + len(jp2h)) + b"jp2h" + jp2h
+            + struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs)
+
+
+def encode_jp2(img: np.ndarray, levels: int = 5) -> bytes:
+    """JP2 container around encode_j2k."""
+    return _wrap_jp2(encode_j2k(img, levels), img)
+
 
 
 # ------------------------------------------------------------- lossy encode
@@ -1562,9 +1583,6 @@ def _fdwt97(a: np.ndarray):
     return x[0::2, 0::2], x[0::2, 1::2], x[1::2, 0::2], x[1::2, 1::2]
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=8)
 def _band_norms(levels: int) -> dict:
     """L2 norm of the full-resolution synthesis footprint of one unit
@@ -1609,6 +1627,9 @@ def encode_j2k_lossy(img: np.ndarray, quality: float = 25.0,
     weighted by the measured band synthesis norms, single tile /
     layer, LRCP, 64x64 code-blocks."""
     img = np.asarray(img)
+    if img.dtype.kind not in "iu":
+        raise ValueError(
+            f"encode_j2k_lossy needs an integer dtype, got {img.dtype}")
     comps = ([img] if img.ndim == 2
              else [img[:, :, i] for i in range(img.shape[2])])
     h, w = comps[0].shape
@@ -1616,7 +1637,8 @@ def encode_j2k_lossy(img: np.ndarray, quality: float = 25.0,
     depth = img.dtype.itemsize * 8 if img.dtype != np.uint8 else 8
     levels = max(0, min(levels, (min(h, w) - 1).bit_length() - 1))
     guard = 2
-    norms = _band_norms(max(levels, 1))
+    # levels == 0 means no DWT: the single LL band synthesizes 1:1
+    norms = _band_norms(levels) if levels else {(0, 0): 1.0}
     base = _quality_step(quality) * (2.0 ** (depth - 8))
 
     # per-band (exp, mant, delta): delta = 2^(depth+gain-exp)(1+m/2048)
@@ -1673,59 +1695,8 @@ def encode_j2k_lossy(img: np.ndarray, quality: float = 25.0,
             qb[key] = (np.sign(band) * q).astype(np.int64)
         comp_bands.append(qb)
 
-    for r in range(levels + 1):
-        for ci in range(ncomp):
-            bands = comp_bands[ci]
-            blist = [(0, 0)] if r == 0 else [(r, 1), (r, 2), (r, 3)]
-            bw_hdr = _BitWriterPH()
-            bw_hdr.bit(1)
-            bodies = []
-            for key in blist:
-                band = bands[key]
-                exp, _, _ = qparams[key]
-                mb = exp + guard - 1
-                orient = {0: 0, 1: 1, 2: 0, 3: 2}[key[1]]
-                bh, bwd = band.shape
-                if bh == 0 or bwd == 0:
-                    continue
-                nbx = ceil_div(bwd, 64)
-                nby = ceil_div(bh, 64)
-                datas = []
-                for cby in range(nby):
-                    for cbx in range(nbx):
-                        blk = band[cby * 64:(cby + 1) * 64,
-                                   cbx * 64:(cbx + 1) * 64]
-                        datas.append(_t1_encode_block(
-                            blk.astype(np.int32), orient, mb))
-                incl = [[0 if datas[y * nbx + x][1] > 0 else 1
-                         for x in range(nbx)] for y in range(nby)]
-                itree = TagTreeEnc(nbx, nby, incl)
-                ztree = TagTreeEnc(
-                    nbx, nby,
-                    [[datas[y * nbx + x][2] for x in range(nbx)]
-                     for y in range(nby)])
-                for y in range(nby):
-                    for x in range(nbx):
-                        data, npass, zbp = datas[y * nbx + x]
-                        itree.encode(bw_hdr, x, y, 1)
-                        if npass == 0:
-                            continue
-                        k = 1
-                        while True:
-                            ztree.encode(bw_hdr, x, y, k)
-                            if zbp < k:
-                                break
-                            k += 1
-                        _encode_npasses(bw_hdr, npass)
-                        nbits = 3 + int(np.floor(np.log2(npass)))
-                        ln = len(data)
-                        while ln >= (1 << nbits):
-                            bw_hdr.bit(1)
-                            nbits += 1
-                        bw_hdr.bit(0)
-                        bw_hdr.bits(ln, nbits)
-                        bodies.append(data)
-            body += bw_hdr.flush() + b"".join(bodies)
+    body += _emit_packets(comp_bands, levels,
+                          lambda key: qparams[key][0] + guard - 1)
 
     sot = struct.pack(">HIBB", 0, 12 + len(body) + 2, 0, 1)
     out += b"\xff\x90" + struct.pack(">H", len(sot) + 2) + sot
@@ -1737,16 +1708,4 @@ def encode_j2k_lossy(img: np.ndarray, quality: float = 25.0,
 def encode_jp2_lossy(img: np.ndarray, quality: float = 25.0,
                      levels: int = 5) -> bytes:
     """JP2 container around encode_j2k_lossy."""
-    cs = encode_j2k_lossy(img, quality, levels)
-    nc = 1 if img.ndim == 2 else img.shape[2]
-    depth = img.dtype.itemsize * 8
-    signed = img.dtype.kind == "i"
-    ihdr = struct.pack(">IIHBBBB", img.shape[0], img.shape[1], nc,
-                       (depth - 1) | (0x80 if signed else 0), 7, 0, 0)
-    colr = b"\x01\x00\x00" + struct.pack(">I", 17 if nc == 1 else 16)
-    jp2h = (struct.pack(">I", 8 + len(ihdr)) + b"ihdr" + ihdr
-            + struct.pack(">I", 8 + len(colr)) + b"colr" + colr)
-    return (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
-            + struct.pack(">I", 20) + b"ftypjp2 \x00\x00\x00\x00jp2 "
-            + struct.pack(">I", 8 + len(jp2h)) + b"jp2h" + jp2h
-            + struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs)
+    return _wrap_jp2(encode_j2k_lossy(img, quality, levels), img)

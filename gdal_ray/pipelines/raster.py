@@ -1241,7 +1241,11 @@ def q_dem_goldens(sf_dir: str):
         ("color_map_table_b3", 4672), ("color_map_table_alpha", 4873),
         ("nodata_to_alpha_noop", 4672),
     ]
-    if not os.path.exists(n43):
+    need = (n43,
+            "/root/reference/autotest/utilities/data/color_file.txt",
+            "/root/reference/autotest/gcore/data/8bit_pal.bmp",
+            "/root/reference/autotest/gcore/data/byte.tif")
+    if not all(os.path.exists(p) for p in need):
         return pa.table({"case": pa.array([], pa.string()),
                          "cksum": pa.array([], pa.int64()),
                          "expected": pa.array([], pa.int64())})
@@ -1805,10 +1809,10 @@ def q_raster_open(sf_dir: str):
                 # lossy row: pin the input_hint's PSNR>=40dB gate vs
                 # the raw synthesized pixels, not codec-dependent
                 # digits (lossless rows pin exact checksums)
-                err = band.astype(np.float64) - px[:, :, 0]
-                mse = float(np.mean(err * err))
-                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
-                rows["px_cksum"].append(int(psnr >= 40.0))
+                from ..functions.codecs import psnr as _psnr
+
+                rows["px_cksum"].append(int(_psnr(band, px[:, :, 0])
+                                            >= 40.0))
             else:
                 rows["px_cksum"].append(checksum_image(band))
             # exact decoded-pixel checksum for EVERY row — a
@@ -2328,15 +2332,12 @@ def q_jp2(sf_dir: str):
                 src, _ = decode_tiff(open(
                     f"/root/reference/autotest/gcore/data/{name}",
                     "rb").read())
+                from ..functions.codecs import psnr as _psnr
+
                 dec, _ = decode_jp2(encode_jp2_lossy(
                     src.astype(np.uint8), quality=25.0))
-                err = (dec.astype(np.float64)
-                       - src.astype(np.float64))
-                mse = float(np.mean(err * err))
-                psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2
-                                                           / mse)
                 names.append(f"{r['file']}:{r['band'] + 1}")
-                cks.append(int(psnr >= 40.0))
+                cks.append(int(_psnr(dec, src) >= 40.0))
                 exps.append(r["expected"])
                 continue
             if r["file"].startswith("WRITE:"):
