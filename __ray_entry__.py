@@ -95,7 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if tier.get(k, 0) < 2:
             tier[k] = 2
     for k in ("q_simplify_coverage", "q_phash_neardup",
-              "q_gmlas_layer"):
+              "q_gmlas_layer", "q_sozip"):
         tier[k] = 4                     # brand-new operators lead
     ranked = sorted(merged, key=lambda k: -tier.get(k, 3))
     return {k: merged[k] for k in ranked}

@@ -2866,6 +2866,93 @@ def q_gmlas_layer(sf_dir: str):
             .map_batches(f, batch_format="pyarrow", batch_size=3))
 
 
+def q_sozip(sf_dir: str):
+    """SOZip create / validate / ranged read (sources/sozip.py;
+    reference port/cpl_minizip_zip.cpp writer + `gdal vsi sozip`,
+    autotest/utilities/test_sozip.py published fixture facts).  Rows
+    (case, value): the reference's own zero_5GB_sozip_of_sozip.zip
+    facts (member size 5232873, chunk 32768, nested zip64 member of
+    exactly 5 GiB), auto/yes enable thresholds, analytic chunk
+    counts, python-zipfile conformance, ranged-read equality, and a
+    parallel chunk Dataset reassembly."""
+    import os
+    import tempfile
+    import zipfile
+
+    import ray.data
+
+    from ..sources.sozip import (AUTO_MIN_SIZE, sozip_chunk_dataset,
+                                 sozip_create, sozip_info, sozip_read,
+                                 sozip_read_range)
+
+    REF = ("/root/reference/autotest/gcore/data/"
+           "zero_5GB_sozip_of_sozip.zip")
+
+    def f(t: pa.Table) -> pa.Table:
+        cases, values = [], []
+
+        def add(c, v):
+            cases.append(c)
+            values.append(int(v))
+
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 255, AUTO_MIN_SIZE + 1, np.uint8).tobytes()
+        pays = [("a", a), ("b", b"x" * 40000)]
+        with tempfile.TemporaryDirectory() as d:
+            zp = os.path.join(d, "out.zip")
+            on = sozip_create(zp, pays, chunk_size=16384,
+                              enable="auto")
+            add("auto_a_enabled", on["a"])
+            add("auto_b_enabled", on["b"])
+            info = {r["name"]: r for r in sozip_info(zp)}
+            add("a_chunks", info["a"]["n_chunks"])
+            add("a_index_valid", info["a"]["index_valid"])
+            z = zipfile.ZipFile(zp)
+            add("zipfile_roundtrip",
+                z.read("a") == a and z.read("b") == pays[1][1])
+            probe = sozip_read_range(zp, "a", 16384 * 3 + 5, 40000)
+            add("range_probe_ok", probe == a[16384 * 3 + 5:][:40000])
+            on2 = sozip_create(os.path.join(d, "y.zip"),
+                               [("b", pays[1][1])],
+                               chunk_size=16384, enable="yes")
+            add("yes_b_enabled", on2["b"])
+        if os.path.exists(REF):
+            r = sozip_info(REF)[0]
+            add("ref_member_size", r["size"])
+            add("ref_chunk_size", r["chunk_size"])
+            add("ref_sozip_valid", r["sozip"] and r["index_valid"])
+            with tempfile.TemporaryDirectory() as d:
+                ip = os.path.join(d, "inner.zip")
+                open(ip, "wb").write(sozip_read(REF,
+                                                "zero_5GB.bin.zip"))
+                ir = sozip_info(ip)[0]
+                add("ref_inner_size", ir["size"])
+                add("ref_inner_sozip", ir["sozip"]
+                    and ir["index_valid"])
+        return pa.table({"case": pa.array(cases, pa.string()),
+                         "value": pa.array(values, pa.int64())})
+
+    out = pa.concat_tables(
+        ray.data.range(1).map_batches(
+            lambda t: f(t), batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    # the parallel chunk Dataset path runs OUTSIDE the task (it owns
+    # its own Ray stages)
+    with tempfile.TemporaryDirectory() as d:
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 255, AUTO_MIN_SIZE + 1, np.uint8).tobytes()
+        zp = os.path.join(d, "p.zip")
+        sozip_create(zp, [("a", a)], chunk_size=65536, enable="yes")
+        ds = sozip_chunk_dataset(zp, "a")
+        total = 0
+        for b in ds.iter_batches(batch_size=None,
+                                 batch_format="pyarrow"):
+            total += sum(len(x) for x in b["data"].to_pylist())
+    return pa.concat_tables([out, pa.table(
+        {"case": pa.array(["parallel_chunk_bytes"], pa.string()),
+         "value": pa.array([total], pa.int64())})]).sort_by("case")
+
+
 QUERIES = {
     "q_xodr_layers": q_xodr_layers,
     "q_sar_product_formats": q_sar_product_formats,
@@ -2921,4 +3008,5 @@ QUERIES = {
     "q_zfield_precision": q_zfield_precision,
     "q_simplify_coverage": q_simplify_coverage,
     "q_gmlas_layer": q_gmlas_layer,
+    "q_sozip": q_sozip,
 }

@@ -2860,3 +2860,34 @@ ROW_SUBSET_BUILDERS = {
     "q_raster_stats_approx", "q_pixel_functions", "q_hillshade",
     "q_translate", "q_pansharpen", "q_reclassify_lut",
 }
+
+
+@builder("q_sozip")
+def _q_sozip(sf):
+    """Fully independent: the reference-fixture rows are the
+    published facts of zero_5GB_sozip_of_sozip.zip
+    (test_sozip.py:41-44 — 5232873 bytes, sozip yes, 32768-byte
+    chunks; the nested member is the 5 GiB zero file); the synthetic
+    rows are analytic (ceil((1MiB+1)/16384) = 65 chunks, auto
+    threshold 1 MiB, payload length 1MiB+1) plus conformance flags
+    that fail the gate if the zip container or index breaks."""
+    rows = [
+        ("a_chunks", 65),
+        ("a_index_valid", 1),
+        ("auto_a_enabled", 1),
+        ("auto_b_enabled", 0),
+        ("parallel_chunk_bytes", 1024 * 1024 + 1),
+        ("range_probe_ok", 1),
+        ("ref_chunk_size", 32768),
+        ("ref_inner_size", 5 * 1024 * 1024 * 1024),
+        ("ref_inner_sozip", 1),
+        ("ref_member_size", 5232873),
+        ("ref_sozip_valid", 1),
+        ("yes_b_enabled", 1),
+        ("zipfile_roundtrip", 1),
+    ]
+    check_pairs([("ref_member_size", 5232873),
+                 ("ref_chunk_size", 32768)],
+                ["case", "value"], ["value"],
+                ["utilities/test_sozip.py"])
+    return pd.DataFrame(rows, columns=["case", "value"])
