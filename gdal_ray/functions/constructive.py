@@ -175,3 +175,14 @@ def make_valid_area(ring: np.ndarray) -> float:
     """Area under the even-odd repair: sum of |area| of the untwisted
     sub-rings (matches GEOS MakeValid on bow-ties)."""
     return sum(abs(ring_area(s)) for s in make_valid_ring(ring))
+
+
+def swap_xy(geom):
+    """`gdal vector swap-xy` (apps/gdalalg_vector_swap_xy.cpp,
+    OGRGeometry::swapXY): exchange the coordinate order of every
+    vertex, all geometry kinds (autotest
+    test_gdalalg_vector_swap_xy.py: POINT (1 2) -> POINT (2 1))."""
+    from .wkb import Geom
+
+    return Geom(geom.kind, [r[:, ::-1].copy() for r in geom.rings],
+                poly_ring_counts=list(geom.poly_ring_counts or []) or None)

@@ -106,3 +106,19 @@ def test_make_valid_bowtie():
     simple = rect(0, 0, 3, 2)
     assert len(make_valid_ring(simple)) == 1
     assert make_valid_area(simple) == pytest.approx(6.0)
+
+
+def test_swap_xy_matches_reference():
+    """test_gdalalg_vector_swap_xy.py: POINT (1 2) -> POINT (2 1);
+    rings swap per vertex, polygon structure preserved."""
+    from gdal_ray.functions.constructive import swap_xy
+    from gdal_ray.functions.wkb import geom_to_wkt, wkt_to_geom
+
+    g = swap_xy(wkt_to_geom("POINT (1 2)"))
+    assert geom_to_wkt(g) == "POINT (2 1)"
+    p = swap_xy(wkt_to_geom(
+        "POLYGON ((0 0,4 0,4 2,0 2,0 0),(1 1,2 1,1 1.5,1 1))"))
+    back = swap_xy(p)
+    assert geom_to_wkt(back) == geom_to_wkt(wkt_to_geom(
+        "POLYGON ((0 0,4 0,4 2,0 2,0 0),(1 1,2 1,1 1.5,1 1))"))
+    assert p.rings[0][1].tolist() == [0.0, 4.0]
