@@ -150,21 +150,24 @@ def grid_points(px, py, pz, algo: str, *, xmin, xmax, ymin, ymax,
     if algo == "linear":
         return linear_eval(build_tin(px, py), px, py, pz,
                            gx[0, :], gy[:, 0], radius, nodata)
-    # (nodes, points) deltas
-    dxs = px[None, :] - gx.ravel()[:, None]
-    dys = py[None, :] - gy.ravel()[:, None]
-    r2 = dxs * dxs + dys * dys
     out = np.full(gx.size, nodata, np.float64)
-
-    if algo == "invdistnn":
-        rad = radius if radius > 0 else 0.0
-        inside = r2 <= rad * rad if rad > 0 else np.ones(r2.shape, bool)
-    else:
-        inside = _ellipse_mask(dxs, dys, radius1, radius2, angle)
+    gxf = gx.ravel()
+    gyf = gy.ravel()
+    rad = radius if radius > 0 else 0.0
 
     for i in range(gx.size):
-        m = inside[i]
-        rr = r2[i][m]
+        # per-node deltas: a dense (nodes, points) matrix would be
+        # O(nx*ny*n_points) memory (hundreds of GB at 256^2 x 100k)
+        dx = px - gxf[i]
+        dy = py - gyf[i]
+        r2i = dx * dx + dy * dy
+        if algo == "invdistnn":
+            m = (r2i <= rad * rad if rad > 0
+                 else np.ones(r2i.shape, bool))
+        else:
+            m = _ellipse_mask(dx[None, :], dy[None, :],
+                              radius1, radius2, angle)[0]
+        rr = r2i[m]
         zz = pz[m]
         if algo in ("invdist", "invdistnn"):
             if algo == "invdistnn" and max_points > 0 and len(rr) > max_points:
@@ -244,10 +247,16 @@ def linear_eval_assign(tri, px, py, pz, cx, cy, radius, nodata):
         ax, ay, bx, by, cx2, cy2 = px[a], py[a], px[b], py[b], px[c], py[c]
         x0, x1 = min(ax, bx, cx2), max(ax, bx, cx2)
         y0, y1 = min(ay, by, cy2), max(ay, by, cy2)
-        i0 = max(0, int(np.ceil((x0 - cx[0]) / dx - 1e-9)))
-        i1 = min(nx - 1, int(np.floor((x1 - cx[0]) / dx + 1e-9)))
-        j0 = max(0, int(np.ceil((y0 - cy[0]) / dy - 1e-9)))
-        j1 = min(ny - 1, int(np.floor((y1 - cy[0]) / dy + 1e-9)))
+        # same descending-axis mapping as linear_eval (dx/dy < 0
+        # swaps which bbox corner bounds which index)
+        i0 = max(0, int(np.ceil((x0 - cx[0]) / dx - 1e-9)) if dx > 0
+                 else int(np.ceil((x1 - cx[0]) / dx - 1e-9)))
+        i1 = min(nx - 1, int(np.floor((x1 - cx[0]) / dx + 1e-9)) if dx > 0
+                 else int(np.floor((x0 - cx[0]) / dx + 1e-9)))
+        j0 = max(0, int(np.ceil((y0 - cy[0]) / dy - 1e-9)) if dy > 0
+                 else int(np.ceil((y1 - cy[0]) / dy - 1e-9)))
+        j1 = min(ny - 1, int(np.floor((y1 - cy[0]) / dy + 1e-9)) if dy > 0
+                 else int(np.floor((y0 - cy[0]) / dy + 1e-9)))
         if i1 < i0 or j1 < j0:
             continue
         nxs = cx[i0:i1 + 1][None, :]

@@ -81,6 +81,12 @@ def sozip_create(zip_path: str, entries: list[tuple[str, bytes]],
     "no" (gdal vsi sozip create semantics)."""
     if not zip_path.endswith(".zip"):
         raise ValueError("Extension of zip filename should be .zip")
+    if sum(len(d) for _, d in entries) >= 0xFFFFFFFF:
+        # the writer emits 32-bit records only (the READER handles
+        # zip64); >=4 GiB members need a chunk-partitioned layout
+        raise ValueError(
+            "sozip_create writes 32-bit zip records; split members "
+            ">= 4 GiB across archives (zip64 write not implemented)")
     on = {}
     body = bytearray()
     central = bytearray()
@@ -226,7 +232,12 @@ def sozip_read_range(zip_path: str, name: str, offset: int,
             continue
         ds = _data_start(blob, ent["offset"])
         after = ds + ent["csize"]
-        if blob[after:after + 4] != b"PK\x03\x04":
+        is_idx = False
+        if blob[after:after + 4] == b"PK\x03\x04":
+            nlen = struct.unpack_from("<H", blob, after + 26)[0]
+            is_idx = blob[after + 30:after + 30 + nlen].decode(
+                errors="replace").endswith(".sozip.idx")
+        if not is_idx:
             raise ValueError(f"{name} is not SOZip-enabled")
         ids = _data_start(blob, after)
         _ver, _skip, chunk, _osz = struct.unpack_from("<IIII", blob, ids)
@@ -251,24 +262,47 @@ def sozip_read_range(zip_path: str, name: str, offset: int,
 
 def sozip_chunk_dataset(zip_path: str, name: str):
     """Ray Dataset of the member's chunks, inflated IN PARALLEL via
-    the SOZip index — the scale path for zipped assets (each task
-    reads only its compressed byte range)."""
+    the SOZip index.  The index and entry offsets resolve ONCE on the
+    driver; each task then seeks straight to its compressed byte
+    range — no per-chunk archive re-read."""
     import pyarrow as pa
     import ray.data
 
-    info = next(r for r in sozip_info(zip_path) if r["name"] == name)
-    if not info["sozip"]:
+    blob = open(zip_path, "rb").read()
+    for ent in _iter_central(blob):
+        if ent["name"] == name:
+            break
+    else:
+        raise FileNotFoundError(name)
+    ds0 = _data_start(blob, ent["offset"])
+    after = ds0 + ent["csize"]
+    nlen = struct.unpack_from("<H", blob, after + 26)[0]
+    if not (blob[after:after + 4] == b"PK\x03\x04"
+            and blob[after + 30:after + 30 + nlen].decode(
+                errors="replace").endswith(".sozip.idx")):
         raise ValueError(f"{name} is not SOZip-enabled")
-    chunk = info["chunk_size"]
-    n = info["n_chunks"]
+    ids = _data_start(blob, after)
+    _ver, _skip, chunk, _osz = struct.unpack_from("<IIII", blob, ids)
+    usz, _csz = struct.unpack_from("<QQ", blob, ids + 16)
+    n = max(1, -(-usz // chunk))
+    offs = [0] + [struct.unpack_from("<Q", blob, ids + 32 + 8 * i)[0]
+                  for i in range(n - 1)]
+    bounds = [(ds0 + offs[c],
+               ds0 + (offs[c + 1] if c + 1 < n else ent["csize"]))
+              for c in range(n)]
+    del blob
 
     def read_chunks(t: pa.Table) -> pa.Table:
         cs, datas = [], []
-        for c in t["chunk"].to_pylist():
-            size = min(chunk, info["size"] - c * chunk)
-            datas.append(sozip_read_range(zip_path, name, c * chunk,
-                                          size))
-            cs.append(c)
+        with open(zip_path, "rb") as f:
+            for c in t["chunk"].to_pylist():
+                start, end = bounds[c]
+                f.seek(start)
+                raw = f.read(end - start)
+                size = min(chunk, usz - c * chunk)
+                d = zlib.decompressobj(-15)
+                datas.append(d.decompress(raw)[:size])
+                cs.append(c)
         return pa.table({"chunk": pa.array(cs, pa.int64()),
                          "data": pa.array(datas, pa.binary())})
 

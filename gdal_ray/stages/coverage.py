@@ -70,13 +70,18 @@ def dp_chain(pts: np.ndarray, tol: float) -> np.ndarray:
     return pts[keep]
 
 
-def simplify_arc(pts: np.ndarray, tol: float) -> np.ndarray:
+def simplify_arc(pts: np.ndarray, tol: float,
+                 closed: bool | None = None) -> np.ndarray:
     """Simplify one arc deterministically regardless of traversal
     direction: canonicalize the orientation (lexicographically
     smaller endpoint first; for closed arcs rotate to the smallest
     vertex and orient toward the smaller second vertex), run DP,
-    then restore the caller's direction."""
-    closed = bool((pts[0] == pts[-1]).all()) and len(pts) > 3
+    then restore the caller's direction.  ``closed`` must be passed
+    explicitly by ring-aware callers: an OPEN arc of a pinched ring
+    can revisit its first vertex without being a ring, and rotating
+    it would break the caller's arc stitching."""
+    if closed is None:
+        closed = bool((pts[0] == pts[-1]).all()) and len(pts) > 3
     if closed:
         ring = pts[:-1]
         start = int(np.lexsort((ring[:, 1], ring[:, 0]))[0])
@@ -105,6 +110,17 @@ def simplify_arc(pts: np.ndarray, tol: float) -> np.ndarray:
 def _seg_hash(x0, y0, x1, y1) -> np.ndarray:
     """Canonical (orientation-free) segment key: FNV-1a over the
     lexicographically ordered endpoint bytes."""
+    # normalize -0.0 -> 0.0: the canonicalization compares by VALUE
+    # but the hash reads raw bytes, and a -0.0/0.0 split between two
+    # owners would silently unshare their edge
+    x0 = np.asarray(x0, np.float64) + 0.0
+    y0 = np.asarray(y0, np.float64) + 0.0
+    x1 = np.asarray(x1, np.float64) + 0.0
+    y1 = np.asarray(y1, np.float64) + 0.0
+    x0 = np.where(x0 == 0.0, 0.0, x0)
+    y0 = np.where(y0 == 0.0, 0.0, y0)
+    x1 = np.where(x1 == 0.0, 0.0, x1)
+    y1 = np.where(y1 == 0.0, 0.0, y1)
     lo_first = (x0 < x1) | ((x0 == x1) & (y0 <= y1))
     ax = np.where(lo_first, x0, x1)
     ay = np.where(lo_first, y0, y1)
@@ -136,7 +152,7 @@ def _rings_of(geom: Geom):
 def segments_table(fids: np.ndarray, wkbs: list[bytes]) -> pa.Table:
     """Stage 1: polygons -> canonical segment rows."""
     cols = {"seg": [], "fid": [], "poly": [], "ring": [], "pos": [],
-            "x0": [], "y0": [], "x1": [], "y1": []}
+            "x0": [], "y0": [], "x1": [], "y1": [], "mp": []}
     for fid, blob in zip(fids.tolist(), wkbs):
         g = wkb_to_geom(blob)
         if g.kind not in (3, 6):
@@ -153,6 +169,7 @@ def segments_table(fids: np.ndarray, wkbs: list[bytes]) -> pa.Table:
                                          q[:, 0], q[:, 1]))
             cols["fid"].append(np.full(m, fid, np.int64))
             cols["poly"].append(np.full(m, pi, np.int64))
+            cols["mp"].append(np.full(m, int(g.kind == 6), np.int64))
             cols["ring"].append(np.full(m, ri, np.int64))
             cols["pos"].append(np.arange(m, dtype=np.int64))
             cols["x0"].append(p[:, 0])
@@ -162,7 +179,7 @@ def segments_table(fids: np.ndarray, wkbs: list[bytes]) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v) if v else
                                  np.array([], np.int64 if k in
                                           ("seg", "fid", "poly",
-                                           "ring", "pos")
+                                           "ring", "pos", "mp")
                                           else np.float64))
                      for k, v in cols.items()})
 
@@ -189,7 +206,7 @@ def label_neighbors(g: "pd.DataFrame") -> "pd.DataFrame":
                                zip(start[many], cnt[many])])
         nb[rows] = -2  # junction / invalid coverage
     out = g[["fid", "poly", "ring", "pos", "x0", "y0", "x1",
-             "y1"]].copy()
+             "y1", "mp"]].copy()
     out["neighbor"] = nb
     return out
 
@@ -218,7 +235,8 @@ def rebuild_feature(g: "pd.DataFrame", tol: float,
             if nb[0] == -1 and preserve_boundary or nb[0] == -2:
                 new_ring = np.vstack([pts, pts[:1]])
             else:
-                new_ring = simplify_arc(np.vstack([pts, pts[:1]]), tol)
+                new_ring = simplify_arc(np.vstack([pts, pts[:1]]), tol,
+                                        closed=True)
             rings_out.append((ri, new_ring))
             continue
         rot = int(change[0])
@@ -233,7 +251,7 @@ def rebuild_feature(g: "pd.DataFrame", tol: float,
             if label == -2 or (label == -1 and preserve_boundary):
                 simp = arc
             else:
-                simp = simplify_arc(arc, tol)
+                simp = simplify_arc(arc, tol, closed=False)
             pieces.append(simp[:-1])
         new_ring = np.vstack(pieces + [pieces[0][:1]])
         rings_out.append((ri, new_ring))
@@ -241,7 +259,8 @@ def rebuild_feature(g: "pd.DataFrame", tol: float,
     rings = [r for _, r in rings_out]
     polys = [ring_poly[ri] for ri, _ in rings_out]
     npolys = max(polys) + 1 if polys else 1
-    if npolys <= 1:
+    was_mp = bool(g["mp"].iloc[0])
+    if npolys <= 1 and not was_mp:
         wkb = geom_to_wkb(Geom(3, rings) if len(rings) == 1 else
                           Geom(3, rings,
                                poly_ring_counts=[len(rings)]))
@@ -279,8 +298,28 @@ def simplify_coverage_table(fids: np.ndarray, wkbs: list[bytes],
     out = labeled.groupby("fid").map_groups(
         lambda g: rebuild_feature(g, tolerance, preserve_boundary),
         batch_format="pandas")
-    tab = pa.concat_tables(b for b in out.iter_batches(
-        batch_size=None, batch_format="pyarrow"))
+    batches = list(out.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"))
+    empty = pa.table({"fid": pa.array([], pa.int64()),
+                      "geometry": pa.array([], pa.binary()),
+                      "n_pts": pa.array([], pa.int64())})
+    tab = pa.concat_tables(batches) if batches else empty
+    # features whose rings are all degenerate (<3 distinct vertices)
+    # emit no segments; they survive verbatim ("every feature
+    # survives" contract)
+    done = set(tab["fid"].to_pylist())
+    missing = [i for i, f in enumerate(np.asarray(fids, np.int64)
+                                       .tolist()) if f not in done]
+    if missing:
+        extra = pa.table({
+            "fid": pa.array([int(fids[i]) for i in missing], pa.int64()),
+            "geometry": pa.array([wkbs[i] for i in missing],
+                                 pa.binary()),
+            "n_pts": pa.array(
+                [sum(len(r) for r in wkb_to_geom(wkbs[i]).rings)
+                 for i in missing], pa.int64()),
+        })
+        tab = pa.concat_tables([tab.cast(extra.schema), extra])
     return tab.sort_by("fid")
 
 

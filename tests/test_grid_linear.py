@@ -151,3 +151,23 @@ def test_bucketed_linear_grid_bit_identical(ray_session):
     for bk in ((2, 2), (4, 4), (3, 2)):
         got = q_grid_linear(sf, buckets=bk).to_pandas()
         assert got.equals(ref), bk
+
+
+def test_linear_eval_assign_descending_axis_matches_linear_eval():
+    """linear_eval_assign claims 'same semantics as linear_eval' —
+    including descending node axes (round-5 review finding)."""
+    from gdal_ray.functions.gdalgrid import (build_tin, linear_eval,
+                                             linear_eval_assign)
+
+    rng = np.random.default_rng(2)
+    px = rng.uniform(0, 100, 200)
+    py = rng.uniform(0, 100, 200)
+    pz = rng.uniform(0, 50, 200)
+    tri = build_tin(px, py)
+    cx = np.linspace(5, 95, 12)
+    cy_desc = np.linspace(95, 5, 11)
+    ref = linear_eval(tri, px, py, pz, cx, cy_desc, -1.0, 0.0)
+    got, who = linear_eval_assign(tri, px, py, pz, cx, cy_desc,
+                                  -1.0, 0.0)
+    assert np.array_equal(ref, got)
+    assert (who >= 0).any()

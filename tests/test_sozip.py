@@ -110,3 +110,14 @@ def test_parallel_chunk_dataset(ray_session, tmp_path):
     parts = sorted(ds.take_all(), key=lambda r: r["chunk"])
     joined = b"".join(p["data"] for p in parts)
     assert joined == pays[0][1]
+
+
+def test_read_range_on_adjacent_plain_members(tmp_path):
+    """A non-SOZip member followed by another member must raise, not
+    parse the neighbor's local header as an index (round-5 review
+    finding)."""
+    zp = str(tmp_path / "two.zip")
+    sozip_create(zp, [("a", b"y" * 500), ("b", b"z" * 500)],
+                 enable="no")
+    with pytest.raises(ValueError, match="not SOZip-enabled"):
+        sozip_read_range(zp, "a", 0, 10)
