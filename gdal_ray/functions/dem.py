@@ -62,10 +62,12 @@ def pad_edges(z: np.ndarray) -> np.ndarray:
     h, w = z.shape
     p = np.empty((h + 2, w + 2), np.float64)
     p[1:-1, 1:-1] = z
-    p[0, 1:-1] = 2 * z[0] - z[1]
-    p[-1, 1:-1] = 2 * z[-1] - z[-2]
-    p[:, 0] = 2 * p[:, 1] - p[:, 2]
-    p[:, -1] = 2 * p[:, -2] - p[:, -3]
+    # degenerate 1-row/1-col strips: the INTERPOL(2a - b) neighbor
+    # does not exist, so duplicate the edge (2a - a)
+    p[0, 1:-1] = 2 * z[0] - (z[1] if h > 1 else z[0])
+    p[-1, 1:-1] = 2 * z[-1] - (z[-2] if h > 1 else z[-1])
+    p[:, 0] = 2 * p[:, 1] - (p[:, 2] if w > 1 else p[:, 1])
+    p[:, -1] = 2 * p[:, -2] - (p[:, -3] if w > 1 else p[:, -2])
     return p
 
 
@@ -471,5 +473,5 @@ def color_map_from_table(idx: np.ndarray, palette: np.ndarray,
         pal = np.c_[pal, np.full(len(pal), 255, np.uint8)]
     safe = np.clip(idx, 0, len(pal) - 1)
     out = pal[safe]
-    out[idx >= len(pal)] = 0
+    out[(idx >= len(pal)) | (idx < 0)] = 0
     return out[:, :, :4] if add_alpha else out[:, :, :3]

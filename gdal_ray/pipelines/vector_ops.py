@@ -420,7 +420,10 @@ def q_shp_layer(sf_dir: str):
         os.makedirs(os.path.dirname(_SHP_FIXTURE), exist_ok=True)
         tmp = _SHP_FIXTURE + f".tmp{os.getpid()}"
         write_shapefile(tmp, polygons_table(64))
-        for ext in (".shp", ".shx", ".dbf"):
+        # publish the sidecars FIRST: the existence guard checks only
+        # .shp, so a crash between replaces must never leave a .shp
+        # without its .shx/.dbf (permanent wedge)
+        for ext in (".shx", ".dbf", ".shp"):
             os.replace(tmp + ext, _SHP_FIXTURE + ext)
 
     ds = shapefile_dataset(_SHP_FIXTURE, columns=["category", "pop"],
@@ -460,9 +463,11 @@ def q_csv_layer(sf_dir: str):
         tmp = _CSV_FIXTURE + f".tmp{os.getpid()}"
         write_csv_layer(tmp, points_table(256).drop_columns(
             ["tags", "t", "x", "y"]), geometry="AS_XY", create_csvt=True)
-        os.replace(tmp, _CSV_FIXTURE)
+        # type sidecar FIRST: the guard checks only the .csv, so the
+        # .csvt must already be in place when the .csv appears
         os.replace(os.path.splitext(tmp)[0] + ".csvt",
                    os.path.splitext(_CSV_FIXTURE)[0] + ".csvt")
+        os.replace(tmp, _CSV_FIXTURE)
 
     ds = csv_dataset(_CSV_FIXTURE, num_shards=4)
 
@@ -1804,10 +1809,22 @@ def q_fgdb_layer(sf_dir: str):
     main = os.path.join(tmp, "testopenfilegdb.gdb")
     if not os.path.exists(main) and os.path.exists(
             os.path.join(fixdir, "testopenfilegdb.gdb.zip")):
-        os.makedirs(tmp, exist_ok=True)
+        # crash-safe publish: extract into a pid-suffixed dir, then
+        # rename the .gdb into place (a killed extractall must not
+        # leave a partial dir the existence guard then trusts)
+        stage = f"{tmp}.stage{os.getpid()}"
+        os.makedirs(stage, exist_ok=True)
         with _zip.ZipFile(os.path.join(fixdir,
                                        "testopenfilegdb.gdb.zip")) as z:
-            z.extractall(tmp)
+            z.extractall(stage)
+        os.makedirs(tmp, exist_ok=True)
+        try:
+            os.rename(os.path.join(stage, "testopenfilegdb.gdb"), main)
+        except OSError:
+            pass  # a concurrent worker won the publish
+        import shutil as _shutil
+
+        _shutil.rmtree(stage, ignore_errors=True)
 
     cases = [(main, n) for n in
              ("point", "multipoint", "linestring",
@@ -2326,6 +2343,9 @@ def q_slf_wasp_kmz(sf_dir: str):
             add("kmz_cs_band1", checksum_image(rd["pixels"][0]))
             add("kmz_h", rd["pixels"].shape[1])
             add("kmz_w", rd["pixels"].shape[2])
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
         return pa.table({"case": pa.array(cases, pa.string()),
                          "value": pa.array(values, pa.int64())})
 

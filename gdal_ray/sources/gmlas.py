@@ -71,10 +71,18 @@ class _Schema:
         return self.elements.get(ref.rsplit(":", 1)[-1])
 
 
-def _particles(ctype: ET.Element):
+def _particles(ctype: ET.Element, schema: "_Schema | None" = None):
     """Flattened (element-decl, maxOccurs) particles of a complex
-    type: sequence / choice / nested combinations."""
+    type: sequence / choice / nested combinations; with ``schema``,
+    a complexContent/extension's BASE type contributes its particles
+    first (xs derivation-by-extension order)."""
     out = []
+    if schema is not None:
+        ext = ctype.find(f"{_XS}complexContent/{_XS}extension")
+        if ext is not None and ext.get("base"):
+            base = schema.types.get(ext.get("base").rsplit(":", 1)[-1])
+            if base is not None:
+                out.extend(_particles(base, schema))
 
     def walk(node, inherited_max=1):
         for ch in node:
@@ -93,9 +101,22 @@ def _particles(ctype: ET.Element):
     return out
 
 
-def _attributes(ctype: ET.Element):
-    return [(a.get("name"), _xs_type(a.get("type")) or pa.string())
+def _attributes(ctype: ET.Element, schema: "_Schema | None" = None):
+    out = []
+    if schema is not None:
+        ext = ctype.find(f"{_XS}complexContent/{_XS}extension")
+        if ext is not None and ext.get("base"):
+            base = schema.types.get(ext.get("base").rsplit(":", 1)[-1])
+            if base is not None:
+                out.extend(_attributes(base, schema))
+    out += [(a.get("name"), _xs_type(a.get("type")) or pa.string())
             for a in ctype.findall(f"{_XS}attribute")]
+    # extension attributes live under the extension node itself
+    ext = ctype.find(f"{_XS}complexContent/{_XS}extension")
+    if ext is not None:
+        out += [(a.get("name"), _xs_type(a.get("type")) or pa.string())
+                for a in ext.findall(f"{_XS}attribute")]
+    return out
 
 
 def _is_leaf_type(schema: _Schema, ctype: ET.Element | None) -> bool:
@@ -103,7 +124,7 @@ def _is_leaf_type(schema: _Schema, ctype: ET.Element | None) -> bool:
     fields when repeated) instead of spawning a layer."""
     if ctype is None:
         return True
-    return not _particles(ctype)
+    return not _particles(ctype, schema)
 
 
 class _LayerBuilder:
@@ -140,13 +161,13 @@ class _LayerBuilder:
         ctype = self.schema.resolve_type(decl)
         if ctype is None:
             return
-        for aname, atype in _attributes(ctype):
+        for aname, atype in _attributes(ctype, self.schema):
             key = f"{prefix}{aname}"
             types[key] = atype
             v = node.get(aname)
             if v is not None:
                 row[key] = _coerce(v, atype)
-        for child_decl, mx in _particles(ctype):
+        for child_decl, mx in _particles(ctype, self.schema):
             ref = child_decl.get("ref")
             cdecl = (self.schema.element(ref) if ref else child_decl)
             if cdecl is None:
@@ -155,9 +176,11 @@ class _LayerBuilder:
             matches = [ch for ch in node if _local(ch.tag) == cname]
             st = _xs_type(cdecl.get("type"))
             cctype = self.schema.resolve_type(cdecl)
-            if st is not None or (cctype is not None
-                                  and not _particles(cctype)
-                                  and not _attributes(cctype)):
+            # cctype None with no simple type = xs:anyType -> treat
+            # as string text content (single or list)
+            if st is not None or cctype is None or (
+                    not _particles(cctype, self.schema)
+                    and not _attributes(cctype, self.schema)):
                 # simple-typed element -> scalar or list field
                 t = st or pa.string()
                 key = f"{prefix}{cname}"
@@ -171,7 +194,7 @@ class _LayerBuilder:
                 continue
             if mx > 1 and _is_leaf_type(self.schema, cctype):
                 # repeated attribute-only element -> list fields
-                for aname, atype in _attributes(cctype):
+                for aname, atype in _attributes(cctype, self.schema):
                     key = f"{prefix}{cname}_{aname}"
                     types[key] = pa.list_(atype)
                     row[key] = [_coerce(ch.get(aname), atype)
@@ -182,20 +205,22 @@ class _LayerBuilder:
                 # single complex child element gets its own layer
                 jname = f"{layer}_{prefix}{cname}"
                 for ch in matches:
-                    jrow = {"parent_ogr_pkid": parent_pkid}
-                    jtypes = {"parent_ogr_pkid": pa.string()}
-                    for tdecl, _m in _particles(cctype):
+                    for tdecl, _m in _particles(cctype, self.schema):
                         tref = tdecl.get("ref")
                         tdecl2 = (self.schema.element(tref) if tref
                                   else tdecl)
                         tname = tdecl2.get("name")
-                        tmatch = [g for g in ch
-                                  if _local(g.tag) == tname]
-                        for g in tmatch:
+                        for g in [g for g in ch
+                                  if _local(g.tag) == tname]:
+                            # one junction row PER (parent, child)
+                            # pair — a property holding several
+                            # targets links each of them
                             pk = self.read_element(tdecl2, g, tname)
-                            jrow[f"{tname}_pkid"] = pk
-                            jtypes[f"{tname}_pkid"] = pa.string()
-                    self._add(jname, jrow, jtypes)
+                            self._add(jname,
+                                      {"parent_ogr_pkid": parent_pkid,
+                                       f"{tname}_pkid": pk},
+                                      {"parent_ogr_pkid": pa.string(),
+                                       f"{tname}_pkid": pa.string()})
                 continue
             if _is_leaf_type(self.schema, cctype):
                 # single attribute-only referenced element -> inline
@@ -203,7 +228,8 @@ class _LayerBuilder:
                     self._flatten(cdecl, ch, f"{prefix}{cname}_",
                                   row, types, layer, parent_pkid)
                 if not matches and cctype is not None:
-                    for aname, atype in _attributes(cctype):
+                    for aname, atype in _attributes(cctype,
+                                                    self.schema):
                         types[f"{prefix}{cname}_{aname}"] = atype
                 continue
             # single inlined complex element -> flatten with prefix

@@ -86,3 +86,57 @@ def test_missing_schema_raises(tmp_path):
     p.write_text("<root><a>1</a></root>")
     with pytest.raises(ValueError, match="no schemaLocation"):
         read_gmlas(str(p))
+
+
+def test_anytype_junction_multiplicity_and_extension(tmp_path):
+    """Round-5 review findings: repeated untyped (anyType) elements
+    become string list fields instead of crashing; a property holding
+    SEVERAL targets links each of them in the junction layer; a
+    complexContent/extension merges its base type's elements and
+    attributes."""
+    (tmp_path / "t.xsd").write_text("""<xs:schema
+ xmlns:xs="http://www.w3.org/2001/XMLSchema">
+<xs:element name="root"><xs:complexType><xs:sequence>
+  <xs:element name="item" maxOccurs="unbounded"/>
+  <xs:element name="composition" maxOccurs="unbounded">
+    <xs:complexType><xs:sequence>
+      <xs:element ref="Part" maxOccurs="unbounded"/>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:sequence></xs:complexType></xs:element>
+<xs:element name="Part"><xs:complexType><xs:sequence>
+  <xs:element name="a" type="xs:string"/>
+</xs:sequence><xs:attribute name="my_id" type="xs:ID"/>
+</xs:complexType></xs:element>
+</xs:schema>""")
+    (tmp_path / "t.xml").write_text("""<root
+ xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"
+ xsi:noNamespaceSchemaLocation="t.xsd">
+<item>one</item><item>two</item>
+<composition><Part my_id="p1"><a>a1</a></Part>
+<Part my_id="p2"><a>a2</a></Part></composition>
+</root>""")
+    out = read_gmlas(str(tmp_path / "t.xml"))
+    assert out["root"]["item"][0].as_py() == ["one", "two"]
+    assert out["root_composition"].num_rows == 2
+    assert out["Part"].num_rows == 2
+
+    (tmp_path / "e.xsd").write_text("""<xs:schema
+ xmlns:xs="http://www.w3.org/2001/XMLSchema">
+<xs:complexType name="BaseT"><xs:sequence>
+  <xs:element name="base_int" type="xs:int"/>
+</xs:sequence><xs:attribute name="bid" type="xs:string"/>
+</xs:complexType>
+<xs:element name="main"><xs:complexType><xs:complexContent>
+<xs:extension base="BaseT">
+  <xs:sequence><xs:element name="extra" type="xs:string"/></xs:sequence>
+  <xs:attribute name="x" type="xs:int"/>
+</xs:extension></xs:complexContent></xs:complexType></xs:element>
+</xs:schema>""")
+    (tmp_path / "e.xml").write_text("""<main
+ xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"
+ xsi:noNamespaceSchemaLocation="e.xsd" bid="B" x="7">
+<base_int>5</base_int><extra>E</extra></main>""")
+    r = read_gmlas(str(tmp_path / "e.xml"))["main"].to_pylist()[0]
+    assert (r["base_int"], r["extra"], r["x"], r["bid"]) == \
+        (5, "E", 7, "B")
